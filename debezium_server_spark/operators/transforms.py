@@ -1,0 +1,187 @@
+"""Single-message transforms (SMTs) as declarative DataFrame stages.
+
+The reference configures an ordered SMT chain, each transform optionally
+gated by a named predicate (`debezium.transforms=...`,
+DebeziumServerConfigSourceFactory.java:107-117, TestConfigSource.java:75-85,
+asserted DebeziumServerTest.java:82-92). Transforms are per-event
+projections — in Spark each one is a pure `Column`-expression rewrite, so
+the whole chain stays inside whole-stage codegen with no Python in the hot
+path.
+
+Each transform is a function `DataFrame -> DataFrame`; `Chain` composes
+them with predicate gating via `F.when(pred, transformed).otherwise(
+original)` per rewritten column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Predicate = Callable[[DataFrame], Column]
+
+
+# ---------------------------------------------------------------------------
+# Predicates (reference: TopicNameMatches pattern guards,
+# DebeziumServerConfigSourceFactory.java:113-117)
+# ---------------------------------------------------------------------------
+
+
+def topic_name_matches(pattern: str, destination_col: str = "destination") -> Predicate:
+    return lambda df: F.col(destination_col).rlike(pattern)
+
+
+def value_field_equals(field_path: str, literal: object) -> Predicate:
+    return lambda df: F.col(field_path) == F.lit(literal)
+
+
+def negate(pred: Predicate) -> Predicate:
+    return lambda df: ~pred(df)
+
+
+# ---------------------------------------------------------------------------
+# Transforms. Each returns {column_name: new_expression} so the Chain can
+# gate per-column with the predicate; wholesale row transforms return the
+# special key "*" handled by Chain.apply.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Transform:
+    """One SMT: a set of column rewrites, optionally predicate-gated."""
+
+    name: str
+    rewrites: Callable[[DataFrame], dict[str, Column]]
+    predicate: Predicate | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        rewrites = self.rewrites(df)
+        for col_name, expr in rewrites.items():
+            if self.predicate is not None:
+                base = F.col(col_name) if col_name in df.columns else F.lit(None)
+                expr = F.when(self.predicate(df), expr).otherwise(base)
+            df = df.withColumn(col_name, expr)
+        return df
+
+
+def hoist_field(hoisted_field: str, value_col: str = "value",
+                predicate: Predicate | None = None) -> Transform:
+    """HoistField: wrap the value under a single-field struct
+    (TestConfigSource.java:76-77; asserted shape `{"payload":{"line":...}}`
+    DebeziumServerTest.java:99-100)."""
+    return Transform(
+        name=f"hoist_field[{hoisted_field}]",
+        rewrites=lambda df: {value_col: F.struct(F.col(value_col).alias(hoisted_field))},
+        predicate=predicate,
+    )
+
+
+def hoist_field_serialized(hoisted_field: str, value_col: str = "value",
+                           predicate: Predicate | None = None) -> Transform:
+    """HoistField over a serialized (string) value: produces the JSON
+    `{"<field>": <value>}` shape the reference asserts on the wire
+    (DebeziumServerTest.java:99-100). Type-preserving (string → string),
+    so it composes with predicate gating — the reference's values are
+    serialized bytes, hence dynamically typed; in Spark a gated rewrite
+    must keep one column type."""
+    return Transform(
+        name=f"hoist_field_serialized[{hoisted_field}]",
+        rewrites=lambda df: {
+            value_col: F.to_json(F.struct(F.col(value_col).alias(hoisted_field)))
+        },
+        predicate=predicate,
+    )
+
+
+def insert_header(key: str, value: str, headers_col: str = "headers",
+                  predicate: Predicate | None = None) -> Transform:
+    """InsertHeader: append a constant header (TestConfigSource.java:79-81)."""
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        new = F.array(F.struct(F.lit(key).alias("key"), F.lit(value).alias("value")))
+        existing = F.coalesce(F.col(headers_col), F.array().cast(df.schema[headers_col].dataType))
+        return {headers_col: F.concat(existing, new)}
+
+    return Transform(name=f"insert_header[{key}]", rewrites=rewrites, predicate=predicate)
+
+
+def insert_field(field_name: str, value_expr: Column, value_col: str = "value",
+                 predicate: Predicate | None = None) -> Transform:
+    """InsertField analog: add a static/derived field to the value struct."""
+    return Transform(
+        name=f"insert_field[{field_name}]",
+        rewrites=lambda df: {
+            value_col: F.col(value_col).withField(field_name, value_expr)
+        },
+        predicate=predicate,
+    )
+
+
+def mask_field(field_path: str, value_col: str = "value", mask: str = "****",
+               predicate: Predicate | None = None) -> Transform:
+    """MaskField analog: replace a (nested) value field with a constant."""
+    rel = field_path.removeprefix(f"{value_col}.")
+    return Transform(
+        name=f"mask_field[{field_path}]",
+        rewrites=lambda df: {value_col: F.col(value_col).withField(rel, F.lit(mask))},
+        predicate=predicate,
+    )
+
+
+def rename_destination(pattern: str, replacement: str,
+                       destination_col: str = "destination",
+                       predicate: Predicate | None = None) -> Transform:
+    """Regex route/rename (reference sanitizers: FlussChangeConsumer.java:
+    236-240 `[^a-zA-Z0-9_\\-]`→`_`, MilvusChangeConsumer.java:115-117)."""
+    return Transform(
+        name=f"rename_destination[{pattern}]",
+        rewrites=lambda df: {
+            destination_col: F.regexp_replace(F.col(destination_col), pattern, replacement)
+        },
+        predicate=predicate,
+    )
+
+
+def content_based_router(when_expr: str, then_destination: str,
+                         destination_col: str = "destination") -> Transform:
+    """ContentBasedRouter (scripting SMT analog, debezium-server-dist/
+    pom.xml:389-397): route events matching a SQL boolean expression to a
+    different destination."""
+    return Transform(
+        name="content_based_router",
+        rewrites=lambda df: {
+            destination_col: F.when(F.expr(when_expr), F.lit(then_destination)).otherwise(
+                F.col(destination_col)
+            )
+        },
+    )
+
+
+@dataclass
+class FilterTransform:
+    """Filter SMT (scripting filter analog): keep rows matching a SQL
+    boolean expression. Unlike column rewrites this changes cardinality."""
+
+    condition: str
+    name: str = "filter"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.expr(self.condition))
+
+
+@dataclass
+class Chain:
+    """Ordered SMT chain (`debezium.transforms=a,b,...`)."""
+
+    transforms: Sequence[Transform | FilterTransform] = field(default_factory=list)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for t in self.transforms:
+            df = t.apply(df)
+        return df
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)

@@ -1,0 +1,11 @@
+"""Sink framework: BaseSink lifecycle + registry, mirroring the reference's
+DebeziumServerConsumer surface (validateConnection → configure → handle* →
+close, api/DebeziumServerSink.java:22-28) re-expressed as foreachBatch
+writers."""
+
+from debezium_server_spark.sinks.base import BaseSink, SINK_REGISTRY, register_sink, get_sink  # noqa: F401
+
+# Import sink modules for their @register_sink side effects so
+# `get_sink(name)` resolves every built-in (the reference's CDI @Named
+# discovery analog, ChangeConsumerProducer.java:61-90).
+from debezium_server_spark.sinks import parquet_sink as _parquet_sink  # noqa: E402,F401

@@ -1,0 +1,60 @@
+"""Pipeline runtime: source → SMT chain → route → foreachBatch sink.
+
+The Spark shape of the reference's event path (SURVEY.md §3.2):
+`readStream (CDC source) → select/withColumn chain (SMTs) → router →
+writeStream.foreachBatch(sink).option("checkpointLocation", ...)`. The
+foreachBatch epoch id replaces per-record `record.commit()`
+(KafkaChangeConsumer.java:144): checkpointed offsets give at-least-once,
+and idempotent sinks (parquet/Delta merge keyed by epoch) upgrade it to
+effectively-once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+SinkFn = Callable[[DataFrame, int], None]
+Stage = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Pipeline:
+    """A configured pipeline: composable stages over a streaming frame."""
+
+    source: DataFrame  # streaming DataFrame in event_schema shape
+    stages: list[Stage] = field(default_factory=list)
+
+    def transform(self, stage: Stage) -> "Pipeline":
+        return Pipeline(self.source, [*self.stages, stage])
+
+    def plan(self) -> DataFrame:
+        df = self.source
+        for stage in self.stages:
+            df = stage(df)
+        return df
+
+    def start(
+        self,
+        sink: SinkFn,
+        checkpoint_location: str,
+        trigger_available_now: bool = True,
+        query_name: str = "cdc-pipeline",
+    ) -> StreamingQuery:
+        writer = (
+            self.plan()
+            .writeStream.queryName(query_name)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_location)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_batch(self, sink: SinkFn, epoch_id: int = 0) -> None:
+        """Run the same pipeline over a batch (non-streaming) frame — the
+        snapshot phase uses this before switching to streaming."""
+        sink(self.plan(), epoch_id)

@@ -1,0 +1,105 @@
+"""SMT chain + predicates (reference assertions DebeziumServerTest.java:82-118)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.operators import envelope
+from debezium_server_spark.operators.routing import (
+    dots_to_underscores,
+    sanitize_stream_name,
+    with_partition_routing,
+)
+from debezium_server_spark.operators.transforms import (
+    Chain,
+    FilterTransform,
+    content_based_router,
+    hoist_field,
+    hoist_field_serialized,
+    insert_header,
+    rename_destination,
+    topic_name_matches,
+)
+from tests.fixtures import customers_changelog_df
+
+
+def _lines_df(spark, n=4, dest="topicX"):
+    rows = [
+        {"destination": dest, "key": None, "value": str(i), "headers": None, "partition": None}
+        for i in range(1, n + 1)
+    ]
+    return spark.createDataFrame(
+        rows, schema="destination string, key string, value string, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+
+
+def test_hoist_field_and_insert_header(spark):
+    """F4: HoistField(field=line) + InsertHeader(headerKey=headerValue) ⇒
+    value serializes as {"line":"<i>"} with the header present
+    (DebeziumServerTest.java:99-100, TestConfigSource.java:75-81)."""
+    df = _lines_df(spark)
+    chain = Chain([hoist_field("line"), insert_header("headerKey", "headerValue")])
+    out = chain(df).orderBy("value.line")
+    first = out.first()
+    assert json.loads(out.select(F.to_json("value")).first()[0]) == {"line": "1"}
+    assert first["headers"] == [("headerKey", "headerValue")] or (
+        first["headers"][0]["key"] == "headerKey"
+        and first["headers"][0]["value"] == "headerValue"
+    )
+
+
+def test_predicate_gates_transform(spark):
+    df = _lines_df(spark, dest="topicX").union(_lines_df(spark, dest="other"))
+    chain = Chain([hoist_field_serialized("line", predicate=topic_name_matches("topicX"))])
+    out = chain(df)
+    hoisted = out.filter("destination = 'topicX'").select("value").first()[0]
+    raw = out.filter("destination = 'other'").select("value").first()[0]
+    assert json.loads(hoisted) == {"line": "1"}
+    assert raw == "1"  # gated rows keep the original value
+
+
+def test_filter_and_router(spark):
+    df = _lines_df(spark, n=10)
+    chain = Chain([
+        FilterTransform("cast(value as int) % 2 = 0"),
+        content_based_router("cast(value as int) > 5", "topic-high"),
+    ])
+    out = chain(df)
+    assert out.count() == 5
+    highs = out.filter("destination = 'topic-high'").count()
+    assert highs == 3  # 6, 8, 10
+
+
+def test_rename_destination_regex(spark):
+    df = _lines_df(spark, dest="testc.inventory.customers")
+    out = Chain([rename_destination(r"^testc\.", "prod.")]).apply(df)
+    assert out.first()["destination"] == "prod.inventory.customers"
+
+
+def test_sanitizers(spark):
+    df = spark.createDataFrame([("a.b/c d",)], "destination string")
+    assert df.select(sanitize_stream_name("destination")).first()[0] == "a_b_c_d"
+    assert df.select(dots_to_underscores("destination")).first()[0] == "a_b/c d"
+
+
+def test_envelope_helpers(spark):
+    df = customers_changelog_df(spark)
+    assert envelope.drop_tombstones(df).count() == 7
+    flat = envelope.extract_after(df)
+    assert flat.columns == ["id", "first_name", "last_name", "email"]
+    assert flat.count() == 6
+    state = envelope.with_flattened_state(df)
+    dels = state.filter("__deleted").select("__row.id").collect()
+    assert [r[0] for r in dels] == [1005]
+
+
+def test_partition_routing_stable(spark):
+    df = customers_changelog_df(spark)
+    routed = with_partition_routing(df, 8, key_col="key")
+    parts = routed.select("key.id", "partition").distinct().collect()
+    by_id = {}
+    for r in parts:
+        by_id.setdefault(r["id"], set()).add(r["partition"])
+    assert all(len(v) == 1 for v in by_id.values())  # same key → same partition
+    assert all(0 <= p < 8 for v in by_id.values() for p in v)
