@@ -1,0 +1,52 @@
+"""Benchmark: run every catalog query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via the noop sink (computes the whole
+plan, no driver-side result transfer skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from debezium_server_spark.plans.catalog import CATALOG  # noqa: E402
+from debezium_server_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen once on a cheap query so q1 doesn't pay startup
+    CATALOG["cdc_event_counts"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    total = 0.0
+    for name, qd in CATALOG.items():
+        t0 = time.perf_counter()
+        qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

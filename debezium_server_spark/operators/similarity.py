@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+- `cosine_topk`: brute-force exact top-k — the baseline. Query set is
+  broadcast; the corpus never shuffles. At 100 TB the corpus side stays
+  partition-parallel and each task scores its slice (this is how exact
+  kNN scales: it's embarrassingly parallel, the only reduction is top-k).
+- `lsh_ann_topk`: random-hyperplane LSH bucketing — the scale path. Each
+  vector gets a small integer bucket; candidates are same-bucket only, so
+  the self-join is a hash join on `bucket`, never a cross join.
+
+Planes are integer-valued and generated from a closed-form formula, so
+the oracle (DuckDB) reproduces them exactly — no RNG, no libm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_server_spark.functions.text_functions import cosine_similarity, dot_product
+
+# plane[j][d] = ((j*131 + d*37) % 17) - 8  — integers in [-8, 8], exact in
+# binary floating point, reproducible in any engine.
+PLANE_EXPR = (
+    "transform(sequence(0, {planes_minus_1}), j -> "
+    "transform(sequence(0, {dim_minus_1}), d -> "
+    "CAST(((j*131 + d*37) % 17) - 8 AS DOUBLE)))"
+)
+
+
+def _planes_col(planes: int, dim: int):
+    return F.expr(PLANE_EXPR.format(planes_minus_1=planes - 1, dim_minus_1=dim - 1))
+
+
+def with_hyperplane_bucket(
+    df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Add `bucket` (int in [0, 2^planes)) = sign pattern of the vector
+    against `planes` fixed hyperplanes, plus `<vec>_d` (double-cast)."""
+    v = F.col(vec_col).cast("array<double>")
+    planes_arr = _planes_col(planes, dim)
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):  # fixed small constant → Python-unrolled
+        bucket = bucket + F.when(
+            dot_product(F.get(planes_arr, j), v) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(f"{vec_col}_d", v).withColumn("bucket", bucket)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k most
+    similar corpus vectors (self excluded). `queries` is broadcast — the
+    corpus is scored in place, partition-parallel."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    query_filter: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket the corpus once, then rank
+    candidates within each query's bucket. Join key = bucket (hash join);
+    recall trades off against `planes`. `query_filter` restricts which
+    vectors act as queries (all corpus vectors remain candidates)."""
+    bucketed = with_hyperplane_bucket(corpus, vec_col=vec_col, planes=planes, dim=dim)
+    q = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col(f"{vec_col}_d").alias("qv"),
+        F.col("bucket"),
+    )
+    if query_filter:
+        q = q.filter(query_filter.replace(id_col, "query_id"))
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(f"{vec_col}_d").alias("cv"), F.col("bucket")
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
