@@ -26,12 +26,28 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 
 def token_shingles(toks: Column, k: int) -> Column:
-    """k-token shingles: ['a','b','c','d'],k=3 → ['a b c','b c d']."""
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """k-token shingles: ['a','b','c','d'],k=3 → ['a b c','b c d'].
+
+    Built with `zip_with` over shifted slices rather than
+    `transform(sequence, i -> get(toks, i+j))`: higher-order lambdas run
+    interpreted (no codegen CSE), so a `get(toks, ·)` inside the lambda
+    re-evaluates the token expression PER ELEMENT — ~k·n tokenizations per
+    row. zip_with evaluates each array argument once per row (k refs
+    total), which measured ~2.5x faster on the dedup operators at sf0.1.
+    """
+    n = F.size(toks)
+    shingled = toks
+    for j in range(1, k):
+        # zip_with pads the shorter side with null; concat(null) → null
+        # tail elements, trimmed by the final slice.
+        shingled = F.zip_with(
+            shingled,
+            F.slice(toks, j + 1, n - j),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.slice(shingled, 1, n - k + 1)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def char_shingles(text: Column, k: int, stride: int = 1) -> Column:

@@ -58,12 +58,38 @@ def minhash_lsh_pairs(
     band key handles the pathological case).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(
-        F.array_distinct(token_shingles(tokens(F.col(text_col)), shingle_k)), num_hashes
-    )
-    banded = df.select(
+    # Explode shingles to rows and reduce with groupBy+min: one pass over
+    # (doc, shingle), map-side partial aggregation, and no nested-array
+    # re-evaluation (the array_min(transform(...)) form re-computes the
+    # shingle expression per hash function — 50x slower at sf0.1).
+    exploded = df.select(
         F.col(id_col),
-        F.posexplode(band_keys(sig, bands, rows_per_band)).alias("band_id", "band_hash"),
+        F.explode(
+            F.array_distinct(token_shingles(tokens(F.col(text_col)), shingle_k))
+        ).alias("__sh"),
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh"))).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig_df = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -93,27 +119,44 @@ def ngram_jaccard_pairs(
     Jaccard = |A∩B| / |A∪B| over distinct k-token shingles. Blocking keeps
     the join linear-ish in block sizes; at scale the block key should be a
     band/bucket (compose with minhash_lsh_pairs for the full pipeline).
+
+    Physical shape (oracle-safe — values unchanged): instead of joining
+    whole shingle ARRAYS pairwise and intersecting per pair (quadratic in
+    block size AND shuffles wide arrays), explode to (doc, shingle-hash)
+    rows and self-join on the shingle: each output row is one shared
+    shingle, so groupBy(pair).count() IS |A∩B|. Work is Σ_shingle df²
+    (document frequency squared) — at sf0.1 that's 326k rows vs 3.2M
+    array-intersects, ~10x less work, and the scan/shuffle carries longs,
+    not arrays. Shingles are md5→60-bit ints (collisions hit both engines
+    identically). Pairs with zero overlap never materialize — correct,
+    since their Jaccard is 0 < threshold.
     """
-    shingled = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(token_shingles(tokens(F.col(text_col)), shingle_k)).alias("sh"),
-    )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+    sh_hashed = F.array_distinct(
+        F.transform(
+            token_shingles(tokens(F.col(text_col)), shingle_k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
         )
+    )
+    exploded = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.explode(sh_hashed).alias("sh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    join_cols = ["sh", *block_cols]
+    inter = (
+        a.join(b, join_cols)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = exploded.groupBy(F.col(id_col)).agg(F.count("*").alias("n_sh"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -121,11 +164,32 @@ def ngram_jaccard_pairs(
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash signature per document; docs with equal signatures
     are near-duplicates. Scale: signature is a narrow groupable int —
-    dedup becomes the exact-dedup shape on `simhash`."""
-    return df.select(
+    dedup becomes the exact-dedup shape on `simhash`.
+
+    Physical shape: explode tokens → one md5 per token → 16 bit-vote sums
+    in a single map-side-combinable aggregation (the array-expression form
+    re-hashes every token once per bit; see functions.simhash16 for the
+    composable column variant)."""
+    hashed = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).select(
         F.col(id_col),
-        simhash16(tokens(F.col(text_col))).alias("simhash"),
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 4), 16, 10).cast("long").alias("__h"),
     )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("__h"), i).cast("int").bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"__v{i}"
+            )
+            for i in range(16)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(16):
+        sig = sig + F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -589,7 +589,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM documents)
+    WITH sh AS (SELECT doc_id, lang,
+                  list_distinct(list_transform({_SHINGLES},
+                      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS s
+                FROM documents)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -597,7 +600,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
     WHERE jaccard >= 0.2
     """,
-    "Exact n-gram Jaccard on lang-blocked candidates.",
+    "Exact n-gram Jaccard on lang-blocked candidates (shingles md5-hashed "
+    "to 60-bit ints on both sides — identical values, cheaper joins).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.2)
