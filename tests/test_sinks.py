@@ -1,0 +1,211 @@
+"""Sink family tests: HTTP (live local server), vector collection,
+instructlab extraction, record shaping, dry-run bulk delivery, registry."""
+
+import glob
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.sinks import SINK_REGISTRY, get_sink
+from debezium_server_spark.sinks.aws_sinks import kinesis_entry, sqs_entry
+from debezium_server_spark.sinks.http_sink import HttpSink
+from debezium_server_spark.sinks.kafka_sink import to_kafka_frame
+from debezium_server_spark.sinks.instructlab_sink import InstructLabSink, TaxonomyRoute
+from debezium_server_spark.sinks.messaging_sinks import (
+    maybe_compress,
+    ordering_key,
+    route_partition,
+    select_queue,
+)
+from debezium_server_spark.sinks.redis_sink import MemoryThreshold, build_message
+from debezium_server_spark.sinks.vector_sink import VectorCollectionSink, validate_key_type
+from tests.fixtures import customers_changelog_df, event
+
+
+EXPECTED_SINKS = {
+    "kafka", "redis", "jdbc", "http", "kinesis", "pubsub", "pubsublite",
+    "pulsar", "eventhubs", "nats-jetstream", "nats-streaming", "pravega",
+    "rabbitmq", "rabbitmqstream", "rocketmq", "sns", "sqs", "infinispan",
+    "vector", "instructlab", "fluss", "parquet-upsert", "parquet-append",
+}
+
+
+def test_registry_covers_reference_sink_inventory():
+    """Every @Named sink in SURVEY.md §2.4 resolves (milvus/qdrant → the
+    unified `vector` collection sink)."""
+    missing = EXPECTED_SINKS - set(SINK_REGISTRY)
+    assert not missing, f"missing sinks: {missing}"
+
+
+def test_http_sink_aggregated_live(spark, tmp_path):
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, dict(self.headers), body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/hook"
+        df = customers_changelog_df(spark)
+        sink = HttpSink(url=url, mode="aggregated")
+        sink(df, epoch_id=0)
+        assert received, "no HTTP deliveries"
+        all_events = []
+        for _, headers, body in received:
+            payload = json.loads(body)
+            assert isinstance(payload, list)  # JSON-array aggregation
+            all_events.extend(payload)
+        assert len(all_events) == 7  # tombstone dropped by prepare()
+        ops = sorted(e["op"] for e in all_events)
+        assert ops == ["c", "d", "r", "r", "r", "r", "u"]
+    finally:
+        server.shutdown()
+
+
+def test_http_debezium_headers_base64():
+    h = HttpSink.debezium_headers({"traceId": "abc"})
+    assert h == {"X-DEBEZIUM-TRACEID": "YWJj"}
+
+
+def test_dry_run_bulk_delivery(spark, tmp_path):
+    """RemoteBulkSink partition/chunk path via the dry-run client."""
+    out = str(tmp_path / "chunks")
+    df = customers_changelog_df(spark)
+    sink = get_sink("pubsub", dry_run_dir=out)
+    sink(df, epoch_id=0)
+    recs = []
+    for p in glob.glob(f"{out}/*.jsonl"):
+        recs.extend(json.loads(line) for line in open(p))
+    assert len(recs) == 7
+    assert all(r["sink"] == "pubsub" for r in recs)
+    assert all("ordering_key" in r for r in recs)
+
+
+def test_vector_sink_upsert_delete(spark, tmp_path):
+    rows = [
+        event(1, "c", None, None, lsn=1, dest="vec.docs"),
+        event(2, "c", None, None, lsn=2, dest="vec.docs"),
+        event(1, "u", None, None, lsn=3, dest="vec.docs"),
+        event(2, "d", None, None, lsn=4, dest="vec.docs"),
+    ]
+    # build envelope with embedding rows
+    def emb_after(i, vec, cat):
+        return {"id": i, "embedding": vec, "category": cat, "text": f"doc{i}"}
+
+    data = []
+    for e, after in zip(rows, [emb_after(1, [1.0, 0.0], "a"), emb_after(2, [0.0, 1.0], "b"),
+                               emb_after(1, [0.5, 0.5], "a2"), None]):
+        v = e["value"]
+        if v is not None:
+            v["after"] = after
+            v["before"] = None
+        data.append(e)
+    schema = (
+        "destination string, key struct<id:int>, "
+        "value struct<op:string, before struct<id:int,embedding:array<float>,category:string,text:string>, "
+        "after struct<id:int,embedding:array<float>,category:string,text:string>, "
+        "source struct<version:string,connector:string,name:string,ts_ms:bigint,db:string,"
+        "schema:string,table:string,lsn:bigint,snapshot:string>, ts_ms bigint>, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+    df = spark.createDataFrame(data, schema=schema)
+    sink = VectorCollectionSink(root_path=str(tmp_path / "collections"), key_field="id",
+                                vector_field="embedding")
+    sink(df, epoch_id=0)
+    coll = sink.read_collection(spark, "vec.docs")
+    rows_out = {r["id"]: r for r in coll.collect()}
+    assert set(rows_out) == {1}  # 2 deleted; 1 upserted twice
+    assert [round(x, 1) for x in rows_out[1]["embedding"]] == [0.5, 0.5]
+    payload = json.loads(rows_out[1]["payload"])
+    assert payload == {"category": "a2", "text": "doc1"}  # key+vector excluded
+
+
+def test_vector_key_validation(spark):
+    df = spark.createDataFrame(
+        [(("not-a-uuid",),)], "key struct<id:string>"
+    )
+    with pytest.raises(ValueError, match="UUID"):
+        validate_key_type(df, "id")
+    ok = spark.createDataFrame(
+        [(("123e4567-e89b-12d3-a456-426614174000",),)], "key struct<id:string>"
+    )
+    validate_key_type(ok, "id")  # no raise
+
+
+def test_instructlab_extraction(spark, tmp_path):
+    schema = (
+        "destination string, key struct<id:int>, "
+        "value struct<op:string, after struct<id:int,question:string,answer:string,context:string>>, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+    data = [
+        {"destination": "tax.qna", "key": {"id": 1},
+         "value": {"op": "c", "after": {"id": 1, "question": "Q1?", "answer": "A1", "context": "C1"}}},
+        {"destination": "tax.qna", "key": {"id": 2},
+         "value": {"op": "c", "after": {"id": 2, "question": "", "answer": "A2", "context": None}}},
+        {"destination": "other.topic", "key": {"id": 3},
+         "value": {"op": "c", "after": {"id": 3, "question": "Q3?", "answer": "A3", "context": None}}},
+    ]
+    df = spark.createDataFrame(data, schema=schema)
+    sink = InstructLabSink(root_path=str(tmp_path), routes=[TaxonomyRoute(r"^tax\.", "knowledge/demo")])
+    sink(df, 0)
+    import yaml
+    qna = yaml.safe_load(open(tmp_path / "knowledge/demo/qna.yml"))
+    assert qna["seed_examples"] == [{"question": "Q1?", "answer": "A1", "context": "C1"}]
+
+
+def test_record_shaping_helpers():
+    rec = {"key_json": '{"id":7}', "value_json": '{"x":1}', "headers_map": None,
+           "destination": "t", "partition": 2}
+    assert ordering_key(rec) == '{"id":7}'
+    assert ordering_key(rec, "constant", "fixed") == "fixed"
+    body, compressed = maybe_compress(b"x" * 100, threshold=10)
+    assert compressed and len(body) < 100
+    assert maybe_compress(b"x", threshold=10) == (b"x", False)
+    assert 0 <= select_queue(rec, 4) < 4
+    assert route_partition(rec, "explicit", 4) == 2
+    with pytest.raises(ValueError):
+        route_partition({"partition": 9}, "explicit", 4)
+    assert route_partition(rec, "hash", 4) == select_queue(rec, 4)
+    k = kinesis_entry(rec)
+    assert k["PartitionKey"] == '{"id":7}' and k["Data"] == b'{"x":1}'
+    s = sqs_entry(rec, 0, fifo=True)
+    assert s["MessageGroupId"] == '{"id":7}' and len(s["MessageDeduplicationId"]) == 32
+    assert build_message(rec) == {'{"id":7}': '{"x":1}'}
+    ext = build_message({**rec, "headers_map": {"h": "v"}}, "extended")
+    assert ext == {"key": '{"id":7}', "value": '{"x":1}', "header.h": "v"}
+
+
+def test_memory_threshold_backpressure():
+    calls = []
+    usage = iter([100, 100, 10])
+    mt = MemoryThreshold(lambda: (next(usage), 200), limit_mb=50 // (1024 * 1024) + 1)
+    mt.limit_bytes = 50  # tiny for the test
+    assert mt.wait_until_writable(sleep=lambda s: calls.append(s))
+    assert len(calls) == 2  # waited twice, then writable
+    mt_off = MemoryThreshold(lambda: (10**9, 0), limit_mb=0)
+    assert mt_off.wait_until_writable()  # disabled ⇒ always writable
+
+
+def test_kafka_frame_shape(spark):
+    df = customers_changelog_df(spark)
+    frame = to_kafka_frame(df)
+    assert frame.columns == ["topic", "key", "value", "headers", "partition"]
+    dtypes = dict(frame.dtypes)
+    assert dtypes["key"] == "binary" and dtypes["value"] == "binary"
+    row = frame.filter("topic is not null").first()
+    assert row["topic"] == "testc.inventory.customers"
