@@ -59,7 +59,7 @@ def _fake_pixel_stats(content: bytes) -> tuple[float, float]:
     h = hashlib.sha256(content or b"").digest()
     mean = struct.unpack(">I", h[:4])[0] / 2**32 * 255.0
     std = struct.unpack(">I", h[4:8])[0] / 2**32 * 128.0
-    return round(mean, 4), round(std, 4)
+    return mean, std  # full precision; callers round at the output edge
 
 
 def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -82,6 +82,40 @@ def cosine_topk(
     )
 
 
+def embedding_cosine_dupes(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with cosine ≥ threshold.
+
+    Scale path: hyperplane-bucket blocking (same deterministic planes as
+    `lsh_ann_topk`) so the self-join is a hash join on `bucket` — near-dups
+    have near-parallel vectors, which land in the same sign pattern with
+    high probability. Candidate count ∝ Σ bucket² ≪ n², never a cross join.
+    """
+    bucketed = with_hyperplane_bucket(corpus, vec_col=vec_col, planes=planes, dim=dim)
+    a = bucketed.select(
+        F.col(id_col).alias("dup_a"), F.col(f"{vec_col}_d").alias("av"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("dup_b"), F.col(f"{vec_col}_d").alias("bv"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("dup_a") < F.col("dup_b"))
+        .select(
+            "dup_a",
+            "dup_b",
+            F.round(cosine_similarity(F.col("av"), F.col("bv")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     k: int = 5,

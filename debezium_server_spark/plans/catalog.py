@@ -753,3 +753,585 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Relational/analytic surface (SURVEY.md §2.6): the query shapes Spark
+# gives for free, validated against the oracle. Adapted TPC-H — the
+# fixture tables lack partsupp and some columns, so predicates use what
+# exists (q2/q9/q11/q16/q20 need partsupp and are genuinely out of scope).
+# =====================================================================
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 (adapted: l_shipdate > o_orderdate for the lateness test): "
+    "EXISTS → left-semi join, aggregated on the small post-filter side.",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6: pure scan+filter+agg — the pushdown showcase (all three "
+    "predicates reach the parquet scan; no shuffle at all, one partial agg).",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                        JOIN orders ON o_orderkey = l_orderkey
+                        JOIN customer ON c_custkey = o_custkey
+                        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7: self-joined dimension (nation × 2 roles) + year bucketing; "
+    "both nation sides broadcast, one fact shuffle for the final agg.",
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_6' THEN CAST(volume AS DECIMAL(38,6))
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region ON n1.n_regionkey = r_regionkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 (adapted: p_type = 'ECONOMY'): conditional aggregation for "
+    "market share; every dimension broadcast, numerator/denominator in one pass.",
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_6", _dec(volume)).otherwise(zero))
+                .cast("double")
+                / F.sum(_dec(volume)).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(CAST(rev AS DOUBLE), 4) AS revenue, c_acctbal, n_name
+    FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+          FROM customer JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON l_orderkey = o_orderkey
+                        JOIN nation ON c_nationkey = n_nationkey
+          WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+            AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name)
+    ORDER BY rev DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10: returned-item revenue per customer, top-20. Ordered on the "
+    "exact decimal sum (tie-broken by key) so both engines rank identically; "
+    "rounded only after the LIMIT.",
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"))
+        .orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 (adapted: priority filter instead of comment regex): outer "
+    "join preserving customers with zero orders, then distribution agg.",
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) * 100
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+                 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
+    """,
+    "TPC-H Q14: promotion revenue share — broadcast part join + "
+    "numerator/denominator conditional agg in a single pass.",
+)
+def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(38,6)")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", _dec(volume)).otherwise(zero))
+            .cast("double")
+            * 100
+            / F.sum(_dec(volume)).cast("double"),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+                 FROM lineitem
+                 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                   AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "TPC-H Q15: top supplier by quarterly revenue — scalar-max subquery as "
+    "a broadcast join against the aggregated (tiny) revenue side; the exact "
+    "decimal sum makes the max comparison deterministic.",
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev, "left_semi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN (SELECT l_partkey AS avg_pk,
+                               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                                 / count(*) AS avg_qty
+                        FROM lineitem GROUP BY l_partkey) AS t ON avg_pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+    "TPC-H Q17 (adapted: brand filter only): correlated per-part average as "
+    "a self-agg + join; the avg is an exact decimal-sum/count so both engines "
+    "compare against bit-identical thresholds.",
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 4
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o_totalprice,
+           ROUND(CAST(qty AS DOUBLE), 4) AS sum_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    "TPC-H Q18: large-volume orders — HAVING on an exact decimal sum, then "
+    "the (tiny) qualifying set joins back to orders/customer broadcast-side.",
+)
+def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round(F.col("qty").cast("double"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicate",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 (adapted to available columns): OR-of-ANDs predicate across "
+    "both join sides — Catalyst extracts the common l_quantity/p_brand bounds "
+    "for pushdown; part stays broadcast.",
+)
+def q_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    """
+    SELECT n_name, count(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+    GROUP BY n_name
+    """,
+    "TPC-H Q22 (adapted: grouped by nation; 'idle' = no orders since "
+    "1999, since every fixture customer has some order): "
+    "scalar-average subquery broadcast as a 1-row join + anti join against "
+    "orders; the average is exact-decimal/count for cross-engine parity.",
+)
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1999-01-01").cast("date")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# =====================================================================
+# Embedding near-dup + multimodal plumbing (BASELINE.json north star)
+# =====================================================================
+
+@register(
+    "embedding_cosine_dupes",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    b AS (SELECT vec_id, e,
+              list_aggregate(list_transform(range(0, 8),
+                  j -> CASE WHEN list_aggregate(list_transform(range(0, 64),
+                           d -> CAST(((j*131 + d*37) % 17) - 8 AS DOUBLE) * e[d+1]), 'sum') > 0
+                       THEN (1 << j) ELSE 0 END), 'sum') AS bucket
+          FROM v)
+    SELECT dup_a, dup_b, cosine FROM (
+        SELECT a.vec_id AS dup_a, b2.vec_id AS dup_b,
+               ROUND({_DOT.format(a='a.e', b='b2.e')} /
+                     ({_NORM.format(v='a.e')} * {_NORM.format(v='b2.e')}), 4) AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    WHERE cosine >= 0.4
+    """,
+    "Embedding-cosine near-duplicate pairs: hyperplane-bucket blocking "
+    "(hash join on bucket, never n²) then exact cosine ≥ threshold within "
+    "blocks — the embedding leg of the dedup family.",
+)
+def q_embedding_cosine_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import embedding_cosine_dupes
+
+    return embedding_cosine_dupes(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "media_binary_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+    "Multimodal plumbing: opaque binary payload stats — byte length, "
+    "checksum, fixed-size chunk count (columnar, no UDF, no shuffle).",
+)
+def q_media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(content).alias("checksum"),
+        F.ceil(F.octet_length(F.col("text")) / 256.0).cast("long").alias("n_chunks"),
+    )
+
+
+@register(
+    "media_frame_plan",
+    """
+    SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+    FROM documents,
+         unnest(range(0, greatest(CAST(floor(n_chars * 10.0 / 1000) AS BIGINT), 1))) AS t(f)
+    """,
+    "Video frame-sampling plan: one row per planned frame (explode over "
+    "duration) — a 2 h video at 1 fps becomes 7200 partition-parallel rows; "
+    "duration here is synthesized as n_chars×10 ms.",
+)
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.multimodal import frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+@register(
+    "media_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ROUND(CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT)
+                 / 4294967296.0 * 255.0, 4) AS pixel_mean,
+           ROUND(CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT)
+                 / 4294967296.0 * 128.0, 4) AS pixel_std
+    FROM documents
+    """,
+    "Image decode/feature plumbing via Arrow-batched mapInPandas: the fake "
+    "decode kernel derives 'pixel' stats deterministically from sha256 of the "
+    "payload bytes, so the whole UDF path (schema, batching, partition "
+    "parallelism) is oracle-checkable without a codec in the container.",
+)
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.multimodal import image_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None)
+        .cast(
+            "struct<media_type:string,format:string,width:int,height:int,"
+            "duration_ms:bigint,sample_rate:int>"
+        )
+        .alias("meta"),
+    )
+    return image_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("pixel_mean", 4).alias("pixel_mean"),
+        F.round("pixel_std", 4).alias("pixel_std"),
+    )
