@@ -108,16 +108,7 @@ def rows_to_snapshot_events(
         F.lit(lsn).cast("long").alias("lsn"),
         F.lit("true").alias("snapshot"),
     ).cast(SOURCE_SCHEMA)
-    value = F.struct(
-        F.lit("r").alias("op"),
-        F.lit(None).cast(rows.schema.simpleString().replace("struct", "struct", 1)).alias("before")
-        if False
-        else after.alias("before"),  # placeholder; replaced below
-        after.alias("after"),
-        source.alias("source"),
-        F.unix_millis(F.current_timestamp()).alias("ts_ms"),
-    )
-    # `before` must be NULL for READ events; build with a typed null
+    # `before` is NULL for READ events — typed null via a never-true when
     value = F.struct(
         F.lit("r").alias("op"),
         F.when(F.lit(False), after).alias("before"),
@@ -134,15 +125,37 @@ def rows_to_snapshot_events(
     )
 
 
+def serialize_events(events: DataFrame) -> DataFrame:
+    """Typed envelope frame → serialized frame (key/value as JSON strings).
+
+    This is the reference's `debezium.format.key/value=json` path
+    (DebeziumSerializationProducer.java:60-68): once serialized, events
+    from tables with different row schemas share one transport schema and
+    can ride a single union/stream, exactly like serialized BatchEvents."""
+    return events.select(
+        "destination",
+        F.to_json("key").alias("key"),
+        F.to_json("value").alias("value"),
+        "headers",
+        "partition",
+    )
+
+
 def snapshot_events(spark: SparkSession, cfg: SnapshotConfig) -> DataFrame:
     """Full snapshot phase: every included table as one unioned event
-    stream (per-table frames stay independent partitions — no shuffle)."""
+    stream (per-table frames stay independent partitions — no shuffle).
+
+    Heterogeneous row schemas cannot share one typed envelope column, so
+    the union rides the serialized (JSON key/value) frame. For a single
+    table, prefer `rows_to_snapshot_events` directly to stay typed."""
     frames = []
     for table in cfg.included_tables():
         rows = snapshot_table(spark, cfg, table)
         frames.append(
-            rows_to_snapshot_events(
-                rows, table, cfg.key_columns.get(table, ("id",)), cfg.topic_prefix
+            serialize_events(
+                rows_to_snapshot_events(
+                    rows, table, cfg.key_columns.get(table, ("id",)), cfg.topic_prefix
+                )
             )
         )
     if not frames:

@@ -43,16 +43,33 @@ class Pipeline:
         checkpoint_location: str,
         trigger_available_now: bool = True,
         query_name: str = "cdc-pipeline",
+        signal_channel=None,
     ) -> StreamingQuery:
+        """`signal_channel` (streaming.signals.SignalChannel) is polled
+        between micro-batches — the reference's control path (§3.3) with
+        the query itself as handler context, so a `stop` signal lands at
+        the next batch boundary."""
+        if signal_channel is None:
+            batch_fn = sink
+        else:
+            query_ref: list[StreamingQuery] = []
+
+            def batch_fn(df: DataFrame, epoch_id: int) -> None:
+                signal_channel.poll(query_ref[0] if query_ref else None)
+                sink(df, epoch_id)
+
         writer = (
             self.plan()
             .writeStream.queryName(query_name)
-            .foreachBatch(sink)
+            .foreachBatch(batch_fn)
             .option("checkpointLocation", checkpoint_location)
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        if signal_channel is not None:
+            query_ref.append(query)
+        return query
 
     def run_batch(self, sink: SinkFn, epoch_id: int = 0) -> None:
         """Run the same pipeline over a batch (non-streaming) frame — the

@@ -1,0 +1,134 @@
+"""Ops plane: StreamingQueryListener metrics + file-backed signal channel."""
+
+import json
+import time
+
+import pytest
+
+from debezium_server_spark.streaming.metrics import PipelineMetricsListener
+from debezium_server_spark.streaming.signals import Signal, SignalChannel
+
+
+def _write_lines(path, n):
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(json.dumps({"k": f"id{i}", "v": i}) + "\n")
+
+
+def test_metrics_listener_captures_progress(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_lines(src / "a.jsonl", 25)
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema("k string, v long")
+            .json(str(src))
+            .writeStream.queryName("metrics-probe")
+            .foreachBatch(lambda df, e: df.count())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are async — give the bus a moment to drain
+        m = None
+        for _ in range(50):
+            m = listener.metrics(str(q.id))
+            if m and m.snapshot_completed and not m.active:
+                break
+            time.sleep(0.2)
+        assert m is not None
+        assert m.total_input_rows == 25
+        assert m.snapshot_completed  # first non-empty batch committed
+        assert m.n_batches >= 1
+        assert m.history[0]["numInputRows"] == 25
+        assert not m.active  # terminated
+    finally:
+        spark.streams.removeListener(listener)
+
+
+class TestSignalChannel:
+    def test_log_signal_dispatch(self, tmp_path):
+        d = str(tmp_path / "signals")
+        SignalChannel.post(d, Signal(id="s1", type="log", data={"message": "hello"}))
+        ch = SignalChannel(d)
+        out = ch.poll()
+        assert [s.id for s in out] == ["s1"]
+        # at-most-once: same id never dispatches twice
+        assert ch.poll() == []
+
+    def test_disabled_channel_ignores(self, tmp_path):
+        d = str(tmp_path / "signals")
+        SignalChannel.post(d, Signal(id="s1", type="log"))
+        assert SignalChannel(d, enabled=False).poll() == []
+
+    def test_custom_handler_and_context(self, tmp_path):
+        d = str(tmp_path / "signals")
+        seen = []
+        ch = SignalChannel(d)
+        ch.register("snapshot", lambda sig, ctx: seen.append((sig.data["table"], ctx)))
+        SignalChannel.post(d, Signal(id="snap-1", type="snapshot", data={"table": "t1"}))
+        ch.poll(context="ctx-obj")
+        assert seen == [("t1", "ctx-obj")]
+
+    def test_unknown_type_is_skipped(self, tmp_path):
+        d = str(tmp_path / "signals")
+        SignalChannel.post(d, Signal(id="s9", type="nope"))
+        assert SignalChannel(d).poll() == []
+
+    def test_stop_signal_stops_query(self, spark, tmp_path):
+        class FakeQuery:
+            stopped = False
+
+            def stop(self):
+                self.stopped = True
+
+        d = str(tmp_path / "signals")
+        SignalChannel.post(d, Signal(id="halt", type="stop"))
+        q = FakeQuery()
+        ch = SignalChannel(d)
+        out = ch.poll(q)
+        assert q.stopped and [s.type for s in out] == ["stop"]
+
+
+def test_pipeline_polls_signals_between_batches(spark, tmp_path):
+    """End-to-end: a stop signal posted before the run is consumed at the
+    first batch boundary (control path rides foreachBatch)."""
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.sources.file_source import changelog_stream
+    from debezium_server_spark.streaming.pipeline import Pipeline
+
+    src = tmp_path / "log"
+    src.mkdir()
+    row_schema = T.StructType([T.StructField("id", T.LongType())])
+    with open(src / "e.jsonl", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "destination": "d.t",
+                    "key": {"id": 1},
+                    "value": {"op": "c", "before": None, "after": {"id": 1},
+                              "source": {"lsn": 1}, "ts_ms": 1},
+                    "headers": [],
+                    "partition": 0,
+                }
+            )
+        )
+    sig_dir = str(tmp_path / "signals")
+    SignalChannel.post(sig_dir, Signal(id="s-log", type="log", data={"message": "mid-run"}))
+    dispatched = []
+    ch = SignalChannel(sig_dir)
+    ch.register("log", lambda sig, ctx: dispatched.append(sig.id))
+    seen_rows = []
+    p = Pipeline(changelog_stream(spark, str(src), row_schema, row_schema))
+    q = p.start(
+        lambda df, e: seen_rows.append(df.count()),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        signal_channel=ch,
+    )
+    q.awaitTermination(120)
+    assert dispatched == ["s-log"]
+    assert sum(seen_rows) == 1

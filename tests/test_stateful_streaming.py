@@ -1,0 +1,132 @@
+"""Stateful streaming: cross-batch dedup state, running aggregates,
+watermark late-data semantics.
+
+Each test drives multiple micro-batches through one query run
+(`maxFilesPerTrigger=1` + `availableNow`) so state genuinely crosses
+batch boundaries — the property the checkpoint must carry at scale.
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.streaming.stateful import (
+    exactly_once_dedup,
+    running_key_stats,
+    windowed_event_counts,
+)
+
+SCHEMA = "dedup_id string, payload string, seq long"
+
+
+def _write(path, name, rows):
+    with open(f"{path}/{name}", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream(spark, path, schema=SCHEMA):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(path))
+    )
+
+
+def _run_collect(out_stream, tmp_path, mode="update"):
+    rows = []
+
+    q = (
+        out_stream.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, epoch: rows.extend((epoch, r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_exactly_once_dedup_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: A twice, B once; batch 2: A redelivered, C new
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "A", "payload": "a1", "seq": 1},
+        {"dedup_id": "A", "payload": "a2", "seq": 2},
+        {"dedup_id": "B", "payload": "b1", "seq": 3},
+    ])
+    _write(src, "b2.jsonl", [
+        {"dedup_id": "A", "payload": "a3", "seq": 4},
+        {"dedup_id": "C", "payload": "c1", "seq": 5},
+    ])
+    out = exactly_once_dedup(_stream(spark, src), ["dedup_id"])
+    rows = [r for _, r in _run_collect(out, tmp_path)]
+    by_id = {r["dedup_id"]: r for r in rows}
+    assert len(rows) == 3  # one emission per distinct id, ever
+    assert set(by_id) == {"A", "B", "C"}
+    assert by_id["A"]["payload"] == "a1"  # first delivery wins
+
+
+def test_running_key_stats_accumulate(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "k1", "payload": "x", "seq": 10},
+        {"dedup_id": "k1", "payload": "x", "seq": 20},
+    ])
+    _write(src, "b2.jsonl", [
+        {"dedup_id": "k1", "payload": "x", "seq": 5},
+    ])
+    out = running_key_stats(_stream(spark, src), "dedup_id", "seq")
+    rows = _run_collect(out, tmp_path)
+    k1 = [r for _, r in rows if r["key"] == "k1"]
+    # emitted once per batch, accumulating: (2, 30, 20) then (3, 35, 20)
+    assert (k1[-1]["n_events"], k1[-1]["total"], k1[-1]["peak"]) == (3, 35.0, 20.0)
+    assert (k1[0]["n_events"], k1[0]["total"], k1[0]["peak"]) == (2, 30.0, 20.0)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics as Spark actually implements them: the
+    watermark advances at batch end (from the previous batch's max event
+    time), evicting windows whose end is below it; a late row arriving
+    AFTER its window's state was evicted is dropped, never re-opening the
+    window. (A late row whose window state still exists merges — eviction
+    and the drop filter are both watermark-driven but state-dependent.)"""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 1000
+    # batch order is mtime order — force it so each file is its own batch
+    batches = [
+        # batch 0: event time reaches 12:00 → wm becomes 11:30 at batch end
+        [{"dedup_id": "e1", "payload": "2024-01-01 10:15:00", "seq": 1},
+         {"dedup_id": "e2", "payload": "2024-01-01 12:00:00", "seq": 1}],
+        # batch 1 (wm 11:30): window [10:00,11:00) evicted at this batch end
+        [{"dedup_id": "e3", "payload": "2024-01-01 12:01:00", "seq": 1}],
+        # batch 2 (wm 11:31): 10:20 is late AND its state is gone → dropped
+        [{"dedup_id": "late", "payload": "2024-01-01 10:20:00", "seq": 1},
+         {"dedup_id": "e4", "payload": "2024-01-01 12:30:00", "seq": 1}],
+    ]
+    for i, rows_ in enumerate(batches):
+        _write(src, f"b{i}.jsonl", rows_)
+        os.utime(src / f"b{i}.jsonl", (t0 + i * 10, t0 + i * 10))
+    ev = _stream(spark, src).select(
+        F.to_timestamp("payload").alias("ts"), "dedup_id"
+    )
+    out = windowed_event_counts(ev, ts_col="ts", window="1 hour", watermark="30 minutes")
+    rows = _run_collect(out, tmp_path)
+    by_epoch_window = {}
+    for epoch, r in rows:
+        by_epoch_window.setdefault(epoch, {})[str(r["window_start"])] = r["n_events"]
+    assert by_epoch_window[0] == {
+        "2024-01-01 10:00:00": 1,
+        "2024-01-01 12:00:00": 1,
+    }
+    assert by_epoch_window[1] == {"2024-01-01 12:00:00": 2}
+    # the late 10:20 event is dropped: only the 12:00 window updates
+    assert by_epoch_window[2] == {"2024-01-01 12:00:00": 3}
