@@ -19,13 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from debezium_server_spark.functions.text_functions import (
-    band_keys,
-    minhash_signature,
-    simhash16,
-    token_shingles,
-    tokens,
-)
+from debezium_server_spark.functions.text_functions import token_shingles, tokens
+
+# Universal-hash family for minhash: h_j = (a_j·x + b_j) mod p, p = 2^31−1.
+MINHASH_P = 2147483647
+
+
+def _mh_a(j: int) -> int:
+    return (1103515245 * (j + 1)) % MINHASH_P
+
+
+def _mh_b(j: int) -> int:
+    return (12345 * (j + 1)) % MINHASH_P
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,16 +67,27 @@ def minhash_lsh_pairs(
     # (doc, shingle), map-side partial aggregation, and no nested-array
     # re-evaluation (the array_min(transform(...)) form re-computes the
     # shingle expression per hash function — 50x slower at sf0.1).
+    #
+    # One md5 per shingle; the K hash functions are universal hashes
+    # h_j = (a_j·base + b_j) mod p over the md5-derived base int — the
+    # standard scalable minhash (hashing the shingle string K times costs
+    # K·|shingle| bytes of digesting per row; the affine family costs two
+    # multiplies). p = 2^31−1 keeps a_j·base < 2^62 (no 64-bit overflow),
+    # and the identical closed-form constants reproduce in any engine.
     exploded = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(token_shingles(tokens(F.col(text_col)), shingle_k))
         ).alias("__sh"),
     )
+    base = (
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
     hashed = exploded.select(
         F.col(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("__sh"))).alias(f"__h{j}")
+            ((F.lit(_mh_a(j)) * base + F.lit(_mh_b(j))) % MINHASH_P).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )

@@ -22,16 +22,16 @@ from pyspark.sql.window import Window
 from debezium_server_spark.functions.text_functions import cosine_similarity, dot_product
 
 # plane[j][d] = ((j*131 + d*37) % 17) - 8  — integers in [-8, 8], exact in
-# binary floating point, reproducible in any engine.
-PLANE_EXPR = (
-    "transform(sequence(0, {planes_minus_1}), j -> "
-    "transform(sequence(0, {dim_minus_1}), d -> "
-    "CAST(((j*131 + d*37) % 17) - 8 AS DOUBLE)))"
-)
+# binary floating point, reproducible in any engine. Materialized as a
+# LITERAL array (not a transform(sequence(...)) expression): higher-order
+# functions are interpreted per row and Catalyst does not constant-fold
+# them — the literal is ~5x faster at sf0.1 and identical in value.
 
 
 def _planes_col(planes: int, dim: int):
-    return F.expr(PLANE_EXPR.format(planes_minus_1=planes - 1, dim_minus_1=dim - 1))
+    return F.lit(
+        [[float(((j * 131 + d * 37) % 17) - 8) for d in range(dim)] for j in range(planes)]
+    )
 
 
 def with_hyperplane_bucket(

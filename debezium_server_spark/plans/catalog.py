@@ -567,10 +567,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+    WITH sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
     sig AS (SELECT doc_id,
                    list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s, x -> md5(j || ':' || x)), 'min')) AS m
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
             FROM sh),
     bands AS (SELECT doc_id, b AS band_id,
                      md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
@@ -579,8 +586,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     """,
-    "MinHash+LSH near-dup candidates: shingle→12 minhashes→4 bands→"
-    "band-bucket self-join. Shuffle ∝ docs×bands, never docs².",
+    "MinHash+LSH near-dup candidates: shingle→base hash→12 universal "
+    "hashes→4 bands→band-bucket self-join. One digest per shingle, affine "
+    "hash family for the rest; shuffle ∝ docs×bands, never docs².",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
