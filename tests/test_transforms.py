@@ -103,3 +103,25 @@ def test_partition_routing_stable(spark):
         by_id.setdefault(r["id"], set()).add(r["partition"])
     assert all(len(v) == 1 for v in by_id.values())  # same key → same partition
     assert all(0 <= p < 8 for v in by_id.values() for p in v)
+
+
+class TestSkewSalting:
+    def test_salted_count_equals_direct(self, spark):
+        from debezium_server_spark.operators.routing import salt_key, salted_count
+        from pyspark.sql import functions as F
+
+        # one pathological hot key + a uniform tail
+        rows = [("hot", i) for i in range(500)] + [(f"k{i%7}", i) for i in range(200)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        direct = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        salted = {r["k"]: r["n"] for r in salted_count(df, "k", buckets=16).collect()}
+        assert salted == direct
+        # the hot key genuinely spreads across sub-keys
+        n_sub = (
+            salt_key(df, "k", 16)
+            .filter(F.col("k") == "hot")
+            .select("salted_key")
+            .distinct()
+            .count()
+        )
+        assert n_sub > 4
