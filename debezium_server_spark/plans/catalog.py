@@ -1346,6 +1346,108 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_total_per_user",
+    """
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 4) AS running_total
+    FROM events WHERE user_id < 20
+    """,
+    "Cumulative window frame (running total per key) — the exact decimal "
+    "sum makes the frame order-independent across engines.",
+)
+def q_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(_dec(F.col("value"))).over(w).cast("double"), 4).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "moving_avg_3",
+    """
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 4) AS moving_avg,
+           ROUND(CAST(value - lag(value, 1) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS DOUBLE),
+                 4) AS delta_prev
+    FROM events WHERE user_id < 20
+    """,
+    "Bounded window frame (3-row moving average) + lag: the sliding-"
+    "aggregate family over per-key event order.",
+)
+def q_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(_dec(F.col("value"))).over(frame).cast("double")
+            / F.count("*").over(frame),
+            4,
+        ).alias("moving_avg"),
+        F.round(
+            (F.col("value") - F.lag("value", 1).over(order)).cast("double"), 4
+        ).alias("delta_prev"),
+    )
+
+
+@register(
+    "user_peak_event",
+    """
+    SELECT user_id, event_id AS peak_event_id, n_events
+    FROM (SELECT user_id, event_id,
+                 count(*) OVER (PARTITION BY user_id) AS n_events,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    "Grouped-map via applyInPandas (Arrow-batched, one pandas frame per "
+    "key group): per-user argmax by (value, lowest id tiebreak). The same "
+    "shape carries any custom per-group kernel — normalization, resampling, "
+    "model scoring — partition-parallel with one shuffle on the key.",
+)
+def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "value")
+
+    def peak(pdf: pd.DataFrame) -> pd.DataFrame:
+        # max value; ties broken by the SMALLEST event_id (sort then idxmax
+        # keeps the first occurrence)
+        s = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "peak_event_id": [s["event_id"].iloc[0]],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        peak, schema="user_id long, peak_event_id long, n_events long"
+    )
+
+
+@register(
     "schema_versions_by_type",
     """
     SELECT event_type AS destination,

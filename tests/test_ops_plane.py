@@ -132,3 +132,61 @@ def test_pipeline_polls_signals_between_batches(spark, tmp_path):
     q.awaitTermination(120)
     assert dispatched == ["s-log"]
     assert sum(seen_rows) == 1
+
+
+class TestControlSidecar:
+    def _post(self, port, path, payload):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def _get(self, port, path):
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_health_signals_and_metrics(self, tmp_path):
+        from debezium_server_spark.streaming.metrics import PipelineMetricsListener
+        from debezium_server_spark.streaming.rest_sidecar import ControlSidecar
+        from debezium_server_spark.streaming.signals import SignalChannel
+
+        listener = PipelineMetricsListener()
+        sc = ControlSidecar(str(tmp_path / "sig"), metrics_listener=listener).start()
+        try:
+            assert self._get(sc.port, "/q/health") == (200, {"status": "UP"})
+            code, body = self._post(
+                sc.port, "/api/signals", {"id": "s1", "type": "log", "data": {"message": "m"}}
+            )
+            assert (code, body) == (202, {"accepted": "s1"})
+            # the posted signal is consumable through the channel
+            out = SignalChannel(str(tmp_path / "sig")).poll()
+            assert [s.id for s in out] == ["s1"]
+            assert self._post(sc.port, "/api/signals", {"nope": 1})[0] == 400
+            assert self._get(sc.port, "/q/metrics")[0] == 200
+            assert self._get(sc.port, "/nope")[0] == 404
+        finally:
+            sc.stop()
+
+    def test_disabled_api_404s(self, tmp_path):
+        from debezium_server_spark.streaming.rest_sidecar import ControlSidecar
+
+        sc = ControlSidecar(str(tmp_path / "sig"), api_enabled=False).start()
+        try:
+            code, _ = self._post(sc.port, "/api/signals", {"id": "x", "type": "log"})
+            assert code == 404
+        finally:
+            sc.stop()
