@@ -1346,6 +1346,54 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(list_filter({_TOKS}, x -> x IN ('the','a','of','and','in','to'))) AS score_en,
+               len(list_filter({_TOKS}, x -> x IN ('le','la','et','les','des','un'))) AS score_fr,
+               len(list_filter({_TOKS}, x -> x IN ('el','la','de','los','que','un'))) AS score_es,
+               len(list_filter({_TOKS}, x -> x IN ('der','die','und','das','ein','nicht'))) AS score_de,
+               len({_TOKS}) AS n_tokens
+        FROM documents),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE score_en > 0
+          AND score_en >= greatest(score_en, score_fr, score_es, score_de)
+          AND n_tokens >= 20),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(source) AS source,
+               min(n_tokens) AS n_tokens
+        FROM filtered GROUP BY md5(text))
+    SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY source
+    """,
+    "The composed training-data pipeline: language filter (stopword vote) "
+    "→ quality floor (token count) → exact dedup (keep min id per content "
+    "hash) → per-source corpus stats. Each stage is one of the catalog's "
+    "operators; composed they stay a single DataFrame plan — one scan, "
+    "two shuffles (dedup groupBy, final agg) at any scale.",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = lang_id(docs).join(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    ).join(text_quality(docs).select("doc_id", "n_tokens"), "doc_id")
+    filtered = scored.filter(
+        (F.col("pred_lang") == "en") & (F.col("n_tokens") >= 20)
+    )
+    deduped = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
     "running_total_per_user",
     """
     SELECT user_id, event_id,

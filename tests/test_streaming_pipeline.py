@@ -104,3 +104,42 @@ def test_multi_destination_routing(spark, tmp_path):
     Pipeline(stream).start(sink, checkpoint_location=str(tmp_path / "ckpt")).awaitTermination(120)
     assert sink.read_table(spark, "testc.inventory.t1").count() == 1
     assert sink.read_table(spark, "testc.inventory.t2").count() == 2
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Fault-injection analog of RedisStreamIT.java:95-120: stop the
+    query, new changes arrive, restart with the SAME checkpoint — only
+    the new batch is read (offsets carried), and the merged state is the
+    correct final table."""
+    src = str(tmp_path / "changelog")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(src, customers_changelog_events(), "batch1.jsonl")
+
+    sink = ParquetUpsertSink(root_path=state, key_fields=("id",))
+    batch_rows = []
+    counting = lambda df, e: (batch_rows.append(df.count()), sink(df, e))
+
+    def run():
+        stream = changelog_stream(spark, src, CUSTOMERS_ROW_SCHEMA, CUSTOMERS_KEY_SCHEMA)
+        Pipeline(stream).start(counting, checkpoint_location=ckpt).awaitTermination(120)
+
+    run()  # first run applies the golden changelog
+    n_first = sum(batch_rows)
+    # downtime: a late update arrives for id=1001 and a new row 1005
+    _write_events(
+        src,
+        [
+            event(1001, "u", (1001, "Sally", "Thomas", "sally@x.com"),
+                  (1001, "Sally", "Restarted", "sally@x.com"), lsn=100),
+            event(1005, "c", None, (1005, "Eve", "New", "eve@x.com"), lsn=101),
+        ],
+        "batch2.jsonl",
+    )
+    batch_rows.clear()
+    run()  # restart from the same checkpoint
+    assert sum(batch_rows) == 2  # ONLY the new file was read
+    rows = {r["id"]: r["last_name"] for r in sink.read_table(spark, DEST).collect()}
+    assert rows[1001] == "Restarted"
+    assert rows[1005] == "New"
+    assert n_first >= len(GOLDEN_CUSTOMERS)
