@@ -82,6 +82,73 @@ def cosine_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    `n_cells` Voronoi cells and search only the query's own cell.
+
+    Centroids here are the first `n_cells` vectors by id — deterministic
+    (so any engine reproduces the assignment) and refreshable by swapping
+    in k-means centroids without touching the plan. Scale shape: the
+    centroid table is tiny and broadcast; assignment is one pass over the
+    corpus (argmin over n_cells distances); the candidate join is a hash
+    join on `cell`, candidates ∝ n/n_cells per query — the classic IVF
+    trade of recall for fan-out.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = v.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
+    )
+    # assign: nearest centroid by squared L2 (monotone with L2; cosine
+    # assignment would normalize first) — min_by struct gives argmin with
+    # an id tiebreak, deterministic in any engine
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vid", "vec", "cell_id", d2.alias("d2"))
+        .groupBy("vid")
+        .agg(
+            F.min_by(F.col("cell_id"), F.struct(F.col("d2"), F.col("cell_id"))).alias("cell"),
+            F.first("vec").alias("vec"),
+        )
+    )
+    q = assigned.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "cell"
+    )
+    if query_filter:
+        q = q.filter(query_filter.replace(id_col, "query_id"))
+    c = assigned.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def embedding_cosine_dupes(
     corpus: DataFrame,
     threshold: float = 0.9,

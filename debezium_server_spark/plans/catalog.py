@@ -1346,6 +1346,61 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_users",
+    None,  # HLL sketches differ per engine — rows-only check by design
+    "Sketch aggregation: approx_count_distinct (HyperLogLog++) per event "
+    "type beside the exact count — at 100 TB the sketch is the only "
+    "distinct-count that avoids a full shuffle of the key set; rsd=0.01 "
+    "bounds the error at 1%. No oracle: HLL implementations differ across "
+    "engines by construction.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "embedding_ann_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell
+                 FROM (SELECT vec_id, cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_DOT.format(a='q.e', b='c.e')} /
+                 ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+          FROM av q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 10)
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+    "IVF ANN: corpus partitioned into Voronoi cells (deterministic "
+    "centroids, broadcast), queries search only their own cell — "
+    "candidates ∝ n/cells, the inverted-file scale path beside LSH.",
+)
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        load(spark, sf_dir, "embeddings"), k=5, n_cells=16, query_filter="query_id < 10"
+    )
+
+
+@register(
     "corpus_clean_pipeline",
     f"""
     WITH scored AS (
