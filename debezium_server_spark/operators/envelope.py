@@ -76,3 +76,49 @@ def with_flattened_state(df: DataFrame, value_col: str = "value") -> DataFrame:
         .withColumn("__op", op_col(value_col))
         .withColumn("__deleted", is_delete(value_col))
     )
+
+
+def extract_new_record_state(
+    df: DataFrame,
+    value_col: str = "value",
+    add_fields: tuple[str, ...] = (),
+    delete_mode: str = "rewrite",
+) -> DataFrame:
+    """The full ExtractNewRecordState SMT (Debezium's canonical flatten):
+    unwrap the envelope to the bare row image, with the upstream
+    transform's options:
+
+    - ``add_fields``: envelope/source paths copied into the flattened row
+      as ``__``-prefixed columns (``op``, ``ts_ms``, ``source.lsn``,
+      ``source.table``, ... — the `add.fields` option). Dots become
+      underscores: ``source.lsn`` → ``__source_lsn``.
+    - ``delete_mode``: ``"rewrite"`` keeps deletes as rows flagged
+      ``__deleted=true`` (image = ``before``); ``"drop"`` removes delete
+      and tombstone events entirely (`delete.handling.mode`).
+
+    Output: the row image columns (``after.*``/``before.*``) + requested
+    metadata. Catalyst prunes unreferenced envelope fields at the scan.
+    """
+    if delete_mode not in ("rewrite", "drop"):
+        raise ValueError("delete_mode must be 'rewrite' or 'drop'")
+    out = df.filter(~is_tombstone(value_col))
+    if delete_mode == "drop":
+        out = out.filter(~is_delete(value_col))
+        row = F.col(f"{value_col}.after")
+    else:
+        row = F.when(is_delete(value_col), F.col(f"{value_col}.before")).otherwise(
+            F.col(f"{value_col}.after")
+        )
+    meta = []
+    for path in add_fields:
+        src = (
+            F.col(f"{value_col}.{path}")
+            if path != "destination"
+            else F.col("destination")
+        )
+        meta.append(src.alias("__" + path.replace(".", "_")))
+    if delete_mode == "rewrite":
+        meta.append(is_delete(value_col).alias("__deleted"))
+    return out.select(row.alias("__row"), *meta).select("__row.*", *[
+        f"`__{p.replace('.', '_')}`" for p in add_fields
+    ] + (["__deleted"] if delete_mode == "rewrite" else []))

@@ -185,3 +185,34 @@ class Chain:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return self.apply(df)
+
+
+def outbox_router(
+    df: DataFrame,
+    route_by_field: str = "value.after.aggregatetype",
+    topic_prefix: str = "outbox.event",
+    key_field: str = "value.after.aggregateid",
+    payload_field: str = "value.after.payload",
+    ts_field: str = "value.ts_ms",
+) -> DataFrame:
+    """The outbox EventRouter pattern (transactional-outbox table →
+    per-aggregate event streams; the upstream Debezium EventRouter SMT
+    that Debezium Server ships in its dist).
+
+    Each CREATE on the outbox table becomes an event routed to
+    `<topic_prefix>.<aggregatetype>` keyed by the aggregate id with the
+    outbox payload (already-serialized JSON in the canonical pattern) as
+    the value. Deletes/updates on the outbox table are dropped — outbox
+    rows are insert-only by contract.
+    """
+    created = df.filter(
+        F.col("value").isNotNull() & F.col("value.op").isin("c", "r")
+    )
+    return created.select(
+        F.concat(F.lit(topic_prefix + "."), F.col(route_by_field)).alias("destination"),
+        F.col(key_field).cast("string").alias("key"),
+        F.col(payload_field).alias("value"),
+        F.col("headers"),
+        F.col("partition"),
+        F.col(ts_field).alias("ts_ms"),
+    )

@@ -125,3 +125,98 @@ class TestSkewSalting:
             .count()
         )
         assert n_sub > 4
+
+
+class TestExtractNewRecordState:
+    def _events(self, spark):
+        from pyspark.sql import types as T
+
+        from debezium_server_spark.schema import event_schema
+
+        row = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        )
+        key = T.StructType([T.StructField("id", T.LongType())])
+        return spark.createDataFrame(
+            [
+                ("t", {"id": 1},
+                 {"op": "c", "before": None, "after": {"id": 1, "name": "a"},
+                  "source": {"lsn": 5}, "ts_ms": 10}, [], 0),
+                ("t", {"id": 1},
+                 {"op": "d", "before": {"id": 1, "name": "a"}, "after": None,
+                  "source": {"lsn": 6}, "ts_ms": 11}, [], 0),
+                ("t", {"id": 1}, None, [], 0),  # tombstone
+            ],
+            event_schema(row, key),
+        )
+
+    def test_rewrite_mode_with_add_fields(self, spark):
+        from debezium_server_spark.operators.envelope import extract_new_record_state
+
+        out = extract_new_record_state(
+            self._events(spark), add_fields=("op", "ts_ms", "source.lsn")
+        ).collect()
+        assert len(out) == 2  # tombstone dropped, delete rewritten
+        by_op = {r["__op"]: r for r in out}
+        assert by_op["c"]["name"] == "a" and by_op["c"]["__deleted"] is False
+        assert by_op["d"]["__deleted"] is True
+        assert by_op["d"]["name"] == "a"  # before image for deletes
+        assert by_op["d"]["__source_lsn"] == 6
+        assert by_op["c"]["__ts_ms"] == 10
+
+    def test_drop_mode(self, spark):
+        from debezium_server_spark.operators.envelope import extract_new_record_state
+
+        out = extract_new_record_state(self._events(spark), delete_mode="drop")
+        rows = out.collect()
+        assert [r["name"] for r in rows] == ["a"]
+        assert "__deleted" not in out.columns
+
+    def test_bad_mode_raises(self, spark):
+        import pytest
+
+        from debezium_server_spark.operators.envelope import extract_new_record_state
+
+        with pytest.raises(ValueError):
+            extract_new_record_state(self._events(spark), delete_mode="nope")
+
+
+class TestOutboxRouter:
+    def test_routing_and_payload(self, spark):
+        from pyspark.sql import types as T
+
+        from debezium_server_spark.operators.transforms import outbox_router
+        from debezium_server_spark.schema import event_schema
+
+        row = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("aggregatetype", T.StringType()),
+                T.StructField("aggregateid", T.StringType()),
+                T.StructField("payload", T.StringType()),
+            ]
+        )
+        key = T.StructType([T.StructField("id", T.LongType())])
+        events = spark.createDataFrame(
+            [
+                ("db.public.outbox", {"id": 1},
+                 {"op": "c", "before": None,
+                  "after": {"id": 1, "aggregatetype": "order", "aggregateid": "o-9",
+                            "payload": '{"total": 12}'},
+                  "source": {"lsn": 1}, "ts_ms": 100}, [], 0),
+                # outbox cleanup delete must NOT be routed
+                ("db.public.outbox", {"id": 1},
+                 {"op": "d",
+                  "before": {"id": 1, "aggregatetype": "order", "aggregateid": "o-9",
+                             "payload": None},
+                  "after": None, "source": {"lsn": 2}, "ts_ms": 101}, [], 0),
+            ],
+            event_schema(row, key),
+        )
+        out = outbox_router(events).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["destination"] == "outbox.event.order"
+        assert r["key"] == "o-9"
+        assert r["value"] == '{"total": 12}'
+        assert r["ts_ms"] == 100
