@@ -137,3 +137,16 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot/(|a|*|b|) with sequential sums — matches the explicit oracle
     formula (not an engine-specific fused kernel)."""
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def round4(c: Column) -> Column:
+    """Engine-portable 4-decimal rounding: floor(x·10⁴)/10⁴.
+
+    ROUND() on doubles is engine-DEPENDENT at .00005 boundaries (Spark
+    rounds the shortest decimal repr via BigDecimal HALF_UP; DuckDB rounds
+    the binary value), so two engines given bit-identical doubles can
+    disagree by 1e-4. floor is exact on doubles: identical inputs →
+    identical outputs, always. SQL twin: floor((x) * 10000) / 10000.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * 10000) / 10000

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from debezium_server_spark.functions.text_functions import token_shingles, tokens
+from debezium_server_spark.functions.text_functions import token_shingles, tokens, round4
 
 # Universal-hash family for minhash: h_j = (a_j·x + b_j) mod p, p = 2^31−1.
 MINHASH_P = 2147483647
@@ -172,7 +172,7 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round4(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -238,7 +238,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 4).alias("cosine"),
+            round4(sim).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from debezium_server_spark.functions.text_functions import cosine_similarity, dot_product
+from debezium_server_spark.functions.text_functions import cosine_similarity, dot_product, round4
 
 # plane[j][d] = ((j*131 + d*37) % 17) - 8  — integers in [-8, 8], exact in
 # binary floating point, reproducible in any engine. Materialized as a
@@ -78,7 +78,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", round4("sim").alias("sim"))
     )
 
 
@@ -145,7 +145,7 @@ def ivf_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", round4("sim").alias("sim"))
     )
 
 
@@ -177,7 +177,7 @@ def embedding_cosine_dupes(
         .select(
             "dup_a",
             "dup_b",
-            F.round(cosine_similarity(F.col("av"), F.col("bv")), 4).alias("cosine"),
+            round4(cosine_similarity(F.col("av"), F.col("bv"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -216,5 +216,5 @@ def lsh_ann_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+        .select("query_id", "neighbor_id", "rank", round4("sim").alias("sim"))
     )

@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from debezium_server_spark.functions.text_functions import (
+    round4,
     bpe_ish_tokens,
     char_shingles,
     tokens,
@@ -63,10 +64,10 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(stop_hits.cast("double") / n_tokens.cast("double"), 4).alias("stopword_ratio"),
+        round4(mean_tok_len).alias("mean_token_len"),
+        round4(stop_hits.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
         punct.cast("long").alias("punct_count"),
-        F.round(alpha.cast("double") / n_chars.cast("double"), 4).alias("alpha_ratio"),
+        round4(alpha.cast("double") / n_chars.cast("double")).alias("alpha_ratio"),
     )
 
 

@@ -5,7 +5,7 @@ equivalent ANSI/DuckDB SQL string. The driver runs both at sf=0.01 and
 hash-compares values, so the pairs are written for bit-parity:
 
 - float aggregates go through DECIMAL(38,6) (exact, order-independent
-  addition) and come back as ROUND(CAST(.. AS DOUBLE), 4);
+  addition) and come back as floor((CAST(.. AS DOUBLE)) * 10000) / 10000;
 - timestamps are emitted as DATE or formatted strings (wall-clock safe
   regardless of session time zone);
 - hashes are md5 hex (identical in both engines); no murmur/xxhash;
@@ -81,13 +81,16 @@ def register(name: str, oracle: str | None, description: str = ""):
     return deco
 
 
+from debezium_server_spark.functions.text_functions import round4 as _r4
+
+
 def _dec(c) -> F.Column:
     return c.cast("decimal(38,6)")
 
 
 def _dsum(c) -> F.Column:
     """Order-independent double-safe sum: decimal sum → double → round."""
-    return F.round(F.sum(_dec(c)).cast("double"), 4)
+    return _r4(F.sum(_dec(c)).cast("double"))
 
 
 # =====================================================================
@@ -125,7 +128,7 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_event_counts",
     """
     SELECT event_type, count(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total_value
     FROM events GROUP BY event_type
     """,
     "Scan → group → agg per stream (per-destination accounting).",
@@ -246,7 +249,7 @@ def q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_value
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_value
     FROM events GROUP BY 1, 2
     """,
     "Tumbling event-time window aggregation (the streaming windowed-agg "
@@ -259,9 +262,7 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(hour.alias("hour"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                (F.sum(_dec(F.col("value"))).cast("double") / F.count("*")), 4
-            ).alias("avg_value"),
+            _r4((F.sum(_dec(F.col("value"))).cast("double") / F.count("*"))).alias("avg_value"),
         )
     )
 
@@ -318,13 +319,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS sum_qty,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS sum_base_price,
+           floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS sum_disc_price,
+           floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS sum_charge,
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_qty,
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_price,
+           floor((CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -344,9 +345,9 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
         _dsum(disc_price).alias("sum_disc_price"),
         _dsum(charge).alias("sum_charge"),
-        F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt, 4).alias("avg_qty"),
-        F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt, 4).alias("avg_price"),
-        F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / cnt, 4).alias("avg_disc"),
+        _r4(F.sum(_dec(F.col("l_quantity"))).cast("double") / cnt).alias("avg_qty"),
+        _r4(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / cnt).alias("avg_price"),
+        _r4(F.sum(_dec(F.col("l_discount"))).cast("double") / cnt).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -355,7 +356,7 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+           floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS revenue,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -397,7 +398,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+           floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -459,7 +460,7 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_price
+           floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total_price
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     "Grouping-sets/rollup aggregation.",
@@ -500,7 +501,7 @@ def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total
     FROM orders GROUP BY o_orderpriority
     """,
     "Distinct aggregation alongside plain aggregates.",
@@ -603,8 +604,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM documents)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000) / 10000 AS jaccard
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
     WHERE jaccard >= 0.2
     """,
@@ -649,7 +650,7 @@ _NORM = "sqrt(list_aggregate(list_transform({v}, x -> x*x), 'sum'))"
                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
           FROM v q JOIN v c ON c.vec_id != q.vec_id
           WHERE q.vec_id < 10)
-    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim
+    SELECT query_id, neighbor_id, rank, floor((sim) * 10000) / 10000 AS sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
     WHERE rank <= 5
@@ -677,7 +678,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
           FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
           WHERE q.vec_id < 10)
-    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim
+    SELECT query_id, neighbor_id, rank, floor((sim) * 10000) / 10000 AS sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
     WHERE rank <= 5
@@ -694,14 +695,14 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            len({_TOKS}) AS n_tokens,
-           ROUND(CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
-                 / len({_TOKS}), 4) AS mean_token_len,
-           ROUND(CAST(len(list_filter({_TOKS},
+           floor((CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
+                 / len({_TOKS})) * 10000) / 10000 AS mean_token_len,
+           floor((CAST(len(list_filter({_TOKS},
                  x -> x IN ('the','a','of','and','in','to'))) AS DOUBLE)
-                 / len({_TOKS}), 4) AS stopword_ratio,
+                 / len({_TOKS})) * 10000) / 10000 AS stopword_ratio,
            length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct_count,
-           ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) AS alpha_ratio
+           floor((CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / length(text)) * 10000) / 10000 AS alpha_ratio
     FROM documents
     """,
     "Quality-scoring features: token stats, stopword/punct/alpha ratios.",
@@ -804,7 +805,7 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    SELECT floor((CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS revenue
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
@@ -827,7 +828,7 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+           floor((CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume
@@ -879,9 +880,9 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_6' THEN CAST(volume AS DECIMAL(38,6))
+           floor((CAST(SUM(CASE WHEN nation = 'NATION_6' THEN CAST(volume AS DECIMAL(38,6))
                                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS mkt_share
+                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS mkt_share
     FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
                  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
           FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -923,12 +924,9 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_6", _dec(volume)).otherwise(zero))
+            _r4(F.sum(F.when(F.col("nation") == "NATION_6", _dec(volume)).otherwise(zero))
                 .cast("double")
-                / F.sum(_dec(volume)).cast("double"),
-                4,
-            ).alias("mkt_share")
+                / F.sum(_dec(volume)).cast("double")).alias("mkt_share")
         )
     )
 
@@ -937,7 +935,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           ROUND(CAST(rev AS DOUBLE), 4) AS revenue, c_acctbal, n_name
+           floor((CAST(rev AS DOUBLE)) * 10000) / 10000 AS revenue, c_acctbal, n_name
     FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
                  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
           FROM customer JOIN orders ON c_custkey = o_custkey
@@ -972,7 +970,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+            _r4(F.col("rev").cast("double")).alias("revenue"),
             "c_acctbal",
             "n_name",
         )
@@ -1007,11 +1005,10 @@ def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     """
-    SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT floor((CAST(SUM(CASE WHEN p_type = 'PROMO'
                                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
                                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) * 100
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
-                 4) AS promo_revenue
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
       AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
@@ -1028,13 +1025,10 @@ def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     zero = F.lit(0).cast("decimal(38,6)")
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        F.round(
-            F.sum(F.when(F.col("p_type") == "PROMO", _dec(volume)).otherwise(zero))
+        _r4(F.sum(F.when(F.col("p_type") == "PROMO", _dec(volume)).otherwise(zero))
             .cast("double")
             * 100
-            / F.sum(_dec(volume)).cast("double"),
-            4,
-        ).alias("promo_revenue")
+            / F.sum(_dec(volume)).cast("double")).alias("promo_revenue")
     )
 
 
@@ -1047,7 +1041,7 @@ def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
                    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
                  GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+    SELECT s_suppkey, s_name, floor((CAST(total_rev AS DOUBLE)) * 10000) / 10000 AS total_revenue
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
     WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
@@ -1073,7 +1067,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 4).alias("total_revenue"),
+            _r4(F.col("total_rev").cast("double")).alias("total_revenue"),
         )
     )
 
@@ -1081,7 +1075,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+    SELECT floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0) * 10000) / 10000 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
                   JOIN (SELECT l_partkey AS avg_pk,
                                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
@@ -1104,9 +1098,7 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 4
-            ).alias("avg_yearly")
+            _r4(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0).alias("avg_yearly")
         )
     )
 
@@ -1117,7 +1109,7 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, o_orderkey,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
            o_totalprice,
-           ROUND(CAST(qty AS DOUBLE), 4) AS sum_qty
+           floor((CAST(qty AS DOUBLE)) * 10000) / 10000 AS sum_qty
     FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
           FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
     JOIN orders ON o_orderkey = l_orderkey
@@ -1144,7 +1136,7 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
             "o_totalprice",
-            F.round(F.col("qty").cast("double"), 4).alias("sum_qty"),
+            _r4(F.col("qty").cast("double")).alias("sum_qty"),
         )
     )
 
@@ -1152,7 +1144,7 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicate",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+    SELECT floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -1184,7 +1176,7 @@ def q_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     """
     SELECT n_name, count(*) AS numcust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 4) AS totacctbal
+           floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
                        FROM customer WHERE c_acctbal > 0.0)
@@ -1235,8 +1227,8 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v)
     SELECT dup_a, dup_b, cosine FROM (
         SELECT a.vec_id AS dup_a, b2.vec_id AS dup_b,
-               ROUND({_DOT.format(a='a.e', b='b2.e')} /
-                     ({_NORM.format(v='a.e')} * {_NORM.format(v='b2.e')}), 4) AS cosine
+               floor(({_DOT.format(a='a.e', b='b2.e')} /
+                     ({_NORM.format(v='a.e')} * {_NORM.format(v='b2.e')})) * 10000) / 10000 AS cosine
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
     WHERE cosine >= 0.4
     """,
@@ -1312,10 +1304,10 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           ROUND(CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT)
-                 / 4294967296.0 * 255.0, 4) AS pixel_mean,
-           ROUND(CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT)
-                 / 4294967296.0 * 128.0, 4) AS pixel_std
+           floor((CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT)
+                 / 4294967296.0 * 255.0) * 10000) / 10000 AS pixel_mean,
+           floor((CAST(concat('0x', substr(sha256(text), 9, 8)) AS BIGINT)
+                 / 4294967296.0 * 128.0) * 10000) / 10000 AS pixel_std
     FROM documents
     """,
     "Image decode/feature plumbing via Arrow-batched mapInPandas: the fake "
@@ -1340,8 +1332,8 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round("pixel_mean", 4).alias("pixel_mean"),
-        F.round("pixel_std", 4).alias("pixel_std"),
+        _r4("pixel_mean").alias("pixel_mean"),
+        _r4("pixel_std").alias("pixel_std"),
     )
 
 
@@ -1383,7 +1375,7 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
           FROM av q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id
           WHERE q.vec_id < 10)
-    SELECT query_id, neighbor_id, rank, ROUND(sim, 4) AS sim
+    SELECT query_id, neighbor_id, rank, floor((sim) * 10000) / 10000 AS sim
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
     WHERE rank <= 5
@@ -1452,10 +1444,10 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_per_user",
     """
     SELECT user_id, event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE), 4) AS running_total
+                 AS DOUBLE)) * 10000) / 10000 AS running_total
     FROM events WHERE user_id < 20
     """,
     "Cumulative window frame (running total per key) — the exact decimal "
@@ -1471,7 +1463,7 @@ def q_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum(_dec(F.col("value"))).over(w).cast("double"), 4).alias(
+        _r4(F.sum(_dec(F.col("value"))).over(w).cast("double")).alias(
             "running_total"
         ),
     )
@@ -1481,15 +1473,13 @@ def q_running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_3",
     """
     SELECT user_id, event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-                 4) AS moving_avg,
-           ROUND(CAST(value - lag(value, 1) OVER (PARTITION BY user_id
-                                                  ORDER BY ts, event_id) AS DOUBLE),
-                 4) AS delta_prev
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000) / 10000 AS moving_avg,
+           floor((CAST(value - lag(value, 1) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id) AS DOUBLE)) * 10000) / 10000 AS delta_prev
     FROM events WHERE user_id < 20
     """,
     "Bounded window frame (3-row moving average) + lag: the sliding-"
@@ -1502,14 +1492,9 @@ def q_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(
-            F.sum(_dec(F.col("value"))).over(frame).cast("double")
-            / F.count("*").over(frame),
-            4,
-        ).alias("moving_avg"),
-        F.round(
-            (F.col("value") - F.lag("value", 1).over(order)).cast("double"), 4
-        ).alias("delta_prev"),
+        _r4(F.sum(_dec(F.col("value"))).over(frame).cast("double")
+            / F.count("*").over(frame)).alias("moving_avg"),
+        _r4((F.col("value") - F.lag("value", 1).over(order)).cast("double")).alias("delta_prev"),
     )
 
 
@@ -1589,7 +1574,7 @@ def q_schema_versions_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                   '"type":"io.debezium.connector.spark.DataChangeEvent",'
                   '"datacontenttype":"application/json","data":{"event_id":%d,"value":%s}}',
                   event_type || ':' || CAST(event_id AS VARCHAR), event_id,
-                  CAST(round(value, 4) AS VARCHAR)) AS ce
+                  CAST(floor(value * 10000) / 10000 AS VARCHAR)) AS ce
     FROM events WHERE event_id < 100
     """,
     "CloudEvents v1.0 envelope (serialization format family, "
@@ -1604,6 +1589,6 @@ def q_cloudevents_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         '"datacontenttype":"application/json","data":{"event_id":%d,"value":%s}}',
         F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")),
         F.col("event_id"),
-        F.round(F.col("value"), 4).cast("string"),
+        _r4(F.col("value")).cast("string"),
     )
     return ev.select(F.col("event_type").alias("destination"), ce.alias("ce"))

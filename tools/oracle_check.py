@@ -54,7 +54,7 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
             else:
                 eq = (sv.astype(str).fillna("∅") == dv.astype(str).fillna("∅"))
             if not eq.all():
-                i = int(np.argmin(eq.values))
+                i = int(np.argmin(np.asarray(eq)))
                 problems.append(
                     f"values[{c}] first diff at row {i}: spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
                 )
