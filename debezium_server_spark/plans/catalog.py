@@ -1338,6 +1338,39 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_rollup_multigrain",
+    """
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+           count(*) AS n,
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    "Hypertable-style continuous aggregate: one pass produces hour, day, "
+    "and grand-total rollups (GROUPING SETS share the scan and the "
+    "partial aggregates — at 100 TB this is one shuffle, not three).",
+)
+def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.rollup(day.alias("day"), hour.alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.sum(_dec(F.col("value"))).cast("double")).alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "approx_distinct_users",
     None,  # HLL sketches differ per engine — rows-only check by design
     "Sketch aggregation: approx_count_distinct (HyperLogLog++) per event "
@@ -1506,7 +1539,7 @@ def q_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
                  count(*) OVER (PARTITION BY user_id) AS n_events,
                  ROW_NUMBER() OVER (PARTITION BY user_id
                                     ORDER BY value DESC, event_id) AS rn
-          FROM events) WHERE rn = 1
+          FROM events WHERE user_id < 100) WHERE rn = 1
     """,
     "Grouped-map via applyInPandas (Arrow-batched, one pandas frame per "
     "key group): per-user argmax by (value, lowest id tiebreak). The same "
@@ -1516,7 +1549,11 @@ def q_moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    ev = load_events(spark, sf_dir).select("user_id", "event_id", "value")
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "event_id", "value")
+    )
 
     def peak(pdf: pd.DataFrame) -> pd.DataFrame:
         # max value; ties broken by the SMALLEST event_id (sort then idxmax

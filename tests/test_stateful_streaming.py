@@ -130,3 +130,59 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert by_epoch_window[1] == {"2024-01-01 12:00:00": 2}
     # the late 10:20 event is dropped: only the 12:00 window updates
     assert by_epoch_window[2] == {"2024-01-01 12:00:00": 3}
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static
+    dimension (broadcast — the dimension never shuffles the stream)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "u1", "payload": "click", "seq": 1},
+        {"dedup_id": "u2", "payload": "view", "seq": 2},
+        {"dedup_id": "u9", "payload": "click", "seq": 3},  # no dim row
+    ])
+    dim = spark.createDataFrame(
+        [("u1", "pro"), ("u2", "free")], "dedup_id string, tier string"
+    )
+    from pyspark.sql import functions as F
+
+    enriched = _stream(spark, src).join(F.broadcast(dim), "dedup_id", "left")
+    rows = [r for _, r in _run_collect(enriched, tmp_path, mode="append")]
+    tiers = {r["dedup_id"]: r["tier"] for r in rows}
+    assert tiers == {"u1": "pro", "u2": "free", "u9": None}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark-native streaming dedup with bounded state: duplicates inside
+    the watermark window are dropped; state ages out beyond it (the
+    built-in complement to exactly_once_dedup's unbounded state)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 1000
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "A", "payload": "2024-01-01 10:00:00", "seq": 1},
+        {"dedup_id": "A", "payload": "2024-01-01 10:00:30", "seq": 2},  # dup in-window
+        {"dedup_id": "B", "payload": "2024-01-01 10:01:00", "seq": 3},
+    ])
+    os.utime(src / "b1.jsonl", (t0, t0))
+    _write(src, "b2.jsonl", [
+        {"dedup_id": "A", "payload": "2024-01-01 10:02:00", "seq": 4},  # still in-window dup
+        {"dedup_id": "C", "payload": "2024-01-01 10:02:30", "seq": 5},
+    ])
+    os.utime(src / "b2.jsonl", (t0 + 10, t0 + 10))
+    ev = _stream(spark, src).select(
+        "dedup_id", F.to_timestamp("payload").alias("ts"), "seq"
+    )
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["dedup_id"])
+    rows = [r for _, r in _run_collect(deduped, tmp_path, mode="append")]
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["dedup_id"], []).append(r["seq"])
+    assert sorted(by_id) == ["A", "B", "C"]
+    assert by_id["A"] == [1]  # both later A deliveries dropped
