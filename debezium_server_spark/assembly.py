@@ -1,0 +1,133 @@
+"""Config-driven pipeline assembly: properties in, running pipeline out.
+
+This is the reference's operating model — Debezium Server is configured
+entirely through `debezium.*` properties and assembled at boot
+(DebeziumConfiguration.java:24-43 requires `debezium.sink.type`; the SMT
+chain/predicates come from `debezium.transforms*`/`debezium.predicates*`,
+DebeziumServerConfigSourceFactory.java:107-117; the sink is resolved by
+name, ChangeConsumerProducer.java:61-90).
+
+Property surface understood here (the Spark-native subset):
+
+    debezium.source.type              changelog-dir | lines
+    debezium.source.path              directory for the file source
+    debezium.source.max.files.per.trigger   backpressure knob
+    debezium.transforms               ordered list: t1,t2
+    debezium.transforms.<n>.type      hoist_field | insert_header |
+                                      insert_field | mask_field | filter |
+                                      route_rename | content_based_router
+    debezium.transforms.<n>.<opt>     per-type options
+    debezium.transforms.<n>.predicate SQL boolean gating the transform
+    debezium.sink.type                any registered sink name
+    debezium.sink.<type>.<opt>        sink options (prefix-subset view)
+    debezium.signal.dir               optional SignalChannel directory
+
+Schemas are Python-side arguments (StructTypes are not strings); all else
+is declarative config, matching `config/application.properties` usage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_spark.config import PipelineConfig
+from debezium_server_spark.operators import transforms as tx
+from debezium_server_spark.sinks import get_sink
+from debezium_server_spark.sources.file_source import changelog_stream, lines_stream
+from debezium_server_spark.streaming.pipeline import Pipeline
+from debezium_server_spark.streaming.signals import SignalChannel
+
+_TRANSFORM_BUILDERS = {
+    "hoist_field": lambda o: tx.hoist_field(o["field"]),
+    "insert_header": lambda o: tx.insert_header(o["header"], o["value"]),
+    "insert_field": lambda o: tx.insert_field(o["field"], F.expr(o["value.expr"])),
+    "mask_field": lambda o: tx.mask_field(o["field"], mask=o.get("mask", "****")),
+    "route_rename": lambda o: tx.rename_destination(o["pattern"], o["replacement"]),
+    "content_based_router": lambda o: tx.content_based_router(
+        o["when"], o["destination"]
+    ),
+    "filter": lambda o: tx.FilterTransform(o["condition"]),
+}
+
+
+def build_transform_chain(cfg: PipelineConfig) -> tx.Chain:
+    """`debezium.transforms=a,b` + per-name type/options → ordered Chain
+    (predicate-gated where `.predicate` is configured)."""
+    names = [n.strip() for n in (cfg.get("debezium.transforms") or "").split(",") if n.strip()]
+    chain = []
+    for n in names:
+        opts = cfg.subset(f"debezium.transforms.{n}")
+        ttype = opts.pop("type", None)
+        if ttype not in _TRANSFORM_BUILDERS:
+            raise ValueError(
+                f"transform {n!r}: unknown type {ttype!r}; one of {sorted(_TRANSFORM_BUILDERS)}"
+            )
+        predicate = opts.pop("predicate", None)
+        t = _TRANSFORM_BUILDERS[ttype](opts)
+        if predicate is not None:
+            if isinstance(t, tx.FilterTransform):
+                # gated filter: rows failing the predicate pass untouched
+                t = tx.FilterTransform(f"(NOT ({predicate})) OR ({t.condition})", t.name)
+            else:
+                t.predicate = lambda df, _p=predicate: F.expr(_p)
+        chain.append(t)
+    return tx.Chain(chain)
+
+
+def build_source(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    row_schema: T.StructType | None = None,
+    key_schema: T.StructType | None = None,
+):
+    stype = cfg.get("debezium.source.type", "changelog-dir")
+    path = cfg.require("debezium.source.path")
+    if stype == "changelog-dir":
+        if row_schema is None or key_schema is None:
+            raise ValueError("changelog-dir source needs row_schema and key_schema")
+        mft = cfg.get("debezium.source.max.files.per.trigger")
+        return changelog_stream(
+            spark, path, row_schema, key_schema,
+            max_files_per_trigger=int(mft) if mft else None,
+        )
+    if stype == "lines":
+        return lines_stream(
+            spark, path, destination=cfg.get("debezium.source.destination", "topicX")
+        )
+    raise ValueError(f"unknown source type {stype!r}")
+
+
+def build_pipeline(
+    spark: SparkSession,
+    props: dict[str, str],
+    row_schema: T.StructType | None = None,
+    key_schema: T.StructType | None = None,
+):
+    """Assemble (pipeline, sink, signal_channel) from properties — the
+    `Main.main` analog. Start it with:
+
+        pipeline, sink, signals = build_pipeline(spark, props, rs, ks)
+        q = pipeline.start(sink, checkpoint_location=...,
+                           signal_channel=signals)
+    """
+    cfg = PipelineConfig(props).with_storage_defaults()
+    sink_type = cfg.require("debezium.sink.type")  # boot fails without it
+    source = build_source(spark, cfg, row_schema, key_schema)
+    chain = build_transform_chain(cfg)
+    pipeline = Pipeline(source).transform(chain)
+    sink = get_sink(sink_type, **_pythonize(cfg.subset(f"debezium.sink.{sink_type}")))
+    signal_dir = cfg.get("debezium.signal.dir")
+    signals = SignalChannel(signal_dir) if signal_dir else None
+    return pipeline, sink, signals
+
+
+def _pythonize(opts: dict[str, str]) -> dict:
+    """Sink kwargs arrive as dotted properties; underscore them and split
+    comma-lists (key_fields etc.) so they match constructor signatures."""
+    out = {}
+    for k, v in opts.items():
+        key = k.replace(".", "_")
+        out[key] = tuple(v.split(",")) if key in ("key_fields",) else v
+    return out

@@ -1573,6 +1573,38 @@ def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           floor(((CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT)
+                   / 4294967296.0 * 255.0) / 255.0) * 10000) / 10000 AS loudness
+    FROM documents
+    """,
+    "Audio feature plumbing via mapInPandas: the stub kernel derives "
+    "'loudness' deterministically from sha256 of the payload bytes (real "
+    "path: librosa/soundfile in the same batch shape) — same oracle-"
+    "checkable contract as the image path.",
+)
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.multimodal import audio_features_stub
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None)
+        .cast(
+            "struct<media_type:string,format:string,width:int,height:int,"
+            "duration_ms:bigint,sample_rate:int>"
+        )
+        .alias("meta"),
+    )
+    return audio_features_stub(media).select(
+        "media_id", _r4(F.col("loudness")).alias("loudness")
+    )
+
+
+@register(
     "schema_versions_by_type",
     """
     SELECT event_type AS destination,

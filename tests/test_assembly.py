@@ -1,0 +1,107 @@
+"""Config-driven assembly: properties → running pipeline (the reference's
+operating model — config/application.properties is the whole program)."""
+
+import json
+
+import pytest
+
+from pyspark.sql import types as T
+
+from debezium_server_spark.assembly import build_pipeline, build_transform_chain
+from debezium_server_spark.config import PipelineConfig
+
+ROW = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+)
+KEY = T.StructType([T.StructField("id", T.LongType())])
+
+
+def _write_changelog(path, events):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "events.jsonl", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _event(i, name, dest="inv.customers", lsn=None):
+    return {
+        "destination": dest,
+        "key": {"id": i},
+        "value": {"op": "c", "before": None, "after": {"id": i, "name": name},
+                  "source": {"lsn": lsn or i}, "ts_ms": i},
+        "headers": [],
+        "partition": 0,
+    }
+
+
+def test_end_to_end_from_properties(spark, tmp_path):
+    _write_changelog(
+        tmp_path / "log",
+        [_event(1, "alice"), _event(2, "bob"), _event(3, "carol", dest="inv.other")],
+    )
+    props = {
+        "debezium.source.type": "changelog-dir",
+        "debezium.source.path": str(tmp_path / "log"),
+        "debezium.transforms": "route",
+        "debezium.transforms.route.type": "route_rename",
+        "debezium.transforms.route.pattern": r"^inv\.",
+        "debezium.transforms.route.replacement": "cdc.",
+        "debezium.sink.type": "parquet-upsert",
+        "debezium.sink.parquet-upsert.root.path": str(tmp_path / "tables"),
+        "debezium.sink.parquet-upsert.key.fields": "id",
+    }
+    pipeline, sink, signals = build_pipeline(spark, props, ROW, KEY)
+    assert signals is None
+    q = pipeline.start(sink, checkpoint_location=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r["id"]: r["name"] for r in sink.read_table(spark, "cdc.customers").collect()}
+    assert got == {1: "alice", 2: "bob"}
+    assert sink.read_table(spark, "cdc.other").count() == 1
+
+
+def test_missing_sink_type_fails_boot(spark, tmp_path):
+    with pytest.raises(KeyError, match="debezium.sink.type"):
+        build_pipeline(
+            spark, {"debezium.source.path": str(tmp_path)}, ROW, KEY
+        )
+
+
+def test_unknown_transform_type_fails(spark):
+    cfg = PipelineConfig(
+        {"debezium.transforms": "x", "debezium.transforms.x.type": "nope"}, env={}
+    )
+    with pytest.raises(ValueError, match="unknown type"):
+        build_transform_chain(cfg)
+
+
+def test_predicate_gated_transform(spark, tmp_path):
+    """The TestConfigSource.java:75-85 shape: a transform gated by a
+    destination predicate applies only to matching events."""
+    from pyspark.sql import Row
+
+    from debezium_server_spark.schema import event_schema
+
+    cfg = PipelineConfig(
+        {
+            "debezium.transforms": "mask",
+            "debezium.transforms.mask.type": "mask_field",
+            "debezium.transforms.mask.field": "after.name",
+            "debezium.transforms.mask.predicate": "destination = 'inv.secret'",
+        },
+        env={},
+    )
+    chain = build_transform_chain(cfg)
+    df = spark.createDataFrame(
+        [
+            ("inv.secret", {"id": 1},
+             {"op": "c", "before": None, "after": {"id": 1, "name": "hidden"},
+              "source": {"lsn": 1}, "ts_ms": 1}, [], 0),
+            ("inv.open", {"id": 2},
+             {"op": "c", "before": None, "after": {"id": 2, "name": "visible"},
+              "source": {"lsn": 2}, "ts_ms": 2}, [], 0),
+        ],
+        event_schema(ROW, KEY),
+    )
+    out = {r["destination"]: r["value"]["after"]["name"] for r in chain.apply(df).collect()}
+    assert out["inv.secret"] == "****"
+    assert out["inv.open"] == "visible"
