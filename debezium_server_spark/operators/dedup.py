@@ -242,3 +242,48 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS: hamming(sig_a, sig_b) ≤ max_hamming.
+
+    Multi-probe banding makes this a hash join, never n²: a pair within
+    hamming ≤ 7 must agree exactly on at least one of the two 8-bit
+    halves (pigeonhole), so candidates = (same high band) ∪ (same low
+    band) — two equi-joins unioned and deduped, then the exact popcount
+    filter. At 100 TB each band join shuffles narrow (band, id) rows.
+    """
+    sig = simhash_signatures(df, text_col, id_col)
+    hi = F.shiftright(F.col("simhash"), 8)
+    lo = F.col("simhash").bitwiseAND(F.lit(255))
+    banded = sig.select(id_col, "simhash", hi.alias("hi"), lo.alias("lo"))
+
+    def band_join(band: str) -> DataFrame:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{band}") == F.col(f"b.{band}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+        )
+
+    candidates = band_join("hi").unionAll(band_join("lo")).distinct()
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("long")
+    return (
+        candidates.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

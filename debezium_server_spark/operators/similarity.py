@@ -218,3 +218,57 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", round4("sim").alias("sim"))
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column — the IVF centroid
+    refresh (`ivf_ann_topk` accepts any centroid set; first-K is the
+    deterministic default, this trains a better one).
+
+    Distributed shape per iteration: centroids ride as a broadcast
+    literal; assignment is one partition-parallel pass (argmin over k
+    distances); the update is posexplode→groupBy(cell, dim)→avg — one
+    narrow shuffle of (cell, dim, partial sums). Only the k×dim centroid
+    table (a few KB) ever reaches the driver, so the loop costs
+    `iterations` jobs regardless of corpus size. Deterministic: first-K
+    init, stable argmin tiebreak on cell id.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = [
+        r["vec"]
+        for r in v.orderBy("vid").limit(k).collect()
+    ]
+    for _ in range(iterations):
+        carr = F.lit(cents)
+        d2 = lambda j: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("vec"), F.get(carr, j), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell = F.lit(0)
+        best = d2(0)
+        for j in range(1, k):
+            dj = d2(j)
+            cell = F.when(dj < best, F.lit(j)).otherwise(cell)
+            best = F.when(dj < best, dj).otherwise(best)
+        assigned = v.select("vid", "vec", cell.alias("cell"))
+        new = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["centroid"]) for r in new}
+        cents = [by_cell.get(j, cents[j]) for j in range(k)]  # empty cell keeps old
+    return cents

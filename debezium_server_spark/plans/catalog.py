@@ -636,6 +636,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH th AS (SELECT doc_id,
+                  list_transform({_TOKS},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 4)) AS INTEGER)) AS h
+                FROM documents),
+    sig AS (SELECT doc_id,
+           CAST(list_aggregate(list_transform(range(0, 16),
+               i -> CASE WHEN list_aggregate(
+                              list_transform(h, v -> ((v >> i) & 1) * 2 - 1), 'sum') > 0
+                         THEN (1 << i) ELSE 0 END), 'sum') AS BIGINT) AS simhash
+           FROM th)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255))
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+    "SimHash near-dup pairs: multi-probe banding (hamming ≤ 7 pairs must "
+    "share one 8-bit half — pigeonhole) turns the search into two unioned "
+    "equi-joins + exact popcount filter; never an n² scan.",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=1)
+
+
 _DOT = (
     "list_aggregate(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]), 'sum')"
 )

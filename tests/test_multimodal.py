@@ -54,3 +54,23 @@ def test_audio_features_schema(spark, media_df):
     row = aud.first()
     assert 0.0 <= row["loudness"] <= 1.0
     assert aud.columns == ["media_id", "meta", "loudness"]
+
+
+def test_kmeans_centroids_converge(spark):
+    """k-means refresh for IVF: on well-separated synthetic clusters the
+    trained centroids land on the true cluster means."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.operators.similarity import ivf_ann_topk, kmeans_centroids
+
+    # two tight clusters around (0,...,0) and (10,...,10) in 4-d
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, k=2, iterations=4)
+    cents = sorted(c[0] for c in cents)
+    assert abs(cents[0] - 0.02) < 0.2 and abs(cents[1] - 10.02) < 0.2
