@@ -1241,6 +1241,97 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    "TPC-H Q12 (adapted: fixtures lack l_shipmode/commit/receipt dates, so "
+    "grouped by l_returnflag over a shipdate year): conditional-count "
+    "pivot after an orders⋈lineitem join; the shipdate range predicate "
+    "pushes to the parquet scan and the counts combine map-side.",
+)
+def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    "TPC-H Q21 (adapted: 'late' = shipped >90 days after order date; "
+    "fixtures lack commit/receipt dates). The oracle states it with "
+    "EXISTS/NOT EXISTS; the Spark plan rewrites both correlated "
+    "subqueries into ONE pass of per-order aggregates — "
+    "n_supp = countDistinct(supplier) and n_late_supp over late rows — "
+    "so at 100 TB it is two groupBys on l_orderkey plus broadcast joins, "
+    "never an n² self-join. Deterministic top-20 tiebreak on s_name.",
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 90)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = li.groupBy(F.col("l_orderkey").alias("ok_all")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("ok_late")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_supp")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        late.join(n_supp, late.l_orderkey == F.col("ok_all"))
+        .join(n_late, late.l_orderkey == F.col("ok_late"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Embedding near-dup + multimodal plumbing (BASELINE.json north star)
 # =====================================================================
