@@ -1332,6 +1332,44 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           COALESCE(c.event_id, -1) AS click_id,
+           COALESCE(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "As-of join: each purchase attributed to the user's most recent "
+    "preceding click. The oracle is DuckDB's NATIVE ASOF JOIN; the Spark "
+    "side is operators/asof.py's union+ordered-window formulation (one "
+    "shuffle on the key, no range-join candidate blow-up) — two "
+    "independent implementations hash-compared.",
+)
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(purchases, clicks, on="user_id").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("click_ts"),
+    )
+
+
 # =====================================================================
 # Embedding near-dup + multimodal plumbing (BASELINE.json north star)
 # =====================================================================

@@ -1,0 +1,70 @@
+"""Stream-stream interval join: two live file streams, watermarked state."""
+
+import json
+
+from debezium_server_spark.streaming.joins import interval_join
+
+
+def _write(path, name, rows):
+    with open(f"{path}/{name}", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream(spark, path, schema):
+    return (
+        spark.readStream.schema(schema)
+        .json(str(path))
+        .selectExpr("*", "CAST(ts AS TIMESTAMP) AS ets")
+        .drop("ts")
+        .withColumnRenamed("ets", "ts")
+    )
+
+
+def _run_collect(out_stream, tmp_path, mode="append"):
+    rows = []
+    q = (
+        out_stream.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_interval_join_two_streams(spark, tmp_path):
+    orders_dir, pay_dir = tmp_path / "orders", tmp_path / "pays"
+    orders_dir.mkdir(), pay_dir.mkdir()
+    _write(orders_dir, "o.jsonl", [
+        {"user": "u1", "ts": "2024-01-01 10:00:00", "order_id": "o1"},
+        {"user": "u2", "ts": "2024-01-01 10:05:00", "order_id": "o2"},
+        {"user": "u3", "ts": "2024-01-01 10:00:00", "order_id": "o3"},
+    ])
+    _write(pay_dir, "p.jsonl", [
+        {"user": "u1", "ts": "2024-01-01 10:10:00", "pay_id": "p1"},  # +10m ✓
+        {"user": "u2", "ts": "2024-01-01 10:30:00", "pay_id": "p2"},  # +25m ✗
+        {"user": "u3", "ts": "2024-01-01 09:59:00", "pay_id": "p3"},  # before ✗
+    ])
+    orders = _stream(spark, orders_dir, "user string, ts string, order_id string")
+    pays = _stream(spark, pay_dir, "user string, ts string, pay_id string")
+    out = interval_join(
+        orders, pays, on="user", left_ts="ts", right_ts="ts",
+        upper="interval 15 minutes",
+    )
+    rows = _run_collect(out, tmp_path)
+    got = sorted((r["user"], r["l_order_id"], r["r_pay_id"]) for r in rows)
+    assert got == [("u1", "o1", "p1")]
+
+
+def test_interval_join_streaming_plan_is_stateful(spark, tmp_path):
+    """The joined stream must actually be a streaming plan (not collapsed
+    to batch) and both sides watermarked — the bounded-state contract."""
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    s1 = _stream(spark, d1, "user string, ts string, x string")
+    s2 = _stream(spark, d2, "user string, ts string, y string")
+    out = interval_join(s1, s2, on="user", left_ts="ts", right_ts="ts")
+    assert out.isStreaming
+    assert "l_x" in out.columns and "r_y" in out.columns and "user" in out.columns
