@@ -160,6 +160,197 @@ def content_based_router(when_expr: str, then_destination: str,
     )
 
 
+def header_to_value(header_key: str, field_name: str, operation: str = "copy",
+                    value_col: str = "value", headers_col: str = "headers",
+                    predicate: Predicate | None = None) -> Transform:
+    """HeaderToValue: copy (or move) a header into the value struct. The
+    last header with the key wins, matching Connect's `lastWithName`.
+    `operation="move"` also strips every header with that key."""
+    if operation not in ("copy", "move"):
+        raise ValueError(f"operation must be copy|move, got {operation!r}")
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        matching = F.filter(
+            F.col(headers_col), lambda h: h["key"] == F.lit(header_key)
+        )
+        last = F.element_at(matching, -1)["value"]
+        out = {value_col: F.col(value_col).withField(field_name, last)}
+        if operation == "move":
+            out[headers_col] = F.filter(
+                F.col(headers_col), lambda h: h["key"] != F.lit(header_key)
+            )
+        return out
+
+    return Transform(
+        name=f"header_to_value[{header_key}→{field_name}]",
+        rewrites=rewrites, predicate=predicate,
+    )
+
+
+def value_to_key(fields: Sequence[str], value_col: str = "value",
+                 key_col: str = "key",
+                 predicate: Predicate | None = None) -> Transform:
+    """ValueToKey: replace the key with a struct of value fields — the
+    re-key step before a logical-table merge or a partition re-route."""
+    return Transform(
+        name=f"value_to_key[{','.join(fields)}]",
+        rewrites=lambda df: {
+            key_col: F.struct(
+                *[F.col(f"{value_col}.{f}").alias(f.split(".")[-1]) for f in fields]
+            )
+        },
+        predicate=predicate,
+    )
+
+
+def extract_field(field: str, value_col: str = "value",
+                  predicate: Predicate | None = None) -> Transform:
+    """ExtractField: replace the whole value with one of its fields."""
+    return Transform(
+        name=f"extract_field[{field}]",
+        rewrites=lambda df: {value_col: F.col(f"{value_col}.{field}")},
+        predicate=predicate,
+    )
+
+
+def replace_field(value_col: str = "value",
+                  renames: dict[str, str] | None = None,
+                  include: Sequence[str] | None = None,
+                  exclude: Sequence[str] = (),
+                  predicate: Predicate | None = None) -> Transform:
+    """ReplaceField: rename / include-list / drop fields of a struct
+    column. Schema-aware: reads the struct's fields from the DataFrame at
+    apply time, so one configured transform serves every table shape —
+    the Connect semantics (exclude wins, then include-list, then rename).
+    """
+    renames = renames or {}
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        names = [f.name for f in df.schema[value_col].dataType.fields]
+        kept = [n for n in names if n not in exclude
+                and (include is None or n in include)]
+        return {
+            value_col: F.struct(
+                *[F.col(f"{value_col}.{n}").alias(renames.get(n, n)) for n in kept]
+            )
+        }
+
+    return Transform(name=f"replace_field[{value_col}]", rewrites=rewrites,
+                     predicate=predicate)
+
+
+def cast_fields(casts: dict[str, str], value_col: str = "value",
+                predicate: Predicate | None = None) -> Transform:
+    """Cast SMT: cast named value fields to Spark SQL type names
+    (`{"amount": "double", "flag": "boolean"}`)."""
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        col = F.col(value_col)
+        for path, typ in casts.items():
+            col = col.withField(path, F.col(f"{value_col}.{path}").cast(typ))
+        return {value_col: col}
+
+    return Transform(name=f"cast_fields[{','.join(casts)}]", rewrites=rewrites,
+                     predicate=predicate)
+
+
+def timezone_converter(target_tz: str, ts_fields: Sequence[str],
+                       value_col: str = "value",
+                       predicate: Predicate | None = None) -> Transform:
+    """TimezoneConverter: shift timestamp-typed value fields from UTC into
+    a target zone (the reference converts Debezium temporal logical types;
+    epoch-integer fields are zone-less and pass through untouched)."""
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        col = F.col(value_col)
+        for path in ts_fields:
+            col = col.withField(
+                path,
+                F.from_utc_timestamp(F.col(f"{value_col}.{path}").cast("timestamp"),
+                                     target_tz),
+            )
+        return {value_col: col}
+
+    return Transform(name=f"timezone_converter[{target_tz}]", rewrites=rewrites,
+                     predicate=predicate)
+
+
+def extract_changed_record_state(header_changed: str = "changed",
+                                 header_unchanged: str | None = None,
+                                 value_col: str = "value",
+                                 headers_col: str = "headers",
+                                 predicate: Predicate | None = None) -> Transform:
+    """ExtractChangedRecordState: annotate updates with which row fields
+    actually changed (before ≠ after, null-safe), as comma-joined header
+    values. Schema-aware — the field list comes from the envelope's row
+    schema at apply time; the comparison is a pure column expression, so
+    it rides whole-stage codegen even at 100 TB."""
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        names = [
+            f.name
+            for f in df.schema[value_col].dataType["after"].dataType.fields
+        ]
+        changed = F.array_compact(F.array(*[
+            F.when(
+                ~F.col(f"{value_col}.before.{n}").eqNullSafe(
+                    F.col(f"{value_col}.after.{n}")),
+                F.lit(n),
+            )
+            for n in names
+        ]))
+        headers = [(header_changed, changed)]
+        if header_unchanged is not None:
+            unchanged = F.array_compact(F.array(*[
+                F.when(
+                    F.col(f"{value_col}.before.{n}").eqNullSafe(
+                        F.col(f"{value_col}.after.{n}")),
+                    F.lit(n),
+                )
+                for n in names
+            ]))
+            headers.append((header_unchanged, unchanged))
+        new = F.array(*[
+            F.struct(F.lit(k).alias("key"),
+                     F.array_join(v, ",").alias("value"))
+            for k, v in headers
+        ])
+        is_update = F.col(value_col).isNotNull() & (F.col(f"{value_col}.op") == "u")
+        existing = F.coalesce(F.col(headers_col),
+                              F.array().cast(df.schema[headers_col].dataType))
+        return {
+            headers_col: F.when(is_update, F.concat(existing, new)).otherwise(existing)
+        }
+
+    return Transform(name="extract_changed_record_state", rewrites=rewrites,
+                     predicate=predicate)
+
+
+def logical_table_router(pattern: str, replacement: str,
+                         destination_col: str = "destination",
+                         key_col: str = "key",
+                         id_field: str = "__dbz__physicalTableIdentifier",
+                         predicate: Predicate | None = None) -> Transform:
+    """ByLogicalTableRouter: merge sharded physical tables
+    (`db.shard_\\d+.orders` → `db.orders`) into one logical stream AND
+    disambiguate keys by stamping the original physical table into the
+    key — without it, shard-local key collisions would corrupt
+    latest-wins materialization downstream."""
+
+    def rewrites(df: DataFrame) -> dict[str, Column]:
+        routed = F.regexp_replace(F.col(destination_col), pattern, replacement)
+        return {
+            key_col: F.when(
+                routed != F.col(destination_col),
+                F.col(key_col).withField(id_field, F.col(destination_col)),
+            ).otherwise(F.col(key_col).withField(id_field, F.lit(None).cast("string"))),
+            destination_col: routed,
+        }
+
+    return Transform(name=f"logical_table_router[{pattern}]", rewrites=rewrites,
+                     predicate=predicate)
+
+
 @dataclass
 class FilterTransform:
     """Filter SMT (scripting filter analog): keep rows matching a SQL
