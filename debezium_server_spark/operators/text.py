@@ -87,6 +87,113 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document: word count,
+    distinct-word count, type-token ratio, and the fraction of the doc
+    taken by its single most frequent word (high top-word fraction ⇒
+    degenerate/repetitive text, a standard pre-training filter).
+
+    Shape: explode → per-(doc, word) counts → per-doc agg. Both shuffles
+    key on doc_id-first keys, so a 100 TB corpus distributes by document
+    with no hot keys; counts are integers (exact parity), ratios go
+    through round4.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    ttr = F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    top_frac = F.col("top_count").cast("double") / F.col("n_words").cast("double")
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_count"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct",
+            round4(ttr).alias("ttr"),
+            round4(top_frac).alias("top_word_frac"),
+        )
+    )
+
+
+def ngram_contamination(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Cross-document contamination: per doc, the fraction of its distinct
+    n-grams that also occur in at least one OTHER document — the overlap
+    screen run between training corpora and eval sets.
+
+    Distributed shape: explode distinct n-grams → document frequency per
+    gram (one groupBy) → join back per (gram, doc) → per-doc fraction.
+    The gram-frequency table is the only wide shuffle; everything is
+    integer counts until the final round4 ratio.
+    """
+    from debezium_server_spark.functions.text_functions import token_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles(tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    gram_df = grams.groupBy("g").agg(F.countDistinct(id_col).alias("docfreq"))
+    shared_frac = F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+    return (
+        grams.join(gram_df, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(id_col, "n_grams", "n_shared", round4(shared_frac).alias("shared_frac"))
+    )
+
+
+# PII patterns for training-corpus scrubbing. Order matters: email first
+# (owns its digits), then dotted IPs, then contiguous id runs; phone last
+# so it only claims separator-structured digit groups the earlier kinds
+# left behind (its class has no dot, so it can never span an IP).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[\w.+-]+@[\w-]+(\.[\w-]+)+",
+    "ip": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+    "id_number": r"\b\d{6,}\b",
+    "phone": r"\+?\d[\d()\s-]{6,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    mask: str = "[{kind}]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """PII redaction for training corpora: replace matches of each named
+    pattern with a typed mask token (`[email]`, `[phone]`, …) and count
+    the hits per kind — pure `regexp_replace`/`regexp_extract_all`
+    column expressions, whole-stage-codegen'd JVM regex, no Python in the
+    row path. Counts let a pipeline quarantine high-PII docs instead of
+    silently rewriting them."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or text_col
+    redacted = F.col(text_col)
+    out = df
+    for kind, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0)).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, mask.format(kind=kind))
+    return out.withColumn(out_col, redacted)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 8, stride: int = 4) -> DataFrame:
     """Rolling-hash fingerprint: minimum md5 over strided k-char shingles

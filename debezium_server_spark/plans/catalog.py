@@ -1651,6 +1651,57 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_signals",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    pw AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           floor((CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 10000) / 10000 AS ttr,
+           floor((CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 10000) / 10000 AS top_word_frac
+    FROM pw GROUP BY doc_id
+    """,
+    "Gopher-style repetition quality signals: type-token ratio and "
+    "top-word fraction per document — the standard degenerate-text "
+    "filters for pre-training corpora. Integer counts until the final "
+    "truncated ratio; shuffles key on doc_id.",
+)
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import repetition_signals
+
+    return repetition_signals(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_contamination",
+    f"""
+    WITH g AS (SELECT doc_id,
+                 unnest(CASE WHEN len({_TOKS}) >= 2
+                        THEN list_distinct(list_transform(range(1, len({_TOKS})),
+                             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))
+                        ELSE [array_to_string({_TOKS}, ' ')] END) AS g
+               FROM documents),
+    gdf AS (SELECT g, count(DISTINCT doc_id) AS docfreq FROM g GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           floor((CAST(SUM(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 10000) / 10000 AS shared_frac
+    FROM g JOIN gdf USING (g) GROUP BY doc_id
+    """,
+    "Cross-document n-gram contamination: per doc, the fraction of its "
+    "distinct bigrams that appear in ≥1 other document — the train/eval "
+    "overlap screen. One gram-frequency groupBy + one join back; all "
+    "counts exact integers.",
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import ngram_contamination
+
+    return ngram_contamination(load(spark, sf_dir, "documents"))
+
+
+@register(
     "running_total_per_user",
     """
     SELECT user_id, event_id,

@@ -1,0 +1,54 @@
+"""Text-analysis operators: PII redaction, repetition signals,
+contamination — unit-level semantics (catalog entries cover parity)."""
+
+from debezium_server_spark.operators.text import (
+    ngram_contamination,
+    redact_pii,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = _docs(spark, [
+        "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567",
+        "server 10.0.0.12 logged account 123456789",
+        "nothing sensitive here",
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "[email]" in out[0]["text"] and "[phone]" in out[0]["text"]
+    assert "jane" not in out[0]["text"] and "555" not in out[0]["text"]
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "[ip]" in out[1]["text"] and "[id_number]" in out[1]["text"]
+    assert out[1]["n_ip"] == 1 and out[1]["n_id_number"] == 1
+    assert out[2]["text"] == "nothing sensitive here"
+    assert out[2]["n_email"] == out[2]["n_phone"] == 0
+
+
+def test_repetition_signals_flags_degenerate_doc(spark):
+    df = _docs(spark, [
+        "spam spam spam spam spam",          # 1 distinct / 5 words
+        "all five words are different",
+    ])
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[0]["n_words"] == 5 and out[0]["n_distinct"] == 1
+    assert out[0]["top_word_frac"] == 1.0 and out[0]["ttr"] == 0.2
+    assert out[1]["ttr"] == 1.0 and out[1]["top_word_frac"] == 0.2
+
+
+def test_ngram_contamination_detects_shared_bigrams(spark):
+    df = _docs(spark, [
+        "alpha beta gamma delta",
+        "alpha beta epsilon zeta",
+        "totally unrelated words here",
+    ])
+    out = {r["doc_id"]: r for r in ngram_contamination(df).collect()}
+    # docs 0 and 1 share exactly the bigram "alpha beta" (1 of 3 each)
+    assert out[0]["n_grams"] == 3 and out[0]["n_shared"] == 1
+    assert out[1]["n_shared"] == 1
+    assert out[2]["n_shared"] == 0 and out[2]["shared_frac"] == 0.0
