@@ -1,0 +1,90 @@
+"""Deterministic corpus sampling / mixing operators.
+
+Training-data pipelines sample with a *hash*, not an RNG: md5-bucket the
+stable document key and keep buckets below a basis-point threshold. That
+makes the sample reproducible across runs, engines, and cluster
+topologies (no per-partition RNG state, no seed-ordering dependence),
+composable (a 50% sample of a 50% sample with different salts is an
+independent 25%), and embarrassingly parallel — the filter is a pure
+per-row expression that rides the parquet scan, so at 100 TB the sample
+IS the scan with a cheap predicate, no shuffle at all.
+
+The reference has no sampling surface (it ships every change event);
+these extend the engine for corpus curation per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Sampling resolution: rates are expressed in basis points out of 10 000.
+#: Integer thresholds (not float rates) so Spark and any SQL oracle agree
+#: bit-for-bit on the keep/drop decision.
+BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS): first 60 bits of md5(key || salt)
+    mod BUCKETS. Pure column expression — whole-stage codegen, no UDF."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int,
+                salt: str = "") -> DataFrame:
+    """Keep rows whose bucket < `rate_bp` (basis points of 10 000).
+    Deterministic ≈rate_bp/10000 sample; different salts give independent
+    samples of the same table."""
+    return df.where(sample_bucket(F.col(key_col), salt) < F.lit(int(rate_bp)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates_bp: dict[str, int], key_col: str,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum hash sampling — the corpus-mixing primitive ("keep 80%
+    of en, 30% of zh, …"). The rate table rides as a literal MAP in the
+    row expression: no join, no broadcast, still a bare filtered scan."""
+    pairs = [F.lit(x) for kv in rates_bp.items() for x in kv]
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)].cast("long"), F.lit(0)
+    )
+    return df.where(sample_bucket(F.col(key_col), salt) < rate)
+
+
+def token_budget_sample(df: DataFrame, strata_col: str, weight: Column,
+                        budgets: dict[str, int], key_col: str,
+                        salt: str = "") -> DataFrame:
+    """Sample each stratum down to ≈ a weight budget (tokens, chars, …):
+    rate_bp = min(10000, floor(budget * 10000 / stratum_total)).
+
+    Two-pass shape built for scale: pass 1 aggregates per-stratum totals
+    (tiny result — one row per stratum), pass 2 broadcast-joins the rate
+    table back and filters. The big table is scanned twice but never
+    shuffled. The rate arithmetic stays in integers + one IEEE divide +
+    floor, identical in any engine.
+
+    Output gains a `rate_bp` column so downstream stages (and oracles)
+    can audit the applied rate.
+    """
+    budget_pairs = [F.lit(x) for kv in budgets.items() for x in kv]
+    budget = F.coalesce(
+        F.create_map(*budget_pairs)[F.col(strata_col)].cast("long"), F.lit(0)
+    )
+    rates = (
+        df.groupBy(strata_col)
+        .agg(F.sum(weight).cast("long").alias("__total"))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(BUCKETS).cast("long"),
+                F.floor(
+                    budget.cast("double") * BUCKETS / F.col("__total").cast("double")
+                ),
+            ).cast("long").alias("rate_bp"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(sample_bucket(F.col(key_col), salt) < F.col("rate_bp"))
+    )

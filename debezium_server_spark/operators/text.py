@@ -128,11 +128,16 @@ def ngram_contamination(df: DataFrame, text_col: str = "text",
     n-grams that also occur in at least one OTHER document — the overlap
     screen run between training corpora and eval sets.
 
-    Distributed shape: explode distinct n-grams → document frequency per
-    gram (one groupBy) → join back per (gram, doc) → per-doc fraction.
-    The gram-frequency table is the only wide shuffle; everything is
-    integer counts until the final round4 ratio.
+    Distributed shape: explode distinct n-grams once, then a count(*)
+    window partitioned by gram gives each occurrence its document
+    frequency (grams are distinct within a doc, so occurrence count =
+    doc count) — no join-back, no second scan, and no broadcast of a
+    corpus-sized gram table (which would OOM at 100 TB). Two shuffles
+    total: one on gram, one on doc_id; integer counts until the final
+    round4 ratio.
     """
+    from pyspark.sql.window import Window
+
     from debezium_server_spark.functions.text_functions import token_shingles
 
     grams = df.select(
@@ -141,16 +146,14 @@ def ngram_contamination(df: DataFrame, text_col: str = "text",
             F.array_distinct(token_shingles(tokens(F.col(text_col)), n))
         ).alias("g"),
     )
-    gram_df = grams.groupBy("g").agg(F.countDistinct(id_col).alias("docfreq"))
+    docfreq = F.count("*").over(Window.partitionBy("g"))
     shared_frac = F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
     return (
-        grams.join(gram_df, "g")
+        grams.select(id_col, (docfreq >= 2).cast("int").alias("shared"))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("docfreq") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
+            F.sum("shared").cast("long").alias("n_shared"),
         )
         .select(id_col, "n_grams", "n_shared", round4(shared_frac).alias("shared_frac"))
     )

@@ -1701,6 +1701,158 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(load(spark, sf_dir, "documents"))
 
 
+def _pii_oracle() -> str:
+    """Build the DuckDB twin of redact_pii from the SAME pattern dict —
+    no transcription drift. Each CTE stage counts matches on the current
+    text, then replaces, exactly mirroring the Spark loop's order.
+    (These patterns are regular — no backrefs — so Java regex and RE2
+    produce identical leftmost-greedy matches.)"""
+    from debezium_server_spark.operators.text import PII_PATTERNS
+
+    sql = f"WITH s0 AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)"
+    carried, prev = ["doc_id"], "s0"
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), 1):
+        p = pat.replace("'", "''")
+        cols = ", ".join(carried)
+        sql += (
+            f", s{i} AS (SELECT {cols},"
+            f" CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{kind},"
+            f" regexp_replace(t, '{p}', '[{kind}]', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"s{i}"
+    return sql + f" SELECT {', '.join(carried)}, t AS text FROM {prev}"
+
+
+# The synthetic docs carry no PII, so append deterministic doc_id-derived
+# PII-shaped suffixes (email, dotted IP, long account number, phone) in
+# BOTH engines — the redaction patterns then do real work.
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || ' acct ' || CAST(doc_id * 1000003 + 123456789 AS VARCHAR)"
+    " || ' ph +1 555-123-4567'"
+)
+
+
+@register(
+    "pii_redaction",
+    _pii_oracle(),
+    "PII scrub for training corpora: typed mask tokens + per-kind match "
+    "counts over ordered pure-JVM regexes (email → ip → id-number → "
+    "phone). Narrow per-row map, zero shuffles — scales linearly with "
+    "the scan.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        d,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com ip 10.0."),
+            (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string"),
+            F.lit(" acct "), (d * 1000003 + 123456789).cast("string"),
+            F.lit(" ph +1 555-123-4567"),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    count_cols = [c for c in out.columns if c.startswith("n_")]
+    return out.select("doc_id", *count_cols, "text")
+
+
+# Per-language keep rates (basis points) for the stratified-sample demo
+# and token budgets for the budget-mix demo. CASE twins are generated
+# from these dicts so Spark and DuckDB can never drift.
+_SAMPLE_RATES_BP = {"en": 8000, "fr": 5000, "es": 5000, "de": 3000, "zh": 2000}
+_TOKEN_BUDGETS = {"en": 6000, "fr": 2500, "es": 2500, "de": 1500, "zh": 1000}
+
+
+def _case_over_lang(d: dict[str, int]) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in d.items())
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def _bucket_sql(salt: str) -> str:
+    return (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'{salt}'), 1, 15)) AS BIGINT) % 10000"
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+    WITH d AS (SELECT lang, n_chars, {_bucket_sql('mix1')} AS bucket
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM d WHERE bucket < {_case_over_lang(_SAMPLE_RATES_BP)}
+    GROUP BY lang
+    """,
+    "Deterministic stratified corpus sampling: md5-bucket each doc_id, "
+    "keep per-language basis-point rates from a literal MAP — a pure "
+    "filtered scan, zero shuffles before the audit aggregate. "
+    "Reproducible across runs/engines/cluster sizes (no RNG).",
+)
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import stratified_sample
+
+    kept = stratified_sample(
+        load(spark, sf_dir, "documents"), "lang", _SAMPLE_RATES_BP,
+        key_col="doc_id", salt="mix1",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
+@register(
+    "corpus_token_budget_mix",
+    f"""
+    WITH d AS (SELECT doc_id, lang,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                 {_bucket_sql('budget')} AS bucket
+               FROM documents),
+    r AS (SELECT lang,
+            CAST(least(10000, floor(
+              CAST({_case_over_lang(_TOKEN_BUDGETS)} AS DOUBLE) * 10000
+              / CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS rate_bp
+          FROM d GROUP BY lang)
+    SELECT d.lang, r.rate_bp,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+    FROM d JOIN r USING (lang) WHERE bucket < rate_bp
+    GROUP BY d.lang, r.rate_bp
+    """,
+    "Token-budget corpus mixing: pass 1 aggregates per-language token "
+    "totals (one tiny row per stratum), pass 2 broadcast-joins the "
+    "derived basis-point rate back and hash-filters — the corpus is "
+    "scanned twice but never shuffled. Rate = integer-exact "
+    "floor(budget*1e4/total).",
+)
+def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens
+    from debezium_server_spark.operators.sampling import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(tokens(F.col("text"))).cast("long")
+    )
+    kept = token_budget_sample(
+        docs, "lang", F.col("n_toks"), _TOKEN_BUDGETS,
+        key_col="doc_id", salt="budget",
+    )
+    return kept.groupBy("lang", "rate_bp").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_toks").cast("long").alias("kept_tokens"),
+    )
+
+
 @register(
     "running_total_per_user",
     """

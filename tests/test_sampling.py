@@ -1,0 +1,81 @@
+"""Deterministic sampling operators: reproducibility, stratification,
+salt independence, token-budget rates (catalog entries cover parity)."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.operators.sampling import (
+    BUCKETS,
+    hash_sample,
+    stratified_sample,
+    token_budget_sample,
+)
+
+
+def _corpus(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("zh").alias("lang"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_toks"),
+    )
+
+
+def test_hash_sample_is_deterministic_and_near_rate(spark):
+    df = _corpus(spark)
+    a = hash_sample(df, "doc_id", 2500).collect()
+    b = hash_sample(df, "doc_id", 2500).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert 0.20 < len(a) / 2000 < 0.30  # ≈25%
+
+
+def test_hash_sample_rate_zero_and_full(spark):
+    df = _corpus(spark)
+    assert hash_sample(df, "doc_id", 0).count() == 0
+    assert hash_sample(df, "doc_id", BUCKETS).count() == 2000
+
+
+def test_salted_samples_are_independent_subsets(spark):
+    df = _corpus(spark)
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 5000, "s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 5000, "s2").collect()}
+    # different salts pick different sets; overlap ≈ 25% of corpus
+    assert a != b
+    assert 0.15 < len(a & b) / 2000 < 0.35
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    df = _corpus(spark, 3000)
+    kept = stratified_sample(
+        df, "lang", {"en": 9000, "zh": 1000}, "doc_id"
+    ).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert by["en"] / 1000 > 0.8 and by["zh"] / 2000 < 0.2
+
+
+def test_stratum_missing_from_rates_is_dropped(spark):
+    df = _corpus(spark)
+    kept = stratified_sample(df, "lang", {"en": BUCKETS}, "doc_id")
+    assert kept.where(F.col("lang") == "zh").count() == 0
+    assert kept.where(F.col("lang") == "en").count() == df.where(
+        F.col("lang") == "en").count()
+
+
+def test_token_budget_hits_target_within_tolerance(spark):
+    df = _corpus(spark, 3000)
+    totals = {r["lang"]: r["t"] for r in df.groupBy("lang")
+              .agg(F.sum("n_toks").alias("t")).collect()}
+    budgets = {"en": totals["en"] // 4, "zh": totals["zh"] // 2}
+    kept = token_budget_sample(
+        df, "lang", F.col("n_toks"), budgets, "doc_id"
+    ).groupBy("lang").agg(F.sum("n_toks").alias("t")).collect()
+    got = {r["lang"]: r["t"] for r in kept}
+    for lang, budget in budgets.items():
+        assert 0.7 < got[lang] / budget < 1.3
+
+
+def test_token_budget_caps_rate_at_full(spark):
+    df = _corpus(spark, 100)
+    kept = token_budget_sample(
+        df, "lang", F.col("n_toks"), {"en": 10**9, "zh": 10**9}, "doc_id"
+    )
+    assert kept.count() == 100
+    assert kept.select("rate_bp").distinct().collect()[0]["rate_bp"] == BUCKETS
