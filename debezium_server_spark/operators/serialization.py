@@ -16,15 +16,19 @@ event frame (the `connect` format IS our native typed frame):
 | binary       | raw bytes of the serialized value                |
 | simplestring | value rendered as a plain string                 |
 | cloudevents  | CloudEvents v1.0 JSON envelope around the value  |
-| avro/protobuf| registry-backed; out of scope in this container  |
+| avro         | real Avro binary (pure-Python codec + Confluent  |
+|              | wire framing; Java-avro interop-tested)          |
+| protobuf     | registry + compiled descriptors; stub            |
 
-Avro/Protobuf need a schema registry client (wire format prefixes a
-registry id); the functions raise with that explanation rather than
-pretending (`DebeziumProperties.java:49-53` — Apicurio/Confluent).
+The registry *client* round-trip (`DebeziumProperties.java:49-53` —
+Apicurio/Confluent) is the only absent piece: schema ids are caller-
+supplied instead of registry-negotiated. Protobuf additionally needs
+compiled descriptors, so it stays an explaining stub.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -116,11 +120,50 @@ def serialize_cloudevents(df: DataFrame, **kwargs) -> DataFrame:
     )
 
 
-def serialize_avro(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    raise NotImplementedError(
-        "avro format needs a schema-registry client (wire format embeds a "
-        "registry id — DebeziumProperties.java:49-53); wire via "
-        "spark-avro's to_avro + a registry client when available"
+def _avro_encoder_udf(schema_json: str, schema_id: int | None):
+    """Vectorized JSON→Avro-binary encoder. The schema travels as JSON
+    text into the closure (picklable, executor-local parse once)."""
+    from debezium_server_spark.functions import avro_codec
+
+    schema = __import__("json").loads(schema_json)
+
+    @F.pandas_udf("binary")
+    def enc(col: pd.Series) -> pd.Series:
+        import json as _json
+
+        return col.map(
+            lambda s: None if s is None
+            else avro_codec.encode(_json.loads(s), schema, schema_id)
+        )
+
+    return enc
+
+
+def serialize_avro(
+    df: DataFrame,
+    schema_id: int | None = None,
+    key_schema_id: int | None = None,
+) -> DataFrame:
+    """avro format: key/value as Avro *binary* encoding (pure-Python codec,
+    `functions/avro_codec.py`, interop-tested against the bundled Java
+    avro-1.12.1). With `schema_id`/`key_schema_id`, payloads carry the
+    Confluent wire frame (magic 0 + 4-byte id) the reference's
+    registry-backed formats emit (DebeziumProperties.java:49-53); without,
+    raw Avro binary. Schemas derive from the frame's own struct types —
+    the registry round-trip is the only absent piece in this container."""
+    import json as _json
+
+    from debezium_server_spark.functions.avro_codec import avro_schema_of
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    key_schema = _json.dumps(["null", avro_schema_of(fields["key"], "Key")])
+    value_schema = _json.dumps(["null", avro_schema_of(fields["value"], "Value")])
+    return df.select(
+        "destination",
+        _avro_encoder_udf(key_schema, key_schema_id)(F.to_json("key")).alias("key"),
+        _avro_encoder_udf(value_schema, schema_id)(F.to_json("value")).alias("value"),
+        "headers",
+        "partition",
     )
 
 

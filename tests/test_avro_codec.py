@@ -1,0 +1,116 @@
+"""Avro binary codec: python round-trip, JAVA-library interop (the
+canonical Apache Avro jar bundled with Spark decodes our bytes), wire
+framing, and the serialize_avro frame format."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.avro_codec import (
+    avro_schema_of,
+    decode,
+    encode,
+)
+from debezium_server_spark.operators.serialization import serialize_avro
+
+RECORD_SCHEMA = {
+    "type": "record", "name": "Rec", "namespace": "t",
+    "fields": [
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "name", "type": ["null", "string"], "default": None},
+        {"name": "score", "type": ["null", "double"], "default": None},
+        {"name": "ok", "type": ["null", "boolean"], "default": None},
+        {"name": "tags", "type": ["null", {"type": "array",
+                                           "items": ["null", "string"]}],
+         "default": None},
+        {"name": "attrs", "type": ["null", {"type": "map",
+                                            "values": ["null", "long"]}],
+         "default": None},
+        {"name": "nested", "type": ["null", {
+            "type": "record", "name": "Sub", "fields": [
+                {"name": "x", "type": ["null", "long"], "default": None}]}],
+         "default": None},
+    ],
+}
+
+
+def test_python_round_trip_all_types():
+    v = {"id": -42, "name": "héllo", "score": 2.5, "ok": True,
+         "tags": ["a", None, "b"], "attrs": {"k1": 1, "k2": None},
+         "nested": {"x": 7}}
+    out = decode(encode(v, RECORD_SCHEMA), RECORD_SCHEMA)
+    assert out == v
+
+
+def test_missing_and_null_fields_take_null_branch():
+    out = decode(encode({"id": 1}, RECORD_SCHEMA), RECORD_SCHEMA)
+    assert out["id"] == 1
+    assert out["name"] is None and out["nested"] is None
+
+
+def test_wire_framing_round_trip():
+    payload = encode({"id": 9}, RECORD_SCHEMA, schema_id=1234)
+    assert payload[0] == 0  # magic byte
+    schema_id, v = decode(payload, RECORD_SCHEMA, framed=True)
+    assert schema_id == 1234 and v["id"] == 9
+
+
+def test_zigzag_extremes_round_trip():
+    sch = {"type": "record", "name": "L", "fields": [
+        {"name": "v", "type": ["null", "long"], "default": None}]}
+    for n in (0, -1, 1, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert decode(encode({"v": n}, sch), sch)["v"] == n
+
+
+def test_java_avro_decodes_python_bytes(spark):
+    """Interop gate: the canonical Java implementation (avro-1.12.1.jar
+    on Spark's classpath) must parse our schema and decode our binary."""
+    jvm = spark.sparkContext._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(RECORD_SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    v = {"id": 77, "name": "interop", "score": -0.5, "ok": False,
+         "tags": ["x", "y"], "attrs": {"n": 3}, "nested": {"x": 1}}
+    payload = encode(v, RECORD_SCHEMA)
+    decoder = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+        bytearray(payload), None)
+    rec = reader.read(None, decoder)
+    assert rec.get("id") == 77
+    assert str(rec.get("name")) == "interop"
+    assert rec.get("score") == -0.5
+    assert rec.get("ok") is False
+    assert str(rec.get("nested").get("x")) == "1"
+    tags = rec.get("tags")
+    assert [str(tags.get(i)) for i in range(tags.size())] == ["x", "y"]
+
+
+def test_schema_of_event_frame_types():
+    dt = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+    ])
+    sch = avro_schema_of(dt, "K")
+    names = {f["name"]: f["type"][1] for f in sch["fields"]}
+    assert names["id"] == "long"
+    assert names["vals"]["type"] == "array"
+    assert names["m"]["type"] == "map"
+    with pytest.raises(TypeError):
+        avro_schema_of(T.MapType(T.LongType(), T.StringType()))
+
+
+def test_serialize_avro_frame(spark):
+    from tests.fixtures import customers_changelog_df
+
+    event_frame = customers_changelog_df(spark)
+    out = serialize_avro(event_frame, schema_id=7).collect()
+    assert out, "no rows"
+    value_schema = ["null", avro_schema_of(
+        event_frame.schema["value"].dataType, "Value")]
+    for row in out:
+        if row["value"] is None:
+            continue  # tombstone stays a null payload
+        schema_id, v = decode(row["value"], value_schema, framed=True)
+        assert schema_id == 7
+        assert v["op"] in ("r", "c", "u", "d")

@@ -72,10 +72,13 @@ def test_cloudevents_envelope(events):
     assert ce["data"]["after"]["name"] == "a"
 
 
-def test_registry_formats_raise(events):
-    for fmt in ("avro", "protobuf"):
-        with pytest.raises(NotImplementedError):
-            serialize(events, fmt)
+def test_avro_format_serializes_and_protobuf_raises(events):
+    rows = serialize(events, "avro").collect()
+    assert all(r["value"] is None or isinstance(r["value"], (bytes, bytearray))
+               for r in rows)
+    assert any(r["value"] for r in rows)
+    with pytest.raises(NotImplementedError):
+        serialize(events, "protobuf")
     with pytest.raises(ValueError):
         serialize(events, "nope")
 
