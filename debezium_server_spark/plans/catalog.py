@@ -17,6 +17,7 @@ by name before hashing).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -45,10 +46,25 @@ TABLES = (
 )
 
 
+# Fixture tables are ONE parquet file with ONE row group, so the scan —
+# and every per-row expression fused onto it (tokenize, md5, explode) —
+# runs as a single task no matter how many cores exist. Repartitioning
+# right after the scan costs one tiny shuffle (≤11 MB at sf0.1) and buys
+# full-width parallelism for the compute-heavy map work; Catalyst still
+# pushes filters/pruning through the Repartition to the scan (verified:
+# PushedFilters reaches the parquet scan below the exchange). On a real
+# 100 TB layout scans carry thousands of row groups and this becomes
+# unnecessary — disable with SPARK_GRAFT_NO_REPART=1.
+_HEAVY_TABLES = {"documents", "embeddings"}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _HEAVY_TABLES and not os.environ.get("SPARK_GRAFT_NO_REPART"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
