@@ -18,12 +18,14 @@ event frame (the `connect` format IS our native typed frame):
 | cloudevents  | CloudEvents v1.0 JSON envelope around the value  |
 | avro         | real Avro binary (pure-Python codec + Confluent  |
 |              | wire framing; Java-avro interop-tested)          |
-| protobuf     | registry + compiled descriptors; stub            |
+| protobuf     | real proto3 wire bytes (pure-Python codec +      |
+|              | Confluent framing; Google-runtime parse-tested)  |
 
 The registry *client* round-trip (`DebeziumProperties.java:49-53` —
 Apicurio/Confluent) is the only absent piece: schema ids are caller-
-supplied instead of registry-negotiated. Protobuf additionally needs
-compiled descriptors, so it stays an explaining stub.
+supplied instead of registry-negotiated, and protobuf message specs are
+dict descriptors derived from the frame's StructType instead of
+protoc-compiled classes.
 """
 
 from __future__ import annotations
@@ -167,10 +169,52 @@ def serialize_avro(
     )
 
 
-def serialize_protobuf(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    raise NotImplementedError(
-        "protobuf format needs compiled descriptors + registry; wire via "
-        "spark-protobuf's to_protobuf when available"
+def _proto_encoder_udf(spec_json: str, schema_id: int | None):
+    from debezium_server_spark.functions import protobuf_codec
+
+    spec = __import__("json").loads(spec_json)
+
+    @F.pandas_udf("binary")
+    def enc(col: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(s):
+            if s is None:
+                return None
+            payload = protobuf_codec.encode(_json.loads(s), spec)
+            if schema_id is not None:
+                payload = protobuf_codec.frame_confluent(payload, schema_id)
+            return payload
+
+        return col.map(one)
+
+    return enc
+
+
+def serialize_protobuf(
+    df: DataFrame,
+    schema_id: int | None = None,
+    key_schema_id: int | None = None,
+) -> DataFrame:
+    """protobuf format: key/value as proto3 *wire* bytes (pure-Python
+    codec, `functions/protobuf_codec.py`, parse-tested against the
+    protobuf runtime shaded into Spark's orc-core). Message specs derive
+    from the frame's struct types — compiled descriptors replaced by
+    dict specs; with ids, payloads carry the Confluent protobuf framing
+    (magic 0 + id + message-index path)."""
+    import json as _json
+
+    from debezium_server_spark.functions.protobuf_codec import descriptor_of
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    key_spec = _json.dumps(descriptor_of(fields["key"], "Key"))
+    value_spec = _json.dumps(descriptor_of(fields["value"], "Value"))
+    return df.select(
+        "destination",
+        _proto_encoder_udf(key_spec, key_schema_id)(F.to_json("key")).alias("key"),
+        _proto_encoder_udf(value_spec, schema_id)(F.to_json("value")).alias("value"),
+        "headers",
+        "partition",
     )
 
 

@@ -72,13 +72,12 @@ def test_cloudevents_envelope(events):
     assert ce["data"]["after"]["name"] == "a"
 
 
-def test_avro_format_serializes_and_protobuf_raises(events):
-    rows = serialize(events, "avro").collect()
-    assert all(r["value"] is None or isinstance(r["value"], (bytes, bytearray))
-               for r in rows)
-    assert any(r["value"] for r in rows)
-    with pytest.raises(NotImplementedError):
-        serialize(events, "protobuf")
+def test_binary_formats_serialize(events):
+    for fmt in ("avro", "protobuf"):
+        rows = serialize(events, fmt).collect()
+        assert all(r["value"] is None or isinstance(r["value"], (bytes, bytearray))
+                   for r in rows)
+        assert any(r["value"] for r in rows)
     with pytest.raises(ValueError):
         serialize(events, "nope")
 
