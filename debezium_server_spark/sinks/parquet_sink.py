@@ -8,12 +8,23 @@ InfinispanSinkConsumer.java:116-121).
 
 Without Delta in this container, state lives in versioned parquet
 directories with an atomically-renamed `_VERSION` pointer: each
-micro-batch writes `v{N+1}/` from MERGE(current, batch) and flips the
-pointer, so readers always see a complete version and a re-run of the same
-epoch (at-least-once replay) converges to the same state (idempotent —
-effectively-once, SURVEY.md §3.2). On a real cluster the same `handle`
-body targets a Delta/Iceberg table via MERGE INTO with the state bucketed
-by key.
+micro-batch produces `v{N+1}/` and flips the pointer, so readers always
+see a complete version and a re-run of the same epoch (at-least-once
+replay) converges to the same state (idempotent — effectively-once,
+SURVEY.md §3.2).
+
+Scale design — the state is HASH-BUCKETED by key (`__bucket =
+pmod(xxhash64(keys), n_buckets)`, a dir-partition column), and a commit
+only REWRITES buckets the batch touches; every untouched bucket is
+HARD-LINKED from the previous version (an inode-level metadata op, the
+same trick Delta/Iceberg snapshots use by reusing unchanged data files).
+Per-epoch cost is therefore O(touched buckets), not O(table): a 1000-row
+micro-batch against a 100 TB table rewrites ≲ batch-key-count buckets
+while the other thousands of buckets carry over for free. The merge
+itself reads ONLY the touched buckets (partition-pruned scan on the
+bucket column) and shuffles on the same key the state is bucketed by.
+On a real cluster the same `handle` body targets a Delta/Iceberg table
+via MERGE INTO with files pruned by key stats.
 """
 
 from __future__ import annotations
@@ -25,23 +36,42 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from debezium_server_spark.operators.materialize import merge_state
 from debezium_server_spark.sinks.base import BaseSink, register_sink
 
 SEQ_COL = "__seq"
+BUCKET_COL = "__bucket"
 
 
 class VersionedParquetTable:
-    """A parquet table with atomic version flips (poor-man's Delta)."""
+    """A hash-bucketed parquet table with atomic version flips
+    (poor-man's Delta: versions are snapshots, unchanged buckets are
+    hard-linked between versions instead of rewritten)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n_buckets: int = 16):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # bucket count is fixed at table creation; later instances follow
+        # the persisted value (changing it would scatter existing keys)
+        self.n_buckets = self._meta().get("n_buckets", n_buckets)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_VERSION")
+
+    def _meta(self) -> dict:
+        try:
+            with open(os.path.join(self.path, "_META")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_meta(self) -> None:
+        if not self._meta():
+            with open(os.path.join(self.path, "_META"), "w") as f:
+                json.dump({"n_buckets": self.n_buckets}, f)
 
     def current_version(self) -> int:
         try:
@@ -56,18 +86,55 @@ class VersionedParquetTable:
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         p = self.data_path()
-        return spark.read.parquet(p) if p else None
+        if not p:
+            return None
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException:
+            return None  # fully-deleted table: version dir has no data
 
-    def commit(self, df: DataFrame, epoch_id: int) -> int:
+    def bucket_expr(self, key_cols: tuple[str, ...]):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def commit(self, df: DataFrame, epoch_id: int,
+               touched_buckets: list[int] | None = None) -> int:
+        """Write `df` (which must cover every row of `touched_buckets`)
+        partitioned by bucket, hard-link all other buckets from the
+        current version, then flip the pointer. `touched_buckets=None`
+        rewrites everything (first commit / full-table operations)."""
+        old = self.data_path()
         new_version = self.current_version() + 1
         out = os.path.join(self.path, f"v{new_version}")
-        df.write.mode("overwrite").parquet(out)
+        if BUCKET_COL in df.columns:
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
+        else:  # unbucketed caller (e.g. whole-state writers): full rewrite
+            df.write.mode("overwrite").parquet(out)
+            touched_buckets = None
+        if old and touched_buckets is not None:
+            touched_names = {f"{BUCKET_COL}={b}" for b in touched_buckets}
+            for name in os.listdir(old):
+                if name.startswith(f"{BUCKET_COL}=") and name not in touched_names:
+                    self._link_dir(os.path.join(old, name), os.path.join(out, name))
+        self._write_meta()
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as f:
             json.dump({"version": new_version, "epoch": epoch_id}, f)
         os.replace(tmp, self._pointer)  # atomic flip
         self._gc(keep=new_version)
         return new_version
+
+    @staticmethod
+    def _link_dir(src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.isfile(s) and not os.path.exists(d):
+                try:
+                    os.link(s, d)  # same-filesystem: metadata-only
+                except OSError:
+                    shutil.copy2(s, d)
 
     def last_epoch(self) -> int | None:
         try:
@@ -77,6 +144,8 @@ class VersionedParquetTable:
             return None
 
     def _gc(self, keep: int, retain: int = 2) -> None:
+        # hard links make retained snapshots ~free; rmtree only drops
+        # names, shared inodes survive in newer versions
         for name in os.listdir(self.path):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= keep - retain:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
@@ -85,22 +154,27 @@ class VersionedParquetTable:
 @register_sink
 class ParquetUpsertSink(BaseSink):
     """PK-mode materializer: per-destination upsert/delete into versioned
-    parquet tables, one table per destination under `root_path`."""
+    hash-bucketed parquet tables, one table per destination under
+    `root_path`. Only buckets containing batch keys are rewritten per
+    epoch; see the module docstring for the scale argument."""
 
     name = "parquet-upsert"
     tombstone_support = False  # tombstones dropped by prepare()
 
     def __init__(self, root_path: str, key_fields: tuple[str, ...] = ("id",),
                  order_cols: tuple[str, ...] = ("value.source.lsn", "value.ts_ms"),
-                 **kwargs):
+                 n_buckets: int = 16, **kwargs):
         super().__init__(**kwargs)
         self.root_path = root_path
         self.key_fields = key_fields
         self.order_cols = order_cols
+        self.n_buckets = n_buckets
 
     def _table(self, destination: str) -> VersionedParquetTable:
         safe = destination.replace("/", "_")
-        return VersionedParquetTable(os.path.join(self.root_path, safe))
+        return VersionedParquetTable(
+            os.path.join(self.root_path, safe), n_buckets=self.n_buckets
+        )
 
     def handle(self, df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -135,21 +209,30 @@ class ParquetUpsertSink(BaseSink):
             )
             for k in self.key_fields:
                 batch = batch.withColumn(k, F.coalesce(F.col(k), F.col(f"__key_{k}")))
-            batch = batch.drop(*[f"__key_{k}" for k in self.key_fields]).withColumn(
-                SEQ_COL, F.lit(epoch_id).cast("long")
+            batch = (
+                batch.drop(*[f"__key_{k}" for k in self.key_fields])
+                .withColumn(SEQ_COL, F.lit(epoch_id).cast("long"))
+                .withColumn(BUCKET_COL, table.bucket_expr(self.key_fields))
             )
             current = table.read(spark)
             if current is None:
-                merged = (
-                    batch.filter(F.col("op") != "d").drop("op")
-                )
+                merged = batch.filter(F.col("op") != "d").drop("op")
+                table.commit(merged, epoch_id, touched_buckets=None)
             else:
-                merged = merge_state(current, batch, key_cols=self.key_fields, seq_col=SEQ_COL)
-            table.commit(merged, epoch_id)
+                # micro-batches touch few keys → few buckets; the bucket
+                # list is tiny control data (≤ n_buckets ints)
+                touched = [
+                    r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+                ]
+                current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
+                merged = merge_state(
+                    current_touched, batch, key_cols=self.key_fields, seq_col=SEQ_COL
+                )
+                table.commit(merged, epoch_id, touched_buckets=touched)
 
     def read_table(self, spark: SparkSession, destination: str) -> DataFrame | None:
         df = self._table(destination).read(spark)
-        return df.drop(SEQ_COL) if df is not None else None
+        return df.drop(SEQ_COL, BUCKET_COL) if df is not None else None
 
 
 @register_sink
