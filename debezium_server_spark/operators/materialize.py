@@ -87,8 +87,16 @@ def merge_state(
     same batch (at-least-once) is a no-op because seq ties resolve to the
     same row — this upgrades delivery to effectively-once
     (SURVEY.md §3.2).
+
+    Schema drift (the reference's per-event dynamic schemas, SURVEY.md
+    §1.5): columns present on only one side are null-filled on the other
+    (`allowMissingColumns`), so an upstream ADD COLUMN widens the state
+    table in place and a dropped column survives with nulls for new rows
+    — the same additive evolution Delta's mergeSchema applies.
     """
-    merged = current.withColumn("op", F.lit(None).cast("string")).unionByName(batch_latest)
+    merged = current.withColumn("op", F.lit(None).cast("string")).unionByName(
+        batch_latest, allowMissingColumns=True
+    )
     row = F.struct(*[F.col(c) for c in merged.columns])
     latest = merged.groupBy(*key_cols).agg(F.max_by(row, F.col(seq_col)).alias("__latest"))
     kept = latest.filter(

@@ -113,6 +113,36 @@ def running_key_stats(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization on a stream: a session extends while
+    events arrive within `gap` of the previous one and closes after a
+    quiet period — Spark's native `session_window` state operator, so
+    session state merges incrementally executor-side and the watermark
+    finalizes (and frees) sessions whose gap has conclusively passed.
+    This is the streaming twin of the batch `sessionize` catalog entry
+    (lag/cumsum windows); at 100 TB the streaming form wins because it
+    never re-sorts history — state per live key only."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *key_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            *key_cols,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -186,3 +186,49 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         by_id.setdefault(r["dedup_id"], []).append(r["seq"])
     assert sorted(by_id) == ["A", "B", "C"]
     assert by_id["A"] == [1]  # both later A deliveries dropped
+
+
+def test_session_windows_merge_and_close(spark, tmp_path):
+    """Gap-based sessions with append output: a session only emits once
+    the watermark conclusively passes its close (gap elapsed) — late
+    events can no longer reopen it. Sessions still open stay in state."""
+    import os
+    import time
+
+    from debezium_server_spark.streaming.stateful import session_windows
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time()
+    # batch 1: u1 has two events 5 min apart (one session, gap 10 min)
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "u1", "payload": "2024-01-01 10:00:00", "seq": 1},
+        {"dedup_id": "u1", "payload": "2024-01-01 10:05:00", "seq": 2},
+        {"dedup_id": "u2", "payload": "2024-01-01 10:00:00", "seq": 3},
+    ])
+    os.utime(src / "b1.jsonl", (t0, t0))
+    # batch 2: u1 after a >gap quiet period -> second session opens
+    _write(src, "b2.jsonl", [
+        {"dedup_id": "u1", "payload": "2024-01-01 11:00:00", "seq": 4},
+    ])
+    os.utime(src / "b2.jsonl", (t0 + 10, t0 + 10))
+    # batch 3: far-future event pushes the watermark to 11:30, sealing
+    # u1's second session (ended 11:10); u3's own session stays open
+    _write(src, "b3.jsonl", [
+        {"dedup_id": "u3", "payload": "2024-01-01 12:00:00", "seq": 5},
+    ])
+    os.utime(src / "b3.jsonl", (t0 + 20, t0 + 20))
+    ev = _stream(spark, src).select(
+        "dedup_id", F.to_timestamp("payload").alias("ts")
+    )
+    out = session_windows(ev, ("dedup_id",), ts_col="ts",
+                          gap="10 minutes", watermark="30 minutes")
+    rows = _run_collect(out, tmp_path, mode="append")
+    sessions = {
+        (r["dedup_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+        for _, r in rows
+    }
+    assert sessions[("u1", "2024-01-01 10:00:00")] == ("2024-01-01 10:15:00", 2)
+    assert sessions[("u2", "2024-01-01 10:00:00")] == ("2024-01-01 10:10:00", 1)
+    assert sessions[("u1", "2024-01-01 11:00:00")] == ("2024-01-01 11:10:00", 1)
+    assert ("u3", "2024-01-01 12:00:00") not in sessions, "still open"
