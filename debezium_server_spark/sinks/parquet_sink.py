@@ -255,3 +255,37 @@ class ParquetAppendSink(BaseSink):
             .partitionBy("destination")
             .parquet(self.root_path)
         )
+
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 << 20) -> dict[str, tuple[int, int]]:
+        """Small-file compaction (the OPTIMIZE analog): every micro-batch
+        appends at least one file per partition, so a day of 1-minute
+        triggers leaves ~1440 tiny files per destination — death by
+        open() at 100 TB. Rewrites each destination partition into
+        ⌈bytes/target⌉ files. Maintenance operation: run while the
+        stream is paused (or against a snapshot copy); the per-partition
+        swap is not atomic for concurrent readers, which is exactly the
+        contract plain-parquet OPTIMIZE jobs have without a table format.
+        Returns {destination: (files_before, files_after)}."""
+        stats: dict[str, tuple[int, int]] = {}
+        for name in os.listdir(self.root_path):
+            pdir = os.path.join(self.root_path, name)
+            if not (name.startswith("destination=") and os.path.isdir(pdir)):
+                continue
+            files = [f for f in os.listdir(pdir)
+                     if f.endswith(".parquet") and not f.startswith(".")]
+            if len(files) <= 1:
+                continue
+            total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+            n_out = max(1, -(-total // target_file_bytes))
+            if n_out >= len(files):
+                continue
+            tmp = pdir + ".__compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.read.parquet(pdir).coalesce(int(n_out)).write.parquet(tmp)
+            shutil.rmtree(pdir)
+            os.rename(tmp, pdir)
+            after = len([f for f in os.listdir(pdir)
+                         if f.endswith(".parquet") and not f.startswith(".")])
+            stats[name.split("=", 1)[1]] = (len(files), after)
+        return stats

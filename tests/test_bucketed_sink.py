@@ -106,3 +106,27 @@ def test_merge_reads_only_touched_buckets(spark, tmp_path):
     one_bucket = current.filter(F.col(BUCKET_COL).isin([3]))
     plan = one_bucket._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "__bucket" in plan
+
+
+def test_append_sink_compaction_preserves_rows(spark, tmp_path):
+    from debezium_server_spark.sinks.parquet_sink import ParquetAppendSink
+
+    root = str(tmp_path / "log")
+    sink = ParquetAppendSink(root_path=root)
+    for epoch in range(5):  # five micro-batches → ≥5 small files
+        sink(_batch(spark, [
+            event(epoch * 10 + i, "c", None,
+                  (epoch * 10 + i, "n", "x", "n@x.com"), lsn=epoch * 10 + i)
+            for i in range(3)
+        ]), epoch)
+    before = spark.read.parquet(root)
+    n_rows = before.count()
+    epochs = {r["__epoch"] for r in before.select("__epoch").distinct().collect()}
+
+    stats = sink.compact(spark)
+    dest, (files_before, files_after) = next(iter(stats.items()))
+    assert files_before >= 5 and files_after < files_before
+
+    after = spark.read.parquet(root)
+    assert after.count() == n_rows
+    assert {r["__epoch"] for r in after.select("__epoch").distinct().collect()} == epochs
