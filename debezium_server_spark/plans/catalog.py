@@ -1870,6 +1870,98 @@ def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n,
+           floor((CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "GROUPING SETS with grouping_id disambiguation — the general form "
+    "rollup/cube compile to (one EXPAND + one shuffle, partial aggs "
+    "map-side).",
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            _r4(_dsum(F.col("o_totalprice")).cast("double")).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT user_id, event_id,
+           floor(percent_rank() OVER w * 10000) / 10000 AS pr,
+           floor(cume_dist() OVER w * 10000) / 10000 AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, ts, event_id)
+    """,
+    "Rank-family window functions (percent_rank / cume_dist / ntile): "
+    "exact integer-ratio arithmetic, deterministic ordering with full "
+    "tiebreaks. One shuffle on the partition key.",
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("value", "ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r4(F.percent_rank().over(w)).alias("pr"),
+        _r4(F.cume_dist().over(w)).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_value_navigation",
+    """
+    SELECT user_id, event_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS latest_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "Value-navigation window functions (first/last/nth_value, lag/lead) "
+    "over a running frame — session reconstruction primitives; one "
+    "shuffle + sort per partition key.",
+)
+def q_window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lag("event_type").over(wo).alias("prev_type"),
+        F.lead("event_type").over(wo).alias("next_type"),
+    )
+
+
+@register(
     "running_total_per_user",
     """
     SELECT user_id, event_id,
