@@ -135,6 +135,8 @@ def _write_field(buf: io.BytesIO, field: dict, v) -> None:
     proto = field["type"]
     if proto == "map":
         for k, item in (v or {}).items():
+            if item is None:
+                continue  # proto3 maps have no absent values; None = skip
             _write_field(buf, {**field, "type": "message"},
                          {"key": k, "value": item})
         return

@@ -1,0 +1,112 @@
+"""Property-based round-trip fuzzing for the Avro and protobuf codecs:
+any value shaped like the schema must survive encode→decode bit-exactly
+(no Spark session needed — pure Python)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from debezium_server_spark.functions import avro_codec, protobuf_codec
+
+# strings over a few scripts incl. astral-plane emoji; no surrogates
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+# doubles: finite only (NaN != NaN breaks equality; infinities round-trip
+# fine but NaN comparison noise isn't worth it)
+_f64 = st.floats(allow_nan=False, allow_infinity=True)
+
+
+def _record(tags, attrs, nested_x, id_, name, score, ok):
+    return {"id": id_, "name": name, "score": score, "ok": ok,
+            "tags": tags, "attrs": attrs,
+            "nested": {"x": nested_x} if nested_x is not None else None}
+
+
+_values = st.builds(
+    _record,
+    st.lists(st.one_of(st.none(), _text), max_size=8),
+    st.dictionaries(_text, st.one_of(st.none(), _i64), max_size=8),
+    st.one_of(st.none(), _i64),
+    st.one_of(st.none(), _i64),
+    st.one_of(st.none(), _text),
+    st.one_of(st.none(), _f64),
+    st.one_of(st.none(), st.booleans()),
+)
+
+AVRO_SCHEMA = {
+    "type": "record", "name": "Fuzz", "namespace": "t",
+    "fields": [
+        {"name": "id", "type": ["null", "long"], "default": None},
+        {"name": "name", "type": ["null", "string"], "default": None},
+        {"name": "score", "type": ["null", "double"], "default": None},
+        {"name": "ok", "type": ["null", "boolean"], "default": None},
+        {"name": "tags", "type": ["null", {"type": "array",
+                                           "items": ["null", "string"]}],
+         "default": None},
+        {"name": "attrs", "type": ["null", {"type": "map",
+                                            "values": ["null", "long"]}],
+         "default": None},
+        {"name": "nested", "type": ["null", {
+            "type": "record", "name": "Sub", "fields": [
+                {"name": "x", "type": ["null", "long"], "default": None}]}],
+         "default": None},
+    ],
+}
+
+PROTO_SPEC = {
+    "name": "Fuzz",
+    "fields": [
+        {"name": "id", "number": 1, "type": "int64"},
+        {"name": "name", "number": 2, "type": "string"},
+        {"name": "score", "number": 3, "type": "double"},
+        {"name": "ok", "number": 4, "type": "bool"},
+        {"name": "tags", "number": 5, "type": "string", "repeated": True},
+        {"name": "attrs", "number": 6, "type": "map", "message": {
+            "name": "E", "fields": [
+                {"name": "key", "number": 1, "type": "string"},
+                {"name": "value", "number": 2, "type": "int64"}]}},
+        {"name": "nested", "number": 7, "type": "message", "message": {
+            "name": "Sub", "fields": [
+                {"name": "x", "number": 1, "type": "int64"}]}},
+    ],
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values)
+def test_avro_round_trip_fuzz(v):
+    assert avro_codec.decode(avro_codec.encode(v, AVRO_SCHEMA), AVRO_SCHEMA) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values, st.integers(min_value=0, max_value=2**31 - 1))
+def test_avro_framed_round_trip_fuzz(v, schema_id):
+    sid, out = avro_codec.decode(
+        avro_codec.encode(v, AVRO_SCHEMA, schema_id), AVRO_SCHEMA, framed=True)
+    assert sid == schema_id and out == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values)
+def test_protobuf_round_trip_fuzz(v):
+    # proto3 presence: None and absent are the same thing; repeated
+    # fields cannot carry None items and maps cannot carry None values —
+    # normalize the expectation the way the wire does
+    out = protobuf_codec.decode(protobuf_codec.encode(v, PROTO_SPEC), PROTO_SPEC)
+    expected = {}
+    for k, val in v.items():
+        if val is None:
+            continue
+        if k == "tags":
+            val = [t for t in val if t is not None]
+            if not val:
+                continue
+        if k == "attrs":
+            val = {a: b for a, b in val.items() if b is not None}
+            if not val:
+                continue
+        if k == "nested" and val.get("x") is None:
+            val = {}
+        expected[k] = val
+    assert out == expected

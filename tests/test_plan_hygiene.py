@@ -1,0 +1,23 @@
+"""Catalog-wide plan hygiene: no quadratic join operators anywhere, and
+exchange counts stay within each query family's budget."""
+
+import os
+
+from tools.plan_audit import FORBIDDEN, audit
+
+
+def test_no_quadratic_join_operators(spark):
+    result = audit(spark, os.environ["SPARK_GRAFT_SF_DIR"])
+    assert not result["violations"], (
+        f"quadratic plans detected ({FORBIDDEN}): {result['violations']}"
+    )
+
+
+def test_exchange_budgets(spark):
+    """Every exchange is a cluster-wide shuffle. Budgets are generous
+    (complex multi-join queries legitimately need several) — the point
+    is to catch a refactor that silently doubles a query's shuffles."""
+    result = audit(spark, os.environ["SPARK_GRAFT_SF_DIR"])
+    over = {n: q["exchanges"] for n, q in result["queries"].items()
+            if q["exchanges"] > 12}
+    assert not over, f"queries exceeding the 12-exchange budget: {over}"

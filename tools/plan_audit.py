@@ -1,0 +1,90 @@
+"""Plan-hygiene audit over every catalog query.
+
+`.explain` discipline, automated: builds each catalog entry's physical
+plan (no execution) and checks the properties that decide whether a plan
+survives a 100× scale-up:
+
+- FORBIDDEN operators: `CartesianProduct` and `BroadcastNestedLoopJoin`
+  — both are O(n·m) row-pair plans that a missing/mis-typed join key
+  silently introduces; at 100 TB they never finish. Any hit fails the
+  audit (whitelist below for knowingly-quadratic ops, currently empty).
+- Exchange count per query — every exchange is a cluster-wide shuffle;
+  the audit reports the count so a refactor that silently adds one gets
+  caught in review.
+- Parquet scans with an empty pushed-filter list *and* full-width
+  ReadSchema are reported (information only: full scans are correct for
+  whole-table ops like dedup, wrong for selective queries).
+
+Run: `python tools/plan_audit.py [sf_dir]` → one JSON line; exit 1 on
+forbidden operators. Wired into tests/test_plan_hygiene.py so the gate
+runs in CI with the rest of the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+#: Queries knowingly allowed a nested-loop join — each against a side
+#: of BOUNDED size, so none is quadratic in the data:
+WHITELIST: set[str] = {
+    # the brute-force ANN baseline is all-pairs BY DEFINITION (the LSH
+    # and IVF variants are its scale path); queries-side is filtered to
+    # a bounded probe set
+    "embedding_topk",
+    # IVF cell assignment: BNLJ against the broadcast centroid table —
+    # k centroids (k=16), k-bounded work per row, not data-quadratic
+    "embedding_ann_ivf",
+    # TPC-H Q22 scalar subquery (global avg acctbal) compiles to a BNLJ
+    # against a single-row relation
+    "q22_idle_customers",
+}
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(spark, sf_dir: str) -> dict:
+    from debezium_server_spark.plans.catalog import CATALOG
+
+    result = {"queries": {}, "violations": []}
+    for name, qd in CATALOG.items():
+        plan = physical_plan(qd.spark_fn(spark, sf_dir))
+        n_exchange = plan.count("Exchange")
+        bad = [op for op in FORBIDDEN if op in plan and name not in WHITELIST]
+        full_scans = len(re.findall(r"PushedFilters: \[\]", plan))
+        result["queries"][name] = {
+            "exchanges": n_exchange,
+            "unfiltered_scans": full_scans,
+        }
+        if bad:
+            result["violations"].append({"query": name, "operators": bad})
+    return result
+
+
+def main() -> int:
+    from debezium_server_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("plan-audit")
+    result = audit(spark, sf_dir)
+    total_ex = sum(q["exchanges"] for q in result["queries"].values())
+    print(json.dumps({
+        "metric": "plan_audit",
+        "queries": len(result["queries"]),
+        "total_exchanges": total_ex,
+        "violations": result["violations"],
+        "per_query": result["queries"],
+    }))
+    return 1 if result["violations"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
