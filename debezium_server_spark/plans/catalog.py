@@ -1870,6 +1870,37 @@ def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_min(CAST(embedding AS DOUBLE[])) AS mn,
+             list_max(CAST(embedding AS DOUBLE[])) AS mx,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings)
+    SELECT vec_id,
+           CAST(unnest(list_transform(v, x ->
+             CASE WHEN mx = mn THEN 0
+                  ELSE least(255.0, floor((x - mn) * 255.0 / (mx - mn)))
+             END)) AS BIGINT) AS q,
+           mn AS vmin, mx AS vmax
+    FROM q
+    """,
+    "Int8 scalar quantization of the embedding column (the pre-ANN "
+    "storage-reduction step): per-row array expression, no shuffle, no "
+    "UDF — a map-only rewrite at 100 TB. Quantized codes exploded to "
+    "exact-integer rows for the oracle hash.",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.explode("q").alias("q"), "vmin", "vmax"
+    )
+
+
+@register(
     "grouping_sets_orders",
     """
     SELECT o_orderstatus, o_orderpriority,

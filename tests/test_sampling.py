@@ -79,3 +79,17 @@ def test_token_budget_caps_rate_at_full(spark):
     )
     assert kept.count() == 100
     assert kept.select("rate_bp").distinct().collect()[0]["rate_bp"] == BUCKETS
+
+
+def test_quantize_int8_edges(spark):
+    from debezium_server_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [3.0, 3.0, 3.0]), (3, [-1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["q"] == [0, 127, 255]
+    assert out[2]["q"] == [0, 0, 0], "constant vector quantizes to zeros"
+    assert out[3]["q"][0] == 0 and out[3]["q"][1] == 255
+    assert out[1]["vmin"] == 0.0 and out[1]["vmax"] == 1.0
