@@ -1872,31 +1872,46 @@ def q_corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize_int8",
     """
-    WITH q AS (
+    WITH b AS (
       SELECT vec_id,
              list_min(CAST(embedding AS DOUBLE[])) AS mn,
              list_max(CAST(embedding AS DOUBLE[])) AS mx,
              CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings)
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, mn, mx,
+             list_transform(v, x -> CAST(
+               CASE WHEN mx = mn THEN 0
+                    ELSE least(255.0, floor((x - mn) * 255.0 / (mx - mn)))
+               END AS BIGINT)) AS codes
+      FROM b)
     SELECT vec_id,
-           CAST(unnest(list_transform(v, x ->
-             CASE WHEN mx = mn THEN 0
-                  ELSE least(255.0, floor((x - mn) * 255.0 / (mx - mn)))
-             END)) AS BIGINT) AS q,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(range(1, len(codes) + 1),
+                i -> codes[i] * i), 'sum') AS BIGINT) AS q_checksum,
            mn AS vmin, mx AS vmax
     FROM q
     """,
     "Int8 scalar quantization of the embedding column (the pre-ANN "
     "storage-reduction step): per-row array expression, no shuffle, no "
-    "UDF — a map-only rewrite at 100 TB. Quantized codes exploded to "
-    "exact-integer rows for the oracle hash.",
+    "UDF — a map-only rewrite at 100 TB. Parity via exact-integer sum + "
+    "position-weighted checksum of the codes (order-sensitive, no "
+    "row-explosion needed for the oracle hash).",
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.similarity import quantize_int8
 
     out = quantize_int8(load(spark, sf_dir, "embeddings"))
+    idx = F.sequence(F.lit(1), F.size("q"))
+    weighted = F.zip_with("q", idx, lambda x, i: x * i)
     return out.select(
-        "vec_id", F.explode("q").alias("q"), "vmin", "vmax"
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, y: a + y).alias("q_sum"),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda a, y: a + y).alias("q_checksum"),
+        "vmin",
+        "vmax",
     )
 
 
