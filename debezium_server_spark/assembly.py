@@ -18,6 +18,10 @@ Property surface understood here (the Spark-native subset):
                                       route_rename | content_based_router
     debezium.transforms.<n>.<opt>     per-type options
     debezium.transforms.<n>.predicate SQL boolean gating the transform
+    debezium.format.value             json | jsonbytearray | binary |
+                                      simplestring | cloudevents | avro |
+                                      protobuf | connect (default)
+    debezium.format.value.schema.id   Confluent wire-frame id (avro/protobuf)
     debezium.sink.type                any registered sink name
     debezium.sink.<type>.<opt>        sink options (prefix-subset view)
     debezium.signal.dir               optional SignalChannel directory
@@ -117,6 +121,18 @@ def build_pipeline(
     source = build_source(spark, cfg, row_schema, key_schema)
     chain = build_transform_chain(cfg)
     pipeline = Pipeline(source).transform(chain)
+    fmt = cfg.get("debezium.format.value")
+    if fmt and fmt != "connect":
+        # DebeziumSerializationProducer dispatch: the serialization format
+        # is the LAST stage before the sink; schema ids come from config
+        # where the reference would negotiate them with a registry
+        from debezium_server_spark.operators.serialization import serialize
+
+        kwargs = {}
+        sid = cfg.get("debezium.format.value.schema.id")
+        if sid and fmt in ("avro", "protobuf"):
+            kwargs["schema_id"] = int(sid)
+        pipeline = pipeline.transform(lambda df: serialize(df, fmt, **kwargs))
     sink = get_sink(sink_type, **_pythonize(cfg.subset(f"debezium.sink.{sink_type}")))
     signal_dir = cfg.get("debezium.signal.dir")
     signals = SignalChannel(signal_dir) if signal_dir else None

@@ -105,3 +105,34 @@ def test_predicate_gated_transform(spark, tmp_path):
     out = {r["destination"]: r["value"]["after"]["name"] for r in chain.apply(df).collect()}
     assert out["inv.secret"] == "****"
     assert out["inv.open"] == "visible"
+
+
+def test_format_stage_from_properties(spark, tmp_path):
+    """debezium.format.value=avro with a schema id: the pipeline's last
+    stage serializes key/value to Confluent-framed Avro binary before
+    the sink sees the frame."""
+    from debezium_server_spark.functions.avro_codec import avro_schema_of, decode
+
+    _write_changelog(tmp_path / "log", [_event(1, "alice"), _event(2, "bob")])
+    props = {
+        "debezium.source.type": "changelog-dir",
+        "debezium.source.path": str(tmp_path / "log"),
+        "debezium.format.value": "avro",
+        "debezium.format.value.schema.id": "41",
+        "debezium.sink.type": "parquet-append",
+        "debezium.sink.parquet-append.root.path": str(tmp_path / "out"),
+    }
+    pipeline, sink, _ = build_pipeline(spark, props, ROW, KEY)
+    plan = pipeline.plan()
+    value_schema = ["null", avro_schema_of(
+        # the pre-serialization value struct drives the schema
+        __import__("debezium_server_spark.schema", fromlist=["event_schema"])
+        .event_schema(ROW, KEY)["value"].dataType, "Value")]
+    q = pipeline.start(sink, checkpoint_location=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert rows
+    for r in rows:
+        schema_id, v = decode(bytes(r["value"]), value_schema, framed=True)
+        assert schema_id == 41
+        assert v["after"]["name"] in ("alice", "bob")
