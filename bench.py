@@ -28,9 +28,11 @@ def main() -> None:
     CATALOG["cdc_event_counts"].spark_fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    # best-of-2 per query: the second run reuses compiled plans/codegen,
-    # so min() measures the engine, not JIT/GC jitter
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-N per query: later runs reuse compiled plans/codegen, so
+    # min() measures the engine, not JIT/GC jitter (observed variance at
+    # sf0.1: a query's first two runs can both pay multi-second codegen
+    # while an isolated re-run takes 0.6s — 3 runs bound that noise)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     total = 0.0
     for name, qd in CATALOG.items():
         best = float("inf")
