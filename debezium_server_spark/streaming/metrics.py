@@ -49,6 +49,7 @@ class QueryMetrics:
     last_batch_duration_ms: int = 0
     ms_behind_source: int | None = None
     last_watermark: str | None = None
+    observed: dict = field(default_factory=dict)  # latest df.observe() row
     history: deque = field(default_factory=lambda: deque(maxlen=64))
 
 
@@ -83,6 +84,8 @@ class PipelineMetricsListener(StreamingQueryListener):
             m.last_batch_duration_ms = (p.durationMs or {}).get("triggerExecution", 0)
             if p.numInputRows > 0:
                 m.snapshot_completed = True
+            for row in (p.observedMetrics or {}).values():
+                m.observed.update(row.asDict())
             wm = (p.eventTime or {}).get("watermark")
             m.last_watermark = wm
             wm_s = _parse_iso(wm)

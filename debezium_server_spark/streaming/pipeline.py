@@ -58,9 +58,10 @@ class Pipeline:
                 signal_channel.poll(query_ref[0] if query_ref else None)
                 sink(df, epoch_id)
 
+        plan = self.plan()
+        plan = self._with_observation(plan)
         writer = (
-            self.plan()
-            .writeStream.queryName(query_name)
+            plan.writeStream.queryName(query_name)
             .foreachBatch(batch_fn)
             .option("checkpointLocation", checkpoint_location)
         )
@@ -70,6 +71,31 @@ class Pipeline:
         if signal_channel is not None:
             query_ref.append(query)
         return query
+
+    @staticmethod
+    def _with_observation(df: DataFrame) -> DataFrame:
+        """Free per-batch counters via `df.observe` — computed inside the
+        batch job itself (no second pass, no driver loop) and surfaced
+        through StreamingQueryProgress.observedMetrics →
+        PipelineMetricsListener. Mirrors the reference's queue/han-
+        dled-event counters (DebeziumMetrics.java:106-144). Op-level
+        counts only exist while the frame still carries the typed value
+        struct (i.e. before a binary serialization stage)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        exprs = [F.count(F.lit(1)).alias("rows")]
+        try:
+            value_type = df.schema["value"].dataType
+        except KeyError:
+            value_type = None
+        if isinstance(value_type, T.StructType) and "op" in value_type.names:
+            exprs += [
+                F.sum(F.col("value").isNull().cast("long")).alias("tombstones"),
+                F.sum((F.col("value.op") == "d").cast("long")).alias("deletes"),
+                F.sum((F.col("value.op") == "r").cast("long")).alias("snapshot_reads"),
+            ]
+        return df.observe("cdc_pipeline", *exprs)
 
     def run_batch(self, sink: SinkFn, epoch_id: int = 0) -> None:
         """Run the same pipeline over a batch (non-streaming) frame — the

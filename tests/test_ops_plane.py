@@ -190,3 +190,54 @@ class TestControlSidecar:
             assert code == 404
         finally:
             sc.stop()
+
+
+def test_observed_metrics_count_ops(spark, tmp_path):
+    """df.observe counters ride inside the batch job and surface through
+    the listener: rows / deletes / snapshot_reads per micro-batch."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.sources.file_source import changelog_stream
+    from debezium_server_spark.streaming.pipeline import Pipeline
+    from tests.fixtures import event
+
+    row_schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()), T.StructField("email", T.StringType()),
+    ])
+    key_schema = T.StructType([T.StructField("id", T.LongType())])
+    src = tmp_path / "log"
+    src.mkdir()
+    events = [
+        event(1, "r", None, (1, "a", "b", "a@x.com"), lsn=1),
+        event(2, "c", None, (2, "c", "d", "c@x.com"), lsn=2),
+        event(1, "d", (1, "a", "b", "a@x.com"), None, lsn=3),
+    ]
+    with open(src / "e.jsonl", "w") as f:
+        for e in events:
+            f.write(_json.dumps(e) + "\n")
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = changelog_stream(spark, str(src), row_schema, key_schema)
+        q = Pipeline(stream).start(
+            lambda df, e: df.count(),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            query_name="observe-probe",
+        )
+        q.awaitTermination(120)
+        m = None
+        for _ in range(50):
+            m = listener.metrics(str(q.id))
+            if m and m.observed:
+                break
+            time.sleep(0.2)
+        assert m and m.observed["rows"] == 3
+        assert m.observed["deletes"] == 1
+        assert m.observed["snapshot_reads"] == 1
+        assert m.observed["tombstones"] == 0
+    finally:
+        spark.streams.removeListener(listener)
