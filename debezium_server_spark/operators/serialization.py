@@ -218,6 +218,24 @@ def serialize_protobuf(
     )
 
 
+def serialize_clientprovided(
+    df: DataFrame,
+    key_expr: Column | None = None,
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """clientprovided format: the caller supplies the serializer as
+    column expressions (the Spark shape of the reference's pluggable
+    `Serializer` client objects, DebeziumSerializationProducer.java:
+    60-68 `clientprovided` branch). Unset sides pass through typed."""
+    return df.select(
+        "destination",
+        (key_expr if key_expr is not None else F.col("key")).alias("key"),
+        (value_expr if value_expr is not None else F.col("value")).alias("value"),
+        "headers",
+        "partition",
+    )
+
+
 FORMATS = {
     "connect": lambda df: df,
     "json": serialize_json,
@@ -227,6 +245,7 @@ FORMATS = {
     "cloudevents": serialize_cloudevents,
     "avro": serialize_avro,
     "protobuf": serialize_protobuf,
+    "clientprovided": serialize_clientprovided,
 }
 
 

@@ -128,3 +128,16 @@ class TestSchemaHistory:
         drift = hist.drifted_destinations(spark).collect()
         assert [d["destination"] for d in drift] == ["t1"]
         assert drift[0]["n_versions"] == 2
+
+
+def test_clientprovided_format(events):
+    from pyspark.sql import functions as F
+
+    out = serialize(
+        events, "clientprovided",
+        value_expr=F.upper(F.to_json("value.after")),
+    ).collect()
+    payloads = [r["value"] for r in out if r["value"]]
+    assert payloads and all(p == p.upper() for p in payloads)
+    # unset key side passes through typed
+    assert any(r["key"] is not None and not isinstance(r["key"], str) for r in out)
