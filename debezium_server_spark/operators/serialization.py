@@ -249,10 +249,30 @@ FORMATS = {
 }
 
 
-def serialize(df: DataFrame, fmt: str = "json", **kwargs) -> DataFrame:
-    """Apply a named format (the DebeziumSerializationProducer dispatch)."""
+def serialize_headers(df: DataFrame, fmt: str = "connect") -> DataFrame:
+    """Header format (`debezium.format.header`, restricted to
+    json/jsonbytearray/connect — DebeziumSerializationProducer.java:
+    137-154): `connect` keeps the typed entry list, `json` renders the
+    header map as one JSON string, `jsonbytearray` as UTF-8 bytes."""
+    if fmt == "connect":
+        return df
+    if fmt not in HEADER_FORMATS:
+        raise ValueError(
+            f"unknown header format {fmt!r}; one of {sorted(HEADER_FORMATS)}"
+        )
+    rendered = F.to_json(headers_as_map())
+    if fmt == "jsonbytearray":
+        rendered = F.encode(rendered, "UTF-8")
+    return df.withColumn("headers", rendered)
+
+
+def serialize(df: DataFrame, fmt: str = "json",
+              header_format: str = "connect", **kwargs) -> DataFrame:
+    """Apply a named format (the DebeziumSerializationProducer dispatch);
+    `header_format` applies the independent header serialization."""
     try:
         fn = FORMATS[fmt]
     except KeyError:
         raise ValueError(f"unknown format {fmt!r}; one of {sorted(FORMATS)}") from None
-    return fn(df, **kwargs) if kwargs else fn(df)
+    out = fn(df, **kwargs) if kwargs else fn(df)
+    return serialize_headers(out, header_format)

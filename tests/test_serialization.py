@@ -141,3 +141,14 @@ def test_clientprovided_format(events):
     assert payloads and all(p == p.upper() for p in payloads)
     # unset key side passes through typed
     assert any(r["key"] is not None and not isinstance(r["key"], str) for r in out)
+
+
+def test_header_formats(events):
+    r = serialize(events, "json", header_format="json").first()
+    assert json.loads(r["headers"]) == {"h1": "v1", "h2": "v2"}
+    rb = serialize(events, "json", header_format="jsonbytearray").first()
+    assert json.loads(bytes(rb["headers"])) == {"h1": "v1", "h2": "v2"}
+    rc = serialize(events, "json", header_format="connect").first()
+    assert rc["headers"][0]["key"] == "h1"  # typed entries kept
+    with pytest.raises(ValueError):
+        serialize(events, "json", header_format="avro")
