@@ -612,6 +612,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_apply",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    losers AS (SELECT DISTINCT b.doc_id
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+    GROUP BY d.lang
+    """,
+    "Dedup APPLY step: materialize the kept corpus by anti-joining away "
+    "every doc that has a minhash near-dup with a smaller doc_id "
+    "(smallest id = canonical — the standard one-pass approximation of "
+    "connected components; exact for pairwise clusters). The anti join "
+    "shuffles only (doc_id) pairs; output audited per language.",
+)
+def q_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (SELECT doc_id, lang,
