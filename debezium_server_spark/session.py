@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen emits one compiled class per stage; a
+        # many-query session (catalog bench: 67 queries × best-of-3)
+        # fills the JVM's default 240 MB code cache, after which JIT
+        # compilation degrades and hot queries run 3-8× slower. Size it
+        # for a long-lived analytic session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
