@@ -131,6 +131,36 @@ def mask_field(field_path: str, value_col: str = "value", mask: str = "****",
     )
 
 
+def timestamp_router(topic_format: str = "${topic}-${timestamp}",
+                     timestamp_format: str = "yyyyMMdd",
+                     ts_col: str = "value.ts_ms",
+                     destination_col: str = "destination",
+                     predicate: Predicate | None = None) -> Transform:
+    """TimestampRouter: route each event to a time-suffixed destination
+    (`orders` → `orders-20240131`) — the standard companion SMT for
+    time-partitioned sinks (Kafka Connect TimestampRouter semantics, the
+    same `${topic}`/`${timestamp}` placeholder contract). Event time
+    comes from the envelope's ts_ms; events with a null timestamp keep
+    their destination unrouted."""
+    def rewrite(df):
+        rendered = F.date_format(
+            F.timestamp_millis(F.col(ts_col)), timestamp_format
+        )
+        routed = F.lit(topic_format)
+        routed = F.replace(routed, F.lit("${topic}"), F.col(destination_col))
+        routed = F.replace(routed, F.lit("${timestamp}"), rendered)
+        return {destination_col: F.coalesce(
+            F.when(F.col(ts_col).isNotNull(), routed),
+            F.col(destination_col),
+        )}
+
+    return Transform(
+        name=f"timestamp_router[{topic_format}]",
+        rewrites=rewrite,
+        predicate=predicate,
+    )
+
+
 def rename_destination(pattern: str, replacement: str,
                        destination_col: str = "destination",
                        predicate: Predicate | None = None) -> Transform:

@@ -220,3 +220,19 @@ class TestOutboxRouter:
         assert r["key"] == "o-9"
         assert r["value"] == '{"total": 12}'
         assert r["ts_ms"] == 100
+
+
+def test_timestamp_router(spark):
+    from debezium_server_spark.operators.transforms import timestamp_router
+
+    df = spark.createDataFrame(
+        [("orders", 1700000000123), ("orders", None)],
+        "destination string, ts bigint",
+    ).selectExpr(
+        "destination", "named_struct('ts_ms', ts) AS value"
+    )
+    out = Chain([timestamp_router("${topic}-${timestamp}", "yyyyMMdd")]).apply(df)
+    dests = sorted(r["destination"] for r in out.collect())
+    assert dests == ["orders", "orders-20231114"], (
+        "event routed to time-suffixed destination; null ts unrouted"
+    )
