@@ -53,6 +53,10 @@ _TRANSFORM_BUILDERS = {
         o["when"], o["destination"]
     ),
     "filter": lambda o: tx.FilterTransform(o["condition"]),
+    "timestamp_router": lambda o: tx.timestamp_router(
+        topic_format=o.get("topic.format", "${topic}-${timestamp}"),
+        timestamp_format=o.get("timestamp.format", "yyyyMMdd"),
+    ),
 }
 
 
