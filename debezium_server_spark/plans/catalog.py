@@ -1965,6 +1965,56 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ("table", "window", "stream")
+
+
+@register(
+    "keyword_search",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT tok, doc_id, count(*) AS tf FROM w
+           WHERE tok IN ('table', 'window', 'stream')
+           GROUP BY tok, doc_id),
+    df AS (SELECT tok, count(*) AS docfreq FROM tf GROUP BY tok)
+    SELECT tok AS term, doc_id, tf.tf AS tf, df.docfreq,
+           CAST(tf.tf * 10000 // df.docfreq AS BIGINT) AS score
+    FROM tf JOIN df USING (tok)
+    QUALIFY row_number() OVER (PARTITION BY tok
+                               ORDER BY tf.tf * 10000 // df.docfreq DESC,
+                                        doc_id) <= 10
+    """,
+    "Inverted-index keyword search: explode→filter to query terms→tf per "
+    "(term, doc)→docfreq join→rank by an integer tf/docfreq relevance "
+    "score, top-10 per term. The term filter prunes before any shuffle "
+    "(predicate on the exploded token), so work scales with posting-list "
+    "size, not corpus size; integer-only scoring keeps engines "
+    "bit-identical (no log-based idf across libm implementations).",
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    tf = w.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("docfreq"))
+    # integer `div`, not floor(double /): double division can round up
+    # across an integer boundary and disagree with DuckDB's `//`
+    score = F.expr("tf * 10000 div docfreq").cast("long")
+    win = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .withColumn("score", score)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= 10)
+        .select(
+            F.col("tok").alias("term"), "doc_id", "tf",
+            "docfreq", "score",
+        )
+    )
+
+
 @register(
     "grouping_sets_orders",
     """

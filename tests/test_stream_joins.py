@@ -68,3 +68,45 @@ def test_interval_join_streaming_plan_is_stateful(spark, tmp_path):
     out = interval_join(s1, s2, on="user", left_ts="ts", right_ts="ts")
     assert out.isStreaming
     assert "l_x" in out.columns and "r_y" in out.columns and "user" in out.columns
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter: unmatched left rows emit with nulls once the watermark
+    proves no match can arrive (a far-future event seals the horizon)."""
+    import os
+    import time
+
+    orders_dir, pay_dir = tmp_path / "orders", tmp_path / "pays"
+    orders_dir.mkdir(), pay_dir.mkdir()
+    t0 = time.time()
+    _write(orders_dir, "o.jsonl", [
+        {"user": "u1", "ts": "2024-01-01 10:00:00", "order_id": "o1"},
+        {"user": "u2", "ts": "2024-01-01 10:00:00", "order_id": "o2"},  # no pay
+    ])
+    os.utime(orders_dir / "o.jsonl", (t0, t0))
+    _write(pay_dir, "p.jsonl", [
+        {"user": "u1", "ts": "2024-01-01 10:10:00", "pay_id": "p1"},
+    ])
+    os.utime(pay_dir / "p.jsonl", (t0, t0))
+    # second batch: far-future rows on BOTH sides push both watermarks
+    # past u2's join horizon so its null-padded row can finalize
+    _write(orders_dir, "o2.jsonl", [
+        {"user": "zz", "ts": "2024-01-01 13:00:00", "order_id": "o9"},
+    ])
+    os.utime(orders_dir / "o2.jsonl", (t0 + 10, t0 + 10))
+    _write(pay_dir, "p2.jsonl", [
+        {"user": "zz", "ts": "2024-01-01 13:00:00", "pay_id": "p9"},
+    ])
+    os.utime(pay_dir / "p2.jsonl", (t0 + 10, t0 + 10))
+
+    orders = _stream(spark, orders_dir, "user string, ts string, order_id string")
+    pays = _stream(spark, pay_dir, "user string, ts string, pay_id string")
+    out = interval_join(
+        orders, pays, on="user", left_ts="ts", right_ts="ts",
+        upper="interval 15 minutes", watermark="10 minutes", how="leftOuter",
+    )
+    rows = _run_collect(out, tmp_path)
+    by_user = {r["user"]: r for r in rows}
+    assert by_user["u1"]["r_pay_id"] == "p1"
+    assert "u2" in by_user, "unmatched left row must emit after watermark"
+    assert by_user["u2"]["r_pay_id"] is None
