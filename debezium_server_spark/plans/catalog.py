@@ -1965,6 +1965,70 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding_window",
+    """
+    WITH cand AS (
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                      - h * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             value
+      FROM events, unnest(range(0, 4)) AS u(h))
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS total_value
+    FROM cand GROUP BY window_start
+    """,
+    "Sliding (hopping) window aggregation: 1-hour windows every 15 min — "
+    "each event lands in 4 windows (Spark's window() explode), counts + "
+    "decimal-exact sums per window. The hop explode is a narrow map; one "
+    "shuffle on window_start.",
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            _r4(_dsum(F.col("value")).cast("double")).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+    "Pivot: per-user event-type count matrix via the native pivot "
+    "operator (compiles to conditional aggregation — one shuffle, "
+    "map-side partials, no EXPAND).",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count("*"))
+        .na.fill(0, ["click", "view", "purchase"])
+        .select(
+            "user_id",
+            F.col("click").cast("long").alias("click"),
+            F.col("view").cast("long").alias("view"),
+            F.col("purchase").cast("long").alias("purchase"),
+        )
+    )
+
+
 _SEARCH_TERMS = ("table", "window", "stream")
 
 
