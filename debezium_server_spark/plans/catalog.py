@@ -2018,7 +2018,7 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase"])
         .select(
             "user_id",
