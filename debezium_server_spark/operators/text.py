@@ -29,6 +29,24 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+def pred_lang(toks: Column) -> Column:
+    """Column form of the language vote (argmax marker hits, ties to the
+    earlier language, 'unknown' when nothing matches) — composable into
+    single-pass pipelines without a join. NOTE: references `toks` several
+    times, so pass a COLUMN REFERENCE to a projected tokens column, not
+    the tokens() expression itself, in hot paths (HOF lambdas are
+    interpreted; repeated tokenization would multiply the work)."""
+    scores = {
+        lang: _marker_hits(toks, markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(LANG_MARKERS):  # earlier langs overwrite later on ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Language ID by stopword-marker voting: score each language by
     marker-token hits; argmax wins, ties broken by language order,
@@ -39,13 +57,9 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     for lang, markers in LANG_MARKERS.items():
         out = out.withColumn(f"score_{lang}", _marker_hits(F.col("__toks"), markers).cast("long"))
         score_cols.append(f"score_{lang}")
-    best = F.greatest(*[F.col(c) for c in score_cols])
-    pred = F.lit("unknown")
-    for lang in reversed(LANG_MARKERS):  # earlier langs overwrite later on ties
-        pred = F.when(
-            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(pred)
-    return out.select(id_col, *score_cols, pred.alias("pred_lang"))
+    return out.select(
+        id_col, *score_cols, pred_lang(F.col("__toks")).alias("pred_lang")
+    )
 
 
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1698,10 +1698,20 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two shuffles (dedup groupBy, final agg) at any scale.",
 )
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens
+    from debezium_server_spark.operators.text import pred_lang
+
     docs = load(spark, sf_dir, "documents")
-    scored = lang_id(docs).join(
-        docs.select("doc_id", "source", "text"), "doc_id"
-    ).join(text_quality(docs).select("doc_id", "n_tokens"), "doc_id")
+    # lang vote and token count are per-row expressions over the same
+    # tokenization — ONE projection, no self-joins (three scans + two
+    # shuffles saved vs deriving each via its table-form operator)
+    scored = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id", "source", "text",
+        pred_lang(F.col("__toks")).alias("pred_lang"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+    )
     filtered = scored.filter(
         (F.col("pred_lang") == "en") & (F.col("n_tokens") >= 20)
     )
