@@ -113,6 +113,25 @@ def running_key_stats(
     )
 
 
+def watermarked_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native bounded-state stream dedup: Spark's
+    `dropDuplicatesWithinWatermark` keeps a key in state only until the
+    watermark passes its event time, then frees it — the built-in
+    complement to `exactly_once_dedup` (which keeps ALL keys forever via
+    applyInPandasWithState and is exact across arbitrary time gaps).
+    Pick by retention contract: CDC replay-dedup wants this bounded form
+    (duplicates arrive close together, state must not grow with history);
+    business-key idempotence across days wants the exact one."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def session_windows(
     stream: DataFrame,
     key_cols: tuple[str, ...],

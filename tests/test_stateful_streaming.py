@@ -232,3 +232,52 @@ def test_session_windows_merge_and_close(spark, tmp_path):
     assert sessions[("u2", "2024-01-01 10:00:00")] == ("2024-01-01 10:10:00", 1)
     assert sessions[("u1", "2024-01-01 11:00:00")] == ("2024-01-01 11:10:00", 1)
     assert ("u3", "2024-01-01 12:00:00") not in sessions, "still open"
+
+
+def test_watermarked_dedup_bounds_state(spark, tmp_path):
+    """Duplicates inside the watermark horizon are dropped; after the
+    watermark frees the key, the same id passes again (bounded state —
+    the retention contract, not a bug)."""
+    import os
+    import time
+
+    from debezium_server_spark.streaming.stateful import watermarked_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time()
+    _write(src, "b1.jsonl", [
+        {"dedup_id": "A", "payload": "2024-01-01 10:00:00", "seq": 1},
+        {"dedup_id": "A", "payload": "2024-01-01 10:01:00", "seq": 2},  # dup
+        {"dedup_id": "B", "payload": "2024-01-01 10:00:00", "seq": 3},
+    ])
+    os.utime(src / "b1.jsonl", (t0, t0))
+    _write(src, "b2.jsonl", [
+        # watermark (10 min) has NOT passed A yet → still a dup
+        {"dedup_id": "A", "payload": "2024-01-01 10:05:00", "seq": 4},
+        # push event time far ahead → A's state evicted afterwards
+        {"dedup_id": "Z", "payload": "2024-01-01 12:00:00", "seq": 5},
+    ])
+    os.utime(src / "b2.jsonl", (t0 + 10, t0 + 10))
+    _write(src, "b3.jsonl", [
+        # watermark is applied at batch boundaries and state is purged
+        # AFTER a batch runs, so this A is still deduped in batch 3...
+        {"dedup_id": "A", "payload": "2024-01-01 12:01:00", "seq": 6},
+    ])
+    os.utime(src / "b3.jsonl", (t0 + 20, t0 + 20))
+    _write(src, "b4.jsonl", [
+        # ...and re-admitted once the purge has actually run
+        {"dedup_id": "A", "payload": "2024-01-01 12:02:00", "seq": 7},
+    ])
+    os.utime(src / "b4.jsonl", (t0 + 30, t0 + 30))
+
+    ev = _stream(spark, src).select(
+        "dedup_id", F.to_timestamp("payload").alias("ts"), "seq"
+    )
+    out = watermarked_dedup(ev, ["dedup_id"], ts_col="ts", watermark="10 minutes")
+    rows = _run_collect(out, tmp_path, mode="append")
+    seqs = sorted(r["seq"] for _, r in rows)
+    assert seqs == [1, 3, 5, 7], (
+        "first A kept, in-horizon dups dropped (incl. the one-batch "
+        "eviction lag), post-purge A re-admitted"
+    )
