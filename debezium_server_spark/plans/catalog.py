@@ -2039,6 +2039,56 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_packing",
+    f"""
+    WITH d AS (SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+               FROM documents),
+    c AS (SELECT source, doc_id, n_toks,
+                 SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_toks AS tok_off
+          FROM d)
+    SELECT source, CAST(tok_off // 2048 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY source, tok_off // 2048
+    """,
+    "Sequence packing for pre-training (concat-and-chunk): per source, "
+    "docs stream in doc_id order, cumulative token offsets assign each "
+    "doc to the 2048-token pack containing its start. Integer window "
+    "cumsum — deterministic across engines and cluster sizes; one "
+    "shuffle on source. The packing a GPT-style dataloader applies, "
+    "computed table-side.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok_off = (F.sum("n_toks").over(w) - F.col("n_toks")).alias("tok_off")
+    return (
+        d.select("source", "n_toks", tok_off)
+        .select(
+            "source",
+            F.expr("tok_off div 2048").cast("long").alias("pack_id"),
+            "n_toks",
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
 _SEARCH_TERMS = ("table", "window", "stream")
 
 
