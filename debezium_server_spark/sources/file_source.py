@@ -21,20 +21,67 @@ from pyspark.sql import types as T
 from debezium_server_spark.schema import event_schema
 
 
+DEAD_LETTER_DESTINATION = "__dead_letter"
+
+
 def changelog_stream(
     spark: SparkSession,
     path: str,
     row_schema: T.StructType,
     key_schema: T.StructType,
     max_files_per_trigger: int | None = None,
+    quarantine_corrupt: bool = False,
 ) -> DataFrame:
     """Stream JSON change events from a directory (schema enforced, no
     inference). `maxFilesPerTrigger` is the backpressure knob, standing in
-    for the reference's bounded engine queue (DebeziumMetrics.java:106-144)."""
-    reader = spark.readStream.schema(event_schema(row_schema, key_schema))
+    for the reference's bounded engine queue (DebeziumMetrics.java:106-144).
+
+    With `quarantine_corrupt`, malformed lines are not silently nulled:
+    they route to `DEAD_LETTER_DESTINATION` with the raw line preserved
+    in a `__raw` header — the dead-letter pattern (one poison message
+    must neither kill the stream, as the reference's engine-stop default
+    does, nor vanish). Point a routed append sink at that destination to
+    materialize the DLQ for replay-after-fix."""
+    schema = event_schema(row_schema, key_schema)
+    if not quarantine_corrupt:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.json(path)
+
+    with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("__corrupt", T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__corrupt")
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(path)
+    raw = reader.json(path)
+    bad = F.col("__corrupt").isNotNull()
+    # dead-letter rows carry an all-null-FIELDS value struct, not a null
+    # value: a null value is the tombstone encoding and sinks drop it
+    value_type = schema["value"].dataType
+    empty_value = F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in value_type.fields]
+    )
+    return raw.select(
+        F.when(bad, F.lit(DEAD_LETTER_DESTINATION))
+        .otherwise(F.col("destination"))
+        .alias("destination"),
+        F.when(bad, F.lit(None)).otherwise(F.col("key")).alias("key"),
+        F.when(bad, empty_value).otherwise(F.col("value")).alias("value"),
+        F.when(
+            bad,
+            F.array(F.struct(F.lit("__raw").alias("key"),
+                             F.col("__corrupt").alias("value"))),
+        )
+        .otherwise(F.col("headers"))
+        .alias("headers"),
+        "partition",
+    )
 
 
 def changelog_batch(

@@ -143,3 +143,39 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert rows[1001] == "Restarted"
     assert rows[1005] == "New"
     assert n_first >= len(GOLDEN_CUSTOMERS)
+
+
+def test_corrupt_events_quarantine_to_dead_letter(spark, tmp_path):
+    """Malformed changelog lines neither kill the stream nor vanish:
+    they route to the dead-letter destination with the raw line kept in
+    a __raw header; healthy events flow untouched."""
+    from debezium_server_spark.sinks.parquet_sink import ParquetAppendSink
+    from debezium_server_spark.sources.file_source import (
+        DEAD_LETTER_DESTINATION,
+        changelog_stream,
+    )
+
+    src = str(tmp_path / "log")
+    os.makedirs(src)
+    good = customers_changelog_events()[:2]
+    with open(os.path.join(src, "mixed.jsonl"), "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write("{this is not json at all\n")
+        f.write(json.dumps(good[1]) + "\n")
+
+    stream = changelog_stream(
+        spark, src, CUSTOMERS_ROW_SCHEMA, CUSTOMERS_KEY_SCHEMA,
+        quarantine_corrupt=True,
+    )
+    sink = ParquetAppendSink(root_path=str(tmp_path / "out"))
+    q = Pipeline(stream).start(sink, checkpoint_location=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    dead = out.filter(out.destination == DEAD_LETTER_DESTINATION).collect()
+    live = out.filter(out.destination != DEAD_LETTER_DESTINATION)
+    assert len(dead) == 1
+    headers = {h["key"]: h["value"] for h in dead[0]["headers"]}
+    assert headers["__raw"].startswith("{this is not json")
+    assert dead[0]["value"]["op"] is None  # empty envelope, NOT a tombstone
+    assert live.count() == 2
