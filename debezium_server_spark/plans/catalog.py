@@ -483,8 +483,17 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dsum(F.col("l_extendedprice")).alias("total_price")
+    # Pre-aggregate to the finest grouping first: ROLLUP compiles to an
+    # EXPAND that multiplies its INPUT by the number of grouping sets —
+    # 600k rows × 3 through the shuffle. count/sum re-aggregate exactly
+    # (sum of decimal sums), so feed the EXPAND the 8-row base instead.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("__n"),
+        F.sum(_dec(F.col("l_extendedprice"))).alias("__t"),  # raw decimal
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("__n").cast("long").alias("n"),
+        _r4(F.sum("__t").cast("double")).alias("total_price"),
     )
 
 
@@ -2155,15 +2164,21 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # pre-aggregate to (status, priority) — ~15 rows — before the EXPAND
+    # (same re-aggregation argument as rollup_revenue)
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("__n"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("__t"),
+    )
     return (
-        o.groupingSets(
+        base.groupingSets(
             [["o_orderstatus"], ["o_orderpriority"], []],
             "o_orderstatus", "o_orderpriority",
         )
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.count("*").alias("n"),
-            _r4(_dsum(F.col("o_totalprice")).cast("double")).alias("total"),
+            F.sum("__n").cast("long").alias("n"),
+            _r4(F.sum("__t").cast("double")).alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
