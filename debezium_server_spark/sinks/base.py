@@ -113,3 +113,47 @@ def get_sink(name: str, **kwargs: Any) -> BaseSink:
             f"unknown sink type {name!r}; available: {sorted(SINK_REGISTRY)}"
         ) from None
     return cls(**kwargs)
+
+
+class FanoutSink(BaseSink):
+    """Deliver each micro-batch to SEVERAL sinks from one source read.
+
+    The reference runs one consumer per server instance; fanning out
+    means re-reading the change stream once per destination system.
+    Spark-first: persist the batch frame once, hand it to every child
+    sink (each applies its own prepare(), so tombstone/heartbeat policy
+    stays per-sink), unpersist. One scan + one cache write per batch,
+    N deliveries. Delivery is sequential per batch — a child failure
+    aborts the epoch BEFORE later sinks commit it, and the retry replays
+    all children (each must stay idempotent, which epoch-keyed sinks
+    are). At 100 TB the cache spills per-executor and never touches the
+    driver."""
+
+    name = "fanout"
+    tombstone_support = True  # children decide; fanout must not pre-drop
+
+    def __init__(self, sinks: list[BaseSink], **kwargs: Any):
+        super().__init__(**kwargs)
+        self.sinks = list(sinks)
+
+    def validate_connection(self) -> ConnectionValidationResult:
+        for s in self.sinks:
+            res = s.validate_connection()
+            if not res.ok:
+                return res
+        return ConnectionValidationResult(True)
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        return df  # children prepare themselves
+
+    def handle(self, df: DataFrame, epoch_id: int) -> None:
+        df.persist()
+        try:
+            for sink in self.sinks:
+                sink(df, epoch_id)
+        finally:
+            df.unpersist()
+
+    def close(self) -> None:
+        for s in self.sinks:
+            s.close()

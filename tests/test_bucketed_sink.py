@@ -130,3 +130,25 @@ def test_append_sink_compaction_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(root)
     assert after.count() == n_rows
     assert {r["__epoch"] for r in after.select("__epoch").distinct().collect()} == epochs
+
+
+def test_fanout_delivers_to_all_sinks(spark, tmp_path):
+    from debezium_server_spark.sinks.base import FanoutSink
+    from debezium_server_spark.sinks.parquet_sink import (
+        ParquetAppendSink,
+        ParquetUpsertSink,
+    )
+
+    upsert = ParquetUpsertSink(root_path=str(tmp_path / "state"), key_fields=("id",))
+    applog = ParquetAppendSink(root_path=str(tmp_path / "log"))
+    fan = FanoutSink([upsert, applog])
+
+    fan(_batch(spark, [
+        event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1),
+        event(1, "u", (1, "a", "b", "a@x.com"), (1, "a2", "b", "a@x.com"), lsn=2),
+    ]), 0)
+
+    rows = {r["id"]: r for r in upsert.read_table(spark, DEST).collect()}
+    assert rows[1]["first_name"] == "a2", "upsert sink got latest state"
+    log = spark.read.parquet(str(tmp_path / "log"))
+    assert log.count() == 2, "append sink got every event"
