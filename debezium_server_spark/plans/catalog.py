@@ -2098,6 +2098,35 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_event_paths",
+    """
+    SELECT user_id,
+           array_to_string(list_slice(
+             list(event_type ORDER BY ts, event_id), 1, 10), '>') AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    "User-journey sequence mining: each user's chronological event-type "
+    "path (first 10 steps) as one string — the funnel/path-analysis "
+    "primitive. Deterministic ordering (ts, event_id); one shuffle on "
+    "user_id with the sort folded into the aggregation.",
+)
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.concat_ws(
+        ">", F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 10)
+    )
+    return ev.groupBy("user_id").agg(
+        path.alias("path"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 _SEARCH_TERMS = ("table", "window", "stream")
 
 
