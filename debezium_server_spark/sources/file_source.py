@@ -131,3 +131,53 @@ def heartbeat_stream(spark: SparkSession, interval_rows_per_sec: int = 1,
             F.lit(None).cast("int").alias("partition"),
         )
     )
+
+
+def raw_changelog_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """ONE stream carrying MANY tables with different schemas — the
+    reference's normal operating mode (a connector emits every captured
+    table through one engine; schemas are per-event, SURVEY.md §1.5).
+
+    A static-schema stream can't type such a feed, so the envelope is
+    parsed only enough to ROUTE: `destination`/`partition` typed,
+    `key`/`value`/`headers` kept as raw JSON text. Routing, filtering
+    and fanout run on this frame (predicates on destination push into
+    the scan); each destination group is then typed by `parse_events`
+    with ITS schema at materialization — SURVEY.md §7.3 hard-part (b).
+    """
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(path)
+    g = lambda p: F.get_json_object(F.col("value"), p)  # noqa: E731
+    return raw.select(
+        g("$.destination").alias("destination"),
+        g("$.key").alias("key_raw"),
+        g("$.value").alias("value_raw"),
+        g("$.headers").alias("headers_raw"),
+        g("$.partition").cast("int").alias("partition"),
+    )
+
+
+def parse_events(
+    df: DataFrame,
+    row_schema: T.StructType,
+    key_schema: T.StructType,
+    destination: str | None = None,
+) -> DataFrame:
+    """Type one destination group of a raw multi-table stream with that
+    table's schemas → the standard event frame (batch or streaming)."""
+    if destination is not None:
+        df = df.filter(F.col("destination") == destination)
+    full = event_schema(row_schema, key_schema)
+    return df.select(
+        "destination",
+        F.from_json("key_raw", key_schema).alias("key"),
+        F.from_json("value_raw", full["value"].dataType).alias("value"),
+        F.from_json("headers_raw", full["headers"].dataType).alias("headers"),
+        "partition",
+    )
