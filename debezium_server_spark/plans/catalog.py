@@ -2463,3 +2463,103 @@ def q_cloudevents_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("value")).cast("string"),
     )
     return ev.select(F.col("event_type").alias("destination"), ce.alias("ce"))
+
+
+# =====================================================================
+# Transaction metadata (provide.transaction.metadata envelope surface)
+# =====================================================================
+
+@register(
+    "tx_metadata",
+    """
+    WITH tx AS (
+      SELECT event_id, ts, event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+               CAST(epoch_us(ts) // 600000000 AS VARCHAR) AS tx_id
+      FROM events)
+    SELECT event_id, tx_id,
+           row_number() OVER (PARTITION BY tx_id ORDER BY ts, event_id)
+             AS total_order,
+           row_number() OVER (PARTITION BY tx_id, event_type
+                              ORDER BY ts, event_id)
+             AS data_collection_order
+    FROM tx
+    """,
+    "Per-event transaction block {id, total_order, data_collection_order} "
+    "(the provide.transaction.metadata surface; envelope family of "
+    "SURVEY.md §1.2). Transaction = (user, 10-min bucket) in the fixture "
+    "stream; both orders are row_numbers over the log position.",
+)
+def q_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.transactions import with_transaction_metadata
+
+    ev = load(spark, sf_dir, "events")
+    tx_id = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr("unix_micros(ts) div 600000000").cast("string"),
+    )
+    out = with_transaction_metadata(
+        ev, tx_id, [F.col("ts"), F.col("event_id")], F.col("event_type")
+    )
+    return out.select(
+        "event_id",
+        F.col("transaction.id").alias("tx_id"),
+        F.col("transaction.total_order").alias("total_order"),
+        F.col("transaction.data_collection_order").alias("data_collection_order"),
+    )
+
+
+@register(
+    "tx_boundaries",
+    """
+    WITH tx AS (
+      SELECT CAST(user_id AS VARCHAR) || ':' ||
+               CAST(epoch_us(ts) // 600000000 AS VARCHAR) AS tx_id,
+             event_id AS pos, event_type AS collection
+      FROM events),
+    pc AS (
+      SELECT tx_id, collection, count(*) AS n,
+             min(pos) AS first_pos, max(pos) AS last_pos
+      FROM tx GROUP BY tx_id, collection),
+    agg AS (
+      SELECT tx_id, CAST(sum(n) AS BIGINT) AS event_count,
+             min(first_pos) AS first_pos, max(last_pos) AS last_pos,
+             string_agg(collection || ':' || CAST(n AS VARCHAR), ','
+                        ORDER BY collection) AS collections
+      FROM pc GROUP BY tx_id)
+    SELECT tx_id, 'BEGIN' AS status, first_pos AS pos,
+           CAST(NULL AS BIGINT) AS event_count,
+           CAST(NULL AS VARCHAR) AS collections
+    FROM agg
+    UNION ALL
+    SELECT tx_id, 'END' AS status, last_pos AS pos, event_count, collections
+    FROM agg
+    """,
+    "BEGIN/END boundary events for the <prefix>.transaction stream: END "
+    "carries event_count + ordered per-collection counts. One aggregation "
+    "pass; the 2x expansion happens on the aggregated frame only.",
+)
+def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.transactions import transaction_boundaries
+
+    ev = load(spark, sf_dir, "events")
+    tx_id = F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.expr("unix_micros(ts) div 600000000").cast("string"),
+    )
+    out = transaction_boundaries(
+        ev, tx_id, F.col("event_id"), F.col("event_type")
+    )
+    colls = F.array_join(
+        F.transform(
+            "data_collections",
+            lambda s: F.concat_ws(":", s["collection"], s["n"].cast("string")),
+        ),
+        ",",
+    )
+    return out.select(
+        "tx_id", "status", "pos", "event_count",
+        F.when(F.col("status") == "END", colls).alias("collections"),
+    )
