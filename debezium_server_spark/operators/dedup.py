@@ -295,3 +295,70 @@ def simhash_near_pairs(
         candidates.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact connected components over a near-dup pair graph →
+    (node, component), component = smallest node id in the component.
+
+    The one-pass "anti-join docs with a smaller-id partner" apply step is
+    exact only for star-shaped clusters; chains (a~b, b~c, but a≁c) need
+    the transitive closure. This is iterative min-label propagation:
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    followed by pointer jumping (label(v) ← label(label(v)) — labels are
+    always node ids, so the compression step is a self-join of the label
+    frame), repeated to fixpoint. Neighbor propagation alone needs
+    diameter rounds; with path compression the count drops to O(log n)
+    even on adversarial chains (same doubling that makes large-star/
+    small-star converge — Kiveris et al., "Connected Components in
+    MapReduce"). Each round is two shuffle-joins + a map-side-combinable
+    min aggregate — no driver-side graph; the labels frame covers only
+    nodes touched by a pair, far smaller than the corpus. Convergence
+    detection is free: labels only decrease, so the global sum strictly
+    decreases until fixpoint (one scalar action per round, no
+    change-join). `localCheckpoint` truncates lineage each round —
+    without it, round k replays rounds 1..k.
+    """
+    a, b = F.col(src).alias("u"), F.col(dst).alias("v")
+    edges = pairs.select(a, b).union(pairs.select(b.alias("u"), a.alias("v")))
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "component")
+        )
+        merged = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow the component's own (possibly smaller) label
+        lut = merged.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_label")
+        )
+        labels = (
+            merged.join(lut, merged["component"] == lut["c_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.col("c_label")).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -2563,3 +2563,97 @@ def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tx_id", "status", "pos", "event_count",
         F.when(F.col("status") == "END", colls).alias("collections"),
     )
+
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+    reach AS (SELECT u, v FROM e UNION SELECT u, u FROM e
+              UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+    SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+    """,
+    "Exact near-dup clusters: connected components over the MinHash/LSH "
+    "pair graph via iterative min-label propagation (join+min per round, "
+    "sum-of-labels fixpoint detection, localCheckpoint lineage cuts). "
+    "Oracle = recursive-CTE transitive closure — exact on chains where "
+    "the one-pass smaller-id apply step is only approximate.",
+)
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "profile_lineitem",
+    """
+    SELECT 'l_orderkey' AS "column", count(l_orderkey) AS n_nonnull,
+           count(*) - count(l_orderkey) AS n_null,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+           floor((CAST(SUM(CAST(l_orderkey AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(l_orderkey)) * 10000) / 10000 AS avg_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(l_linenumber), count(*) - count(l_linenumber),
+           count(DISTINCT l_linenumber),
+           CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
+           floor((CAST(SUM(CAST(l_linenumber AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(l_linenumber)) * 10000) / 10000
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity),
+           CAST(floor(min(l_quantity) * 10000) / 10000 AS VARCHAR),
+           CAST(floor(max(l_quantity) * 10000) / 10000 AS VARCHAR),
+           floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(l_quantity)) * 10000) / 10000
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(l_returnflag), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(l_shipdate), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S'), CAST(NULL AS DOUBLE)
+    FROM lineitem
+    """,
+    "Single-pass column profiler (operators/profiling.py): per-column "
+    "null counts, exact cardinality, portable min/max rendering, decimal-"
+    "safe mean — one scan for all columns via array-of-structs + explode; "
+    "the oracle spells the same stats as one UNION branch per column.",
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.profiling import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
