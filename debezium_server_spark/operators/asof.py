@@ -94,3 +94,76 @@ def asof_join(
 def _struct_ddl(df: DataFrame, cols: list[str]) -> str:
     dt = dict(df.dtypes)
     return ",".join(f"{c}:{dt[c]}" for c in cols)
+
+
+def _floordiv(col: Column, w: int) -> Column:
+    """Mathematical floor division (SQL `div` truncates toward zero, which
+    is wrong for negative epochs); pmod keeps it exact integer arithmetic."""
+    return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("bigint")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_micros: int = 0,
+    upper_micros: int = 0,
+    right_suffix: str = "_r",
+    how: str = "left",
+) -> DataFrame:
+    """Time-range join WITHOUT an equi key: every left row pairs with all
+    right rows whose `right_ts ∈ [left_ts + lower, left_ts + upper]`
+    (microsecond offsets, inclusive; "clicks in the preceding 5 minutes"
+    is `lower=-300e6, upper=0`).
+
+    Naively this is a pure theta-join — Spark compiles it to
+    BroadcastNestedLoopJoin, O(n·m) comparisons, the plan that dies at
+    100 TB. The scale formulation is *banding*: with band width W =
+    upper - lower, a right row at time r can only match left rows in the
+    two W-sized epoch buckets floor((r-upper)/W) and floor((r-lower)/W).
+    Explode the right side to those ≤2 candidate buckets, hash-join on
+    bucket equality (a real equi key: shuffles, AQE, skew handling all
+    apply), then re-check the exact range predicate. Each matching pair
+    survives exactly once because a right row's candidate buckets are
+    distinct. Cost: one ≤2× expansion of the right side + one hash join,
+    instead of n·m comparisons.
+
+    Right payload columns arrive suffixed; `how="left"` keeps unmatched
+    left rows (count the suffixed key for zero-aware aggregation).
+    The reference has no such operator (SURVEY.md §2.6 — no joins); this
+    is part of the relational surface Spark adds on top.
+    """
+    if upper_micros <= lower_micros:
+        raise ValueError("upper_micros must be > lower_micros")
+    w = upper_micros - lower_micros
+
+    lu = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ru = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    l_tagged = left.withColumn("_lu", lu).withColumn("_lb", _floordiv(F.col("_lu"), w))
+    r_tagged = (
+        right.select(
+            F.struct(*right.columns).alias("_rpay"), ru.alias("_ru")
+        )
+        .withColumn(
+            "_cb",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        _floordiv(F.col("_ru") - upper_micros, w),
+                        _floordiv(F.col("_ru") - lower_micros, w),
+                    )
+                )
+            ),
+        )
+    )
+    cond = (
+        (l_tagged["_lb"] == r_tagged["_cb"])
+        & (r_tagged["_ru"] >= l_tagged["_lu"] + lower_micros)
+        & (r_tagged["_ru"] <= l_tagged["_lu"] + upper_micros)
+    )
+    joined = l_tagged.join(r_tagged, cond, how)
+    out: list[Column] = [F.col(c) for c in left.columns]
+    out += [F.col(f"_rpay.{c}").alias(f"{c}{right_suffix}") for c in right.columns]
+    return joined.select(*out)

@@ -79,3 +79,94 @@ def profile_columns(
         .select(F.explode("p").alias("s"))
         .select("s.*")
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Exact rank-based percentiles (discrete, ceil convention): for each
+    group, `name -> value at row ceil(num/den * n)` when ordered by
+    `value_col`. The rank is computed with pure integer arithmetic —
+    `ceil(a*n/b) == (a*n + b - 1) div b` — so every engine picks the
+    identical row; no interpolation, no float index math (the reason
+    engines disagree on percentile_cont at boundaries). Ties in the
+    value column are harmless: any row at the target rank carries the
+    same value.
+
+    One window pass (row_number + count over the group) and one
+    aggregation; at scale this is a single shuffle on the group key and
+    an in-partition sort — the same cost as any ordered analytic. For
+    sketch-based percentiles at 100 TB use approx_percentile instead;
+    this operator is the exact/audit path.
+    """
+    percentiles = percentiles or {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr(f"({a} * _n + {b} - 1) div {b}"),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, (a, b) in percentiles.items()
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def grouped_xy_stats(
+    df: DataFrame, x: str, y: str, group_cols: list[str]
+) -> DataFrame:
+    """Population covariance / stddevs / Pearson correlation of (x, y)
+    per group, computed from EXACT decimal sums: each partial (sum x,
+    sum y, sum x², sum y², sum xy, n) goes through DECIMAL(38,6) —
+    order-independent, map-side combinable, one scan — and only the
+    final closed-form formula runs in double. Any engine evaluating the
+    same formula over the same exact sums produces bit-identical
+    doubles, which is what makes this oracle-checkable (a streaming
+    Welford corr is order-dependent and is not).
+
+    Output: group_cols, n_rows, covar_pop, stddev_x, stddev_y, corr_xy
+    (floor-rounded to 4 decimals, [[oracle-parity-rules]])."""
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    cx, cy = F.col(x), F.col(y)
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(cx).alias("_sx"),
+        dsum(cy).alias("_sy"),
+        dsum(cx * cx).alias("_sxx"),
+        dsum(cy * cy).alias("_syy"),
+        dsum(cx * cy).alias("_sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    covar = (sxy - sx * sy / n) / n
+    var_x = (sxx - sx * sx / n) / n
+    var_y = (syy - sy * sy / n) / n
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return sums.select(
+        *group_cols,
+        "n_rows",
+        round4(covar).alias("covar_pop"),
+        round4(F.sqrt(var_x)).alias("stddev_x"),
+        round4(F.sqrt(var_y)).alias("stddev_y"),
+        round4(corr).alias("corr_xy"),
+    )

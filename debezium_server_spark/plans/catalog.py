@@ -2657,3 +2657,130 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         li, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"]
     )
+
+
+# =====================================================================
+# Statistical / analytic surface additions (relational layer on top of
+# the CDC tables — SURVEY.md §2.6: the reference has none of these, the
+# Spark build provides them as first-class, oracle-checked operators)
+# =====================================================================
+
+@register(
+    "stats_quantity_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+           floor(((sxy - sx * sy / n) / n) * 10000) / 10000 AS covar_pop,
+           floor(sqrt((sxx - sx * sx / n) / n) * 10000) / 10000 AS stddev_x,
+           floor(sqrt((syy - sy * sy / n) / n) * 10000) / 10000 AS stddev_y,
+           floor(((sxy - sx * sy / n)
+                  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)))
+                 * 10000) / 10000 AS corr_xy
+    FROM s
+    """,
+    "Covariance/stddev/Pearson correlation per return flag from EXACT "
+    "decimal sums (operators/profiling.py:grouped_xy_stats): one scan, "
+    "map-side-combinable partials, closed-form double formula at the "
+    "end — order-independent where streaming corr(x,y) is not.",
+)
+def q_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.profiling import grouped_xy_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return grouped_xy_stats(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+
+
+@register(
+    "percentile_order_value",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = (1 * n + 2 - 1) // 2 THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = (9 * n + 10 - 1) // 10 THEN o_totalprice END) AS p90,
+           max(CASE WHEN rn = (99 * n + 100 - 1) // 100 THEN o_totalprice END) AS p99,
+           max(CASE WHEN rn = (1 * n + 1 - 1) // 1 THEN o_totalprice END) AS p100
+    FROM r GROUP BY o_orderpriority
+    """,
+    "Exact discrete percentiles of order value per priority "
+    "(operators/profiling.py:exact_percentiles): rank = ceil(p*n) via "
+    "pure integer arithmetic, so every engine picks the identical row — "
+    "no percentile_cont interpolation ambiguity. One shuffle + sort.",
+)
+def q_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.profiling import exact_percentiles
+
+    od = load(spark, sf_dir, "orders")
+    return exact_percentiles(
+        od, "o_totalprice", ["o_orderpriority"],
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100), "p100": (1, 1)},
+    )
+
+
+@register(
+    "histogram_order_value",
+    """
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE))
+                 * 10000) / 10000 AS total_value
+    FROM orders GROUP BY bucket
+    """,
+    "Equi-width histogram of order value (25k buckets, top-clamped at "
+    "19): floor-division binning is exact IEEE, totals via decimal sums. "
+    "The groupBy output is 20 rows regardless of input scale — the "
+    "classic profile-at-100TB shape (tiny shuffle, map-side combine).",
+)
+def q_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000), F.lit(19).cast("long")
+    ).cast("long")
+    return od.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "range_join_recent_clicks",
+    """
+    SELECT e.event_id, count(c.event_id) AS n_recent_clicks
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts - INTERVAL 300 SECOND AND c.ts <= e.ts
+    GROUP BY e.event_id
+    """,
+    "Keyless time-range join — clicks in the 5 min before each error "
+    "(operators/asof.py:banded_range_join). Spark side bands both inputs "
+    "into 300s epoch buckets and hash-joins on bucket equality (≤2x "
+    "right-side expansion) instead of the O(n*m) BroadcastNestedLoopJoin "
+    "a raw theta-join compiles to; oracle is DuckDB's native IEJoin.",
+)
+def q_range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.asof import banded_range_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    j = banded_range_join(
+        errors, clicks, lower_micros=-300_000_000, upper_micros=0
+    )
+    return j.groupBy("event_id").agg(
+        F.count("click_id_r").alias("n_recent_clicks")
+    )

@@ -56,3 +56,76 @@ def test_forward_direction(spark):
     }
     # earliest right row at-or-after each left ts
     assert out == {"p1": "c2", "p2": None, "p3": None}
+
+
+# ---------------------------------------------------------------- banded range
+
+
+def _range_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:10:00")],
+        "lid bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 10:00:00"),  # exactly -300s from lid=1 (inclusive)
+            (11, "2024-01-01 10:04:59"),  # inside lid=1 window
+            (12, "2024-01-01 10:05:00"),  # ties lid=1 upper bound, inside lid=2
+            (13, "2024-01-01 10:10:01"),  # after lid=2 (excluded)
+        ],
+        "rid bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return left, right
+
+
+def test_banded_range_join_bounds_inclusive(spark):
+    from debezium_server_spark.operators.asof import banded_range_join
+
+    left, right = _range_frames(spark)
+    out = banded_range_join(
+        left, right, lower_micros=-300_000_000, upper_micros=0
+    )
+    got = {
+        (r.lid, r.rid_r)
+        for r in out.select("lid", "rid_r").collect()
+        if r.rid_r is not None
+    }
+    assert got == {(1, 10), (1, 11), (1, 12), (2, 12)}
+
+
+def test_banded_range_join_left_rows_survive_unmatched(spark):
+    from debezium_server_spark.operators.asof import banded_range_join
+
+    left, right = _range_frames(spark)
+    lonely = left.unionByName(
+        spark.createDataFrame([(3, "2024-01-01 23:00:00")], "lid bigint, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = banded_range_join(
+        lonely, right, lower_micros=-300_000_000, upper_micros=0
+    )
+    counts = {
+        r.lid: r.n
+        for r in out.groupBy("lid").agg(F.count("rid_r").alias("n")).collect()
+    }
+    assert counts[3] == 0 and 3 in counts
+
+
+def test_banded_range_join_no_duplicate_pairs(spark):
+    from debezium_server_spark.operators.asof import banded_range_join
+
+    left, right = _range_frames(spark)
+    out = banded_range_join(
+        left, right, lower_micros=-300_000_000, upper_micros=0
+    ).filter(F.col("rid_r").isNotNull())
+    assert out.count() == out.select("lid", "rid_r").distinct().count()
+
+
+def test_banded_range_join_is_not_nested_loop(spark):
+    from debezium_server_spark.operators.asof import banded_range_join
+
+    left, right = _range_frames(spark)
+    plan = banded_range_join(
+        left, right, lower_micros=-300_000_000, upper_micros=0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

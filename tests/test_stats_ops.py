@@ -1,0 +1,51 @@
+"""exact_percentiles and grouped_xy_stats semantics."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.operators.profiling import (
+    exact_percentiles,
+    grouped_xy_stats,
+)
+
+
+def test_exact_percentiles_rank_convention(spark):
+    # group g: values 1..10 — ceil-rank convention: p50 -> 5th value,
+    # p90 -> 9th, p99 -> 10th, p100 -> 10th.
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "grp string, v double"
+    )
+    row = exact_percentiles(
+        df, "v", ["grp"],
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100), "p100": (1, 1)},
+    ).collect()[0]
+    assert (row.p50, row.p90, row.p99, row.p100) == (5.0, 9.0, 10.0, 10.0)
+
+
+def test_exact_percentiles_single_row_group(spark):
+    df = spark.createDataFrame([("g", 7.0)], "grp string, v double")
+    row = exact_percentiles(df, "v", ["grp"], {"p50": (1, 2)}).collect()[0]
+    assert row.p50 == 7.0
+
+
+def test_grouped_xy_stats_perfect_correlation(spark):
+    # y = 2x + 1 -> corr exactly (to rounding) 1, covar = 2*var(x).
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    r = grouped_xy_stats(df, "x", "y", ["grp"]).collect()[0]
+    n = 100
+    var_x = (n * n - 1) / 12.0  # variance of 1..n (population)
+    assert r.n_rows == n
+    assert abs(r.corr_xy - 1.0) < 1e-3
+    assert abs(r.covar_pop - 2 * var_x) < 1e-3
+    assert abs(r.stddev_x - math.sqrt(var_x)) < 1e-3
+    assert abs(r.stddev_y - 2 * math.sqrt(var_x)) < 1e-3
+
+
+def test_grouped_xy_stats_group_isolation(spark):
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("b", 1.0, 5.0), ("b", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r.grp: r for r in grouped_xy_stats(df, "x", "y", ["grp"]).collect()}
+    assert out["a"].corr_xy > 0.99
+    assert out["b"].corr_xy < -0.99
