@@ -76,6 +76,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # timestamp[us] with no zone reads as TIMESTAMP_NTZ, which the
+        # epoch functions (unix_micros/unix_millis) reject. Session tz is
+        # pinned UTC, so the cast is value-identical to DuckDB's epoch_us.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -308,7 +313,7 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = ev.withColumn(
         "new_session",
         F.when(
@@ -2497,7 +2502,7 @@ def q_tx_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_id = F.concat_ws(
         ":",
         F.col("user_id").cast("string"),
-        F.expr("unix_micros(ts) div 600000000").cast("string"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 600000000").cast("string"),
     )
     out = with_transaction_metadata(
         ev, tx_id, [F.col("ts"), F.col("event_id")], F.col("event_type")
@@ -2547,7 +2552,7 @@ def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_id = F.concat_ws(
         ":",
         F.col("user_id").cast("string"),
-        F.expr("unix_micros(ts) div 600000000").cast("string"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 600000000").cast("string"),
     )
     out = transaction_boundaries(
         ev, tx_id, F.col("event_id"), F.col("event_type")
