@@ -2789,3 +2789,389 @@ def q_range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_id").agg(
         F.count("click_id_r").alias("n_recent_clicks")
     )
+
+
+# =====================================================================
+# Temporal materialization & product analytics over the change stream:
+# SCD2 / compaction (operators/history.py) and the funnel/cohort/streak
+# family every CDC-fed warehouse ends up computing downstream.
+# =====================================================================
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    "SCD Type-2 dimension history from the keyed change stream "
+    "(operators/history.py scd2_history): one row per contiguous state "
+    "run with valid_from/valid_to/is_current. Single shuffle on the key; "
+    "both window passes share the partitioning. This is what the "
+    "reference's jdbc-sink users materialize for time travel "
+    "(JdbcChangeConsumer.java upsert stream -> history table).",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.history import scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    h = scd2_history(
+        ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")], F.col("ts")
+    )
+    return h.select(
+        F.col("key").alias("user_id"),
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "changelog_compact",
+    """
+    WITH ev AS (
+      SELECT user_id AS key,
+             CASE event_type WHEN 'signup' THEN 'c'
+                             WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+             CAST(event_id AS VARCHAR) AS img,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events),
+    ends AS (SELECT * FROM ev WHERE rn_a = 1 OR rn_d = 1),
+    agg AS (
+      SELECT key,
+             max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+             max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+             max(CASE WHEN rn_d = 1 THEN img END) AS last_image
+      FROM ends GROUP BY key),
+    final AS (
+      SELECT key,
+             CASE WHEN first_op IN ('c','r') AND last_op = 'd' THEN NULL
+                  WHEN first_op IN ('c','r') THEN 'c'
+                  WHEN last_op = 'd' THEN 'd'
+                  ELSE 'u' END AS net_op,
+             last_image
+      FROM agg)
+    SELECT key, net_op, last_image FROM final WHERE net_op IS NOT NULL
+    """,
+    "Kafka-log-compaction semantics over a change window "
+    "(operators/history.py compact_changelog): create+delete cancels, "
+    "creates keep the final image, trailing delete wins. Events map to "
+    "ops via event_type (signup=c, error=d, else u) so the fixture "
+    "stream exercises every composition rule. Only the first/last event "
+    "per key survive the window pass, so the final groupBy aggregates "
+    "<=2 rows per key regardless of history depth.",
+)
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.history import compact_changelog
+
+    ev = load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    return compact_changelog(
+        ev,
+        "user_id",
+        op,
+        [F.col("ts"), F.col("event_id")],
+        F.col("event_id").cast("string"),
+    )
+
+
+@register(
+    "streak_longest",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    runs AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days),
+    lens AS (SELECT user_id, grp, count(*) AS len FROM runs GROUP BY 1, 2)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM lens GROUP BY user_id
+    """,
+    "Gaps-and-islands: longest run of consecutive active days per user "
+    "via the date-minus-row_number grouping trick. One shuffle on "
+    "user_id; every later stage reuses it (distinct, window, two "
+    "groupBys all share the key).",
+)
+def q_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    lens = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ue AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) // 7 AS wk
+      FROM events),
+    coh AS (SELECT user_id, min(wk) AS cohort_wk FROM ue GROUP BY user_id)
+    SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM ue u JOIN coh c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "Cohort retention triangle: users bucketed by first-active week x "
+    "weeks-since-cohort. Pure integer week arithmetic (no date_trunc "
+    "week-start convention to disagree on). The cohort table is one row "
+    "per user - broadcast-sized even at billions of events, and AQE "
+    "picks the broadcast join at runtime.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ue = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), date'2024-01-01') div 7"
+        ).alias("wk"),
+    )
+    coh = ue.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ue.join(coh, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+        AS users_view,
+      CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 END) AS BIGINT) AS users_click_after_view,
+      CAST(count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                 THEN 1 END) AS BIGINT) AS users_full_funnel
+    FROM per_user
+    """,
+    "Ordered funnel (view -> click -> purchase) via conditional-min "
+    "chaining: one groupBy(user) computes each user's first time per "
+    "stage, one global agg counts stage survivors. No self-joins, no "
+    "sequence scan - two map-side-combinable aggregations total.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("users_view"),
+        F.count(F.when(clicked, 1)).alias("users_click_after_view"),
+        F.count(F.when(purchased, 1)).alias("users_full_funnel"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events)
+    SELECT user_id,
+           floor(CAST(sum(v * dur_us) AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE) * 10000) / 10000 AS tw_avg
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    "Time-weighted average of a gauge per key (the hypertable/rollup "
+    "shape): each sample weighted by its holding duration to the next "
+    "sample. Exact parity: value as DECIMAL(18,6) x integral micros is "
+    "lossless in both engines (27 digits max), division happens once in "
+    "DOUBLE on identical operands. One window + one groupBy, same "
+    "shuffle key.",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        _r4(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("tw_avg")
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE))
+                 * 10000) / 10000 AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over (status, priority) with grouping_id disambiguating "
+    "NULL-as-subtotal from NULL-as-value - completes the rollup/grouping "
+    "-sets family (SURVEY.md 2.6). Spark expands to one EXPAND node "
+    "feeding a single hash aggregate; output is bounded by "
+    "|status| x |priority| regardless of input scale.",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ev AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d, user_id
+      FROM events),
+    expanded AS (
+      SELECT d + g.s AS window_end_day, user_id
+      FROM ev, generate_series(0, 6) AS g(s))
+    SELECT window_end_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM expanded GROUP BY window_end_day
+    """,
+    "Trailing-7-day distinct actives per day via contribution expansion: "
+    "each event contributes to the 7 windows that end on days d..d+6, "
+    "then one distinct-count per window-end. Window frames can't do "
+    "COUNT(DISTINCT); the 7x map-side expansion + single shuffle "
+    "replaces the O(days x events) self-join and scales linearly.",
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = F.expr("cast(datediff(cast(ts as date), date'2024-01-01') as bigint)")
+    expanded = ev.select(
+        F.explode(F.sequence(d, d + F.lit(6))).alias("window_end_day"),
+        "user_id",
+    )
+    return expanded.groupBy("window_end_day").agg(
+        F.count_distinct(F.col("user_id")).alias("active_users_7d")
+    )
+
+
+@register(
+    "top_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+    "Corpus-wide token frequency top-50 (the vocabulary/BPE-training "
+    "precursor): tokenize -> explode -> count -> global top-k. "
+    "Deterministic tie-break on the token. The per-token partial counts "
+    "combine map-side, so the shuffle carries |vocab| rows, not |tokens|; "
+    "top-k is a TakeOrdered on the aggregated frame, not a full sort.",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "entity_blocked_fuzzy",
+    """
+    WITH names AS (SELECT DISTINCT p_name,
+                          string_split(p_name, ' ')[1] AS blk
+                   FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    "Entity resolution via blocking + edit distance: candidate pairs "
+    "only within a block (first name token), so the quadratic "
+    "levenshtein comparison is bounded by the largest block, never "
+    "|part|^2. Names are deduplicated before pairing - the fuzzy match "
+    "runs on distinct entities, and an equi-join on the block key keeps "
+    "the plan a hash join (no BroadcastNestedLoopJoin).",
+)
+def q_entity_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )
