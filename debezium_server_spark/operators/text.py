@@ -218,3 +218,53 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     sh = char_shingles(F.col(text_col), k=k, stride=stride)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 15,
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup signals (the C4/CCNet boilerplate
+    pass, adapted to newline-free corpora): split each document into
+    consecutive `chunk_words`-word chunks, hash each chunk, and count how
+    many of a document's chunks also appear in ANY other document.
+
+    Two shuffles, both linear: (1) chunk-hash → corpus-wide occurrence
+    counts (map-side combinable; the shuffle carries |distinct chunks|
+    rows), (2) doc_id → per-document rollup. No pairwise comparison —
+    boilerplate detection is a counting problem, not a similarity one.
+
+    Returns (id, n_chunks, dup_chunks, dup_frac).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " ")),
+    )
+    per_chunk = df.select(
+        F.col(id_col), F.explode(chunks).alias("chunk_hash")
+    )
+    # corpus-wide: in how many documents does each chunk occur?
+    freq = per_chunk.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        per_chunk.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.floor(
+                F.col("dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double")
+                * 10000
+            )
+            / 10000,
+        )
+    )

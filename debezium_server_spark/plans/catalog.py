@@ -3175,3 +3175,258 @@ def q_entity_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+# =====================================================================
+# Operational data quality: skew-proof joins, source/sink reconciliation,
+# table checksums, outliers, chunk-level boilerplate.
+# =====================================================================
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE))
+                 * 10000) / 10000 AS total_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "Equi-join through operators/joins.py salted_join: the fact side is "
+    "spread over 8 salt sub-keys, the dimension side replicated x8, so a "
+    "hot customer's rows land on 8 tasks instead of one. Results are "
+    "salt-independent - the oracle is the PLAIN join, which is the "
+    "correctness contract of the rewrite.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.joins import salted_join
+
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(od, cu, on="custkey", buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+@register(
+    "reconcile_source_sink",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders),
+    sink AS (
+      SELECT k, v + CASE WHEN k % 101 = 0 THEN 1 ELSE 0 END AS v
+      FROM src WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000000, v FROM src WHERE k % 103 = 0)
+    SELECT CASE WHEN src.k IS NULL THEN 'sink_only'
+                WHEN sink.k IS NULL THEN 'missing_in_sink'
+                WHEN src.v <> sink.v THEN 'value_mismatch'
+                ELSE 'matched' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM src FULL OUTER JOIN sink ON src.k = sink.k
+    GROUP BY 1
+    """,
+    "Source/sink consistency audit - the verification every at-least-once "
+    "CDC deployment needs (the reference's delivery guarantee, "
+    "SURVEY.md 3.2 step 5, makes sink drift an operational reality): "
+    "full outer join on the key classifies rows matched / missing / "
+    "extra / value-drifted. Sink drift is simulated deterministically "
+    "from orders (k%97 dropped, k%101 perturbed, k%103 duplicated under "
+    "a shifted key). Decimal compare - no float equality.",
+)
+def q_reconcile_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    src = od.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    sink = src.filter(F.col("k") % 97 != 0).select(
+        "k",
+        (F.col("v") + F.when(F.col("k") % 101 == 0, 1).otherwise(0)).alias("v"),
+    ).unionAll(
+        src.filter(F.col("k") % 103 == 0).select(
+            (F.col("k") + 1000000000).alias("k"), "v"
+        )
+    )
+    s = src.alias("s")
+    t = sink.alias("t")
+    status = (
+        F.when(F.col("s.k").isNull(), "sink_only")
+        .when(F.col("t.k").isNull(), "missing_in_sink")
+        .when(F.col("s.v") != F.col("t.v"), "value_mismatch")
+        .otherwise("matched")
+    )
+    return (
+        s.join(t, F.col("s.k") == F.col("t.k"), "full_outer")
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "table_checksum_orders",
+    """
+    WITH h AS (
+      SELECT o_orderstatus,
+             CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' || o_orderpriority || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             ), 1, 15)) AS BIGINT) AS hv
+      FROM orders)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(hv) AS checksum
+    FROM h GROUP BY o_orderstatus
+    """,
+    "Order-independent table checksum per status: md5 each canonical row "
+    "rendering, take 60 bits, SUM exactly (decimal - addition commutes, "
+    "no overflow). The standard cross-system CDC verification primitive "
+    "(compare source and sink checksums per table without moving rows); "
+    "one scan, map-side combinable, output size = |groups|.",
+)
+def q_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    hv = F.conv(
+        F.substring(F.md5(row_str.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return od.select("o_orderstatus", hv.alias("hv")).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("hv").alias("checksum"),
+    )
+
+
+@register(
+    "mode_event_type",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM counts)
+    SELECT user_id, event_type AS mode_event_type,
+           CAST(n AS BIGINT) AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    "Deterministic per-key mode: count then rank with an explicit "
+    "lexicographic tie-break (bare mode() is tie-nondeterministic in "
+    "both engines). The window input is the aggregated frame "
+    "(|users| x |types| rows), not the raw events.",
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           floor(((e.value - s.sx / s.n)
+                  / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)))
+                 * 10000) / 10000 AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.sx / s.n)
+              / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))) > 3.0
+    """,
+    "Population z-score outliers (|z| > 3) per event_type: moments from "
+    "exact decimal sums (order-independent), the per-row z in double on "
+    "identical operands in both engines. The stats side is |types| rows "
+    "- broadcast join against the full stream; flags ~0.3% of events on "
+    "the fixture's heavy-tailed value column.",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(z * 10000) / 10000).alias("z"),
+        )
+    )
+
+
+@register(
+    "doc_boilerplate_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT))) AS c
+      FROM w),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, c * 15 + 1,
+                          least((c + 1) * 15, len(toks))), ' ')) AS chunk_hash
+      FROM idx),
+    freq AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           floor(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 10000) / 10000 AS dup_frac
+    FROM chunks c JOIN freq f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    """,
+    "Chunk-level boilerplate detection (C4/CCNet paragraph dedup adapted "
+    "to newline-free corpora; operators/text.py chunk_dedup): 15-word "
+    "chunks hashed, corpus-wide document-frequency per chunk, per-doc "
+    "duplicated-chunk fraction. Counting, not pairwise similarity - two "
+    "linear shuffles (chunk hash, then doc_id).",
+)
+def q_doc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import chunk_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_words=15)

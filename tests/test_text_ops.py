@@ -52,3 +52,23 @@ def test_ngram_contamination_detects_shared_bigrams(spark):
     assert out[0]["n_grams"] == 3 and out[0]["n_shared"] == 1
     assert out[1]["n_shared"] == 1
     assert out[2]["n_shared"] == 0 and out[2]["shared_frac"] == 0.0
+
+
+def test_chunk_dedup_flags_shared_chunks(spark):
+    from debezium_server_spark.operators.text import chunk_dedup
+
+    shared = " ".join(["boiler"] * 15)          # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(15))
+    uniq_b = " ".join(f"b{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),
+            (2, shared + " " + uniq_b),
+            (3, uniq_a),                         # exact dup of doc 1's tail chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=15).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["dup_chunks"] == 2  # both chunks shared
+    assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1
+    assert out[3]["dup_chunks"] == 1 and out[3]["dup_frac"] == 1.0
