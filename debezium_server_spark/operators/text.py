@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from debezium_server_spark.functions.text_functions import (
     round4,
@@ -268,3 +269,128 @@ def chunk_dedup(
             / 10000,
         )
     )
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model score per document (the cheap perplexity
+    proxy used for corpus quality filtering): mean log-probability of the
+    document's tokens under the corpus's own unigram distribution.
+
+    Exact-parity trick: log-probs are quantized to integer micro-nats
+    (floor(ln(p)*1e6)) the moment they're computed, so every later sum /
+    mean is integer arithmetic — order-independent and engine-exact.
+    Two shuffles (token counts, then per-doc rollup); the vocabulary is
+    a broadcast-scale side table.
+
+    Returns (id, n_tokens, avg_logp_micronats).
+    """
+    tok = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = (
+        F.floor(F.log(F.col("cnt").cast("double") / F.col("total").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("logp_u")
+    )
+    scored = vocab.crossJoin(F.broadcast(total)).select("token", logp)
+    return (
+        tok.join(F.broadcast(scored), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(logp_u) div count(1)").alias("avg_logp_micronats"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf×idf, with idf
+    quantized to integer micro-nats so scores (tf × idf_micro) stay in
+    exact integer arithmetic. Deterministic tie-break on the term.
+
+    Returns (id, term, score) with ≤k rows per document.
+    """
+    tok = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")) * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_u"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        F.col(id_col), "term", (F.col("tf") * F.col("idf_u")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(c_xy · T_uni² / (c_x · c_y · T_big)), reported in
+    integer micro-nats. Only bigrams with corpus count ≥ min_count.
+
+    All counts are exact integers; the single ln runs on identical
+    IEEE-double operands in any engine. Three linear shuffles (bigram
+    counts, unigram counts, final join) — the unigram table broadcasts.
+
+    Returns (bigram, n, pmi_micronats).
+    """
+    toks = _toks(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    big = df.select(F.explode(bigrams).alias("bigram"))
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    bc = bc.filter(F.col("n") >= min_count)
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # both totals derive from doc lengths: t_uni = Σ len, t_big =
+    # Σ (len-1) — one extra scan of the text column instead of two
+    # global re-aggregations of the exploded frames
+    totals = df.select(F.size(toks).alias("_len")).agg(
+        F.sum("_len").alias("t_uni"),
+        F.sum(F.greatest(F.col("_len") - 1, F.lit(0))).alias("t_big"),
+    )
+    parts = F.split(F.col("bigram"), " ")
+    ux = uni.select(F.col("token").alias("tok_x"), F.col("cnt").alias("c_x"))
+    uy = uni.select(F.col("token").alias("tok_y"), F.col("cnt").alias("c_y"))
+    joined = (
+        bc.withColumn("tok_x", parts.getItem(0))
+        .withColumn("tok_y", parts.getItem(1))
+        .join(F.broadcast(ux), "tok_x")
+        .join(F.broadcast(uy), "tok_y")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("n") * F.col("t_uni") * F.col("t_uni")).cast("double")
+            / (F.col("c_x") * F.col("c_y") * F.col("t_big")).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    return joined.select("bigram", "n", pmi.alias("pmi_micronats"))

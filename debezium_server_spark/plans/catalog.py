@@ -3430,3 +3430,113 @@ def q_doc_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return chunk_dedup(docs, chunk_words=15)
+
+
+# =====================================================================
+# Corpus language-model scoring (operators/text.py): unigram log-prob
+# quality filter, per-doc tf-idf keywords, PMI collocations. All log
+# values quantized to integer micro-nats at the point of computation so
+# aggregation stays exact-integer in both engines.
+# =====================================================================
+
+@register(
+    "unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT token,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS logp_u
+      FROM vocab CROSS JOIN tot)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s.logp_u) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS avg_logp_micronats
+    FROM tok t JOIN scored s ON t.token = s.token
+    GROUP BY t.doc_id
+    """,
+    "Unigram-LM document score (cheap perplexity proxy for corpus "
+    "quality filtering): mean log-prob of each doc's tokens under the "
+    "corpus unigram distribution. Log-probs quantized to integer "
+    "micro-nats at computation, so sums/means are exact integer "
+    "arithmetic; the vocabulary broadcasts.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_doc_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+      GROUP BY term),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS idf_u
+      FROM dfreq CROSS JOIN nd),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf_u AS score
+      FROM tf JOIN idf ON tf.term = idf.term),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+    """,
+    "Per-document characteristic terms: top-3 by tf x idf with idf in "
+    "integer micro-nats (tf x idf_u stays bigint-exact) and a "
+    "lexicographic tie-break. The idf table is |vocab| rows - broadcast; "
+    "the rank window runs on the aggregated tf frame, not raw tokens.",
+)
+def q_tfidf_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "bigram_pmi",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+      FROM w),
+    bc AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram
+           HAVING count(*) >= 5),
+    uni AS (
+      SELECT unnest(toks) AS token FROM w),
+    uc AS (SELECT token, count(*) AS cnt FROM uni GROUP BY token),
+    tot AS (
+      SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM uc) AS t_uni,
+             (SELECT CAST(count(*) AS BIGINT) FROM big) AS t_big)
+    SELECT bc.bigram, CAST(bc.n AS BIGINT) AS n,
+           CAST(floor(ln(CAST(bc.n * t.t_uni * t.t_uni AS DOUBLE)
+                         / CAST(x.cnt * y.cnt * t.t_big AS DOUBLE)) * 1e6)
+                AS BIGINT) AS pmi_micronats
+    FROM bc
+    JOIN uc x ON x.token = string_split(bc.bigram, ' ')[1]
+    JOIN uc y ON y.token = string_split(bc.bigram, ' ')[2]
+    CROSS JOIN tot t
+    """,
+    "PMI collocation mining over adjacent token pairs (count >= 5): "
+    "ln(c_xy * T_uni^2 / (c_x * c_y * T_big)) in integer micro-nats. "
+    "Counts are exact; the one ln runs on identical IEEE operands. "
+    "Unigram table broadcasts to the bigram frame.",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import bigram_pmi
+
+    return bigram_pmi(load(spark, sf_dir, "documents"), min_count=5)

@@ -43,6 +43,12 @@ WHITELIST: set[str] = {
     # TPC-H Q22 scalar subquery (global avg acctbal) compiles to a BNLJ
     # against a single-row relation
     "q22_idle_customers",
+    # corpus-total scalars (one-row broadcast crossJoin attaching
+    # t_uni/t_big/n_docs to the vocabulary frame) — single-row side,
+    # bounded by construction
+    "unigram_logprob",
+    "tfidf_doc_keywords",
+    "bigram_pmi",
 }
 
 
