@@ -65,3 +65,32 @@ def interval_join(
     key = F.coalesce(F.col("_lk"), F.col("_rk")).alias(on)
     keep = [c for c in joined.columns if c not in ("_lk", "_rk")]
     return joined.select(key, *keep)
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dimension: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join a change stream against a slowly-
+    changing dimension table (the CDC pattern the reference leaves to the
+    sink database — e.g. enriching order events with customer attributes
+    before delivery).
+
+    Spark re-plans the static side EVERY micro-batch, so a dimension
+    stored in parquet/Delta reflects updates between batches without
+    restarting the query — that's the semantic difference from packing
+    the dim into a broadcast variable once at startup.
+
+    `broadcast_dim=True` hints the broadcast-hash strategy: no shuffle
+    of the (unbounded) stream side, the dimension ships to executors
+    per batch. Correct while the dim fits the broadcast ceiling; flip it
+    off for a billion-row dimension and Spark falls back to a
+    shuffled-hash join of the micro-batch. Left join keeps events whose
+    dimension row hasn't arrived yet (late dim upsert) instead of
+    dropping them — at-least-once deliveries can re-enrich later.
+    """
+    dim = F.broadcast(dimension) if broadcast_dim else dimension
+    return stream.join(dim, on, how)

@@ -110,3 +110,61 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     assert by_user["u1"]["r_pay_id"] == "p1"
     assert "u2" in by_user, "unmatched left row must emit after watermark"
     assert by_user["u2"]["r_pay_id"] is None
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Dimension parquet is re-read per micro-batch: a dim row upserted
+    between batches enriches the second batch's events."""
+    import json
+    import os
+
+    from debezium_server_spark.streaming.joins import enrich_with_dimension
+
+    src = str(tmp_path / "stream")
+    dimdir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    os.makedirs(src)
+
+    spark.createDataFrame([(1, "gold")], "cust long, tier string").write.parquet(dimdir)
+
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write(json.dumps({"order_id": 10, "cust": 1}) + "\n")
+        f.write(json.dumps({"order_id": 11, "cust": 2}) + "\n")
+
+    stream = spark.readStream.schema("order_id long, cust long").json(src)
+    dim = spark.read.parquet(dimdir)
+    enriched = enrich_with_dimension(stream, dim, on="cust")
+
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {(r["order_id"], r["tier"]) for r in spark.read.parquet(outdir).collect()}
+    assert first == {(10, "gold"), (11, None)}  # cust 2 not in dim yet
+
+    # dim upsert lands between batches; new events see it
+    spark.createDataFrame([(2, "silver")], "cust long, tier string").write.mode(
+        "append"
+    ).parquet(dimdir)
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write(json.dumps({"order_id": 12, "cust": 2}) + "\n")
+    q = (
+        enrich_with_dimension(
+            spark.readStream.schema("order_id long, cust long").json(src),
+            spark.read.parquet(dimdir),
+            on="cust",
+        )
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["order_id"], r["tier"]) for r in spark.read.parquet(outdir).collect()}
+    assert (12, "silver") in rows
