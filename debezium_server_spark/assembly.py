@@ -9,7 +9,7 @@ name, ChangeConsumerProducer.java:61-90).
 
 Property surface understood here (the Spark-native subset):
 
-    debezium.source.type              changelog-dir | lines
+    debezium.source.type              changelog-dir | lines | debezium-changelog
     debezium.source.path              directory for the file source
     debezium.source.max.files.per.trigger   backpressure knob
     debezium.transforms               ordered list: t1,t2
@@ -104,6 +104,15 @@ def build_source(
         return lines_stream(
             spark, path, destination=cfg.get("debezium.source.destination", "topicX")
         )
+    if stype == "debezium-changelog":
+        # the registered Python DataSource: raw BatchEvent rows, key and
+        # value stay JSON text for per-destination typing downstream
+        from debezium_server_spark.sources.python_datasource import (
+            register_changelog_source,
+        )
+
+        register_changelog_source(spark)
+        return spark.readStream.format("debezium-changelog").option("path", path).load()
     raise ValueError(f"unknown source type {stype!r}")
 
 

@@ -136,3 +136,24 @@ def test_format_stage_from_properties(spark, tmp_path):
         schema_id, v = decode(bytes(r["value"]), value_schema, framed=True)
         assert schema_id == 41
         assert v["after"]["name"] in ("alice", "bob")
+
+
+def test_build_pipeline_with_python_datasource(spark, tmp_path):
+    import json
+    import os
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+
+    src = str(tmp_path / "log")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"destination": "t.a", "key": {"id": 1},
+                            "value": {"op": "c"}, "headers": [], "partition": 0}) + "\n")
+    cfg = PipelineConfig({
+        "debezium.source.type": "debezium-changelog",
+        "debezium.source.path": src,
+    })
+    stream = build_source(spark, cfg)
+    assert stream.isStreaming
+    assert set(stream.columns) == {"destination", "key", "value", "headers", "partition"}
