@@ -3540,3 +3540,58 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.text import bigram_pmi
 
     return bigram_pmi(load(spark, sf_dir, "documents"), min_count=5)
+
+
+# =====================================================================
+# Semi-structured extraction and sketch rollups.
+# =====================================================================
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    "Semi-structured extraction in the hot path: the per-event JSON "
+    "props payload (the envelope's free-form metadata, SURVEY.md 1.4 "
+    "Json logical type) parsed and aggregated without a UDF - "
+    "get_json_object stays JVM-side inside whole-stage codegen; integer "
+    "aggregates, engine-exact.",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+@register(
+    "hll_daily_users",
+    None,  # sketch estimates are engine-specific: rows-only check
+    "Mergeable-sketch rollup: per-day HLL sketches of user ids, unioned "
+    "into weekly estimates via hll_union_agg - the 100 TB path for "
+    "COUNT(DISTINCT) rollups (exact variant: rolling_7d_active_users). "
+    "Sketch bytes are engine-specific, so this entry is rows-only "
+    "checked; the estimate column is validated in tests against exact "
+    "counts (<2% HLL error at 4096 buckets).",
+)
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
+    weekly = daily.groupBy(
+        F.expr("cast(datediff(day, date'2024-01-01') as bigint) div 7").alias("week")
+    ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users"))
+    return weekly.select("week", "est_users")

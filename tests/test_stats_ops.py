@@ -49,3 +49,31 @@ def test_grouped_xy_stats_group_isolation(spark):
     out = {r.grp: r for r in grouped_xy_stats(df, "x", "y", ["grp"]).collect()}
     assert out["a"].corr_xy > 0.99
     assert out["b"].corr_xy < -0.99
+
+
+def test_hll_weekly_rollup_close_to_exact(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.plans.catalog import CATALOG
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    est = {
+        r["week"]: r["est_users"]
+        for r in CATALOG["hll_daily_users"].spark_fn(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.expr(
+                "cast(datediff(cast(ts as date), date'2024-01-01') as bigint) div 7"
+            ).alias("week")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, n in exact.items():
+        assert abs(est[wk] - n) <= max(2, 0.02 * n), (wk, est[wk], n)
