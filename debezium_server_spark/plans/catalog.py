@@ -3595,3 +3595,38 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(datediff(day, date'2024-01-01') as bigint) div 7").alias("week")
     ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users"))
     return weekly.select("week", "est_users")
+
+
+@register(
+    "state_as_of_day15",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS state_since
+    FROM ranked WHERE rn = 1
+    """,
+    "Point-in-time state reconstruction (time travel over the change "
+    "log): latest event per key at a cutoff = filter + one descending "
+    "row_number per key. The cutoff filter reaches the parquet scan "
+    "(PushedFilters), so replaying to an early timestamp reads a "
+    "fraction of the log; complements cdc_latest_state (current state) "
+    "and scd2_user_state (full history).",
+)
+def q_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        cut.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("state_since"),
+        )
+    )
