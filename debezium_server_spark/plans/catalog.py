@@ -3630,3 +3630,26 @@ def q_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("state_since"),
         )
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT (CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) % 7) AS dow,
+           CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    "Activity heatmap: day-of-week x hour-of-day counts. dow is computed "
+    "as days-since-a-known-Monday mod 7 - engines disagree on "
+    "dayofweek() numbering conventions, integer arithmetic doesn't. "
+    "Output bounded at 7x24 rows regardless of input scale.",
+)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dow = (
+        F.expr("cast(datediff(cast(ts as date), date'2024-01-01') as bigint)") % 7
+    ).alias("dow")
+    hour = F.date_format("ts", "HH").cast("bigint").alias("hour")
+    return ev.groupBy(dow, hour).agg(F.count(F.lit(1)).alias("n"))

@@ -17,6 +17,11 @@ Watermark/event-time windowing is Spark-native (`withWatermark` +
 Scale: state is per-key and partitioned by the grouping key — each
 executor holds only its keys' state (RocksDB-backed state store in
 production configs). No driver-side state, no collect.
+
+Note: Spark 4.1's newer transformWithStateInPandas API (timers,
+TTL, multiple state variables) requires the google-protobuf Python
+package at runtime; this container lacks it, so the operators here
+stay on applyInPandasWithState, which is dependency-free.
 """
 
 from __future__ import annotations
