@@ -3653,3 +3653,87 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("dow")
     hour = F.date_format("ts", "HH").cast("bigint").alias("hour")
     return ev.groupBy(dow, hour).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# Data-quality audits: referential integrity and derived-column
+# consistency — the constraint checks a CDC sink accumulates drift
+# against (at-least-once replay + out-of-order table loads make FK
+# orphans an operational reality, not a schema impossibility).
+# =====================================================================
+
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN od.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders od ON l.l_orderkey = od.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l2 LEFT JOIN supplier s ON l2.l_suppkey = s.s_suppkey
+    """,
+    "Referential-integrity audit across three FK edges: left join + "
+    "null-parent count per edge. Parent keys broadcast (customer/"
+    "supplier/orders key columns only - column-pruned scans); output is "
+    "one row per FK regardless of scale.",
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def edge(name, child, parent, ck, pk):
+        j = child.join(F.broadcast(parent), child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(parent[pk].isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select("fk", "n_child", "n_orphans")
+
+    return (
+        edge("orders.o_custkey->customer", od.select("o_custkey"), cu,
+             "o_custkey", "c_custkey")
+        .unionAll(edge("lineitem.l_orderkey->orders",
+                       li.select("l_orderkey"),
+                       od.select("o_orderkey"), "l_orderkey", "o_orderkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier",
+                       li.select("l_suppkey"), su, "l_suppkey", "s_suppkey"))
+    )
+
+
+@register(
+    "doc_length_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(min(n_chars - length(text)) AS BIGINT) AS min_delta,
+           CAST(max(n_chars - length(text)) AS BIGINT) AS max_delta
+    FROM documents
+    """,
+    "Derived-column consistency audit: the stored n_chars column checked "
+    "against length(text) in one scan - the post-transform invariant "
+    "check every pipeline stage should publish alongside its output "
+    "(single aggregate row, map-side combinable).",
+)
+def q_doc_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    delta = F.col("n_chars") - F.length("text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(delta != 0, 1).otherwise(0)).alias("n_mismatched"),
+        F.min(delta).cast("bigint").alias("min_delta"),
+        F.max(delta).cast("bigint").alias("max_delta"),
+    )
