@@ -3737,3 +3737,33 @@ def q_doc_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(delta).cast("bigint").alias("min_delta"),
         F.max(delta).cast("bigint").alias("max_delta"),
     )
+
+
+@register(
+    "trailing_1h_event_count",
+    """
+    SELECT event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_1h
+    FROM events
+    """,
+    "Per-event trailing count over a RANGE frame (value-based window: "
+    "every row sees its own trailing hour, unlike the fixed buckets of "
+    "events_sliding_window). Ordering key is integer epoch-seconds so "
+    "both engines bound the frame identically; one shuffle on user_id, "
+    "frame evaluation is a running two-pointer pass within each "
+    "partition - no expansion, no self-join.",
+)
+def q_trailing_1h_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_trailing_1h")
+    )
