@@ -89,17 +89,21 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: str | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    `n_cells` Voronoi cells and search only the query's own cell.
+    `n_cells` Voronoi cells; each query searches its `nprobe` nearest
+    cells (nprobe=1 ⇒ the classic own-cell search; raising it is the
+    standard recall/fan-out knob — candidates ∝ nprobe·n/n_cells).
 
     Centroids here are the first `n_cells` vectors by id — deterministic
     (so any engine reproduces the assignment) and refreshable by swapping
     in k-means centroids without touching the plan. Scale shape: the
     centroid table is tiny and broadcast; assignment is one pass over the
     corpus (argmin over n_cells distances); the candidate join is a hash
-    join on `cell`, candidates ∝ n/n_cells per query — the classic IVF
-    trade of recall for fan-out.
+    join on `cell`. A corpus vector lives in exactly one home cell and a
+    query probes `nprobe` DISTINCT cells, so no candidate pair repeats —
+    no post-join dedup needed.
     """
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -107,25 +111,31 @@ def ivf_ann_topk(
     cents = v.filter(F.col("vid") < n_cells).select(
         F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
     )
-    # assign: nearest centroid by squared L2 (monotone with L2; cosine
-    # assignment would normalize first) — min_by struct gives argmin with
-    # an id tiebreak, deterministic in any engine
+    # assign: nearest centroid(s) by squared L2 (monotone with L2; cosine
+    # assignment would normalize first); row_number over (d2, cell_id)
+    # gives a deterministic ranking in any engine
     d2 = F.aggregate(
         F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    assigned = (
+    ranked = (
         v.crossJoin(F.broadcast(cents))
         .select("vid", "vec", "cell_id", d2.alias("d2"))
-        .groupBy("vid")
-        .agg(
-            F.min_by(F.col("cell_id"), F.struct(F.col("d2"), F.col("cell_id"))).alias("cell"),
-            F.first("vec").alias("vec"),
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy("d2", "cell_id")
+            ),
         )
     )
-    q = assigned.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "cell"
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vid", "vec", F.col("cell_id").alias("cell")
+    )
+    q = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("cell_id").alias("cell"),
     )
     if query_filter:
         q = q.filter(query_filter.replace(id_col, "query_id"))

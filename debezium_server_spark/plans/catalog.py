@@ -3767,3 +3767,44 @@ def q_trailing_1h_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.count(F.lit(1)).over(w).alias("n_trailing_1h")
     )
+
+
+@register(
+    "embedding_ann_ivf_multiprobe",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    ranked AS (SELECT vec_id, cell_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cell_id) AS rn
+               FROM dist),
+    assigned AS (SELECT vec_id, cell_id AS cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell_id AS cell FROM ranked WHERE rn <= 3),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    qv AS (SELECT p.vec_id, p.cell, v.e FROM probes p JOIN v ON p.vec_id = v.vec_id
+           WHERE p.vec_id < 10),
+    s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_DOT.format(a='q.e', b='c.e')} /
+                 ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+          FROM qv q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, rank, floor((sim) * 10000) / 10000 AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+    "IVF with multiprobe (nprobe=3): queries search their 3 nearest "
+    "cells instead of 1 - the standard recall knob, candidates scale "
+    "as nprobe*n/cells. Corpus vectors keep one home cell so no "
+    "candidate pair repeats; exact cosine re-ranks the probed union.",
+)
+def q_embedding_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        load(spark, sf_dir, "embeddings"), k=5, n_cells=16,
+        query_filter="query_id < 10", nprobe=3,
+    )

@@ -40,6 +40,7 @@ WHITELIST: set[str] = {
     # IVF cell assignment: BNLJ against the broadcast centroid table —
     # k centroids (k=16), k-bounded work per row, not data-quadratic
     "embedding_ann_ivf",
+    "embedding_ann_ivf_multiprobe",
     # TPC-H Q22 scalar subquery (global avg acctbal) compiles to a BNLJ
     # against a single-row relation
     "q22_idle_customers",
