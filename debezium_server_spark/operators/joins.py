@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: Join types whose results are provably salt-invariant: the small side
+#: is replicated once per salt, so any join type that can emit an
+#: *unmatched small-side row* (right/full outer) would emit it once per
+#: replica — `buckets` phantom rows. Inner/left-side variants never
+#: surface unmatched small-side rows, so replication is invisible.
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+             "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+
 
 def salted_join(
     large: DataFrame,
@@ -46,6 +54,12 @@ def salted_join(
     The small side grows ×buckets, so keep it broadcast-scale; the win
     is that the largest single shuffle partition shrinks by ×buckets.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-invariant — unmatched "
+            "small-side rows would appear once per salt replica. Use "
+            "inner/left/left_semi/left_anti, or join unsalted."
+        )
     if salt_by is None:
         salt_by = F.crc32(F.concat_ws("|", *[F.col(c).cast("string") for c in large.columns]))
     ls = large.withColumn(SALT_COL, F.pmod(salt_by, F.lit(buckets)).cast("int"))

@@ -3287,8 +3287,8 @@ def q_reconcile_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h GROUP BY o_orderstatus
     """,
     "Order-independent table checksum per status: md5 each canonical row "
-    "rendering, take 60 bits, SUM exactly (decimal - addition commutes, "
-    "no overflow). The standard cross-system CDC verification primitive "
+    "rendering, take the first 60 bits, bit_xor-fold (xor commutes and "
+    "never overflows). The standard cross-system CDC verification primitive "
     "(compare source and sink checksums per table without moving rows); "
     "one scan, map-side combinable, output size = |groups|.",
 )
@@ -3684,9 +3684,10 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l2 LEFT JOIN supplier s ON l2.l_suppkey = s.s_suppkey
     """,
     "Referential-integrity audit across three FK edges: left join + "
-    "null-parent count per edge. Parent keys broadcast (customer/"
-    "supplier/orders key columns only - column-pruned scans); output is "
-    "one row per FK regardless of scale.",
+    "null-parent count per edge. Customer/supplier parent keys broadcast "
+    "(key columns only - column-pruned scans); the orders edge is left "
+    "to AQE's size-based choice (orders keys are not broadcast-scale at "
+    "SF100+); output is one row per FK regardless of scale.",
 )
 def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
@@ -3694,8 +3695,12 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier").select("s_suppkey")
 
-    def edge(name, child, parent, ck, pk):
-        j = child.join(F.broadcast(parent), child[ck] == parent[pk], "left")
+    def edge(name, child, parent, ck, pk, hint=True):
+        # hint=False: parent side grows with SF (e.g. orders keys, 150M+
+        # rows at SF100) — let AQE pick shuffle-hash vs broadcast by
+        # measured size instead of forcing a driver-side OOM risk.
+        pside = F.broadcast(parent) if hint else parent
+        j = child.join(pside, child[ck] == parent[pk], "left")
         return j.agg(
             F.lit(name).alias("fk"),
             F.count(F.lit(1)).alias("n_child"),
@@ -3707,7 +3712,8 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              "o_custkey", "c_custkey")
         .unionAll(edge("lineitem.l_orderkey->orders",
                        li.select("l_orderkey"),
-                       od.select("o_orderkey"), "l_orderkey", "o_orderkey"))
+                       od.select("o_orderkey"), "l_orderkey", "o_orderkey",
+                       hint=False))
         .unionAll(edge("lineitem.l_suppkey->supplier",
                        li.select("l_suppkey"), su, "l_suppkey", "s_suppkey"))
     )

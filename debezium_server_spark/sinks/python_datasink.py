@@ -61,6 +61,22 @@ def _write_partition(data_dir: str, iterator) -> FileCommit:
     return FileCommit(path=path, n_rows=n)
 
 
+def _manifest_is_published(path: str) -> bool:
+    """True only if the manifest exists AND parses.
+
+    Manifests are written via os.replace so a torn file should be
+    impossible, but defense-in-depth: an unreadable manifest is treated
+    as absent so the replayed epoch re-publishes instead of discarding
+    the only copy of the batch.
+    """
+    try:
+        with open(path) as f:
+            json.load(f)
+        return True
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return False
+
+
 class _ManifestMixin:
     def _publish(self, messages, manifest_name: str) -> None:
         files = [
@@ -74,8 +90,17 @@ class _ManifestMixin:
                 os.remove(m.path)
         mdir = os.path.join(self.root, "_manifests")
         os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, manifest_name), "w") as f:
+        # Crash-atomic publish: write to a hidden temp name, fsync, then
+        # os.replace() — readers and replayed epochs can never observe a
+        # torn manifest (same pattern as parquet_sink.py / incremental
+        # snapshot watermarks).
+        final = os.path.join(mdir, manifest_name)
+        tmp = os.path.join(mdir, f".{manifest_name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
             json.dump({"files": files}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     def _discard(self, messages) -> None:
         for m in messages:
@@ -91,8 +116,9 @@ class ChangelogExportStreamWriter(_ManifestMixin, DataSourceStreamWriter):
         return _write_partition(os.path.join(self.root, "data"), iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        manifest = os.path.join(self.root, "_manifests", f"{batchId}.json")
-        if os.path.exists(manifest):
+        if _manifest_is_published(
+            os.path.join(self.root, "_manifests", f"{batchId}.json")
+        ):
             # replayed epoch: already published by a previous run —
             # discard the duplicate stage, keep the committed truth
             self._discard(messages)
@@ -142,6 +168,8 @@ def manifested_files(root: str) -> list[str]:
         return []
     out: list[str] = []
     for name in sorted(os.listdir(mdir)):
+        if name.startswith(".") or name.endswith(".tmp"):
+            continue
         with open(os.path.join(mdir, name)) as f:
             out.extend(e["path"] for e in json.load(f)["files"])
     return out

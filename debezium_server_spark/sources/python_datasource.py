@@ -17,7 +17,9 @@ downstream per destination (the dynamic-schema hard part, SURVEY.md
 §7.3(b)).
 
 Offset model: files are processed in sorted-name order; the stream
-offset is `{"files_processed": n}`. One input partition per new file —
+offset is `{"last_file": basename}` — the name of the last processed
+file, stable under insertions/deletions before the cursor (a bare
+count is not). One input partition per new file —
 at scale each micro-batch fans file parsing across executors, and a
 file is the atomic replay unit (identical to the reference's
 offset-per-source-position contract: replay from the last committed
@@ -121,17 +123,37 @@ class ChangelogBatchReader(_FileReaderMixin, DataSourceReader):
 
 
 class ChangelogStreamReader(_FileReaderMixin, DataSourceStreamReader):
-    """Streaming tail: new files since the last committed offset."""
+    """Streaming tail: new files since the last committed offset.
+
+    Offset model: the offset is the *basename of the last processed
+    file* (`{"last_file": name}`), not a count. Name comparison is
+    stable under insertions before the cursor and under deletions —
+    writers with non-monotonic names (e.g. the companion
+    changelog-export sink's random part-<uuid>.jsonl) can at worst
+    deliver a late-sorting file that lands before the cursor, which is
+    skipped *deterministically* rather than silently corrupting the
+    window the way an index slice would (re-reading processed files and
+    dropping the newest). For strictly-once delivery, writers should use
+    monotonic names (the native FileStreamSource tracks the seen-file
+    set; a single watermark name is the bounded-state analog).
+    """
 
     def __init__(self, options):
         self.path = options.get("path")
 
     def initialOffset(self):
-        return {"files_processed": 0}
+        return {"last_file": ""}
 
     def latestOffset(self):
-        n = len(_sorted_files(self.path))
-        return {"files_processed": n}
+        files = _sorted_files(self.path)
+        return {"last_file": os.path.basename(files[-1]) if files else ""}
+
+    @staticmethod
+    def _cursor(offset) -> str:
+        # Tolerate a checkpoint written by the old count-based model:
+        # treat any legacy offset as "start of directory" (at-least-once
+        # replay, the engine contract) rather than failing the stream.
+        return offset.get("last_file", "")
 
     def partitions(self, start, end):
         # The planned range is authoritative: Spark commits `end` no
@@ -139,10 +161,11 @@ class ChangelogStreamReader(_FileReaderMixin, DataSourceStreamReader):
         # files. Per-trigger file caps belong in the offset planning the
         # engine owns (the native file source's maxFilesPerTrigger —
         # sources/file_source.py); the Python API exposes no ReadLimit.
-        files = _sorted_files(self.path)
+        lo, hi = self._cursor(start), self._cursor(end)
         return [
             FilePartition(p)
-            for p in files[start["files_processed"] : end["files_processed"]]
+            for p in _sorted_files(self.path)
+            if lo < os.path.basename(p) <= hi
         ]
 
     def commit(self, end):
