@@ -4,6 +4,15 @@
 
 Each query is fully materialized via the noop sink (computes the whole
 plan, no driver-side result transfer skewing the numbers).
+
+Output contract (learned from round 1): the driver records only the LAST
+2000 CHARS of stdout and parses the JSON out of that window — a
+full 107-query map is ~3 KB and got its head truncated, leaving
+BENCH_r01 unparseable. So stdout is EXACTLY ONE compact JSON line kept
+under ~1.9 KB: summary fields + the slowest queries' timings inline
+(most informative first) until the budget is hit; the COMPLETE
+per-query map is written to BENCH_DETAIL.json next to this script
+(committed to the repo, pointed to by the "detail" field).
 """
 
 from __future__ import annotations
@@ -42,17 +51,46 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
-    print(
-        json.dumps(
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "catalog_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "runs": runs,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    # Stdout line: summary + slowest-first inline timings, hard-capped so
+    # the whole line fits the driver's 2000-char tail window.
+    budget = 1850
+    base = {
+        "metric": "catalog_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    line = ""
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        base["queries"][name] = t
+        candidate = json.dumps(base, separators=(",", ":"))
+        if len(candidate) > budget:
+            del base["queries"][name]
+            break
+        line = candidate
+    print(line or json.dumps(base, separators=(",", ":")))
 
 
 if __name__ == "__main__":
