@@ -1620,12 +1620,21 @@ def q_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    None,  # HLL sketches differ per engine — rows-only check by design
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
     "Sketch aggregation: approx_count_distinct (HyperLogLog++) per event "
     "type beside the exact count — at 100 TB the sketch is the only "
     "distinct-count that avoids a full shuffle of the key set; rsd=0.01 "
-    "bounds the error at 1%. No oracle: HLL implementations differ across "
-    "engines by construction.",
+    "bounds the error at 1%. Sketch estimates are engine-specific, so "
+    "the oracle checks a tolerance BAND instead of the estimate: the "
+    "emitted within_tol = |approx-exact|/exact < 0.05 must hash-match "
+    "the oracle's TRUE — the sketch is verified without comparing "
+    "engine internals.",
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two aggs joined on the (tiny) group key instead of one mixed
@@ -1640,8 +1649,14 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
     return approx.join(exact, "event_type").select(
-        "event_type", "approx_users", "exact_users", "n_events"
+        "event_type",
+        "exact_users",
+        "n_events",
+        (rel_err < 0.05).alias("within_tol"),
     )
 
 
@@ -3578,23 +3593,42 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_daily_users",
-    None,  # sketch estimates are engine-specific: rows-only check
+    """
+    SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                AS BIGINT) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    """,
     "Mergeable-sketch rollup: per-day HLL sketches of user ids, unioned "
     "into weekly estimates via hll_union_agg - the 100 TB path for "
     "COUNT(DISTINCT) rollups (exact variant: rolling_7d_active_users). "
-    "Sketch bytes are engine-specific, so this entry is rows-only "
-    "checked; the estimate column is validated in tests against exact "
-    "counts (<2% HLL error at 4096 buckets).",
+    "Sketch bytes are engine-specific, so the oracle checks a tolerance "
+    "BAND: within_tol = |estimate-exact|/exact < 0.05 must hash-match "
+    "the oracle's TRUE (lgConfigK=12 keeps observed error <2%). The "
+    "exact side exists only to anchor the band at test scale; the "
+    "sketch path is the production plan.",
 )
 def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    week = F.expr(
+        "cast(datediff(to_date(ts), date'2024-01-01') as bigint) div 7"
+    ).alias("week")
     daily = ev.groupBy(
         F.to_date("ts").alias("day")
     ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
     weekly = daily.groupBy(
         F.expr("cast(datediff(day, date'2024-01-01') as bigint) div 7").alias("week")
     ).agg(F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_users"))
-    return weekly.select("week", "est_users")
+    exact = ev.groupBy(week).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err = F.abs(F.col("est_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return weekly.join(exact, "week").select(
+        "week", "exact_users", (rel_err < 0.05).alias("within_tol")
+    )
 
 
 @register(
