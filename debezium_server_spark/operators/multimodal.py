@@ -7,19 +7,27 @@ FlussTypeConverter.java:83-86,210-211). Compute-heavy steps (decode,
 resize, feature extraction, frame sampling) run as Arrow-batched
 `mapInPandas` stages so each Python worker touches a whole column batch.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are stubbed: `DecodeRegistry` dispatches to a real codec
-when importable, else to a deterministic fake that preserves the full
-Spark-side contract (schema, batch shape, partitioning). The plumbing —
-which is what must survive a 100 TB run — is real and tested.
+Decode dispatch, per row (not per import): a rich codec (PIL /
+soundfile) is used when importable; otherwise a pure-stdlib decoder
+handles the formats that need no codec (uncompressed BMP via struct,
+PCM WAV via the `wave` module); bytes matching neither fall through to
+a deterministic sha256 fake that preserves the full Spark-side contract
+(schema, batch shape, partitioning). Format detection is
+signature-validated (magic + internal size-field consistency), so
+non-media payloads can't accidentally flip onto the real path — which
+keeps the oracle entries (fed UTF-8 text bytes) byte-stable while real
+media rows get real features.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -62,16 +70,120 @@ def _fake_pixel_stats(content: bytes) -> tuple[float, float]:
     return mean, std  # full precision; callers round at the output edge
 
 
-def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch image decode → feature columns. Real path uses PIL when
-    present; fake path is deterministic on content bytes."""
-    pil = try_import("PIL")
-    if pil is not None:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "real PIL decode path: Image.open(BytesIO(content)) → np.asarray; "
-            "enable when the codec lands in the runtime image"
+def decode_bmp(content: bytes) -> np.ndarray | None:
+    """Pure-stdlib decode of an uncompressed 24/32-bit BMP.
+    (8-bit BMPs are palette-indexed — indices aren't gray values, so they
+    stay on the fake path rather than decode wrong.)
+
+    Returns an HxWxC uint8 array, or None if the bytes are not a valid
+    uncompressed BMP. Validation is strict (magic, header size, declared
+    file size == actual, pixel array in bounds) so arbitrary text/binary
+    payloads can't false-positive onto this path.
+    """
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    try:
+        file_size, _, data_off = struct.unpack_from("<III", content, 2)
+        hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", content, 14
         )
-    stats = [_fake_pixel_stats(c) for c in pdf["content"]]
+    except struct.error:
+        return None
+    if (
+        file_size != len(content)
+        or hdr_size < 40
+        or planes != 1
+        or compression != 0
+        or bpp not in (24, 32)
+        or width <= 0
+        or height == 0
+    ):
+        return None
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    channels = bpp // 8
+    row_bytes = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    if data_off + row_bytes * height > len(content):
+        return None
+    rows = [
+        np.frombuffer(
+            content, np.uint8, count=width * channels, offset=data_off + r * row_bytes
+        ).reshape(width, channels)
+        for r in range(height)
+    ]
+    img = np.stack(rows[::-1] if flip else rows)
+    if channels >= 3:  # BMP stores BGR(A) — reorder to RGB(A)
+        img = img[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    return img
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure-stdlib decode of a PCM WAV via the `wave` module.
+
+    Returns (samples as float64 in [-1, 1], sample_rate), or None if the
+    bytes are not a RIFF/WAVE container `wave` can parse.
+    """
+    if content is None or len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:  # 8-bit PCM is unsigned
+        samples = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    return samples, rate
+
+
+def _image_stats(content: bytes) -> tuple[float, float]:
+    """Pixel mean/std for one image payload: PIL when importable, else
+    the stdlib BMP decoder, else the deterministic fake."""
+    pil_image = try_import("PIL.Image")
+    if pil_image is not None:  # pragma: no cover - codec not in container
+        try:
+            from PIL import Image
+
+            arr = np.asarray(Image.open(io.BytesIO(content)))
+            return float(arr.mean()), float(arr.std())
+        except Exception:
+            pass  # not an image PIL groks — fall through
+    arr = decode_bmp(content)
+    if arr is not None:
+        return float(arr.mean()), float(arr.std())
+    return _fake_pixel_stats(content)
+
+
+def _audio_loudness(content: bytes) -> float:
+    """RMS loudness in [0, 1]: soundfile when importable, else the stdlib
+    WAV decoder, else the deterministic fake."""
+    sf = try_import("soundfile")
+    if sf is not None:  # pragma: no cover - codec not in container
+        try:
+            samples, _ = sf.read(io.BytesIO(content))
+            return float(np.sqrt(np.mean(np.square(samples))))
+        except Exception:
+            pass
+    decoded = decode_wav(content)
+    if decoded is not None:
+        samples, _ = decoded
+        if samples.size == 0:
+            return 0.0
+        return float(np.sqrt(np.mean(np.square(samples))))
+    return _fake_pixel_stats(content)[0] / 255.0
+
+
+def decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch image decode → feature columns. Real decode (PIL or
+    stdlib BMP) when the bytes are an image; deterministic fake otherwise."""
+    stats = [_image_stats(c) for c in pdf["content"]]
     pdf = pdf.copy()
     pdf["pixel_mean"] = [s[0] for s in stats]
     pdf["pixel_std"] = [s[1] for s in stats]
@@ -125,17 +237,21 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
 
 
-def audio_features_stub(df: DataFrame) -> DataFrame:
-    """Audio feature plumbing (sha-derived fake 'loudness'; real path
-    librosa/soundfile inside mapInPandas)."""
+def decode_audio_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch audio decode → loudness. Real decode (soundfile or
+    stdlib WAV) when the bytes are audio; deterministic fake otherwise."""
+    out = pdf.copy()
+    out["loudness"] = [_audio_loudness(c) for c in out["content"]]
+    return out.drop(columns=["content"])
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio features via Arrow-batched mapInPandas (same distributed
+    shape as `image_features`: partition-parallel, media never collected)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
-            out["loudness"] = [
-                _fake_pixel_stats(c)[0] / 255.0 for c in out["content"]
-            ]
-            yield out.drop(columns=["content"])
+            yield decode_audio_batch(pdf)
 
     return df.mapInPandas(
         run,
@@ -144,8 +260,13 @@ def audio_features_stub(df: DataFrame) -> DataFrame:
     )
 
 
+#: Back-compat alias (pre-round-2 name).
+audio_features_stub = audio_features
+
+
 DecodeFn = Callable[[pd.DataFrame], pd.DataFrame]
 
 DECODE_REGISTRY: dict[str, DecodeFn] = {
     "image": decode_image_batch,
+    "audio": decode_audio_batch,
 }

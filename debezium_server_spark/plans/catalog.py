@@ -1558,10 +1558,12 @@ def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 4294967296.0 * 128.0) * 10000) / 10000 AS pixel_std
     FROM documents
     """,
-    "Image decode/feature plumbing via Arrow-batched mapInPandas: the fake "
-    "decode kernel derives 'pixel' stats deterministically from sha256 of the "
-    "payload bytes, so the whole UDF path (schema, batching, partition "
-    "parallelism) is oracle-checkable without a codec in the container.",
+    "Image decode/feature plumbing via Arrow-batched mapInPandas. The "
+    "kernel dispatches per row: PIL when importable, stdlib BMP decode "
+    "for valid BMP bytes (tested on generated images), else a sha256-"
+    "derived deterministic fake. This table's payloads are text bytes, "
+    "so the oracle pins the fake path — verifying the full UDF path "
+    "(schema, batching, partition parallelism) without a codec.",
 )
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.multimodal import image_features
@@ -2403,12 +2405,13 @@ def q_user_peak_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     "Audio feature plumbing via mapInPandas: the stub kernel derives "
-    "'loudness' deterministically from sha256 of the payload bytes (real "
-    "path: librosa/soundfile in the same batch shape) — same oracle-"
+    "'loudness' deterministically from sha256 of the payload bytes; real "
+    "RIFF/WAVE payloads take the stdlib `wave` RMS path (tested on "
+    "generated PCM) and soundfile when importable — same oracle-"
     "checkable contract as the image path.",
 )
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from debezium_server_spark.operators.multimodal import audio_features_stub
+    from debezium_server_spark.operators.multimodal import audio_features
 
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
@@ -2421,7 +2424,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("meta"),
     )
-    return audio_features_stub(media).select(
+    return audio_features(media).select(
         "media_id", _r4(F.col("loudness")).alias("loudness")
     )
 

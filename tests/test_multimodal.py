@@ -1,17 +1,52 @@
 """Multimodal plumbing: schema, mapInPandas batch shape, partition-parallel
-feature extraction with the deterministic fake decode."""
+feature extraction — real stdlib BMP/WAV decode for valid media bytes,
+deterministic fake for everything else."""
 
+import io
+import struct
+import wave
+
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
 
 from debezium_server_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    audio_features,
     audio_features_stub,
+    decode_bmp,
+    decode_wav,
     frame_sample_plan,
     image_features,
     resize_stub,
 )
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP —
+    pure struct, no codec needed to CREATE the file."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_off = 54
+    header = struct.pack("<2sIHHI", b"BM", data_off + row_bytes * h, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h,
+                       2835, 2835, 0, 0)
+    body = b"".join(
+        pixels[r][:, ::-1].tobytes() + b"\x00" * (row_bytes - w * 3)
+        for r in range(h - 1, -1, -1)  # bottom-up rows, BGR order
+    )
+    return header + info + body
+
+
+def make_wav(samples_i16: np.ndarray, rate: int = 16_000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples_i16.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 @pytest.fixture()
@@ -54,6 +89,59 @@ def test_audio_features_schema(spark, media_df):
     row = aud.first()
     assert 0.0 <= row["loudness"] <= 1.0
     assert aud.columns == ["media_id", "meta", "loudness"]
+
+
+def test_decode_bmp_real_pixels():
+    """The stdlib BMP decoder reproduces the exact pixel array, including
+    4-byte row padding and bottom-up row order."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 → padded rows
+    arr = decode_bmp(make_bmp(px))
+    assert arr is not None and np.array_equal(arr, px)
+
+
+def test_decode_bmp_rejects_non_media():
+    assert decode_bmp(b"BM this is text that merely starts with BM") is None
+    assert decode_bmp(b"\x89PNG-fake-bytes-1") is None
+    assert decode_bmp(None) is None
+
+
+def test_decode_wav_roundtrip():
+    samples = np.array([16384, -16384] * 100)  # square wave at half scale
+    decoded = decode_wav(make_wav(samples))
+    assert decoded is not None
+    got, rate = decoded
+    assert rate == 16_000
+    assert np.allclose(got, samples / 32768.0)
+    assert decode_wav(b"RIFF-fake-wav") is None  # truncated → not audio
+
+
+def test_image_features_real_bmp(spark):
+    """End-to-end through mapInPandas: a real BMP decodes to its true
+    pixel mean/std; non-image bytes in the same batch take the fake path."""
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2] = 200  # half the pixels 200, half 0 → mean 100, std 100
+    rows = [
+        (1, make_bmp(px), ("image", "bmp", 4, 4, None, None)),
+        (2, b"not an image", ("image", "png", 4, 4, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_features(df).collect()}
+    assert out[1]["pixel_mean"] == pytest.approx(100.0)
+    assert out[1]["pixel_std"] == pytest.approx(100.0)
+    assert 0 <= out[2]["pixel_mean"] <= 255  # fake stays in pixel range
+
+
+def test_audio_features_real_wav(spark):
+    """A real PCM WAV yields its true RMS loudness (square wave at half
+    amplitude → RMS exactly 0.5)."""
+    rows = [
+        (1, make_wav(np.array([16384, -16384] * 1000)),
+         ("audio", "wav", None, None, 125, 16_000)),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    row = audio_features(df).first()
+    assert row["loudness"] == pytest.approx(0.5)
 
 
 def test_kmeans_centroids_converge(spark):
