@@ -3851,3 +3851,81 @@ def q_embedding_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
         load(spark, sf_dir, "embeddings"), k=5, n_cells=16,
         query_filter="query_id < 10", nprobe=3,
     )
+
+
+@register(
+    "embedding_pq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sp AS (SELECT unnest(range(0, 4)) AS s),
+    cb AS (SELECT sp.s, seeds.vec_id AS j,
+                  list_transform(range(1, 17), i -> seeds.e[sp.s * 16 + i]) AS ce
+           FROM (SELECT vec_id, e FROM v WHERE vec_id < 16) seeds CROSS JOIN sp),
+    sv AS (SELECT v.vec_id, sp.s,
+                  list_transform(range(1, 17), i -> v.e[sp.s * 16 + i]) AS sub
+           FROM v CROSS JOIN sp),
+    d AS (SELECT sv.vec_id, sv.s, cb.j,
+                 list_aggregate(list_transform(range(1, 17),
+                     i -> (sv.sub[i] - cb.ce[i]) * (sv.sub[i] - cb.ce[i])),
+                     'sum') AS d2
+          FROM sv JOIN cb ON sv.s = cb.s),
+    codes AS (SELECT vec_id,
+                     max(CASE WHEN s = 0 THEN code END) AS c0,
+                     max(CASE WHEN s = 1 THEN code END) AS c1,
+                     max(CASE WHEN s = 2 THEN code END) AS c2,
+                     max(CASE WHEN s = 3 THEN code END) AS c3
+              FROM (SELECT vec_id, s, j AS code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d2, j) AS rn
+                    FROM d) WHERE rn = 1
+              GROUP BY vec_id),
+    adc AS (SELECT q0.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                   ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
+            FROM codes nb
+            JOIN d q0 ON q0.s = 0 AND q0.j = nb.c0
+            JOIN d q1 ON q1.s = 1 AND q1.j = nb.c1 AND q1.vec_id = q0.vec_id
+            JOIN d q2 ON q2.s = 2 AND q2.j = nb.c2 AND q2.vec_id = q0.vec_id
+            JOIN d q3 ON q3.s = 3 AND q3.j = nb.c3 AND q3.vec_id = q0.vec_id
+            WHERE q0.vec_id < 10 AND nb.vec_id != q0.vec_id),
+    pool AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY adc, neighbor_id) AS rn
+                   FROM adc) WHERE rn <= 30),
+    s2 AS (SELECT p.query_id, p.neighbor_id,
+                  {_DOT.format(a='q.e', b='c.e')} /
+                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+           FROM pool p JOIN v q ON p.query_id = q.vec_id
+                       JOIN v c ON p.neighbor_id = c.vec_id)
+    SELECT query_id, neighbor_id, rank, floor((sim) * 10000) / 10000 AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s2)
+    WHERE rank <= 5
+    """,
+    "Product-quantization ANN, the 100 TB storage path: vectors encoded "
+    "as m=4 one-byte codes against per-subspace codebooks (64x smaller "
+    "than float32), ADC-scored via per-query LUTs (m array gets per "
+    "corpus row, no float vector read), top-30 pool exactly re-ranked "
+    "by cosine (determinism trick shared with the IVF entries). "
+    "Codebooks here are deterministic seed vectors (vec_id<16) so the "
+    "oracle can replay encode+ADC in SQL; production training uses "
+    "pq_train's Lloyd iterations (operators/similarity.py).",
+)
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import pq_topk_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    # Deterministic codebooks: subspace s's centroid j = seed vector j's
+    # s-th subvector. Driver holds m*k*(dim/m) = 1024 floats — the PQ
+    # serving shape (codebooks are always driver/broadcast-resident).
+    seeds = (
+        emb.filter("vec_id < 16")
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    m, sub = 4, 16
+    codebooks = [
+        [list(r["e"][s * sub : (s + 1) * sub]) for r in seeds] for s in range(m)
+    ]
+    return pq_topk_rerank(emb, emb.filter("vec_id < 10"), codebooks, k=5, pool=30)

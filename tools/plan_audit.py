@@ -50,6 +50,10 @@ WHITELIST: set[str] = {
     "unigram_logprob",
     "tfidf_doc_keywords",
     "bigram_pmi",
+    # PQ ADC scoring: crossJoin against the broadcast per-query LUT
+    # frame — query side bounded to 10 probes, m×k LUT per row, not
+    # data-quadratic (the corpus side is scanned once over codes)
+    "embedding_pq_topk",
 }
 
 
