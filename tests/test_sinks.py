@@ -81,6 +81,179 @@ def test_http_debezium_headers_base64():
     assert h == {"X-DEBEZIUM-TRACEID": "YWJj"}
 
 
+def test_webhooks_signature_spec_vector():
+    """Exact parity with StandardWebhooksAuthenticatorTest.java: same
+    secret/clock/message-id/body must yield the spec's published
+    signature (verifiable at standardwebhooks.com/verify)."""
+    from debezium_server_spark.sinks.http_sink import StandardWebhooksAuth
+
+    auth = StandardWebhooksAuth(
+        "whsec_MfKQ9r8GKYqrTwjUPD8ILPZIo2LaLaSw", clock=lambda: 1234
+    )
+    h = auth.headers('{"hello":"world"}', "22bd292a-71ab-46fe-a460-8632d6754ac6")
+    assert h["webhook-id"] == "msg_22bd292a-71ab-46fe-a460-8632d6754ac6"
+    assert h["webhook-timestamp"] == "1234"
+    assert h["webhook-signature"] == "v1,qCVBRIv6rKQVhSJBAmUSE9GkdCdPe2j6xzzkm89UcoA="
+
+
+def test_webhooks_secret_length_validation():
+    from debezium_server_spark.sinks.http_sink import StandardWebhooksAuth
+
+    with pytest.raises(ValueError):
+        StandardWebhooksAuth("whsec_c2hvcnQ=")  # 5 bytes decoded: too short
+    StandardWebhooksAuth("whsec_" + "QQ==" * 0 + "QUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFB")  # 24 bytes ok
+
+
+def test_oauth2_token_caching_and_refresh():
+    """Token fetched once, cached until 0.9*expires_in, then refreshed —
+    OAuth2Authenticator.java's EXPIRATION_BUFFER_MULTIPLIER semantics."""
+    from debezium_server_spark.sinks.http_sink import OAuth2Auth
+
+    calls = []
+    now = [1000.0]
+
+    def transport(method, url, headers, body, timeout_s):
+        calls.append((method, url, headers, body))
+        return 200, json.dumps({"access_token": f"tok{len(calls)}", "expires_in": 100})
+
+    auth = OAuth2Auth("http://token", "cid", "csec", scope="read",
+                      clock=lambda: now[0], transport=transport)
+    auth.authenticate()
+    auth.authenticate()  # cached: no second fetch
+    assert len(calls) == 1
+    assert auth.headers() == {"Authorization": "Bearer tok1"}
+    method, url, headers, body = calls[0]
+    assert method == "POST" and url == "http://token"
+    assert body == "grant_type=client_credentials&scope=read"
+    assert headers["Content-Type"] == "application/x-www-form-urlencoded"
+    import base64 as b64
+    assert headers["Authorization"] == "Basic " + b64.b64encode(b"cid:csec").decode()
+
+    now[0] = 1000.0 + 0.9 * 100 + 1  # past the buffered expiry
+    auth.authenticate()
+    assert len(calls) == 2 and auth.headers() == {"Authorization": "Bearer tok2"}
+
+    # 401 invalidates the cache so the retry re-fetches
+    assert auth.on_unauthorized() is True
+    auth.authenticate()
+    assert len(calls) == 3
+
+
+def test_oauth2_client_secret_post_and_get_modes():
+    from debezium_server_spark.sinks.http_sink import OAuth2Auth
+
+    calls = []
+
+    def transport(method, url, headers, body, timeout_s):
+        calls.append((method, headers, body))
+        return 200, json.dumps({"access_token": "t", "expires_in": 60})
+
+    OAuth2Auth("http://token", "cid", "c&sec",
+               client_auth_method="client_secret_post",
+               transport=transport).authenticate()
+    method, headers, body = calls[-1]
+    assert "Authorization" not in headers
+    assert body == "grant_type=client_credentials&client_id=cid&client_secret=c%26sec"
+
+    OAuth2Auth("http://token", "cid", "csec", token_http_method="GET",
+               transport=transport).authenticate()
+    method, headers, body = calls[-1]
+    assert method == "GET" and body is None
+    assert headers["Authorization"].startswith("Basic ")
+
+
+def test_http_sink_oauth2_401_retry_live(spark):
+    """Full sink path against a live stub server: first data POST gets a
+    401, the sink re-fetches a token and retries, second POST succeeds."""
+    from debezium_server_spark.sinks.http_sink import OAuth2Auth
+
+    tokens, hooks = [], []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path == "/token":
+                tokens.append(body)
+                payload = json.dumps(
+                    {"access_token": f"tok{len(tokens)}", "expires_in": 3600}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            hooks.append((dict(self.headers), body))
+            status = 401 if len(hooks) == 1 else 200
+            self.send_response(status)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        auth = OAuth2Auth(f"{base}/token", "cid", "csec")
+        sink = HttpSink(url=f"{base}/hook", mode="aggregated", auth=auth)
+        # one partition → one task → one auth instance: the token cache
+        # is per-executor state (foreachPartition serializes the sink),
+        # which is the only correct distribution of a mutable token
+        sink(customers_changelog_df(spark).coalesce(1), epoch_id=0)
+        assert len(tokens) == 2  # initial fetch + post-401 re-fetch
+        assert len(hooks) == 2  # 401 then retried OK
+        assert hooks[0][0]["Authorization"] == "Bearer tok1"
+        assert hooks[1][0]["Authorization"] == "Bearer tok2"
+        assert hooks[0][1] == hooks[1][1]  # identical body replayed
+    finally:
+        server.shutdown()
+
+
+def test_http_sink_webhooks_live(spark):
+    """Webhook-signed delivery: the recorded request verifies against the
+    recomputed HMAC over the exact received body."""
+    import base64 as b64
+    import hashlib
+    import hmac as hmac_mod
+
+    from debezium_server_spark.sinks.http_sink import StandardWebhooksAuth
+
+    secret_key = b"0123456789abcdef01234567"  # 24 bytes
+    secret = "whsec_" + b64.b64encode(secret_key).decode()
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            received.append((dict(self.headers), body))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/hook"
+        sink = HttpSink(url=url, mode="aggregated", auth=StandardWebhooksAuth(secret))
+        sink(customers_changelog_df(spark), epoch_id=0)
+        assert received
+        for headers, body in received:
+            msg_id = headers["webhook-id"]
+            ts = headers["webhook-timestamp"]
+            assert msg_id.startswith("msg_")
+            to_sign = f"{msg_id}.{ts}.{body.decode()}".encode()
+            expected = "v1," + b64.b64encode(
+                hmac_mod.new(secret_key, to_sign, hashlib.sha256).digest()
+            ).decode()
+            assert headers["webhook-signature"] == expected
+    finally:
+        server.shutdown()
+
+
 def test_dry_run_bulk_delivery(spark, tmp_path):
     """RemoteBulkSink partition/chunk path via the dry-run client."""
     out = str(tmp_path / "chunks")
