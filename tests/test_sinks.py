@@ -31,7 +31,8 @@ EXPECTED_SINKS = {
     "kafka", "redis", "jdbc", "http", "kinesis", "pubsub", "pubsublite",
     "pulsar", "eventhubs", "nats-jetstream", "nats-streaming", "pravega",
     "rabbitmq", "rabbitmqstream", "rocketmq", "sns", "sqs", "infinispan",
-    "vector", "instructlab", "fluss", "parquet-upsert", "parquet-append",
+    "vector", "milvus", "qdrant", "instructlab", "fluss", "parquet-upsert",
+    "parquet-append",
 }
 
 
@@ -317,6 +318,74 @@ def test_vector_key_validation(spark):
         [(("123e4567-e89b-12d3-a456-426614174000",),)], "key struct<id:string>"
     )
     validate_key_type(ok, "id")  # no raise
+
+
+def test_milvus_qdrant_named_sinks_key_rules(spark):
+    """Per-store key restrictions: milvus takes any string; qdrant only
+    UUID-shaped strings; both reject multi-field keys."""
+    from debezium_server_spark.sinks.vector_sink import MilvusSink, QdrantSink
+
+    assert {"milvus", "qdrant", "vector"} <= set(SINK_REGISTRY)
+    milvus = MilvusSink(root_path="/tmp/unused")
+    qdrant = QdrantSink(root_path="/tmp/unused")
+
+    any_string = spark.createDataFrame([(("k-1",),)], "key struct<id:string>")
+    milvus.validate_key(any_string)  # milvus: any STRING ok
+    with pytest.raises(ValueError, match="UUID"):
+        qdrant.validate_key(any_string)
+    uuid_key = spark.createDataFrame(
+        [(("123e4567-e89b-12d3-a456-426614174000",),)], "key struct<id:string>"
+    )
+    qdrant.validate_key(uuid_key)
+
+    two_fields = spark.createDataFrame(
+        [((1, "x"),)], "key struct<id:bigint,other:string>"
+    )
+    with pytest.raises(ValueError, match="exactly one field"):
+        milvus.validate_key(two_fields)
+    with pytest.raises(ValueError, match="exactly one field"):
+        qdrant.validate_key(two_fields)
+
+
+def test_qdrant_vector_fields_config():
+    """`vector.fields` parsing: per-collection override, duplicate
+    collection is an error (QdrantMessageFactory.java:47-76)."""
+    from debezium_server_spark.sinks.vector_sink import QdrantSink, parse_vector_fields
+
+    sink = QdrantSink(root_path="/tmp/unused",
+                      vector_fields="db_docs:emb, db_imgs:pixels")
+    assert sink.vector_field_for("db_docs") == "emb"
+    assert sink.vector_field_for("db_imgs") == "pixels"
+    assert sink.vector_field_for("other") == "embedding"  # default
+
+    with pytest.raises(ValueError, match="[Mm]ultiple vector fields"):
+        parse_vector_fields("c:a,c:b")
+    with pytest.raises(ValueError, match="[Ii]nvalid vector field"):
+        parse_vector_fields("justacollection")
+
+
+def test_qdrant_payload_include_list(spark, tmp_path):
+    """Per-collection payload include-list narrows the payload fields
+    (fieldNamesPerCollection semantics)."""
+    from debezium_server_spark.sinks.vector_sink import QdrantSink
+
+    schema = (
+        "destination string, key struct<id:int>, "
+        "value struct<op:string, before struct<id:int,embedding:array<float>,category:string,text:string>, "
+        "after struct<id:int,embedding:array<float>,category:string,text:string>, "
+        "source struct<version:string,connector:string,name:string,ts_ms:bigint,db:string,"
+        "schema:string,table:string,lsn:bigint,snapshot:string>, ts_ms bigint>, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+    e = event(1, "c", None, None, lsn=1, dest="vec.docs")
+    e["value"]["after"] = {"id": 1, "embedding": [1.0, 0.0], "category": "a", "text": "doc1"}
+    e["value"]["before"] = None
+    df = spark.createDataFrame([e], schema=schema)
+    sink = QdrantSink(root_path=str(tmp_path / "collections"), key_field="id",
+                      payload_fields={"vec_docs": ["category"]})
+    sink(df, epoch_id=0)
+    row = sink.read_collection(spark, "vec.docs").first()
+    assert json.loads(row["payload"]) == {"category": "a"}  # text excluded
 
 
 def test_instructlab_extraction(spark, tmp_path):
