@@ -44,11 +44,18 @@ class Pipeline:
         trigger_available_now: bool = True,
         query_name: str = "cdc-pipeline",
         signal_channel=None,
+        lineage_emitter=None,
     ) -> StreamingQuery:
         """`signal_channel` (streaming.signals.SignalChannel) is polled
         between micro-batches — the reference's control path (§3.3) with
         the query itself as handler context, so a `stop` signal lands at
-        the next batch boundary."""
+        the next batch boundary. `lineage_emitter`
+        (streaming.lineage.LineageEmitter) emits an OpenLineage RunEvent
+        per successful epoch (DefaultChangeConsumer.java:71-93 analog)."""
+        if lineage_emitter is not None:
+            from debezium_server_spark.streaming.lineage import with_lineage
+
+            sink = with_lineage(sink, lineage_emitter)
         if signal_channel is None:
             batch_fn = sink
         else:

@@ -134,6 +134,86 @@ def test_pipeline_polls_signals_between_batches(spark, tmp_path):
     assert sum(seen_rows) == 1
 
 
+def test_lineage_dataset_row_per_sink_epoch(spark, tmp_path):
+    """OpenLineage emit (DefaultChangeConsumer.java:71-93 analog): every
+    successful sink epoch produces one RunEvent whose outputs list each
+    destination with its schema facet; the lineage table reads back one
+    row per (epoch, dataset); replayed epochs are idempotent."""
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.sources.file_source import changelog_stream
+    from debezium_server_spark.streaming.lineage import LineageEmitter, read_lineage
+    from debezium_server_spark.streaming.pipeline import Pipeline
+
+    src = tmp_path / "log"
+    src.mkdir()
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    with open(src / "e.jsonl", "w") as f:
+        for dest, i in (("db.a", 1), ("db.b", 2)):
+            f.write(json.dumps({
+                "destination": dest, "key": {"id": i},
+                "value": {"op": "c", "before": None,
+                          "after": {"id": i, "name": f"n{i}"},
+                          "source": {"lsn": i}, "ts_ms": i},
+                "headers": [], "partition": 0,
+            }) + "\n")
+
+    lineage_root = str(tmp_path / "lineage")
+    emitter = LineageEmitter(lineage_root, job_name="test-job")
+    epochs = []
+
+    class NamedSink:
+        name = "parquet-upsert"
+
+        def __call__(self, df, epoch_id):
+            epochs.append((epoch_id, df.count()))
+
+    p = Pipeline(changelog_stream(spark, str(src), row_schema, row_schema))
+    q = p.start(NamedSink(), checkpoint_location=str(tmp_path / "ckpt"),
+                lineage_emitter=emitter)
+    q.awaitTermination(120)
+    assert epochs, "sink never ran"
+
+    table = read_lineage(spark, lineage_root)
+    rows = {(r["dataset"]): r for r in table.collect()}
+    # one dataset row per destination for the epoch
+    assert set(rows) == {"db.a", "db.b"}
+    for r in rows.values():
+        assert r["job"] == "test-job"
+        assert r["sink"] == "parquet-upsert"
+        fields = {f["name"]: f["type"] for f in json.loads(r["schema_fields"])}
+        assert fields == {"id": "bigint", "name": "string"}
+    # n_epochs RunEvents on disk, each with deterministic run id → replay
+    # of epoch 0 overwrites, not duplicates
+    ev0 = emitter.emit_batch(
+        spark.createDataFrame([("db.a",)], "destination string"), epochs[0][0],
+        "parquet-upsert",
+    )
+    table2 = read_lineage(spark, lineage_root)
+    assert table2.filter(f"run_id = '{ev0['run']['runId']}'").count() == 1
+
+
+def test_lineage_not_emitted_on_sink_failure(spark, tmp_path):
+    """Emit happens only AFTER the sink handles the batch — a failing
+    epoch leaves no lineage record (handle first, lineage second)."""
+    from debezium_server_spark.streaming.lineage import LineageEmitter, with_lineage
+
+    emitter = LineageEmitter(str(tmp_path / "lineage"))
+
+    def bad_sink(df, epoch_id):
+        raise RuntimeError("boom")
+
+    wrapped = with_lineage(bad_sink, emitter)
+    df = spark.createDataFrame([("db.a",)], "destination string")
+    with pytest.raises(RuntimeError):
+        wrapped(df, 0)
+    assert not (tmp_path / "lineage").exists() or not list(
+        (tmp_path / "lineage").iterdir()
+    )
+
+
 class TestControlSidecar:
     def _post(self, port, path, payload):
         import urllib.request
