@@ -60,3 +60,118 @@ def test_missing_column_survives_with_nulls(spark, tmp_path):
     rows = {r["id"]: r for r in sink.read_table(spark, DEST).collect()}
     assert rows[1]["tier"] == "gold", "old column kept"
     assert rows[2]["tier"] is None, "new row null-filled for dropped column"
+
+
+class _CaptureSink:
+    """Records per-epoch columns + rows the typed frame delivered."""
+
+    name = "capture"
+
+    def __init__(self):
+        self.epochs = []
+
+    def __call__(self, df, epoch_id):
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        self.epochs.append((epoch_id, df.schema["value"].dataType.fieldNames(), rows))
+
+
+def test_registry_round_trip_idempotent_ids(tmp_path):
+    import json
+
+    from debezium_server_spark.functions.schema_registry import FileSchemaRegistry
+
+    reg = FileSchemaRegistry(str(tmp_path / "registry"))
+    s1 = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}}]})
+    s2 = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "name", "type": "string", "nullable": True, "metadata": {}}]})
+    a = reg.register("db.items", s1)
+    assert (a.id, a.version) == (1, 1)
+    assert reg.register("db.items", s1) == a  # idempotent by content
+    b = reg.register("db.items", s2)
+    assert (b.id, b.version) == (2, 2)
+    c = reg.register("db.other", s1)
+    assert (c.id, c.version) == (3, 1)  # ids global, versions per subject
+    assert reg.latest("db.items") == b
+    assert reg.get_by_id(3) == c
+    assert [d.version for d in reg.versions("db.items")] == [1, 2]
+
+
+def test_registry_wire_framing_composes(tmp_path):
+    """Registry id + avro_codec wire framing round-trip (Confluent frame:
+    magic 0 + big-endian id)."""
+    import json
+
+    from debezium_server_spark.functions import avro_codec
+    from debezium_server_spark.functions.schema_registry import FileSchemaRegistry
+
+    reg = FileSchemaRegistry(str(tmp_path / "registry"))
+    avro_schema = {"type": "record", "name": "Item",
+                   "fields": [{"name": "id", "type": "long"}]}
+    doc = reg.register("db.items-value", json.dumps(avro_schema), schema_type="avro")
+    wire = avro_codec.encode({"id": 7}, avro_schema, schema_id=doc.id)
+    schema_id, value = avro_codec.decode(wire, avro_schema, framed=True)
+    assert schema_id == doc.id
+    assert value == {"id": 7}
+    assert json.loads(reg.get_by_id(schema_id).schema) == avro_schema
+
+
+def test_drift_flows_registry_parse_sink_without_restart(spark, tmp_path):
+    """One streaming query, two epochs (maxFilesPerTrigger=1): epoch 0
+    registers v1={id,name}; epoch 1's upstream ADD COLUMN (email) is
+    detected from the batch keys, v2 registers, and the SAME query's
+    next batch delivers the typed email column — no restart."""
+    import json
+
+    from debezium_server_spark.functions.schema_registry import (
+        FileSchemaRegistry,
+        RegistryTypedSink,
+    )
+    from debezium_server_spark.sources.file_source import raw_changelog_stream
+
+    src = tmp_path / "log"
+    src.mkdir()
+
+    def write_file(name, events):
+        with open(src / name, "w") as f:
+            for ev in events:
+                f.write(json.dumps(ev) + "\n")
+
+    write_file("000.jsonl", [
+        {"destination": "db.users", "key": {"id": 1},
+         "value": {"id": 1, "name": "ann"}, "partition": 0},
+    ])
+    write_file("001.jsonl", [
+        {"destination": "db.users", "key": {"id": 2},
+         "value": {"id": 2, "name": "bob", "email": "b@x"}, "partition": 0},
+    ])
+
+    reg = FileSchemaRegistry(str(tmp_path / "registry"))
+    capture = _CaptureSink()
+    sink = RegistryTypedSink(capture, reg, subject="db.users")
+    stream = raw_changelog_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.queryName("registry-drift")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    non_empty = [(e, cols, rows) for e, cols, rows in capture.epochs if rows]
+    assert len(non_empty) == 2, capture.epochs
+    (_, cols0, rows0), (_, cols1, rows1) = non_empty
+    assert "email" not in cols0 and rows0[0]["value"]["name"] == "ann"
+    assert "email" in cols1 and rows1[0]["value"]["email"] == "b@x"
+
+    versions = reg.versions("db.users")
+    assert len(versions) == 2
+    assert "email" not in versions[0].schema and "email" in versions[1].schema
+    # evolved schema keeps v1 field order/types (backward-compatible merge)
+    v2_fields = versions[1].struct().fieldNames()
+    assert v2_fields[: len(versions[0].struct().fieldNames())] == versions[0].struct().fieldNames()
+    # rows carry the schema id they were parsed with
+    assert rows0[0]["__schema_id"] == versions[0].id
+    assert rows1[0]["__schema_id"] == versions[1].id
