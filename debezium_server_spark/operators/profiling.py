@@ -162,35 +162,73 @@ def exact_percentiles(
 
 
 def grouped_xy_stats(
-    df: DataFrame, x: str, y: str, group_cols: list[str]
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: list[str],
+    scales: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Population covariance / stddevs / Pearson correlation of (x, y)
-    per group, computed from EXACT decimal sums: each partial (sum x,
-    sum y, sum x², sum y², sum xy, n) goes through DECIMAL(38,6) —
-    order-independent, map-side combinable, one scan — and only the
-    final closed-form formula runs in double. Any engine evaluating the
-    same formula over the same exact sums produces bit-identical
-    doubles, which is what makes this oracle-checkable (a streaming
-    Welford corr is order-dependent and is not).
+    per group, computed from EXACT sums: each partial (sum x, sum y,
+    sum x², sum y², sum xy, n) is order-independent, map-side
+    combinable, one scan — and only the final closed-form formula runs
+    in double. Any engine evaluating the same formula over the same
+    exact sums produces bit-identical doubles, which is what makes this
+    oracle-checkable (a streaming Welford corr is order-dependent and
+    is not).
+
+    Two exact-sum strategies:
+    - `scales=None`: per-row DECIMAL(38,6) conversion — works for any
+      numeric input, but every row materializes a 128-bit decimal.
+    - `scales=(px, py)`: fixed-point columns (x integral at scale px, y
+      at scale py, e.g. 2-decimal money → py=100). Rows become LONGs
+      (`round(v*p)` is exact for p-scaled values), products stay within
+      bigint (requires |x·px · y·py| < 1e18 per row), and partials sum
+      as long-backed DECIMAL(18,0) — no per-row 128-bit decimal, same
+      exactness, measurably faster. The final formula descales the
+      double sums by the scale powers (IEEE-deterministic in both
+      engines).
 
     Output: group_cols, n_rows, covar_pop, stddev_x, stddev_y, corr_xy
     (floor-rounded to 4 decimals, [[oracle-parity-rules]])."""
 
-    def dsum(c: F.Column) -> F.Column:
-        return F.sum(c.cast("decimal(38,6)")).cast("double")
-
     cx, cy = F.col(x), F.col(y)
-    sums = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum(cx).alias("_sx"),
-        dsum(cy).alias("_sy"),
-        dsum(cx * cx).alias("_sxx"),
-        dsum(cy * cy).alias("_syy"),
-        dsum(cx * cy).alias("_sxy"),
-    )
+    if scales is None:
+
+        def dsum(c: F.Column) -> F.Column:
+            return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+        sums = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(cx).alias("_sx"),
+            dsum(cy).alias("_sy"),
+            dsum(cx * cx).alias("_sxx"),
+            dsum(cy * cy).alias("_syy"),
+            dsum(cx * cy).alias("_sxy"),
+        )
+        sx, sy = F.col("_sx"), F.col("_sy")
+        sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    else:
+        px, py = scales
+        xi = F.round(cx * F.lit(px)).cast("long")
+        yi = F.round(cy * F.lit(py)).cast("long")
+
+        def isum(c: F.Column) -> F.Column:
+            return F.sum(c.cast("decimal(18,0)")).cast("double")
+
+        sums = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            isum(xi).alias("_sx"),
+            isum(yi).alias("_sy"),
+            isum(xi * xi).alias("_sxx"),
+            isum(yi * yi).alias("_syy"),
+            isum(xi * yi).alias("_sxy"),
+        )
+        fx, fy = float(px), float(py)
+        sx, sy = F.col("_sx") / fx, F.col("_sy") / fy
+        sxx, syy = F.col("_sxx") / (fx * fx), F.col("_syy") / (fy * fy)
+        sxy = F.col("_sxy") / (fx * fy)
     n = F.col("n_rows").cast("double")
-    sx, sy = F.col("_sx"), F.col("_sy")
-    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
     covar = (sxy - sx * sy / n) / n
     var_x = (sxx - sx * sx / n) / n
     var_y = (syy - sy * sy / n) / n

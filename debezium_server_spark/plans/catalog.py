@@ -2691,16 +2691,21 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_quantity_price",
     """
-    WITH s AS (
+    WITH ints AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 1) AS BIGINT) AS xi,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yi
+      FROM lineitem),
+    s AS (
       SELECT l_returnflag,
              count(*) AS n_rows,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag)
+             CAST(sum(CAST(xi AS DECIMAL(18,0))) AS DOUBLE) / 1.0 AS sx,
+             CAST(sum(CAST(yi AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(sum(CAST(xi * xi AS DECIMAL(18,0))) AS DOUBLE) / 1.0 AS sxx,
+             CAST(sum(CAST(yi * yi AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS syy,
+             CAST(sum(CAST(xi * yi AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS sxy
+      FROM ints GROUP BY l_returnflag)
     SELECT l_returnflag, n_rows,
            floor(((sxy - sx * sy / n) / n) * 10000) / 10000 AS covar_pop,
            floor(sqrt((sxx - sx * sx / n) / n) * 10000) / 10000 AS stddev_x,
@@ -2711,15 +2716,20 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     "Covariance/stddev/Pearson correlation per return flag from EXACT "
-    "decimal sums (operators/profiling.py:grouped_xy_stats): one scan, "
-    "map-side-combinable partials, closed-form double formula at the "
-    "end — order-independent where streaming corr(x,y) is not.",
+    "fixed-point sums (operators/profiling.py:grouped_xy_stats, "
+    "scales=(1,100)): quantity is integral, price 2-decimal, so rows "
+    "become LONGs and partials sum as long-backed DECIMAL(18,0) — no "
+    "per-row 128-bit decimal. One scan, map-side-combinable partials, "
+    "closed-form double formula over descaled sums at the end — "
+    "order-independent where streaming corr(x,y) is not.",
 )
 def q_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.profiling import grouped_xy_stats
 
     li = load(spark, sf_dir, "lineitem")
-    return grouped_xy_stats(li, "l_quantity", "l_extendedprice", ["l_returnflag"])
+    return grouped_xy_stats(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"], scales=(1, 100)
+    )
 
 
 @register(
