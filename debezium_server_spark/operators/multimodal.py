@@ -54,11 +54,19 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+_IMPORT_CACHE: dict[str, object] = {}
+
+
 def try_import(name: str):
-    try:
-        return __import__(name)
-    except ImportError:
-        return None
+    # cached: a missing module raises ImportError on EVERY __import__
+    # attempt (no sys.modules negative cache), and these probes sit on
+    # the per-row decode path
+    if name not in _IMPORT_CACHE:
+        try:
+            _IMPORT_CACHE[name] = __import__(name)
+        except ImportError:
+            _IMPORT_CACHE[name] = None
+    return _IMPORT_CACHE[name]
 
 
 def _fake_pixel_stats(content: bytes) -> tuple[float, float]:
