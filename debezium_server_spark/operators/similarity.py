@@ -513,3 +513,113 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", round4("sim").alias("sim"))
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic centroid (the first
+    `n_cells` vectors by id — same convention as `ivf_ann_topk`, so any
+    engine reproduces the partition). Returns (vid, vec, cell, d2) where
+    d2 is the squared L2 distance to the home centroid.
+
+    Scale shape: centroids are broadcast (n_cells × dim doubles); the
+    assignment is one partition-parallel pass with an argmin over
+    n_cells distances — no shuffle of the corpus."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = v.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vid", "vec", "cell_id", d2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vid").orderBy("d2", "cell_id")),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "vid", "vec", F.col("cell_id").alias("cell"), "d2"
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering.
+
+    Cluster the corpus into `n_cells` Voronoi cells, then — within each
+    cell only — drop any vector that has a lower-id neighbor with cosine
+    ≥ `threshold` (keep-lowest-id, the deterministic analog of the
+    paper's keep-one-per-near-dup-group). Returns the DROPPED rows as
+    (vec_id, cell, dup_of, sim) where dup_of is the kept lower-id
+    neighbor with the highest cosine (ties → smallest id).
+
+    Scale shape: the pairwise pass is confined to same-cell pairs — a
+    hash join on `cell`, candidates ∝ Σ cell_size², never n². Cells cap
+    the quadratic term exactly the way the paper shards by k-means
+    cluster; raise `n_cells` ∝ corpus size to hold cell_size constant.
+    """
+    assigned = assign_cells(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(F.col("vid").alias("dup_id"), F.col("vec").alias("av"), "cell")
+    b = assigned.select(F.col("vid").alias("keep_id"), F.col("vec").alias("bv"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select(
+            "dup_id", "keep_id", "cell",
+            cosine_similarity(F.col("av"), F.col("bv")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    w = Window.partitionBy("dup_id").orderBy(F.desc("sim"), F.asc("keep_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dup_id").alias(id_col), "cell",
+            F.col("keep_id").alias("dup_of"), round4("sim").alias("sim"),
+        )
+    )
+
+
+def coreset_sample(
+    corpus: DataFrame,
+    per_cell: int = 4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving corpus sample: the `per_cell` vectors closest
+    to each cell centroid (a k-medoids-style coreset — every region of
+    embedding space keeps representatives, unlike uniform sampling which
+    oversamples dense regions). Returns (cell, vec_id, cell_rank, d2)
+    with d2 floor-quantized to 1e-4 for engine-exact comparison.
+
+    One broadcast-assignment pass + one per-cell top-k (single shuffle on
+    `cell`); output is n_cells × per_cell rows regardless of corpus size.
+    """
+    assigned = assign_cells(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cell").orderBy(F.asc("d2"), F.asc("vid"))
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(
+            "cell", F.col("vid").alias(id_col), "cell_rank",
+            (F.floor(F.col("d2") * 10000) / 10000).alias("d2"),
+        )
+    )

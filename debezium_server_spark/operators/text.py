@@ -394,3 +394,126 @@ def bigram_pmi(
         * 1e6
     ).cast("bigint")
     return joined.select("bigram", "n", pmi.alias("pmi_micronats"))
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set (the standard
+    lexical-retrieval scorer; Robertson & Walker's Okapi weighting with
+    the Lucene +1 idf floor so scores stay positive).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Exact-parity shape: idf is quantized to integer micro-nats the moment
+    it's computed; the per-(doc,term) contribution is one double
+    expression evaluated in a fixed operand order and floor-quantized to
+    a BIGINT before the per-doc sum — so the final aggregation is pure
+    integer addition, order-independent across engines.
+
+    Scale shape: the term filter lands on the exploded token stream
+    (posting lists, not corpus size); doc lengths ride along from a
+    single corpus pass; `avgdl` and the per-term df are one-row /
+    |terms|-row broadcast sides. Returns top_n docs by score.
+    """
+    tok = df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+    dl = df.select(F.col(id_col), F.size(_toks(text_col)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    hits = tok.filter(F.col("term").isin(*terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_u"),
+        F.col("sum_dl"),
+        F.col("n_docs"),
+    )
+    # contribution in doubles, identical operand order in the SQL oracle,
+    # then floor → BIGINT so the per-doc sum is integer arithmetic
+    contrib = F.floor(
+        F.col("idf_u").cast("double")
+        * (F.col("tf").cast("double") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * F.col("dl").cast("double")
+                / (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+            )
+        )
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("bm25_u"))
+    )
+    w = Window.orderBy(F.desc("bm25_u"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "bm25_u")
+    )
+
+
+def rag_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    stride: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window preprocessing step): chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens); the last chunk is the first one
+    whose window reaches the document end (no degenerate tail windows).
+
+    Map-only: tokenize once, `posexplode` a per-doc chunk-index sequence,
+    re-materialize each chunk with slice + array_join — no shuffle, no
+    UDF, output rows ∝ tokens/stride. Returns (doc_id, chunk_id,
+    n_chunk_tokens, start_token, chunk_text).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("n") - F.lit(chunk_tokens), F.lit(0)).cast("double")
+        / F.lit(float(stride))
+    ).cast("int")
+    chunked = toks.select(
+        F.col(id_col),
+        "toks",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id", "_i"),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    piece = F.slice(F.col("toks"), start + 1, F.lit(chunk_tokens))
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        start.cast("bigint").alias("start_token"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -3939,3 +3939,219 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [list(r["e"][s * sub : (s + 1) * sub]) for r in seeds] for s in range(m)
     ]
     return pq_topk_rerank(emb, emb.filter("vec_id < 10"), codebooks, k=5, pool=30)
+
+
+@register(
+    "embedding_semdedup",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell
+                 FROM (SELECT vec_id, cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    pairs AS (SELECT d.vec_id AS dup_id, k.vec_id AS keep_id, d.cell,
+                     {_DOT.format(a='d.e', b='k.e')} /
+                     ({_NORM.format(v='d.e')} * {_NORM.format(v='k.e')}) AS sim
+              FROM av d JOIN av k ON d.cell = k.cell AND k.vec_id < d.vec_id),
+    flt AS (SELECT * FROM pairs WHERE sim >= 0.3)
+    SELECT dup_id AS vec_id, cell, keep_id AS dup_of,
+           floor((sim) * 10000) / 10000 AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dup_id
+                                       ORDER BY sim DESC, keep_id) AS rn FROM flt)
+    WHERE rn = 1
+    """,
+    "SemDeDup (Abbas et al. 2023): k-means-sharded semantic dedup — "
+    "pairwise cosine confined to same-cluster pairs (hash join on cell, "
+    "candidates ∝ Σ cell², never n²), keep-lowest-id winner per near-dup "
+    "group. The embedding-space analog of MinHash dedup; n_cells scales "
+    "with corpus size to hold cell_size (the quadratic term) constant.",
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import semdedup
+
+    return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16)
+
+
+@register(
+    "embedding_coreset",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell, d2
+                 FROM (SELECT vec_id, cell_id, d2,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1)
+    SELECT cell, vec_id, cell_rank, floor((d2) * 10000) / 10000 AS d2
+    FROM (SELECT cell, vec_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY d2, vec_id) AS cell_rank
+          FROM assigned)
+    WHERE cell_rank <= 4
+    """,
+    "Coreset sampling: the per_cell vectors nearest each centroid — a "
+    "diversity-preserving corpus sample (every embedding-space region "
+    "keeps representatives; uniform sampling oversamples dense regions). "
+    "Broadcast centroids, one shuffle on cell, output n_cells×per_cell "
+    "rows regardless of corpus size.",
+)
+def q_embedding_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import coreset_sample
+
+    return coreset_sample(load(spark, sf_dir, "embeddings"), per_cell=4, n_cells=16)
+
+
+@register(
+    "bm25_search",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('table', 'window', 'stream') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6)
+                        AS BIGINT) AS idf_u,
+                   sum_dl, n_docs
+            FROM dfreq CROSS JOIN corpus),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(CAST(idf_u AS DOUBLE)
+                        * (CAST(tf AS DOUBLE) * 2.2)
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                  AS BIGINT) AS contrib
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+    scored AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS bm25_u
+               FROM contrib GROUP BY doc_id)
+    SELECT doc_id, rank, bm25_u
+    FROM (SELECT doc_id, bm25_u,
+                 ROW_NUMBER() OVER (ORDER BY bm25_u DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+    "BM25 ranking (Okapi weighting, Lucene +1 idf floor) for a fixed "
+    "query-term set: the standard lexical-retrieval scorer beside the "
+    "tf/docfreq keyword_search. idf in integer micro-nats, per-(doc,term) "
+    "contribution floor-quantized to BIGINT before the per-doc sum — "
+    "integer-exact across engines. Term filter prunes on the exploded "
+    "token stream (posting lists, not corpus size); avgdl and df are "
+    "broadcast sides.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import bm25_rank
+
+    return bm25_rank(
+        load(spark, sf_dir, "documents"), terms=("table", "window", "stream"), top_n=10
+    )
+
+
+@register(
+    "rag_chunk_split",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, 1 + CAST(ceil(CAST(greatest(n - 16, 0) AS DOUBLE)
+                                               / 12.0) AS INT))) AS chunk_id
+          FROM t)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 16))
+                AS BIGINT) AS n_chunk_tokens,
+           CAST(chunk_id * 12 AS BIGINT) AS start_token,
+           array_to_string(list_slice(toks, chunk_id * 12 + 1, chunk_id * 12 + 16),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+    "RAG chunking: overlapping 16-token windows with stride 12 (pure "
+    "map-side posexplode+slice — no shuffle, no UDF; output rows ∝ "
+    "tokens/stride). The context-window preprocessing step every "
+    "retrieval corpus needs before embedding.",
+)
+def q_rag_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import rag_chunks
+
+    return rag_chunks(load(spark, sf_dir, "documents"), chunk_tokens=16, stride=12)
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    WITH dim AS (SELECT DISTINCT c_custkey AS key FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(CAST(key AS VARCHAR) || '#' ||
+                                          CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 4096 AS pos
+      FROM dim CROSS JOIN (VALUES (0), (1), (2)) AS t(i)),
+    probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    ppos AS (
+      SELECT key, i,
+             CAST(concat('0x', substr(md5(CAST(key AS VARCHAR) || '#' ||
+                                          CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 4096 AS pos
+      FROM probe CROSS JOIN (VALUES (0), (1), (2)) AS t(i)),
+    hit AS (SELECT key, bool_and(pos IN (SELECT pos FROM bits)) AS bloom_hit
+            FROM ppos GROUP BY key),
+    exact AS (SELECT key, key IN (SELECT key FROM dim) AS is_member FROM probe)
+    SELECT outcome, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN h.bloom_hit AND e.is_member THEN 'true_positive'
+                      WHEN h.bloom_hit THEN 'false_positive'
+                      ELSE 'negative' END AS outcome
+          FROM hit h JOIN exact e ON h.key = e.key)
+    GROUP BY outcome
+    """,
+    "Bloom-filter pre-filtered semi join, audited per outcome class: the "
+    "shuffle-avoidance primitive for big-fact ⋈ medium-dim at 100 TB. "
+    "The packed filter is m_bits/64 longs (broadcast KBs) built from "
+    "md5-prefix hashes — engine-portable, unlike Spark's opaque "
+    "bloom_filter_agg sketch. False positives are counted, never "
+    "returned: the exact join removes them; false negatives are "
+    "impossible by construction (operators/bloom.py).",
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    probe = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(dim, "key", m_bits=4096, k_hashes=3)
+    hits = bloom_probe(probe, bloom, "key", m_bits=4096, k_hashes=3)
+    exact = probe.join(
+        dim.withColumnRenamed("key", "k2"),
+        probe["key"] == F.col("k2"),
+        "left",
+    ).select("key", F.col("k2").isNotNull().alias("is_member"))
+    outcome = F.when(
+        F.col("bloom_hit") & F.col("is_member"), F.lit("true_positive")
+    ).when(F.col("bloom_hit"), F.lit("false_positive")).otherwise(F.lit("negative"))
+    return (
+        hits.join(exact, "key")
+        .select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

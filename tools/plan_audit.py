@@ -54,6 +54,14 @@ WHITELIST: set[str] = {
     # frame — query side bounded to 10 probes, m×k LUT per row, not
     # data-quadratic (the corpus side is scanned once over codes)
     "embedding_pq_topk",
+    # SemDeDup / coreset cell assignment: same k-centroid broadcast BNLJ
+    # as embedding_ann_ivf (k=16 rows) — k-bounded work per row; the
+    # pairwise pass itself is a hash join on `cell`
+    "embedding_semdedup",
+    "embedding_coreset",
+    # corpus-scalar attach (one-row n_docs/sum_dl side), same shape as
+    # tfidf_doc_keywords
+    "bm25_search",
 }
 
 
