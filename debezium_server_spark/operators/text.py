@@ -517,3 +517,45 @@ def rag_chunks(
         start.cast("bigint").alias("start_token"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier inference as pure column algebra — the
+    fasttext-style keep/drop filter every pretraining corpus applies,
+    expressed so a 100 TB scoring pass is one map-only scan (no UDF, no
+    model server; weights are constants folded into codegen).
+
+    Features are floor-quantized to integer basis points the moment
+    they're computed, so the logit is exact integer arithmetic:
+      logit_u = 2·mean_tok_len_u + 10·stopword_ratio_u + 12·alpha_ratio_u
+                − 40·punct_count + 2·min(n_tokens, 400) + bias
+    Returns (id, logit_u, keep). Weights are illustrative (a real model
+    drops in by swapping constants — the plan shape is the point).
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = _marker_hits(toks, LANG_MARKERS["en"])
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    alpha = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z]", ""))
+    mtl_u = F.floor(sum_len.cast("double") / n_tokens.cast("double") * 1e4)
+    stop_u = F.floor(stop_hits.cast("double") / n_tokens.cast("double") * 1e4)
+    alpha_u = F.floor(alpha.cast("double") / n_chars.cast("double") * 1e4)
+    logit_u = (
+        F.lit(2) * mtl_u
+        + F.lit(10) * stop_u
+        + F.lit(12) * alpha_u
+        - F.lit(40) * punct.cast("bigint")
+        + F.lit(2) * F.least(n_tokens.cast("bigint"), F.lit(400))
+        - F.lit(70000)
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        logit_u.alias("logit_u"),
+        (logit_u >= 0).alias("keep"),
+    )

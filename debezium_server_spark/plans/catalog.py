@@ -4155,3 +4155,205 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outcome")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "quality_classifier",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS sum_len,
+             len(list_filter({_TOKS},
+                 x -> x IN ('the','a','of','and','in','to'))) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+               AS punct,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(2 * floor(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
+                + 10 * floor(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
+                + 12 * floor(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e4)
+                - 40 * punct
+                + 2 * least(n_tokens, 400)
+                - 70000 AS BIGINT) AS logit_u
+      FROM f)
+    SELECT doc_id, logit_u, logit_u >= 0 AS keep
+    FROM q
+    """,
+    "Linear quality-classifier inference (fasttext-style keep/drop "
+    "filter) as one map-only columnar pass: features floor-quantized to "
+    "integer basis points, logit in exact integer arithmetic, weights "
+    "constant-folded into codegen. The batch-inference plan shape — no "
+    "UDF, no model server, scan-speed scoring at 100 TB.",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import quality_classifier
+
+    return quality_classifier(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "perplexity_bucket_mix",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT token,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS logp_u
+      FROM vocab CROSS JOIN tot),
+    lp AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(s.logp_u) AS BIGINT) // CAST(count(*) AS BIGINT) AS logp
+      FROM tok t JOIN scored s ON t.token = s.token
+      GROUP BY t.doc_id),
+    rng AS (SELECT min(logp) AS lo, max(logp) AS hi FROM lp)
+    SELECT least(4, CAST((logp - lo) * 5 // (hi - lo + 1) AS BIGINT)) AS ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(logp) AS min_logp, max(logp) AS max_logp
+    FROM lp CROSS JOIN rng
+    GROUP BY 1
+    """,
+    "Perplexity-bucketed corpus mix: unigram-LM doc scores bucketed into "
+    "5 equal-width bands (integer min/max scaling — one tiny agg, no "
+    "global sort; quantile-ntile would need a single-partition window, "
+    "which dies at scale), with doc and token shares per band — the "
+    "quality-mix diagnostic before corpus sampling.",
+)
+def q_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import unigram_logprob
+
+    # lp feeds both the range agg and the bucketing scan — checkpoint so
+    # the unigram subtree (explode + vocab agg + join) runs once, not
+    # twice (same pattern as dedup_cc_clusters' edge frame; at 100 TB
+    # this is a durable checkpoint of the scored frame)
+    lp = (
+        unigram_logprob(load(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", F.col("avg_logp_micronats").alias("logp"))
+        .localCheckpoint(eager=True)
+    )
+    rng = lp.agg(F.min("logp").alias("lo"), F.max("logp").alias("hi"))
+    bucket = F.least(
+        F.lit(4),
+        F.expr("(logp - lo) * 5 div (hi - lo + 1)").cast("bigint"),
+    )
+    return (
+        lp.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("ppl_bucket"), "n_tokens", "logp")
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("logp").alias("min_logp"),
+            F.max("logp").alias("max_logp"),
+        )
+    )
+
+
+@register(
+    "incr_agg_maintenance",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           floor((CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)) * 10000)
+             / 10000 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "Incremental aggregate maintenance — the CDC-downstream materialized "
+    "view update: a base aggregate state (events through day 20) merged "
+    "with a delta batch's partial aggregate via one full-outer "
+    "coalesce-and-add join, never rescanning history. The oracle is the "
+    "FULL recompute over all events: the check proves merge(base, delta) "
+    "≡ recompute — the algebraic law that makes mergeable partial "
+    "aggregation correct (decimal partials are exact, so merge order "
+    "can't drift).",
+)
+def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.dayofmonth("ts").alias("dom")
+    )
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(_dec(F.col("value"))).alias("s")
+        )
+
+    base = partial(ev.filter(F.col("dom") <= 20))
+    delta = partial(ev.filter(F.col("dom") > 20))
+    merged = base.withColumnRenamed("n", "n1").withColumnRenamed("s", "s1").join(
+        delta.withColumnRenamed("n", "n2").withColumnRenamed("s", "s2"),
+        "user_id",
+        "full_outer",
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return merged.select(
+        "user_id",
+        (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        _r4(
+            (F.coalesce(F.col("s1"), zero) + F.coalesce(F.col("s2"), zero)).cast(
+                "double"
+            )
+        ).alias("total_value"),
+    )
+
+
+@register(
+    "zorder_layout_audit",
+    """
+    WITH k AS (
+      SELECT o_orderkey,
+             (o_custkey % 256) AS x,
+             (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 256) AS y
+      FROM orders),
+    z AS (
+      SELECT o_orderkey,
+             CAST((((x // 1) % 2) * 2 + ((y // 1) % 2) * 1
+                 + ((x // 2) % 2) * 8 + ((y // 2) % 2) * 4
+                 + ((x // 4) % 2) * 32 + ((y // 4) % 2) * 16
+                 + ((x // 8) % 2) * 128 + ((y // 8) % 2) * 64
+                 + ((x // 16) % 2) * 512 + ((y // 16) % 2) * 256
+                 + ((x // 32) % 2) * 2048 + ((y // 32) % 2) * 1024
+                 + ((x // 64) % 2) * 8192 + ((y // 64) % 2) * 4096
+                 + ((x // 128) % 2) * 32768 + ((y // 128) % 2) * 16384)
+                 AS BIGINT) AS zval
+      FROM k)
+    SELECT CAST(zval // 1024 AS BIGINT) AS z_cell,
+           CAST(count(*) AS BIGINT) AS n,
+           min(zval) AS min_z, max(zval) AS max_z
+    FROM z GROUP BY 1
+    """,
+    "Z-order (Morton) clustering key over (customer, order-date) + "
+    "per-cell occupancy audit — the multi-column file-clustering "
+    "primitive (Delta/Iceberg OPTIMIZE ZORDER BY) as a deterministic "
+    "column: repartitionByRange on zval before the parquet write and a "
+    "2-D range predicate prunes to O(matching cells) files at 100 TB. "
+    "Pure div/mod bit interleave — map-only, engine-portable "
+    "(operators/layout.py).",
+)
+def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.layout import zorder_value
+
+    od = load(spark, sf_dir, "orders")
+    z = od.select(
+        zorder_value(
+            F.col("o_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")),
+            bits=8,
+        ).alias("zval")
+    )
+    return (
+        z.select(F.expr("zval div 1024").cast("bigint").alias("z_cell"), "zval")
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+    )

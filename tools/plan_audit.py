@@ -62,6 +62,9 @@ WHITELIST: set[str] = {
     # corpus-scalar attach (one-row n_docs/sum_dl side), same shape as
     # tfidf_doc_keywords
     "bm25_search",
+    # one-row min/max range attach for equal-width bucketing — single-row
+    # side, bounded by construction
+    "perplexity_bucket_mix",
 }
 
 
