@@ -57,11 +57,22 @@ class InstructLabSink(BaseSink):
             & F.col("answer").isNotNull() & (F.trim("answer") != "")
         )
 
+    #: qna.yml is a curated seed file, not a data lake — refuse batches
+    #: that would collect an unbounded result to the driver.
+    max_rows_per_epoch = 10_000
+
     def handle(self, df: DataFrame, epoch_id: int) -> None:
         import yaml
 
         for route in self.routes:
-            rows = self.extract(df, route).collect()
+            picked = self.extract(df, route)
+            rows = picked.limit(self.max_rows_per_epoch + 1).collect()
+            if len(rows) > self.max_rows_per_epoch:
+                raise ValueError(
+                    f"instructlab route {route.path!r}: epoch {epoch_id} matched "
+                    f"more than {self.max_rows_per_epoch} rows; qna.yml routes "
+                    "must be selective — narrow the destination pattern"
+                )
             if not rows:
                 continue
             entries = [

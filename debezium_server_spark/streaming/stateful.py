@@ -189,3 +189,92 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def trending_topk(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Per-window trending top-k: count `key_col` occurrences inside each
+    event-time window and emit the k most frequent items ONCE, when the
+    watermark conclusively passes the window end (append semantics — no
+    retractions, downstream sinks never see a provisional ranking).
+
+    Windowed counting alone is Spark-native, but top-k-per-window with
+    single-shot finalization is not: ranking inside an update-mode stream
+    re-emits on every batch. Here `applyInPandasWithState` keys state by
+    window bounds, folds counts incrementally executor-side, and an
+    EventTimeTimeout set to the window end fires exactly when the
+    watermark seals the window — at that instant every on-time event has
+    arrived (anything later would be watermark-dropped anyway), so the
+    ranking is final by construction.
+
+    Scale: state per (window, executor-partition of windows) is one
+    count-map; items within a window shuffle once on the window bounds.
+    Ties break lexicographically for determinism.
+    """
+    # group on the window STRUCT itself: the watermark rides on it, and a
+    # projection of win.start/win.end would strip the event-time metadata
+    # EventTimeTimeout requires
+    win = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window).alias("win"), F.col(key_col).alias("item")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fold(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (win_struct,) = key  # struct key arrives as {'start': ts, 'end': ts}
+        if isinstance(win_struct, dict):
+            ws, we = win_struct["start"], win_struct["end"]
+        else:
+            ws, we = win_struct
+        if state.hasTimedOut:
+            items, counts = state.get
+            ranked = sorted(zip(items, counts), key=lambda t: (-t[1], t[0]))[:k]
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [ws] * len(ranked),
+                    "window_end": [we] * len(ranked),
+                    "item": [i for i, _ in ranked],
+                    "n": [c for _, c in ranked],
+                    "rank": list(range(1, len(ranked) + 1)),
+                }
+            )
+            return
+        counts: dict[str, int] = {}
+        if state.exists:
+            items, cnts = state.get
+            counts = dict(zip(items, cnts))
+        for pdf in pdfs:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+        state.update((list(counts.keys()), [int(v) for v in counts.values()]))
+        # finalize when the watermark passes the window end
+        state.setTimeoutTimestamp(int(we.timestamp() * 1000))
+        return
+
+    return win.groupBy("win").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

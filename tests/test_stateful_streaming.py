@@ -281,3 +281,38 @@ def test_watermarked_dedup_bounds_state(spark, tmp_path):
         "first A kept, in-horizon dups dropped (incl. the one-batch "
         "eviction lag), post-purge A re-admitted"
     )
+
+
+def test_trending_topk_emits_final_ranking_once(spark, tmp_path):
+    """Top-k finalizes exactly once per window, when the watermark passes
+    the window end; counts fold across micro-batches before that."""
+    import os
+    import time
+
+    from debezium_server_spark.streaming.stateful import trending_topk
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = time.time() - 1000
+    batches = [
+        # window [10:00, 11:00): a=2, b=1 across two batches
+        [{"dedup_id": "a", "payload": "2024-01-01 10:05:00", "seq": 1},
+         {"dedup_id": "b", "payload": "2024-01-01 10:10:00", "seq": 2}],
+        [{"dedup_id": "a", "payload": "2024-01-01 10:20:00", "seq": 3}],
+        # advance event time far enough that wm (10 min delay) > 11:00
+        [{"dedup_id": "c", "payload": "2024-01-01 11:30:00", "seq": 4}],
+        # one more batch so the timeout fires after wm advanced
+        [{"dedup_id": "c", "payload": "2024-01-01 11:40:00", "seq": 5}],
+    ]
+    for i, rows_ in enumerate(batches):
+        _write(src, f"b{i}.jsonl", rows_)
+        os.utime(src / f"b{i}.jsonl", (t0 + i * 10, t0 + i * 10))
+    ev = _stream(spark, src).select(
+        F.to_timestamp("payload").alias("ts"),
+        F.col("dedup_id").alias("event_type"),
+    )
+    out = trending_topk(ev, window="1 hour", watermark="10 minutes", k=2)
+    rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
+    finalized = [r for r in rows if str(r["window_start"]) == "2024-01-01 10:00:00"]
+    # emitted once, ranked a(2) > b(1), never re-emitted
+    assert [(r["item"], r["n"], r["rank"]) for r in finalized] == [("a", 2, 1), ("b", 1, 2)]
