@@ -150,3 +150,4 @@ def round4(c: Column) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     return F.floor(c * 10000) / 10000
+
