@@ -219,15 +219,71 @@ def image_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: marks target dims in metadata; bytes pass through
-    (real kernel: PIL resize inside mapInPandas — stubbed, no codec)."""
-    return df.withColumn(
-        "meta",
-        F.col("meta")
-        .withField("width", F.lit(width))
-        .withField("height", F.lit(height)),
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP —
+    pure struct, the write twin of `decode_bmp`."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_off = 54
+    header = struct.pack("<2sIHHI", b"BM", data_off + row_bytes * h, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
     )
+    body = b"".join(
+        pixels[r][:, ::-1].tobytes() + b"\x00" * (row_bytes - w * 3)
+        for r in range(h - 1, -1, -1)  # bottom-up rows, BGR order
+    )
+    return header + info + body
+
+
+def _resize_one(content: bytes, width: int, height: int) -> bytes | None:
+    """Resize one image payload to (width, height), returning BMP bytes,
+    or None when the payload isn't decodable (caller passes bytes
+    through). PIL when importable; else the stdlib BMP path with
+    nearest-neighbor sampling (integer index maps — no resample kernel
+    needed, and deterministic across numpy versions)."""
+    pil_image = try_import("PIL.Image")
+    if pil_image is not None:  # pragma: no cover - codec not in container
+        try:
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(content)).convert("RGB")
+            out = io.BytesIO()
+            img.resize((width, height), Image.NEAREST).save(out, format="BMP")
+            return out.getvalue()
+        except Exception:
+            pass  # not an image PIL groks — fall through
+    arr = decode_bmp(content)
+    if arr is None:
+        return None
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    resized = arr[rows][:, cols][:, :, :3]
+    return encode_bmp(np.ascontiguousarray(resized, dtype=np.uint8))
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel via Arrow-batched mapInPandas: decodable payloads
+    are re-encoded at (width, height) with meta dims updated; everything
+    else passes through byte-identical with only the TARGET dims marked
+    (the honest-stub behavior for codec-less formats). Same distributed
+    shape as `image_features`: partition-parallel, media never leaves
+    the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = [_resize_one(c, width, height) for c in out["content"]]
+            out["content"] = [
+                r if r is not None else c for r, c in zip(resized, out["content"])
+            ]
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height} for m in out["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -19,7 +19,7 @@ from debezium_server_spark.operators.multimodal import (
     decode_wav,
     frame_sample_plan,
     image_features,
-    resize_stub,
+    resize_images,
 )
 
 
@@ -72,7 +72,8 @@ def test_image_features_deterministic(spark, media_df):
 
 
 def test_resize_updates_meta_only(spark, media_df):
-    out = resize_stub(media_df, 16, 16).filter("media_id = 1").first()
+    # fake-PNG bytes aren't decodable → passthrough with target dims marked
+    out = resize_images(media_df, 16, 16).filter("media_id = 1").first()
     assert out["meta"]["width"] == 16 and out["meta"]["height"] == 16
     assert bytes(out["content"]) == b"\x89PNG-fake-bytes-1"
 
@@ -162,3 +163,49 @@ def test_kmeans_centroids_converge(spark):
     cents = kmeans_centroids(df, k=2, iterations=4)
     cents = sorted(c[0] for c in cents)
     assert abs(cents[0] - 0.02) < 0.2 and abs(cents[1] - 10.02) < 0.2
+
+
+def test_resize_images_real_bmp(spark):
+    """The resize kernel actually resamples decodable payloads: a 4x4
+    quadrant BMP downsized to 2x2 keeps one pixel per quadrant."""
+    from debezium_server_spark.operators.multimodal import decode_bmp, resize_images
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[:2, :2] = (255, 0, 0)
+    px[:2, 2:] = (0, 255, 0)
+    px[2:, :2] = (0, 0, 255)
+    px[2:, 2:] = (255, 255, 0)
+    bmp = make_bmp(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), {"media_type": "image", "format": "bmp",
+                              "width": 4, "height": 4, "duration_ms": None,
+                              "sample_rate": None})],
+        "media_id long, content binary, meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert row["meta"]["width"] == 2 and row["meta"]["height"] == 2
+    out = decode_bmp(bytes(row["content"]))
+    assert out is not None and out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0)
+    assert tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+    assert tuple(out[1, 1]) == (255, 255, 0)
+
+
+def test_resize_images_passthrough_non_media(spark):
+    """Undecodable payloads pass through byte-identical; only the target
+    dims are marked (honest-stub behavior without a codec)."""
+    from debezium_server_spark.operators.multimodal import resize_images
+
+    payload = b"not an image at all"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), {"media_type": "image", "format": "png",
+                                  "width": 9, "height": 9, "duration_ms": None,
+                                  "sample_rate": None})],
+        "media_id long, content binary, meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert bytes(row["content"]) == payload
+    assert row["meta"]["width"] == 2 and row["meta"]["height"] == 2
