@@ -88,3 +88,26 @@ def token_budget_sample(df: DataFrame, strata_col: str, weight: Column,
         df.join(F.broadcast(rates), strata_col)
         .where(sample_bucket(F.col(key_col), salt) < F.col("rate_bp"))
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_bp: int = 500,
+    test_bp: int = 500,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic three-way corpus split: one stable md5 bucket per
+    key partitions rows into train/val/test with basis-point shares
+    (default 90/5/5). Same guarantees as `hash_sample` — reproducible
+    across runs/engines/topologies, zero-shuffle (the split column is a
+    pure row expression riding the scan), and leak-proof: a key lands in
+    exactly one split, forever, because membership is a function of the
+    key alone (append-only corpora keep their historical assignment)."""
+    b = sample_bucket(F.col(key_col), salt)
+    split = (
+        F.when(b < F.lit(int(test_bp)), F.lit("test"))
+        .when(b < F.lit(int(test_bp + val_bp)), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -4357,3 +4357,136 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("max_z"),
         )
     )
+
+
+@register(
+    "asof_next_view",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    j AS (SELECT c.event_id AS click_id, c.user_id,
+                 strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                 v.ts AS vts,
+                 ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                    ORDER BY v.ts) AS rn
+          FROM c LEFT JOIN v ON c.user_id = v.user_id
+                            AND v.ts >= c.ts
+                            AND v.ts <= c.ts + INTERVAL 1 HOUR)
+    SELECT click_id, user_id, click_ts,
+           COALESCE(strftime(vts, '%Y-%m-%d %H:%M:%S'), '') AS next_view_ts
+    FROM j WHERE rn = 1
+    """,
+    "Forward as-of join with tolerance: each click paired with the FIRST "
+    "view within the following hour (conversion-latency attribution). "
+    "Same union+ordered-window formulation as the backward entry — one "
+    "shuffle, no range blow-up; the oracle is an independent range-join+"
+    "ROW_NUMBER derivation. Output carries the matched timestamp, not an "
+    "id, so equal-timestamp ties cannot make the comparison ambiguous.",
+)
+def q_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        direction="forward",
+        tolerance_micros=3_600_000_000,
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.coalesce(
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("next_view_ts"),
+    )
+
+
+@register(
+    "corpus_train_val_test",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || 'split'), 1, 15)) AS BIGINT)
+                       % 10000 < 500 THEN 'test'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || 'split'), 1, 15)) AS BIGINT)
+                       % 10000 < 1000 THEN 'val'
+                  ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split, lang
+    """,
+    "Deterministic train/val/test split (90/5/5 by md5 bucket of the "
+    "stable doc key) audited per split×language: leak-proof by "
+    "construction (membership is a pure function of the key — appends "
+    "never reshuffle history), zero-shuffle assignment riding the scan "
+    "(operators/sampling.py train_val_test_split).",
+)
+def q_corpus_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = train_val_test_split(docs, "doc_id", val_bp=500, test_bp=500)
+    return (
+        split.select(
+            "split", "lang", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "embedding_semdedup_apply",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell
+                 FROM (SELECT vec_id, cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    dropped AS (SELECT DISTINCT d.vec_id
+                FROM av d JOIN av k ON d.cell = k.cell AND k.vec_id < d.vec_id
+                WHERE {_DOT.format(a='d.e', b='k.e')} /
+                      ({_NORM.format(v='d.e')} * {_NORM.format(v='k.e')}) >= 0.3)
+    SELECT v.vec_id, v.label FROM v
+    WHERE v.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    "SemDeDup apply: materialize the KEPT corpus (anti-join of the "
+    "embedding table against the semantic-dup losers) — the step that "
+    "actually shrinks the training set after embedding_semdedup "
+    "identifies drops. Anti-join on the (small) drop list; the corpus "
+    "side streams through once.",
+)
+def q_embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the drop list is a materialized artifact (you compute it once and
+    # apply it to the corpus) — checkpoint it so the apply plan is just
+    # scan + anti-join, not a replay of the pairwise pass
+    drops = (
+        semdedup(emb, threshold=0.3, n_cells=16)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")

@@ -129,3 +129,26 @@ def test_banded_range_join_is_not_nested_loop(spark):
         left, right, lower_micros=-300_000_000, upper_micros=0
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_forward_with_tolerance(spark):
+    """Forward direction matches the FIRST right row at-or-after the left
+    timestamp; tolerance voids matches beyond the horizon."""
+    from debezium_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 1000), (2, "k", 5000), (3, "k", 9000)],
+        "id long, k string, t long",
+    ).select("id", "k", F.timestamp_micros(F.col("t")).alias("ts"))
+    right = spark.createDataFrame(
+        [("k", 1500, "a"), ("k", 6000, "b")], "k string, t long, tag string"
+    ).select("k", F.timestamp_micros(F.col("t")).alias("ts"), "tag")
+    out = {
+        r["id"]: r["tag_asof"]
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_micros=2000
+        ).collect()
+    }
+    assert out[1] == "a"      # 1500 is 500µs ahead, within 2000
+    assert out[2] == "b"      # 6000 is 1000µs ahead, within 2000
+    assert out[3] is None     # nothing at/after 9000

@@ -93,3 +93,24 @@ def test_quantize_int8_edges(spark):
     assert out[2]["q"] == [0, 0, 0], "constant vector quantizes to zeros"
     assert out[3]["q"][0] == 0 and out[3]["q"][1] == 255
     assert out[1]["vmin"] == 0.0 and out[1]["vmax"] == 1.0
+
+
+def test_train_val_test_split_partition_and_determinism(spark):
+    from debezium_server_spark.operators.sampling import train_val_test_split
+
+    df = _corpus(spark)
+    a = train_val_test_split(df, "doc_id").collect()
+    b = train_val_test_split(df, "doc_id").collect()
+    assert sorted((r["doc_id"], r["split"]) for r in a) == sorted(
+        (r["doc_id"], r["split"]) for r in b
+    )
+    shares = {}
+    for r in a:
+        shares[r["split"]] = shares.get(r["split"], 0) + 1
+    assert set(shares) == {"train", "val", "test"}
+    # ≈90/5/5 with hash noise at n=2000
+    assert shares["train"] / 2000 > 0.85
+    assert 0.02 < shares["val"] / 2000 < 0.09
+    assert 0.02 < shares["test"] / 2000 < 0.09
+    # every row lands in exactly one split (split is a total function)
+    assert len(a) == 2000

@@ -58,6 +58,7 @@ WHITELIST: set[str] = {
     # as embedding_ann_ivf (k=16 rows) — k-bounded work per row; the
     # pairwise pass itself is a hash join on `cell`
     "embedding_semdedup",
+    "embedding_semdedup_apply",
     "embedding_coreset",
     # corpus-scalar attach (one-row n_docs/sum_dl side), same shape as
     # tfidf_doc_keywords
