@@ -451,3 +451,60 @@ def test_kafka_frame_shape(spark):
     assert dtypes["key"] == "binary" and dtypes["value"] == "binary"
     row = frame.filter("topic is not null").first()
     assert row["topic"] == "testc.inventory.customers"
+
+
+def test_dbapi_sink_live_sqlite_upsert_delete_replay(spark, tmp_path):
+    """Live SQL end-to-end against stdlib sqlite3: create/update/delete
+    apply with PK conflict handling; an exact epoch replay is a no-op
+    (committed-epoch marker); a re-applied batch converges (idempotent
+    statement set)."""
+    import sqlite3
+
+    from debezium_server_spark.sinks import get_sink
+
+    db = str(tmp_path / "sink.db")
+    sink = get_sink("dbapi", dsn=db, key_fields=("id",))
+    assert sink.validate_connection().ok
+
+    def ev(key, op, after, lsn, before=None):
+        return {
+            "destination": "public.users",
+            "key": {"id": key},
+            "value": {"op": op, "before": before, "after": after,
+                      "source": {"lsn": lsn}, "ts_ms": 1700000000000 + lsn},
+            "headers": [], "partition": 0,
+        }
+
+    schema = (
+        "destination string, key struct<id:long>, "
+        "value struct<op:string, before struct<id:long,name:string>, "
+        "after struct<id:long,name:string>, source struct<lsn:long>, ts_ms long>, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+    batch1 = spark.createDataFrame(
+        [ev(1, "c", {"id": 1, "name": "a"}, 1),
+         ev(2, "c", {"id": 2, "name": "b"}, 2),
+         ev(1, "u", {"id": 1, "name": "a2"}, 3)],
+        schema,
+    )
+    sink(batch1, epoch_id=0)
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT id, name FROM t_public_users").fetchall())
+    assert rows == [(1, "a2"), (2, "b")]  # latest-per-key within the batch
+
+    # epoch replay: marker short-circuits; table unchanged
+    sink(batch1, epoch_id=0)
+    assert sorted(con.execute("SELECT id, name FROM t_public_users").fetchall()) == rows
+
+    batch2 = spark.createDataFrame(
+        [ev(2, "d", None, 4, before={"id": 2, "name": "b"}),
+         ev(3, "c", {"id": 3, "name": "c"}, 5)],
+        schema,
+    )
+    sink(batch2, epoch_id=1)
+    rows2 = sorted(con.execute("SELECT id, name FROM t_public_users").fetchall())
+    assert rows2 == [(1, "a2"), (3, "c")]
+    # epochs recorded per destination
+    marks = con.execute("SELECT epoch FROM __dss_epochs ORDER BY epoch").fetchall()
+    assert marks == [(0,), (1,)]
+    con.close()
