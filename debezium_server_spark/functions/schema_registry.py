@@ -184,3 +184,97 @@ class RegistryTypedSink:
             self.out_col, F.from_json(F.col(self.value_col), doc.struct())
         ).withColumn("__schema_id", F.lit(doc.id))
         self.inner(typed, epoch_id)
+
+
+# ---------------------------------------------------------------------------
+# Compatibility checking (Confluent/Apicurio compatibility-level parity)
+# ---------------------------------------------------------------------------
+
+class IncompatibleSchemaError(ValueError):
+    """Raised when a registration would violate the subject's
+    compatibility level (the registry-side 409 in Confluent/Apicurio)."""
+
+
+#: Widening chains a reader may apply to a writer's value (the Avro
+#: promotion rules mapped onto Spark types): reader type must appear at
+#: or after the writer type in its chain.
+_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "tinyint": ("tinyint", "smallint", "int", "bigint", "float", "double"),
+    "smallint": ("smallint", "int", "bigint", "float", "double"),
+    "int": ("int", "bigint", "float", "double"),
+    "bigint": ("bigint", "float", "double"),
+    "float": ("float", "double"),
+    "string": ("string", "binary"),
+    "binary": ("binary", "string"),
+}
+
+
+def _can_read(writer: T.DataType, reader: T.DataType) -> bool:
+    """Can data written with `writer`'s type be read as `reader`'s type?
+    Equal types, widening promotions, and recursive struct/array/map
+    compatibility (new nullable struct fields get null defaults)."""
+    if writer == reader:
+        return True
+    ws, rs = writer.simpleString(), reader.simpleString()
+    if ws in _PROMOTIONS and rs in _PROMOTIONS.get(ws, ()):
+        return True
+    if isinstance(writer, T.StructType) and isinstance(reader, T.StructType):
+        wf = {f.name: f for f in writer.fields}
+        for rf in reader.fields:
+            if rf.name in wf:
+                if not _can_read(wf[rf.name].dataType, rf.dataType):
+                    return False
+            elif not rf.nullable:
+                return False  # reader requires a field the writer never wrote
+        return True  # writer-only fields are ignored by the reader
+    if isinstance(writer, T.ArrayType) and isinstance(reader, T.ArrayType):
+        return _can_read(writer.elementType, reader.elementType)
+    if isinstance(writer, T.MapType) and isinstance(reader, T.MapType):
+        return _can_read(writer.keyType, reader.keyType) and _can_read(
+            writer.valueType, reader.valueType
+        )
+    return False
+
+
+def check_compatibility(
+    old: T.StructType, new: T.StructType, level: str = "BACKWARD"
+) -> bool:
+    """Confluent-semantics compatibility between consecutive versions:
+
+    - BACKWARD: a consumer on `new` can read data produced with `old`
+      (add nullable fields, delete fields, widen types).
+    - FORWARD: a consumer still on `old` can read data produced with
+      `new` (delete nullable fields, add fields, narrow back).
+    - FULL: both directions.
+    - NONE: always compatible (registry accepts anything).
+    """
+    level = level.upper()
+    if level == "NONE":
+        return True
+    if level == "BACKWARD":
+        return _can_read(old, new)
+    if level == "FORWARD":
+        return _can_read(new, old)
+    if level == "FULL":
+        return _can_read(old, new) and _can_read(new, old)
+    raise ValueError(f"unknown compatibility level {level!r}")
+
+
+def register_checked(
+    registry: FileSchemaRegistry,
+    subject: str,
+    struct: T.StructType,
+    level: str = "BACKWARD",
+) -> RegisteredSchema:
+    """Compatibility-gated registration: verify `struct` against the
+    subject's LATEST version at `level` before publishing (Confluent
+    checks latest-only for BACKWARD/FORWARD/FULL; the *_TRANSITIVE
+    variants would walk all versions — same loop, all docs)."""
+    latest = registry.latest(subject)
+    if latest is not None and latest.schema_type == "spark-struct":
+        if not check_compatibility(latest.struct(), struct, level):
+            raise IncompatibleSchemaError(
+                f"subject {subject!r}: new schema is not {level}-compatible "
+                f"with version {latest.version}"
+            )
+    return registry.register(subject, json.dumps(struct.jsonValue()))

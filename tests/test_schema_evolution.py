@@ -175,3 +175,76 @@ def test_drift_flows_registry_parse_sink_without_restart(spark, tmp_path):
     # rows carry the schema id they were parsed with
     assert rows0[0]["__schema_id"] == versions[0].id
     assert rows1[0]["__schema_id"] == versions[1].id
+
+
+def test_compatibility_levels():
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.functions.schema_registry import check_compatibility
+
+    base = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+    added_nullable = T.StructType(base.fields + [T.StructField("age", T.IntegerType(), True)])
+    added_required = T.StructType(base.fields + [T.StructField("age", T.IntegerType(), False)])
+    dropped = T.StructType([base.fields[0]])
+    widened = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+    narrowed = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+
+    # BACKWARD: new reader over old data
+    assert check_compatibility(base, added_nullable, "BACKWARD")
+    assert not check_compatibility(base, added_required, "BACKWARD")
+    assert check_compatibility(base, dropped, "BACKWARD")
+    assert check_compatibility(narrowed, widened, "BACKWARD")  # int → long widens
+    assert not check_compatibility(widened, narrowed, "BACKWARD")
+
+    # FORWARD: old reader over new data. Dropping a NULLABLE field is
+    # forward-compatible (old reader fills null — Confluent's field-with-
+    # default rule); dropping a REQUIRED field is not.
+    assert check_compatibility(base, added_nullable, "FORWARD")
+    assert check_compatibility(base, dropped, "FORWARD")
+    dropped_required = T.StructType([base.fields[1]])  # writer lost required id
+    assert not check_compatibility(base, dropped_required, "FORWARD")
+    # FULL: both
+    assert check_compatibility(base, added_nullable, "FULL")
+    assert not check_compatibility(base, dropped_required, "FULL")
+    assert check_compatibility(base, base, "FULL")
+
+
+def test_register_checked_gates_incompatible(tmp_path):
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.functions.schema_registry import (
+        FileSchemaRegistry,
+        IncompatibleSchemaError,
+        register_checked,
+    )
+
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    v1 = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+    doc1 = register_checked(reg, "users", v1)
+    assert doc1.version == 1
+
+    # compatible evolution: nullable add
+    v2 = T.StructType(v1.fields + [T.StructField("email", T.StringType(), True)])
+    doc2 = register_checked(reg, "users", v2)
+    assert doc2.version == 2
+
+    # incompatible: required add
+    bad = T.StructType(v2.fields + [T.StructField("ssn", T.StringType(), False)])
+    import pytest as _pytest
+
+    with _pytest.raises(IncompatibleSchemaError):
+        register_checked(reg, "users", bad)
+    # registry unchanged after the rejection
+    assert reg.latest("users").version == 2
