@@ -4490,3 +4490,41 @@ def q_embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH melted AS (
+      SELECT l_returnflag, 'quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(38,6)) AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice',
+             CAST(l_extendedprice AS DECIMAL(38,6)) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount',
+             CAST(l_discount AS DECIMAL(38,6)) FROM lineitem)
+    SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+           floor((CAST(SUM(v) AS DOUBLE)) * 10000) / 10000 AS total
+    FROM melted GROUP BY l_returnflag, measure
+    """,
+    "UNPIVOT/melt: wide measure columns → (measure, value) long form via "
+    "stack() — the EAV normalization step for metric stores and ML "
+    "feature tables. stack is a map-side generator (no shuffle until the "
+    "rollup); the oracle derives the same long form with UNION ALL. "
+    "Decimal sums keep the aggregate order-independent.",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ln = load(spark, sf_dir, "lineitem")
+    melted = ln.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DECIMAL(38,6)), "
+            "'extendedprice', CAST(l_extendedprice AS DECIMAL(38,6)), "
+            "'discount', CAST(l_discount AS DECIMAL(38,6))) AS (measure, v)"
+        ),
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r4(F.sum("v").cast("double")).alias("total"),
+    )
