@@ -50,12 +50,14 @@ class VersionedParquetTable:
     (poor-man's Delta: versions are snapshots, unchanged buckets are
     hard-linked between versions instead of rewritten)."""
 
-    def __init__(self, path: str, n_buckets: int = 16):
+    def __init__(self, path: str, n_buckets: int = 16, retain: int = 2):
         self.path = path
         os.makedirs(path, exist_ok=True)
         # bucket count is fixed at table creation; later instances follow
         # the persisted value (changing it would scatter existing keys)
         self.n_buckets = self._meta().get("n_buckets", n_buckets)
+        #: snapshots kept for time travel (hard-linked — ~free on disk)
+        self.retain = retain
 
     @property
     def _pointer(self) -> str:
@@ -84,8 +86,19 @@ class VersionedParquetTable:
         v = self.current_version() if version is None else version
         return os.path.join(self.path, f"v{v}") if v > 0 else None
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        p = self.data_path()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Read the current snapshot, or time-travel to an earlier
+        `version` (each epoch commit is a full snapshot whose untouched
+        buckets are hard links — retained versions cost ~0 storage, so
+        as-of reads are free until _gc drops the name)."""
+        if version is not None and not os.path.isdir(
+            os.path.join(self.path, f"v{version}")
+        ):
+            raise ValueError(
+                f"version {version} not retained for {self.path} "
+                f"(current {self.current_version()}; raise `retain` to keep more)"
+            )
+        p = self.data_path(version)
         if not p:
             return None
         try:
@@ -122,7 +135,7 @@ class VersionedParquetTable:
         with os.fdopen(fd, "w") as f:
             json.dump({"version": new_version, "epoch": epoch_id}, f)
         os.replace(tmp, self._pointer)  # atomic flip
-        self._gc(keep=new_version)
+        self._gc(keep=new_version, retain=self.retain)
         return new_version
 
     @staticmethod
@@ -230,8 +243,13 @@ class ParquetUpsertSink(BaseSink):
                 )
                 table.commit(merged, epoch_id, touched_buckets=touched)
 
-    def read_table(self, spark: SparkSession, destination: str) -> DataFrame | None:
-        df = self._table(destination).read(spark)
+    def read_table(
+        self, spark: SparkSession, destination: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Latest state, or `version=` for time travel (what did this
+        table look like after epoch k's commit — the read-side analog of
+        `state_as_of_day15`, but on the physical snapshot chain)."""
+        df = self._table(destination).read(spark, version=version)
         return df.drop(SEQ_COL, BUCKET_COL) if df is not None else None
 
 

@@ -60,3 +60,37 @@ def test_materialize_is_replay_idempotent(spark):
     rows = sorted((r["id"], r["first_name"]) for r in final.collect())
     assert [r[0] for r in rows] == [1001, 1002, 1003, 1004]
     assert rows[-1][1] == "Anne"
+
+
+
+def test_time_travel_read_previous_version(spark, tmp_path):
+    """Each epoch commit is a snapshot; read_table(version=) time-travels
+    to the pre-update state while hard links keep retention ~free."""
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "tt"), key_fields=("id",))
+
+    def ev(key, op, after, lsn):
+        return {"destination": "t", "key": {"id": key},
+                "value": {"op": op, "before": None, "after": after,
+                          "source": {"lsn": lsn}, "ts_ms": lsn},
+                "headers": [], "partition": 0}
+
+    schema = ("destination string, key struct<id:long>, "
+              "value struct<op:string, before struct<id:long,name:string>, "
+              "after struct<id:long,name:string>, source struct<lsn:long>, ts_ms long>, "
+              "headers array<struct<key:string,value:string>>, partition int")
+    sink(spark.createDataFrame(
+        [ev(1, "c", {"id": 1, "name": "a"}, 1), ev(2, "c", {"id": 2, "name": "b"}, 2)],
+        schema), epoch_id=0)
+    sink(spark.createDataFrame(
+        [ev(1, "u", {"id": 1, "name": "a2"}, 3)], schema), epoch_id=1)
+
+    now = {r["id"]: r["name"] for r in sink.read_table(spark, "t").collect()}
+    assert now == {1: "a2", 2: "b"}
+    old = {r["id"]: r["name"] for r in sink.read_table(spark, "t", version=1).collect()}
+    assert old == {1: "a", 2: "b"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sink.read_table(spark, "t", version=99)
