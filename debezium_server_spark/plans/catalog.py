@@ -4528,3 +4528,47 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _r4(F.sum("v").cast("double")).alias("total"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+               FROM documents),
+    v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+          WHERE word != '' GROUP BY word),
+    sym AS (SELECT freq,
+                   list_append(list_transform(range(1, len(word) + 1),
+                                              i -> word[i]), '</w>') AS syms
+            FROM v),
+    p AS (SELECT unnest(list_transform(range(1, len(syms)),
+                                       i -> syms[i] || ' ' || syms[i + 1])) AS pk,
+                 freq
+          FROM sym),
+    agg AS (SELECT string_split(pk, ' ')[1] AS a, string_split(pk, ' ')[2] AS b,
+                   CAST(sum(freq) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2)
+    SELECT a, b, n, rank FROM (
+      SELECT a, b, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, a, b) AS rank FROM agg)
+    WHERE rank <= 20
+    """,
+    "BPE pair-counting kernel: weighted adjacent-symbol-pair counts over "
+    "the word-frequency vocabulary (chars + </w> marker), top-20 merge "
+    "candidates with deterministic tie-break. The per-round argmax of "
+    "the tokenizer trainer (operators/bpe.py bpe_train — iterative loop "
+    "validated against the reference Sennrich algorithm in test_bpe.py); "
+    "the only corpus-scale pass is the word count — everything else "
+    "runs on the Heaps-law-small vocab frame.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.bpe import pair_counts, word_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    counts = pair_counts(word_vocab(docs))
+    w = Window.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("a", "b", "n", "rank")
+    )
