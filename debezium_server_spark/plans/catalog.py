@@ -4572,3 +4572,111 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("a", "b", "n", "rank")
     )
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+            len(list_filter(toks, x -> x IN ('the','a','of','and','in','to'))) AS score_en,
+            len(list_filter(toks, x -> x IN ('le','la','et','les','des','un'))) AS score_fr,
+            len(list_filter(toks, x -> x IN ('el','la','de','los','que','un'))) AS score_es,
+            len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht'))) AS score_de
+          FROM t),
+    pred AS (SELECT lang AS true_lang,
+                    CASE WHEN greatest(score_en, score_fr, score_es, score_de) = 0 THEN 'unknown'
+                         WHEN score_en = greatest(score_en, score_fr, score_es, score_de) THEN 'en'
+                         WHEN score_fr = greatest(score_en, score_fr, score_es, score_de) THEN 'fr'
+                         WHEN score_es = greatest(score_en, score_fr, score_es, score_de) THEN 'es'
+                         ELSE 'de' END AS pred_lang
+             FROM s)
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    "Classifier evaluation harness: lang_id predictions confusion-"
+    "matrixed against the corpus's ground-truth lang labels — the "
+    "eval-loop shape every heuristic filter needs before it gates "
+    "training data. One scan + one tiny (|langs|²-row) aggregate.",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dedup_method_agreement",
+    f"""
+    WITH sh AS (SELECT doc_id, lang,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s,
+                  list_distinct(list_transform({_SHINGLES},
+                      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS sd
+                FROM documents),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE) /
+            (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.2),
+    sig AS (SELECT doc_id, lang,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, lang, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    pred AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.lang = b.lang AND a.doc_id < b.doc_id)
+    SELECT outcome, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 'detected'
+                  WHEN t.doc_a IS NOT NULL THEN 'missed'
+                  ELSE 'false_candidate' END AS outcome
+      FROM truth t FULL OUTER JOIN pred p
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+    GROUP BY outcome
+    """,
+    "Dedup-method evaluation harness: MinHash-LSH candidate pairs scored "
+    "against exact n-gram-Jaccard ground truth (same lang-blocked "
+    "universe) → detected / missed (LSH false negatives) / "
+    "false_candidate counts — the recall/precision audit you run before "
+    "trusting a probabilistic dedup config at 100 TB, where exact "
+    "verification is only affordable on a sample.",
+)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    langs = docs.select("doc_id", "lang")
+    pred = (
+        minhash_lsh_pairs(docs)
+        .join(langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")), "doc_a")
+        .join(langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")), "doc_b")
+        .filter(F.col("la") == F.col("lb"))
+        .select("doc_a", "doc_b")
+    )
+    t = truth.withColumn("t", F.lit(1))
+    p = pred.withColumn("p", F.lit(1))
+    outcome = (
+        F.when(F.col("t").isNotNull() & F.col("p").isNotNull(), F.lit("detected"))
+        .when(F.col("t").isNotNull(), F.lit("missed"))
+        .otherwise(F.lit("false_candidate"))
+    )
+    return (
+        t.join(p, ["doc_a", "doc_b"], "full_outer")
+        .select(outcome.alias("outcome"))
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -13,11 +13,17 @@ def test_no_quadratic_join_operators(spark):
     )
 
 
+#: Entries that legitimately compose TWO full method pipelines (an
+#: evaluation harness joining method A's output against method B's
+#: ground truth) get double the single-pipeline budget.
+COMPOSED = {"dedup_method_agreement"}
+
+
 def test_exchange_budgets(spark):
     """Every exchange is a cluster-wide shuffle. Budgets are generous
     (complex multi-join queries legitimately need several) — the point
     is to catch a refactor that silently doubles a query's shuffles."""
     result = audit(spark, os.environ["SPARK_GRAFT_SF_DIR"])
     over = {n: q["exchanges"] for n, q in result["queries"].items()
-            if q["exchanges"] > 12}
-    assert not over, f"queries exceeding the 12-exchange budget: {over}"
+            if q["exchanges"] > (24 if n in COMPOSED else 12)}
+    assert not over, f"queries exceeding the exchange budget: {over}"
