@@ -179,3 +179,40 @@ def test_corrupt_events_quarantine_to_dead_letter(spark, tmp_path):
     assert headers["__raw"].startswith("{this is not json")
     assert dead[0]["value"]["op"] is None  # empty envelope, NOT a tombstone
     assert live.count() == 2
+
+
+def test_fanout_parquet_and_dbapi_converge(spark, tmp_path):
+    """Cross-component slice: one changelog stream fanned out to the
+    parquet materializer AND the live DBAPI (sqlite) sink — both must
+    land the identical final state from a single source read."""
+    import sqlite3
+
+    from debezium_server_spark.sinks.base import FanoutSink
+    from debezium_server_spark.sinks.dbapi_sink import DbApiUpsertSink
+
+    src = str(tmp_path / "changelog")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    db = str(tmp_path / "sink.db")
+    _write_events(src, customers_changelog_events(), "batch1.jsonl")
+
+    stream = changelog_stream(spark, src, CUSTOMERS_ROW_SCHEMA, CUSTOMERS_KEY_SCHEMA)
+    pq = ParquetUpsertSink(root_path=state, key_fields=("id",))
+    dbs = DbApiUpsertSink(dsn=db, key_fields=("id",))
+    fan = FanoutSink([pq, dbs])
+    _run_available(Pipeline(stream), fan, ckpt)
+
+    pq_rows = sorted(
+        tuple(r)
+        for r in pq.read_table(spark, DEST)
+        .select("id", "first_name", "last_name", "email")
+        .collect()
+    )
+    con = sqlite3.connect(db)
+    table = "t_" + "".join(c if c.isalnum() else "_" for c in DEST)
+    db_rows = sorted(
+        con.execute(f"SELECT id, first_name, last_name, email FROM {table}").fetchall()
+    )
+    con.close()
+    assert pq_rows == GOLDEN_CUSTOMERS
+    assert db_rows == GOLDEN_CUSTOMERS
