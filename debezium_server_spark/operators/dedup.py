@@ -46,7 +46,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -54,26 +54,12 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash.
-
-    Docs sharing ≥1 of `bands` band keys become a candidate pair. The
-    self-join is on the band key — shuffle is proportional to docs×bands,
-    never docs², which is what keeps this viable at 100 TB (hot buckets
-    are the skew risk; AQE skew-join handles moderate skew, salting the
-    band key handles the pathological case).
-    """
+    """Banded MinHash signatures: (id, band_id, band_hash) rows — the
+    reusable index half of LSH dedup. Same deterministic hash family as
+    `minhash_lsh_pairs`, so signatures built at different times (e.g. a
+    persisted corpus index vs today's increment) collide exactly when
+    the band rows agree."""
     rows_per_band = num_hashes // bands
-    # Explode shingles to rows and reduce with groupBy+min: one pass over
-    # (doc, shingle), map-side partial aggregation, and no nested-array
-    # re-evaluation (the array_min(transform(...)) form re-computes the
-    # shingle expression per hash function — 50x slower at sf0.1).
-    #
-    # One md5 per shingle; the K hash functions are universal hashes
-    # h_j = (a_j·base + b_j) mod p over the md5-derived base int — the
-    # standard scalable minhash (hashing the shingle string K times costs
-    # K·|shingle| bytes of digesting per row; the affine family costs two
-    # multiplies). p = 2^31−1 keeps a_j·base < 2^62 (no 64-bit overflow),
-    # and the identical closed-form constants reproduce in any engine.
     exploded = df.select(
         F.col(id_col),
         F.explode(
@@ -104,8 +90,77 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup an INCREMENT against an already-indexed corpus — the
+    steady-state shape of corpus maintenance (re-minhashing 100 TB of
+    history for every daily batch is the design that dies; the band
+    index is built once and persisted, increments only hash themselves).
+
+    `corpus_index` is a `minhash_bands` frame (persisted/checkpointed).
+    A new doc is dropped when ANY of its bands collides with the index;
+    survivors return with their band rows discarded. Join is a hash
+    semi-join on (band_id, band_hash) — shuffle ∝ increment×bands.
+    """
+    inc_bands = minhash_bands(
+        new_docs, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands,
+    )
+    dup_ids = (
+        inc_bands.join(
+            corpus_index.select("band_id", "band_hash").distinct(),
+            ["band_id", "band_hash"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(dup_ids, id_col, "left_anti")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    Docs sharing ≥1 of `bands` band keys become a candidate pair. The
+    self-join is on the band key — shuffle is proportional to docs×bands,
+    never docs², which is what keeps this viable at 100 TB (hot buckets
+    are the skew risk; AQE skew-join handles moderate skew, salting the
+    band key handles the pathological case).
+    """
+    rows_per_band = num_hashes // bands
+    # Explode shingles to rows and reduce with groupBy+min: one pass over
+    # (doc, shingle), map-side partial aggregation, and no nested-array
+    # re-evaluation (the array_min(transform(...)) form re-computes the
+    # shingle expression per hash function — 50x slower at sf0.1).
+    #
+    # One md5 per shingle; the K hash functions are universal hashes
+    # h_j = (a_j·base + b_j) mod p over the md5-derived base int — the
+    # standard scalable minhash (hashing the shingle string K times costs
+    # K·|shingle| bytes of digesting per row; the affine family costs two
+    # multiplies). p = 2^31−1 keeps a_j·base < 2^62 (no 64-bit overflow),
+    # and the identical closed-form constants reproduce in any engine.
+    banded = minhash_bands(
+        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes, bands=bands,
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -4680,3 +4680,46 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outcome")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    idx AS (SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 2 = 0),
+    dup AS (SELECT DISTINCT i.doc_id
+            FROM bands i JOIN idx ON i.band_id = idx.band_id
+                                 AND i.band_hash = idx.band_hash
+            WHERE i.doc_id % 2 = 1)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+    """,
+    "Incremental dedup: today's increment (odd ids) filtered against the "
+    "persisted band index of the existing corpus (even ids) — the "
+    "steady-state corpus-maintenance shape: history is NEVER re-hashed, "
+    "only the increment computes signatures, and the match is a hash "
+    "semi-join on the band key (shuffle ∝ increment×bands). "
+    "operators/dedup.py incremental_dedup / minhash_bands.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import incremental_dedup, minhash_bands
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_bands(corpus)
+    return incremental_dedup(increment, index).select("doc_id", "lang")

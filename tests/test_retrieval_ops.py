@@ -157,3 +157,21 @@ def test_bloom_filter_is_compact(spark):
     dim = spark.range(1000).select(F.col("id").alias("k"))
     words = bloom_build(dim, "k", m_bits=4096, k_hashes=3).collect()
     assert len(words) <= 4096 // 64  # packed words, not per-key rows
+
+
+def test_incremental_dedup_drops_near_dupes_of_indexed_corpus(spark):
+    from debezium_server_spark.operators.dedup import incremental_dedup, minhash_bands
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "a completely different document about spark and data engines")],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+         (3, "something entirely novel never seen before in any corpus")],
+        "doc_id long, text string",
+    )
+    index = minhash_bands(corpus)
+    kept = [r["doc_id"] for r in incremental_dedup(increment, index).collect()]
+    assert kept == [3]
