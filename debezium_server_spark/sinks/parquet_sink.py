@@ -243,6 +243,35 @@ class ParquetUpsertSink(BaseSink):
                 )
                 table.commit(merged, epoch_id, touched_buckets=touched)
 
+    def erase_keys(
+        self, spark: SparkSession, destination: str, keys_df: DataFrame
+    ) -> int:
+        """Right-to-erasure (GDPR Art. 17) on the materialized state:
+        hard-delete every row matching `keys_df` (columns = key_fields)
+        from the CURRENT snapshot, as a new version touching only the
+        buckets those keys hash into. Erasure epochs are tagged negative
+        so they never collide with stream epoch ids.
+
+        NOTE on retention: earlier hard-linked versions still reference
+        the rows until `retain` generations age them out — a compliance
+        deployment sets retain=1 on erasure-bearing tables (or re-commits
+        retain times). Returns the number of rows erased."""
+        table = self._table(destination)
+        current = table.read(spark)
+        if current is None:
+            return 0
+        keys = keys_df.select(*self.key_fields).distinct()
+        keyed = keys.withColumn("__kb", table.bucket_expr(self.key_fields))
+        touched = [r[0] for r in keyed.select("__kb").distinct().collect()]
+        if not touched:
+            return 0
+        in_scope = current.filter(F.col(BUCKET_COL).isin(touched))
+        survivors = in_scope.join(keys, list(self.key_fields), "left_anti")
+        erased = in_scope.count() - survivors.count()
+        erase_epoch = -(table.current_version() + 1)
+        table.commit(survivors, erase_epoch, touched_buckets=touched)
+        return erased
+
     def read_table(
         self, spark: SparkSession, destination: str, version: int | None = None
     ) -> DataFrame | None:

@@ -94,3 +94,32 @@ def test_time_travel_read_previous_version(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sink.read_table(spark, "t", version=99)
+
+
+def test_erase_keys_hard_deletes_only_targets(spark, tmp_path):
+    """GDPR erasure: targeted keys vanish from the new snapshot, other
+    rows and buckets are untouched (bucket-pruned rewrite)."""
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "gdpr"), key_fields=("id",))
+
+    def ev(key, lsn):
+        return {"destination": "t", "key": {"id": key},
+                "value": {"op": "c", "before": None,
+                          "after": {"id": key, "name": f"u{key}"},
+                          "source": {"lsn": lsn}, "ts_ms": lsn},
+                "headers": [], "partition": 0}
+
+    schema = ("destination string, key struct<id:long>, "
+              "value struct<op:string, before struct<id:long,name:string>, "
+              "after struct<id:long,name:string>, source struct<lsn:long>, ts_ms long>, "
+              "headers array<struct<key:string,value:string>>, partition int")
+    sink(spark.createDataFrame([ev(i, i) for i in range(20)], schema), epoch_id=0)
+
+    erase = spark.createDataFrame([(3,), (7,), (11,)], "id long")
+    n = sink.erase_keys(spark, "t", erase)
+    assert n == 3
+    left = sorted(r["id"] for r in sink.read_table(spark, "t").collect())
+    assert left == [i for i in range(20) if i not in (3, 7, 11)]
+    # erasing again is a no-op
+    assert sink.erase_keys(spark, "t", erase) == 0
