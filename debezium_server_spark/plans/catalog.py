@@ -4723,3 +4723,55 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = docs.filter(F.col("doc_id") % 2 == 1)
     index = minhash_bands(corpus)
     return incremental_dedup(increment, index).select("doc_id", "lang")
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day,
+             (CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS BIGINT) % 7) AS dow,
+             CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      FROM hourly GROUP BY dow, hour)
+    SELECT strftime(h.day, '%Y-%m-%d') AS day, h.hour, h.cnt,
+           (h.n_ * h.cnt - h.s_) * (h.n_ * h.cnt - h.s_)
+             > 4 * (h.n_ * h.ss_ - h.s_ * h.s_) AS is_anomaly
+    FROM (SELECT hourly.*, base.n AS n_, base.s AS s_, base.ss AS ss_
+          FROM hourly JOIN base USING (dow, hour)) h
+    """,
+    "Seasonal anomaly detection: each (day, hour) bucket scored against "
+    "its day-of-week x hour-of-day baseline; the 2-sigma test is the "
+    "cross-multiplied integer inequality (n·x − Σx)² > 4(n·Σx² − (Σx)²) "
+    "— no division, no sqrt, no FP: bit-exact in any engine. Baseline "
+    "is a 7×24-row broadcast side regardless of input scale.",
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dow = (
+        F.expr("cast(datediff(cast(ts as date), date'2024-01-01') as bigint)") % 7
+    ).alias("dow")
+    hour = F.date_format("ts", "HH").cast("bigint").alias("hour")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), dow, hour
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = hourly.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_"),
+        F.sum("cnt").alias("s_"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss_"),
+    )
+    j = hourly.join(F.broadcast(base), ["dow", "hour"])
+    dev = F.col("n_") * F.col("cnt") - F.col("s_")
+    var_n2 = F.col("n_") * F.col("ss_") - F.col("s_") * F.col("s_")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hour",
+        "cnt",
+        (dev * dev > F.lit(4) * var_n2).alias("is_anomaly"),
+    )
