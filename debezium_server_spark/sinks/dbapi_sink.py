@@ -192,12 +192,18 @@ class DbApiUpsertSink(BaseSink):
                 else:
                     flat = flat.withColumn(k, F.col(f"__key_{k}"))
                     after_cols.append(k)
-            # non-primitive columns ride as JSON text (SQLite-portable)
+            # non-primitive columns ride as text: complex types as JSON,
+            # scalars (timestamp/date/decimal) as their string rendering
+            # (to_json only accepts struct/map/array — a bare timestamp
+            # through it is an AnalysisException)
             for name, dtype in flat.dtypes:
                 if name.startswith("__"):
                     continue
                 if dtype not in _SQL_TYPES:
-                    flat = flat.withColumn(name, F.to_json(F.col(name)))
+                    if dtype.startswith(("struct", "array", "map")):
+                        flat = flat.withColumn(name, F.to_json(F.col(name)))
+                    else:
+                        flat = flat.withColumn(name, F.col(name).cast("string"))
             schema = [
                 (n, d) for n, d in flat.dtypes if not n.startswith("__key_") and n != "__op"
             ]

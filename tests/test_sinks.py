@@ -508,3 +508,46 @@ def test_dbapi_sink_live_sqlite_upsert_delete_replay(spark, tmp_path):
     marks = con.execute("SELECT epoch FROM __dss_epochs ORDER BY epoch").fetchall()
     assert marks == [(0,), (1,)]
     con.close()
+
+
+def test_dbapi_sink_complex_and_temporal_columns(spark, tmp_path):
+    """Structs/arrays land as JSON text, timestamps as their string
+    rendering (to_json rejects bare scalars — regression guard)."""
+    import sqlite3
+
+    from debezium_server_spark.sinks import get_sink
+
+    db = str(tmp_path / "typed.db")
+    sink = get_sink("dbapi", dsn=db, key_fields=("id",))
+    schema = (
+        "destination string, key struct<id:long>, "
+        "value struct<op:string, before struct<id:long>, "
+        "after struct<id:long, ts timestamp, tags array<string>, "
+        "meta struct<a:int,b:string>>, source struct<lsn:long>, ts_ms long>, "
+        "headers array<struct<key:string,value:string>>, partition int"
+    )
+    import datetime
+
+    batch = spark.createDataFrame(
+        [{
+            "destination": "t", "key": {"id": 1},
+            "value": {"op": "c", "before": None,
+                      "after": {"id": 1,
+                                "ts": datetime.datetime(2024, 1, 2, 3, 4, 5),
+                                "tags": ["x", "y"],
+                                "meta": {"a": 7, "b": "z"}},
+                      "source": {"lsn": 1}, "ts_ms": 1},
+            "headers": [], "partition": 0,
+        }],
+        schema,
+    )
+    sink(batch, epoch_id=0)
+    con = sqlite3.connect(db)
+    row = con.execute("SELECT id, ts, tags, meta FROM t_t").fetchone()
+    con.close()
+    assert row[0] == 1
+    assert row[1].startswith("2024-01-02 03:04:05")
+    import json as _json
+
+    assert _json.loads(row[2]) == ["x", "y"]
+    assert _json.loads(row[3]) == {"a": 7, "b": "z"}
