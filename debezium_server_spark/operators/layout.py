@@ -24,9 +24,11 @@ def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
     columns: z = Σ_b bit_b(x)·2^(2b+1) + bit_b(y)·2^(2b). Map-only,
     constant work per row (bits is a small fixed constant, unrolled)."""
     # mask to the low `bits` first so every intermediate stays < 2^bits —
-    # small enough that the div/mod chain is exact in any numeric model
-    xm = x.cast("bigint") % F.lit(2**bits)
-    ym = y.cast("bigint") % F.lit(2**bits)
+    # small enough that the div/mod chain is exact in any numeric model.
+    # pmod, not %: SQL % keeps the sign, so a negative key would produce
+    # negative "bits" and a garbage interleave
+    xm = F.pmod(x.cast("bigint"), F.lit(2**bits))
+    ym = F.pmod(y.cast("bigint"), F.lit(2**bits))
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         xb = F.floor(xm / F.lit(2**b)).cast("bigint") % 2

@@ -60,3 +60,11 @@ def test_incremental_merge_equals_full_recompute(spark, sf_dir):
     a = sorted(map(tuple, inc.collect()))
     b = sorted(map(tuple, full.collect()))
     assert a == b
+
+
+def test_zorder_negative_inputs_wrap_like_python_mod(spark):
+    df = spark.createDataFrame([(-1, 5), (-300, -2)], "x long, y long")
+    rows = {(r["x"], r["y"]): r["z"]
+            for r in df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert rows[(-1, 5)] == _interleave((-1) % 256, 5)
+    assert rows[(-300, -2)] == _interleave((-300) % 256, (-2) % 256)
