@@ -272,6 +272,30 @@ class ParquetUpsertSink(BaseSink):
         table.commit(survivors, erase_epoch, touched_buckets=touched)
         return erased
 
+    def expire_where(
+        self, spark: SparkSession, destination: str, condition: str
+    ) -> int:
+        """Retention/TTL pass: hard-delete every row matching the SQL
+        `condition` (e.g. "event_ts < '2024-01-01'") from the current
+        snapshot. Unlike `erase_keys` the predicate can touch any column,
+        so every bucket holding matches rewrites — run it at retention
+        cadence (daily), not per batch. Negative-epoch tagged like
+        erasure. Returns rows expired."""
+        table = self._table(destination)
+        current = table.read(spark)
+        if current is None:
+            return 0
+        doomed = current.filter(condition)
+        touched = [r[0] for r in doomed.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return 0
+        in_scope = current.filter(F.col(BUCKET_COL).isin(touched))
+        survivors = in_scope.filter(f"NOT ({condition})")
+        expired = in_scope.count() - survivors.count()
+        table.commit(survivors, -(table.current_version() + 1),
+                     touched_buckets=touched)
+        return expired
+
     def read_table(
         self, spark: SparkSession, destination: str, version: int | None = None
     ) -> DataFrame | None:

@@ -123,3 +123,31 @@ def test_erase_keys_hard_deletes_only_targets(spark, tmp_path):
     assert left == [i for i in range(20) if i not in (3, 7, 11)]
     # erasing again is a no-op
     assert sink.erase_keys(spark, "t", erase) == 0
+
+
+def test_expire_where_ttl_pass(spark, tmp_path):
+    """Retention: predicate-matched rows vanish, survivors and untouched
+    buckets remain; second pass is a no-op."""
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "ttl"), key_fields=("id",))
+
+    def ev(key, lsn, day):
+        return {"destination": "t", "key": {"id": key},
+                "value": {"op": "c", "before": None,
+                          "after": {"id": key, "day": day},
+                          "source": {"lsn": lsn}, "ts_ms": lsn},
+                "headers": [], "partition": 0}
+
+    schema = ("destination string, key struct<id:long>, "
+              "value struct<op:string, before struct<id:long,day:string>, "
+              "after struct<id:long,day:string>, source struct<lsn:long>, ts_ms long>, "
+              "headers array<struct<key:string,value:string>>, partition int")
+    rows = [ev(i, i, "2023-12-31" if i % 3 == 0 else "2024-06-01") for i in range(12)]
+    sink(spark.createDataFrame(rows, schema), epoch_id=0)
+
+    n = sink.expire_where(spark, "t", "day < '2024-01-01'")
+    assert n == 4  # ids 0,3,6,9
+    left = sorted(r["id"] for r in sink.read_table(spark, "t").collect())
+    assert left == [i for i in range(12) if i % 3 != 0]
+    assert sink.expire_where(spark, "t", "day < '2024-01-01'") == 0
