@@ -559,3 +559,62 @@ def quality_classifier(
         logit_u.alias("logit_u"),
         (logit_u >= 0).alias("keep"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 15,
+) -> DataFrame:
+    """The APPLY step of the C4/CCNet boilerplate pass: rebuild each
+    document keeping only the chunks that occur in NO other document
+    (corpus document-frequency 1); shared chunks — headers, footers,
+    licence blocks — are stripped. `chunk_dedup` measures, this cleans.
+
+    Same two linear shuffles as the measurement pass (chunk-hash counts,
+    per-doc rollup); reassembly keeps original chunk order via a
+    position-sorted struct collect. Returns (id, clean_text, kept_chunks,
+    dropped_chunks).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int")
+    chunk_txt = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i * chunk_words + 1, chunk_words), " "
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(i.alias("pos"), chunk_txt(i).alias("txt")),
+    )
+    per_chunk = df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.pos").alias("pos"),
+        F.col("c.txt").alias("txt"),
+        F.md5(F.col("c.txt")).alias("chunk_hash"),
+    )
+    freq = per_chunk.groupBy("chunk_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    marked = per_chunk.join(freq, "chunk_hash")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("n_docs") == 1, F.struct("pos", "txt"))
+                )
+            ).alias("kept"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("kept_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("dropped_chunks"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("kept"), lambda s: s["txt"]), " "
+            ).alias("clean_text"),
+            "kept_chunks",
+            "dropped_chunks",
+        )
+    )

@@ -4829,3 +4829,43 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.lit(exact_u)
         ).alias("within_tol"),
     )
+
+
+@register(
+    "doc_boilerplate_strip",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 15.0) AS BIGINT))) AS c
+      FROM w),
+    chunks AS (
+      SELECT doc_id, c AS pos,
+             array_to_string(
+               list_slice(toks, c * 15 + 1,
+                          least((c + 1) * 15, len(toks))), ' ') AS txt
+      FROM idx),
+    freq AS (
+      SELECT md5(txt) AS chunk_hash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY 1)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN f.n_docs = 1 THEN c.txt END, ' '
+                               ORDER BY c.pos), '') AS clean_text,
+           CAST(sum(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_chunks,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_chunks
+    FROM chunks c JOIN freq f ON md5(c.txt) = f.chunk_hash
+    GROUP BY doc_id
+    """,
+    "Boilerplate APPLY (C4/CCNet clean step): documents rebuilt keeping "
+    "only corpus-unique chunks — shared headers/footers/licence blocks "
+    "stripped; order-preserving reassembly via position-sorted collect. "
+    "chunk_dedup measures, this cleans; same two linear counting "
+    "shuffles, no pairwise work (operators/text.py boilerplate_strip).",
+)
+def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import boilerplate_strip
+
+    return boilerplate_strip(load(spark, sf_dir, "documents"))

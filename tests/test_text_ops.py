@@ -72,3 +72,19 @@ def test_chunk_dedup_flags_shared_chunks(spark):
     assert out[1]["n_chunks"] == 2 and out[1]["dup_chunks"] == 2  # both chunks shared
     assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1
     assert out[3]["dup_chunks"] == 1 and out[3]["dup_frac"] == 1.0
+
+
+def test_boilerplate_strip_removes_shared_chunks_preserves_order(spark):
+    from debezium_server_spark.operators.text import boilerplate_strip
+
+    footer = " ".join(["legal"] * 15)          # exactly one 15-word chunk
+    u1 = " ".join(f"a{i}" for i in range(15))
+    u2 = " ".join(f"b{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(0, f"{u1} {footer}"), (1, f"{u2} {footer}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_strip(df).collect()}
+    assert out[0]["clean_text"] == u1
+    assert out[1]["clean_text"] == u2
+    assert out[0]["dropped_chunks"] == 1 and out[0]["kept_chunks"] == 1
