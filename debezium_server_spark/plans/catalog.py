@@ -4869,3 +4869,98 @@ def q_doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.text import boilerplate_strip
 
     return boilerplate_strip(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {_DOT.format(a='q.e', b='c.e')} /
+                       ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+                FROM v q JOIN v c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 10),
+    exact AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+                    FROM exact_s) WHERE rank <= 5),
+    b AS (SELECT vec_id, e,
+              list_aggregate(list_transform(range(0, 8),
+                  j -> CASE WHEN list_aggregate(list_transform(range(0, 64),
+                           d -> CAST(((j*131 + d*37) % 17) - 8 AS DOUBLE) * e[d+1]), 'sum') > 0
+                       THEN (1 << j) ELSE 0 END), 'sum') AS bucket
+          FROM v),
+    lsh_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_DOT.format(a='q.e', b='c.e')} /
+                     ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+              FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+              WHERE q.vec_id < 10),
+    lsh AS (SELECT query_id, neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM lsh_s) WHERE rank <= 5),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell
+                 FROM (SELECT vec_id, cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    ivf_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_DOT.format(a='q.e', b='c.e')} /
+                     ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+              FROM av q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id
+              WHERE q.vec_id < 10),
+    ivf AS (SELECT query_id, neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM ivf_s) WHERE rank <= 5)
+    SELECT method, CAST(hits AS BIGINT) AS hits, CAST(possible AS BIGINT) AS possible
+    FROM (
+      SELECT 'lsh' AS method,
+             (SELECT count(*) FROM lsh l JOIN exact e
+               ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+      UNION ALL
+      SELECT 'ivf',
+             (SELECT count(*) FROM ivf i JOIN exact e
+               ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id),
+             (SELECT count(*) FROM exact))
+    """,
+    "ANN recall@5 evaluation harness: LSH and IVF top-k scored against "
+    "the exact brute-force baseline on the bounded probe set — the "
+    "accuracy audit behind every approximate-serving config (the exact "
+    "pass is affordable on a sample, the approximate path runs the "
+    "corpus). Composes three existing method pipelines in one plan.",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    lsh = lsh_ann_topk(emb, k=5, query_filter="query_id < 10").select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_ann_topk(emb, k=5, n_cells=16, query_filter="query_id < 10").select(
+        "query_id", "neighbor_id"
+    )
+    possible = exact.count()
+
+    def scored(df, name):
+        return df.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("hits"),
+            F.lit(possible).cast("bigint").alias("possible"),
+        )
+
+    return scored(lsh, "lsh").unionByName(scored(ivf, "ivf"))

@@ -16,7 +16,7 @@ def test_no_quadratic_join_operators(spark):
 #: Entries that legitimately compose TWO full method pipelines (an
 #: evaluation harness joining method A's output against method B's
 #: ground truth) get double the single-pipeline budget.
-COMPOSED = {"dedup_method_agreement"}
+COMPOSED = {"dedup_method_agreement", "ann_recall_eval"}
 
 
 def test_exchange_budgets(spark):

@@ -69,6 +69,9 @@ WHITELIST: set[str] = {
     # three one-row sketch-estimate frames crossJoined into the
     # inclusion-exclusion formula — all sides single-row
     "join_cardinality_estimate",
+    # recall harness composes the exact baseline (whitelisted bounded
+    # all-pairs, 10 probes) with the IVF centroid BNLJ — both bounded
+    "ann_recall_eval",
 }
 
 
