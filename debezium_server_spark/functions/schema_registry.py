@@ -267,14 +267,22 @@ def register_checked(
     level: str = "BACKWARD",
 ) -> RegisteredSchema:
     """Compatibility-gated registration: verify `struct` against the
-    subject's LATEST version at `level` before publishing (Confluent
-    checks latest-only for BACKWARD/FORWARD/FULL; the *_TRANSITIVE
-    variants would walk all versions — same loop, all docs)."""
-    latest = registry.latest(subject)
-    if latest is not None and latest.schema_type == "spark-struct":
-        if not check_compatibility(latest.struct(), struct, level):
+    subject's LATEST version at `level` — or against EVERY prior version
+    for the `*_TRANSITIVE` levels — before publishing (Confluent's two
+    check scopes)."""
+    base = level.upper().removesuffix("_TRANSITIVE")
+    transitive = level.upper().endswith("_TRANSITIVE")
+    priors = (
+        registry.versions(subject)
+        if transitive
+        else [d for d in [registry.latest(subject)] if d is not None]
+    )
+    for doc in priors:
+        if doc.schema_type != "spark-struct":
+            continue
+        if not check_compatibility(doc.struct(), struct, base):
             raise IncompatibleSchemaError(
                 f"subject {subject!r}: new schema is not {level}-compatible "
-                f"with version {latest.version}"
+                f"with version {doc.version}"
             )
     return registry.register(subject, json.dumps(struct.jsonValue()))

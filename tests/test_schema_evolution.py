@@ -248,3 +248,41 @@ def test_register_checked_gates_incompatible(tmp_path):
         register_checked(reg, "users", bad)
     # registry unchanged after the rejection
     assert reg.latest("users").version == 2
+
+
+def test_register_checked_transitive_walks_all_versions(tmp_path):
+    """BACKWARD checks only v(latest); BACKWARD_TRANSITIVE must also hold
+    against every earlier version — a schema readable over v2 but not v1
+    passes the former and fails the latter."""
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.functions.schema_registry import (
+        FileSchemaRegistry,
+        IncompatibleSchemaError,
+        register_checked,
+    )
+
+    reg = FileSchemaRegistry(str(tmp_path / "reg"))
+    v1 = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("code", T.StringType(), False)])
+    register_checked(reg, "s", v1, "NONE")
+    # v2 drops required `code` (fine BACKWARD: new reader ignores it)
+    v2 = T.StructType([T.StructField("id", T.LongType(), False)])
+    register_checked(reg, "s", v2, "BACKWARD")
+    # v3 re-adds `code` as REQUIRED: backward vs v2 fails outright…
+    v3 = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("code", T.StringType(), False)])
+    import pytest as _pytest
+
+    with _pytest.raises(IncompatibleSchemaError):
+        register_checked(reg, "s", v3, "BACKWARD")
+    # …but a NULLABLE `note` add passes BACKWARD (vs v2) yet fails
+    # FORWARD_TRANSITIVE: v1's reader requires `code`, which v4 writers
+    # never produce
+    v4 = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("note", T.StringType(), True)])
+    register_checked(reg, "s", v4, "BACKWARD")
+    v5 = T.StructType([T.StructField("id", T.LongType(), False),
+                       T.StructField("extra", T.StringType(), True)])
+    with _pytest.raises(IncompatibleSchemaError):
+        register_checked(reg, "s", v5, "FORWARD_TRANSITIVE")
