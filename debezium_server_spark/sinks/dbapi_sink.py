@@ -53,9 +53,12 @@ def _sqlite_connect(dsn: str):
     return sqlite3.connect(dsn, timeout=60)
 
 
-def _apply_partition(rows, dsn, connect, table, cols, key_cols):
+def _apply_partition(rows, dsn, connect, table, cols, key_cols, mark=None):
     """Executor-side: open one connection per partition, apply the
-    partition's ops in one transaction. `rows` carry (op, *cols)."""
+    partition's ops in one transaction. `rows` carry (op, *cols).
+    When `mark=(destination, epoch)` is given (single-partition mode),
+    the committed-epoch marker joins the SAME transaction — apply and
+    marker are atomic, upgrading replay-idempotent to exactly-once."""
     conn = connect(dsn)
     try:
         cur = conn.cursor()
@@ -82,6 +85,8 @@ def _apply_partition(rows, dsn, connect, table, cols, key_cols):
             cur.executemany(upsert_sql, upserts)
         if deletes:
             cur.executemany(delete_sql, deletes)
+        if mark is not None:
+            cur.execute("INSERT OR IGNORE INTO __dss_epochs VALUES (?, ?)", mark)
         conn.commit()
     finally:
         conn.close()
@@ -217,15 +222,23 @@ class DbApiUpsertSink(BaseSink):
 
             dsn, connect, keys = self.dsn, self.connect, self.key_fields
             cols = [n for n, _ in schema]
+            # single-partition mode commits the epoch marker inside the
+            # apply transaction (atomic → exactly-once); multi-partition
+            # marks after all partitions land (replay-idempotent via the
+            # latest-per-key statement set)
+            mark = (dest, epoch_id) if self.partitions == 1 else None
             flat.coalesce(self.partitions).foreachPartition(
-                lambda rows: _apply_partition(rows, dsn, connect, table, cols, keys)
-            )
-            conn = self.connect(self.dsn)
-            try:
-                conn.execute(
-                    "INSERT OR IGNORE INTO __dss_epochs VALUES (?, ?)",
-                    (dest, epoch_id),
+                lambda rows: _apply_partition(
+                    rows, dsn, connect, table, cols, keys, mark
                 )
-                conn.commit()
-            finally:
-                conn.close()
+            )
+            if mark is None:
+                conn = self.connect(self.dsn)
+                try:
+                    conn.execute(
+                        "INSERT OR IGNORE INTO __dss_epochs VALUES (?, ?)",
+                        (dest, epoch_id),
+                    )
+                    conn.commit()
+                finally:
+                    conn.close()
