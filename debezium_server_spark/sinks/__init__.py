@@ -10,6 +10,7 @@ from debezium_server_spark.sinks.base import BaseSink, SINK_REGISTRY, register_s
 # discovery analog, ChangeConsumerProducer.java:61-90).
 from debezium_server_spark.sinks import (  # noqa: E402,F401
     aws_sinks as _aws_sinks,
+    corpus_sink as _corpus_sink,
     dbapi_sink as _dbapi_sink,
     http_sink as _http_sink,
     instructlab_sink as _instructlab_sink,

@@ -1,0 +1,56 @@
+"""Streaming corpus ingest: quality gate + cross-batch incremental dedup
+against the persisted band index + append-only corpus, epoch-idempotent."""
+
+import json
+
+from debezium_server_spark.sinks import get_sink
+
+GOOD = ("the data pipeline processes a stream of table rows and in the end "
+        "writes results to a sink of high quality and value for all users")
+
+
+def _ev(doc_id, text, lsn):
+    return {"destination": "corpus.docs", "key": {"doc_id": doc_id},
+            "value": {"op": "c", "before": None,
+                      "after": {"doc_id": doc_id, "text": text},
+                      "source": {"lsn": lsn}, "ts_ms": lsn},
+            "headers": [], "partition": 0}
+
+
+SCHEMA = ("destination string, key struct<doc_id:long>, "
+          "value struct<op:string, before struct<doc_id:long,text:string>, "
+          "after struct<doc_id:long,text:string>, source struct<lsn:long>, ts_ms long>, "
+          "headers array<struct<key:string,value:string>>, partition int")
+
+
+def test_corpus_ingest_quality_dedup_and_replay(spark, tmp_path):
+    sink = get_sink("corpus-ingest", root_path=str(tmp_path / "c"), min_logit=0)
+
+    low_quality = "%%% ### !!! @@@ $$$ " * 10  # punct-heavy gibberish
+    batch1 = spark.createDataFrame(
+        [_ev(1, GOOD, 1),
+         _ev(2, low_quality.strip(), 2),
+         _ev(3, GOOD + " with a small tail difference", 3)],
+        SCHEMA,
+    )
+    sink(batch1, epoch_id=0)
+    c1 = {r["doc_id"] for r in sink.read_corpus(spark).collect()}
+    assert 1 in c1          # good doc kept
+    assert 2 not in c1      # failed the quality gate
+    # doc 3 is a near-dup of doc 1 WITHIN the batch → dropped
+    assert c1 == {1}
+
+    # batch 2: near-dup of an ALREADY-INGESTED doc + one novel doc
+    batch2 = spark.createDataFrame(
+        [_ev(4, GOOD, 4),  # exact dup of corpus doc 1 → index filters it
+         _ev(5, "completely novel content about engines shuffles and joins "
+                "in the modern data stack for training and evaluation", 5)],
+        SCHEMA,
+    )
+    sink(batch2, epoch_id=1)
+    c2 = {r["doc_id"] for r in sink.read_corpus(spark).collect()}
+    assert c2 == {1, 5}
+
+    # exact replay of epoch 1 is a committed no-op
+    sink(batch2, epoch_id=1)
+    assert {r["doc_id"] for r in sink.read_corpus(spark).collect()} == {1, 5}
