@@ -2031,7 +2031,10 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            _r4(_dsum(F.col("value")).cast("double")).alias("total_value"),
+            # _dsum already floors to 4 decimals — flooring its output a
+            # second time re-rounds an already-rounded double and can drop
+            # 1e-4 at boundaries (caught by the sf0.001 oracle sweep)
+            _dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
