@@ -4967,3 +4967,63 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return scored(lsh, "lsh").unionByName(scored(ivf, "ivf"))
+
+
+@register(
+    "array_map_functions",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 50)
+    SELECT doc_id,
+           len(toks) AS n,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           array_to_string(list_slice(toks, 1, 3), '-') AS first3,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
+           len(list_filter(toks, x -> length(x) >= 5)) AS n_long,
+           CAST(list_aggregate(list_transform(toks,
+                x -> CASE WHEN length(x) > 3 THEN 1 ELSE 0 END), 'sum') AS BIGINT)
+             AS n_gt3,
+           list_sort(list_distinct(list_transform(list_slice(toks, 1, 5),
+                x -> upper(x))))[1] AS min_upper5,
+           list_contains(toks, 'table') AS has_table,
+           CAST(list_position(toks, 'table') AS BIGINT) AS table_pos
+    FROM t
+    """,
+    "Array/higher-order-function surface matrix (the §2.5 scalar matrix's "
+    "collection sibling): size/get/slice/join, distinct, transform+ "
+    "aggregate folds, filter, conditional fold, sort, containment and "
+    "position — all JVM-side Column expressions matched element-for-"
+    "element against DuckDB's list functions. Exercises the array layer "
+    "every LLM-pipeline operator builds on.",
+)
+def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(F.col("doc_id"), toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        F.col("toks").getItem(0).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("first3"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("total_chars"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 5)).cast("bigint").alias("n_long"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.when(F.length(x) > 3, 1).otherwise(0)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("bigint").alias("n_gt3"),
+        F.array_sort(
+            F.array_distinct(F.transform(F.slice("toks", 1, 5), lambda x: F.upper(x)))
+        ).getItem(0).alias("min_upper5"),
+        F.array_contains("toks", "table").alias("has_table"),
+        # both engines return 0 for an absent element (verified, not the
+        # NULL the DuckDB docs suggest) — plain cast keeps them aligned
+        F.array_position("toks", "table").cast("bigint").alias("table_pos"),
+    )
