@@ -1421,6 +1421,295 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# TPC-H queries needing PARTSUPP — derived deterministically on BOTH
+# sides from part+supplier (operators/partsupp.py), since the driver
+# fixtures ship no partsupp file.  Supply cost stays in integer cents.
+# =====================================================================
+
+from debezium_server_spark.operators.partsupp import (  # noqa: E402
+    PARTSUPP_CTE,
+    derived_partsupp,
+)
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived_partsupp(
+        spark,
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    costs AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost_cents
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_nationkey % 5 = 3
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           floor((CAST(ps_supplycost_cents AS DOUBLE) / 100.0) * 10000) / 10000
+             AS supplycost,
+           ps_suppkey AS s_suppkey
+    FROM part
+    JOIN costs ON ps_partkey = p_partkey
+    JOIN (SELECT ps_partkey AS mpk, min(ps_supplycost_cents) AS min_cost
+          FROM costs GROUP BY ps_partkey) m
+      ON mpk = ps_partkey AND ps_supplycost_cents = min_cost
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 (adapted: region table has 5 rows but nation carries no "
+    "r_name join in the fixture's 25-nation set, so the 'region' filter is "
+    "the deterministic nationkey%5 stripe; p_mfgr absent, p_type shown): "
+    "min-supplycost-per-part via self-agg + join-back, dims broadcast, "
+    "fully-tiebroken ORDER BY ... LIMIT so both engines pick the same 100.",
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    costs = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(supplier), F.col("ps_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_nationkey") % 5 == 3)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+                "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = costs.groupBy(F.col("ps_partkey").alias("mpk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    winners = costs.join(
+        min_cost,
+        (F.col("ps_partkey") == F.col("mpk"))
+        & (F.col("ps_supplycost_cents") == F.col("min_cost")),
+    )
+    return (
+        winners.join(
+            F.broadcast(part.filter((F.col("p_type") == "STANDARD")
+                                    & (F.col("p_size") <= 10))),
+            F.col("ps_partkey") == part.p_partkey,
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            _r4(F.col("ps_supplycost_cents").cast("double") / 100.0)
+                .alias("supplycost"),
+            F.col("ps_suppkey").alias("s_suppkey"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE})
+    SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+           floor((CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              - ps_supplycost_cents * l_quantity / 100.0
+                              AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000
+             AS sum_profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+    """,
+    "TPC-H Q9 product-type profit (adapted: p_name LIKE '%bolt%'): "
+    "profit = revenue - supplycost*qty per (supplier nation, order year). "
+    "The per-row profit term is one IEEE double expression evaluated "
+    "identically in both engines, then exact-decimal summed; partsupp "
+    "joins on its (partkey, suppkey) PK so cardinality stays 1:1 with "
+    "lineitem — no fan-out, dims broadcast.",
+)
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ps = _ps(spark, sf_dir)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost_cents") * F.col("l_quantity") / 100.0
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == F.col("ps_partkey"))
+            & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    scoped AS (
+      SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      WHERE s_nationkey % 5 = 2
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING SUM(v) * 2000 > (SELECT SUM(v) FROM scoped)
+    """,
+    "TPC-H Q11 important stock (adapted: nation stripe s_nationkey%5=2; "
+    "threshold fraction 1/2000): per-part inventory value vs a global-total "
+    "scalar subquery.  All math is 64-bit integer (cents x qty), and the "
+    "fraction compare is cross-multiplied (sum*2000 > total) so there is "
+    "no division anywhere — bit-exact across engines.  Total arrives as a "
+    "1-row broadcast crossJoin; HAVING keys stay partitioned by part.",
+)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    scoped = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(supplier.filter(F.col("s_nationkey") % 5 == 2)),
+              F.col("ps_suppkey") == supplier.s_suppkey)
+        .select("ps_partkey",
+                (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"))
+    )
+    total = scoped.agg(F.sum("v").alias("total_v"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sum_v"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("sum_v") * 2000 > F.col("total_v"))
+        .select("ps_partkey", F.col("sum_v").cast("long").alias("value_cents"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE})
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 15, 20, 25, 30, 36)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 supplier-part relationship (adapted: the 'customer "
+    "complaints' exclusion is suppliers with negative acctbal — supplier "
+    "has no comment column): NOT-IN subquery as a left_anti join against "
+    "the (tiny, broadcast) excluded-supplier set, then COUNT(DISTINCT "
+    "suppkey) per (brand, type, size) bucket.",
+)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 36)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_candidates",
+    f"""
+    WITH partsupp AS ({PARTSUPP_CTE}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT ps_suppkey
+      FROM partsupp
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM part
+                           WHERE p_name LIKE 'small%')
+        AND CAST(2 * ps_availqty AS DECIMAL(38,6)) > qty
+    )
+    """,
+    "TPC-H Q20 potential part promotion (adapted: p_name LIKE 'small%', "
+    "1998 ship year, all nations — s_address absent so output is "
+    "(s_name, n_name)): the correlated 0.5*sum(l_quantity) subquery is "
+    "decorrelated into a per-(part,supp) agg joined on the partsupp PK, "
+    "the availqty comparison is cross-multiplied (2*availqty > qty, "
+    "exact decimal), and the supplier membership is a semi join.",
+)
+def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    small = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1999-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+    )
+    qualifying = (
+        _ps(spark, sf_dir)
+        .join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == shipped.l_partkey)
+            & (F.col("ps_suppkey") == shipped.l_suppkey),
+        )
+        .filter((2 * F.col("ps_availqty")).cast("decimal(38,6)") > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        supplier.join(qualifying, supplier.s_suppkey == F.col("ps_suppkey"),
+                      "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
 @register(
     "asof_click_attribution",
     """

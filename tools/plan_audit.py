@@ -44,6 +44,15 @@ WHITELIST: set[str] = {
     # TPC-H Q22 scalar subquery (global avg acctbal) compiles to a BNLJ
     # against a single-row relation
     "q22_idle_customers",
+    # derived-partsupp entries: the derivation attaches count(supplier)
+    # as a one-row broadcast (operators/partsupp.py) — single-row build
+    # side; q11 additionally attaches the global inventory total the
+    # same way (its HAVING-vs-global-fraction scalar subquery)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotion_candidates",
     # corpus-total scalars (one-row broadcast crossJoin attaching
     # t_uni/t_big/n_docs to the vocabulary frame) — single-row side,
     # bounded by construction
