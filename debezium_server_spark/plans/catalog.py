@@ -5316,3 +5316,140 @@ def q_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL the DuckDB docs suggest) — plain cast keeps them aligned
         F.array_position("toks", "table").cast("bigint").alias("table_pos"),
     )
+
+
+# =====================================================================
+# Mergeable-sketch + deterministic-sampling additions (round 2c)
+# =====================================================================
+
+@register(
+    "heavy_hitters_cms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), toks_f AS (SELECT tok FROM toks WHERE tok <> ''),
+    hashed AS (
+      SELECT j, tok,
+             CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '#' || tok),
+                                      1, 15)) AS BIGINT) % 64 AS bucket
+      FROM toks_f CROSS JOIN (SELECT unnest(range(4)) AS j) d
+    ),
+    sketch AS (
+      SELECT j, bucket, count(*) AS c FROM hashed GROUP BY j, bucket
+    ),
+    exact AS (SELECT tok, count(*) AS exact_cnt FROM toks_f GROUP BY tok),
+    cand AS (
+      SELECT tok, exact_cnt
+      FROM (SELECT tok, exact_cnt,
+                   row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rn
+            FROM exact)
+      WHERE rn <= 20
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks_f),
+    est AS (
+      SELECT cj.tok, min(s.c) AS est_cnt
+      FROM (SELECT cand.tok, d.j,
+                   CAST(concat('0x', substr(md5(CAST(d.j AS VARCHAR) || '#'
+                                                || cand.tok), 1, 15))
+                        AS BIGINT) % 64 AS bucket
+            FROM cand CROSS JOIN (SELECT unnest(range(4)) AS j) d) cj
+      JOIN sketch s ON s.j = cj.j AND s.bucket = cj.bucket
+      GROUP BY cj.tok
+    )
+    SELECT est.tok, CAST(cand.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est.est_cnt AS BIGINT) AS est_cnt, tot.n_total,
+           est.est_cnt >= cand.exact_cnt AS no_undercount,
+           (est.est_cnt - cand.exact_cnt) * 64 <= 2 * tot.n_total
+             AS within_bound
+    FROM est JOIN cand ON est.tok = cand.tok CROSS JOIN tot
+    """,
+    "Count-min sketch as a TABLE (d=4 rows x w=64 columns of 60-bit-md5 "
+    "buckets) plus a heavy-hitter error audit: estimate = min over the "
+    "d bucket counts, checked against exact counts for the top-20 tokens "
+    "with the CMS guarantees emitted as columns (no_undercount always; "
+    "within_bound = cross-multiplied eps*N/w Markov bound, integer math). "
+    "The sketch is ONE map-side-combinable aggregate of d*w=256 cells — "
+    "THE mergeable frequency summary for 100 TB streams: per-partition "
+    "sketches union by cell-wise addition, estimation never rescans data. "
+    "Both engines build bit-identical sketches, so the driver hash covers "
+    "sketch construction, estimation, and the error bound.",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+    def bucket(j_col, tok_col):
+        s = F.concat(j_col.cast("string"), F.lit("#"), tok_col)
+        return (
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("bigint") % 64
+        )
+
+    rows4 = F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long")))
+    sketch = (
+        toks.select(rows4.alias("j"), "tok")
+        .select("j", bucket(F.col("j"), F.col("tok")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = (
+        exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    probes = (
+        cand.select("tok", "exact_cnt", rows4.alias("j"))
+        .select("tok", "exact_cnt", "j",
+                bucket(F.col("j"), F.col("tok")).alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            "n_total",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
+            ((F.col("est_cnt") - F.col("exact_cnt")) * 64
+             <= 2 * F.col("n_total")).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "per_source_eval_sample",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    """,
+    "Deterministic fixed-k holdout per source: rank docs inside each "
+    "source by md5(doc_id) (lowercase hex orders identically in both "
+    "engines) and keep the first 5 — the eval-set carving primitive. "
+    "Complementary to corpus_stratified_sample: hash-RANK gives exactly "
+    "k per group but appends can displace members; hash-THRESHOLD keep "
+    "rates are append-stable but only k-in-expectation. One shuffle on "
+    "source; per-group TopK (no global sort) at scale.",
+)
+def q_per_source_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )

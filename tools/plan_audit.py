@@ -53,6 +53,9 @@ WHITELIST: set[str] = {
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_promotion_candidates",
+    # CMS error audit attaches the total-token scalar as a one-row
+    # broadcast (same bounded single-row build side)
+    "heavy_hitters_cms",
     # corpus-total scalars (one-row broadcast crossJoin attaching
     # t_uni/t_big/n_docs to the vocabulary frame) — single-row side,
     # bounded by construction
