@@ -5453,3 +5453,213 @@ def q_per_source_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@register(
+    "quantile_sketch_audit",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    b AS (SELECT least(63, cents // 1000000) AS bin, count(*) AS cnt
+          FROM c GROUP BY 1),
+    bw AS (SELECT bin, cnt,
+                  sum(cnt) OVER (ORDER BY bin) AS cum,
+                  sum(cnt) OVER () AS total
+           FROM b),
+    bwq AS (SELECT q, bin, cum, total
+            FROM bw CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) qs),
+    chosen AS (SELECT q, min(bin) AS bin FROM bwq
+               WHERE cum * 100 >= q * total GROUP BY q),
+    est AS (SELECT q, bin, bin * 1000000 AS est_lo_cents,
+                   (bin + 1) * 1000000 AS est_hi_cents
+            FROM chosen),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                 count(*) OVER () AS n
+          FROM c),
+    ex1 AS (SELECT
+             max(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS e50,
+             max(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END) AS e90,
+             max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS e99
+            FROM r),
+    exact AS (SELECT 50 AS q, e50 AS exact_cents FROM ex1
+              UNION ALL SELECT 90, e90 FROM ex1
+              UNION ALL SELECT 99, e99 FROM ex1)
+    SELECT CAST(est.q AS INTEGER) AS q, CAST(est.bin AS BIGINT) AS bin,
+           CAST(est_lo_cents AS BIGINT) AS est_lo_cents,
+           CAST(est_hi_cents AS BIGINT) AS est_hi_cents,
+           CAST(exact_cents AS BIGINT) AS exact_cents,
+           exact_cents >= est_lo_cents AND exact_cents < est_hi_cents
+             AS contained
+    FROM est JOIN exact ON est.q = exact.q
+    """,
+    "Mergeable rank/quantile sketch with an audit: a 64-bin equi-width "
+    "histogram of order value in integer cents IS the sketch (one "
+    "map-side-combinable agg; per-partition histograms merge by cell "
+    "addition), quantiles read off the 64-row frame by cumulative-count "
+    "threshold (cross-multiplied integers, no division). The exact side "
+    "(rank-based percentile, the ceil(q*n) idiom) recomputes P50/90/99 "
+    "from the data and the hash-checked `contained` column proves each "
+    "estimate's bin brackets the true percentile. The sketch path is the "
+    "100 TB quantile answer — the exact path is the small-SF audit.",
+)
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    c = od.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents")
+    )
+    b = c.select(
+        F.least(F.lit(63).cast("long"), F.expr("cents div 1000000")).alias("bin")
+    ).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    bw = b.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    bwq = bw.select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"),
+        "bin", "cum", "total",
+    )
+    est = (
+        bwq.filter(F.col("cum") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("q").agg(F.min("bin").alias("bin"))
+        .select(
+            "q", "bin",
+            (F.col("bin") * 1000000).alias("est_lo_cents"),
+            ((F.col("bin") + 1) * 1000000).alias("est_hi_cents"),
+        )
+    )
+    w_rn = Window.orderBy("cents")
+    w_n = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    r = c.select(
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    ex1 = r.agg(*[
+        F.max(F.when(F.col("rn") == F.expr(f"({q} * n + 99) div 100"),
+                     F.col("cents")))
+        .alias(f"e{q}")
+        for q in (50, 90, 99)
+    ])
+    exact = ex1.selectExpr(
+        "stack(3, 50, e50, 90, e90, 99, e99) as (q, exact_cents)"
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").cast("int").alias("q"),
+            F.col("bin").cast("long").alias("bin"),
+            F.col("est_lo_cents").cast("long").alias("est_lo_cents"),
+            F.col("est_hi_cents").cast("long").alias("est_hi_cents"),
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            ((F.col("exact_cents") >= F.col("est_lo_cents"))
+             & (F.col("exact_cents") < F.col("est_hi_cents")))
+            .alias("contained"),
+        )
+    )
+
+
+@register(
+    "source_drift_audit",
+    """
+    WITH halves AS (
+      SELECT source,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+      FROM documents GROUP BY source),
+    t AS (SELECT source, n_old, n_new,
+                 sum(n_old) OVER () AS t_old,
+                 sum(n_new) OVER () AS t_new
+          FROM halves)
+    SELECT source, CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           abs(n_old * t_new - n_new * t_old) * 100 > t_old * t_new
+             AS drifted
+    FROM t
+    """,
+    "Corpus-composition drift audit between two snapshots (deterministic "
+    "halves by doc_id parity standing in for consecutive crawls): each "
+    "source's share compared across snapshots with a cross-multiplied "
+    "1%-of-share threshold — |p_old - p_new| > 0.01 as pure integer "
+    "arithmetic, no division or floats. Shape: one grouped agg, then "
+    "window totals over the |sources|-row frame. The pre-training-mix "
+    "regression gate: catches a crawler or filter change shifting the "
+    "source mixture before it reaches training.",
+)
+def q_source_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    halves = docs.groupBy("source").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    w_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        halves.select(
+            "source", "n_old", "n_new",
+            F.sum("n_old").over(w_all).alias("t_old"),
+            F.sum("n_new").over(w_all).alias("t_new"),
+        )
+        .select(
+            "source",
+            F.col("n_old").cast("long").alias("n_old"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (F.abs(F.col("n_old") * F.col("t_new")
+                   - F.col("n_new") * F.col("t_old")) * 100
+             > F.col("t_old") * F.col("t_new")).alias("drifted"),
+        )
+    )
+
+
+@register(
+    "path_pattern_match",
+    """
+    WITH p AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path,
+             count(*) AS n_steps
+      FROM events WHERE user_id < 100 GROUP BY user_id)
+    SELECT user_id, CAST(n_steps AS BIGINT) AS n_steps,
+           regexp_matches(path, '(^|>)view>(.*>)?purchase(>|$)')
+             AS view_then_purchase,
+           regexp_matches(path, '(^|>)signup>(.*>)?error(>|$)')
+             AS signup_then_error,
+           regexp_matches(path, '(^|>)click>purchase(>|$)')
+             AS direct_click_buy
+    FROM p
+    """,
+    "MATCH_RECOGNIZE-style sequence pattern detection: per-user "
+    "chronological event paths (deterministic (ts, event_id) order) "
+    "matched against regex patterns over the '>'-joined sequence — "
+    "view-before-purchase, signup-before-error, and adjacent "
+    "click>purchase. The CEP/funnel primitive expressed as one grouped "
+    "sort-agg plus map-side regex (constructs chosen to mean the same "
+    "in RE2 and java.util.regex); one shuffle on user_id.",
+)
+def q_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.concat_ws(">", F.transform(ordered, lambda s: s["event_type"]))
+    p = ev.groupBy("user_id").agg(
+        path.alias("path"),
+        F.count("*").cast("long").alias("n_steps"),
+    )
+    return p.select(
+        "user_id", "n_steps",
+        F.col("path").rlike("(^|>)view>(.*>)?purchase(>|$)")
+            .alias("view_then_purchase"),
+        F.col("path").rlike("(^|>)signup>(.*>)?error(>|$)")
+            .alias("signup_then_error"),
+        F.col("path").rlike("(^|>)click>purchase(>|$)")
+            .alias("direct_click_buy"),
+    )
