@@ -278,3 +278,116 @@ def trending_topk(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sequence_pattern_matches(
+    stream: DataFrame,
+    pattern: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming CEP: detect the ordered `pattern` of event types per key,
+    completing within `within` of the first matched step, and emit one
+    append-mode row per completed match (key, start_ts, end_ts,
+    duration_s).
+
+    Complex-event-processing is the canonical thing Structured Streaming
+    does NOT ship (Flink has MATCH_RECOGNIZE/CEP; Spark's batch analog is
+    the `path_pattern_match` catalog entry). The stateful translation:
+
+    - state per key = (progress index, first-step ts, last-advance ts) —
+      O(1) per key, independent of event volume;
+    - within a micro-batch events are sorted by (ts, tiebreak) before the
+      automaton advances, so intra-batch disorder is repaired exactly;
+      cross-batch disorder is bounded by the watermark (late events
+      beyond it are dropped upstream, matching windowed-agg semantics);
+    - non-overlapping skip-past-match semantics: a completed match
+      resets the automaton (SQL MATCH_RECOGNIZE AFTER MATCH SKIP PAST
+      LAST ROW), and an expired partial match restarts cleanly — the
+      current event may immediately begin a new attempt;
+    - an EventTimeTimeout at first_ts + within garbage-collects stalled
+      partial matches when the watermark passes the deadline, so state
+      never outlives the pattern window.
+    """
+    if not pattern:
+        raise ValueError("pattern must name at least one event type")
+    within_s = _duration_seconds(within)
+
+    ev = stream.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("start_ts", T.TimestampType()),
+            T.StructField("end_ts", T.TimestampType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("progress", T.IntegerType()),
+            T.StructField("first_us", T.LongType()),
+        ]
+    )
+
+    def advance(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            # watermark passed first_ts + within: the partial match can
+            # never complete with on-time data
+            state.remove()
+            return
+        progress, first_us = (0, 0)
+        if state.exists:
+            progress, first_us = state.get
+        matches: list[tuple[Any, Any]] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "etype"], ignore_index=True)
+        for ts, etype in zip(batch["ts"], batch["etype"]):
+            ts_us = int(ts.value // 1000)  # pandas ns -> µs
+            if progress > 0 and ts_us - first_us > within_s * 1_000_000:
+                progress, first_us = 0, 0  # expired partial; fall through
+            if etype == pattern[progress]:
+                if progress == 0:
+                    first_us = ts_us
+                progress += 1
+                if progress == len(pattern):
+                    matches.append((first_us, ts_us))
+                    progress, first_us = 0, 0
+        if progress > 0:
+            state.update((progress, first_us))
+            state.setTimeoutTimestamp(first_us // 1000 + within_s * 1000)
+        elif state.exists:
+            state.remove()
+        if matches:
+            yield pd.DataFrame(
+                {
+                    "key": [k] * len(matches),
+                    "start_ts": [pd.Timestamp(s, unit="us") for s, _ in matches],
+                    "end_ts": [pd.Timestamp(e, unit="us") for _, e in matches],
+                    "duration_s": [(e - s) / 1e6 for s, e in matches],
+                }
+            )
+
+    return ev.groupBy("key").applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _duration_seconds(text: str) -> int:
+    """Parse '1 hour' / '30 minutes' / '45 seconds' (the subset Spark's
+    interval strings use here) into seconds."""
+    n, unit = text.strip().split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult

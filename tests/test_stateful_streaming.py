@@ -316,3 +316,73 @@ def test_trending_topk_emits_final_ranking_once(spark, tmp_path):
     finalized = [r for r in rows if str(r["window_start"]) == "2024-01-01 10:00:00"]
     # emitted once, ranked a(2) > b(1), never re-emitted
     assert [(r["item"], r["n"], r["rank"]) for r in finalized] == [("a", 2, 1), ("b", 1, 2)]
+
+
+EV_SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def test_sequence_pattern_matches_cross_batch(spark, tmp_path):
+    from debezium_server_spark.streaming.stateful import sequence_pattern_matches
+
+    src = tmp_path / "cep"
+    src.mkdir()
+    # user 1: full match inside batch 1; user 3: starts in batch 1
+    _write(src, "b1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 10:00:10", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-01-01 10:00:20", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+        {"user_id": 3, "ts": "2024-01-01 10:05:00", "event_type": "view"},
+    ])
+    # user 3 completes across the batch boundary (within 1h);
+    # user 2's click arrives 2h after its view -> partial expired, and
+    # click is not the first step so no new attempt starts;
+    # user 1 starts and completes a SECOND, non-overlapping match
+    _write(src, "b2.jsonl", [
+        {"user_id": 3, "ts": "2024-01-01 10:06:00", "event_type": "click"},
+        {"user_id": 3, "ts": "2024-01-01 10:07:00", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-01-01 12:00:01", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 12:00:02", "event_type": "purchase"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:05", "event_type": "purchase"},
+        {"user_id": 1, "ts": "2024-01-01 10:10:04", "event_type": "click"},
+    ])
+    out = sequence_pattern_matches(
+        _stream(spark, src, EV_SCHEMA),
+        pattern=["view", "click", "purchase"],
+        within="1 hour",
+    )
+    rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
+    got = sorted((r.key, str(r.start_ts), str(r.end_ts), r.duration_s) for r in rows)
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:00:20", 20.0),
+        # intra-batch disorder (click written after purchase) repaired
+        (1, "2024-01-01 10:10:00", "2024-01-01 10:10:05", 5.0),
+        (3, "2024-01-01 10:05:00", "2024-01-01 10:07:00", 120.0),
+    ]
+
+
+def test_sequence_pattern_expired_partial_restarts(spark, tmp_path):
+    from debezium_server_spark.streaming.stateful import sequence_pattern_matches
+
+    src = tmp_path / "cep2"
+    src.mkdir()
+    # view at 10:00, click at 11:30 (past the 1h deadline -> reset),
+    # then a FRESH view/click/purchase run completing at 11:35
+    _write(src, "b1.jsonl", [
+        {"user_id": 9, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+    ])
+    _write(src, "b2.jsonl", [
+        {"user_id": 9, "ts": "2024-01-01 11:30:00", "event_type": "click"},
+        {"user_id": 9, "ts": "2024-01-01 11:33:00", "event_type": "view"},
+        {"user_id": 9, "ts": "2024-01-01 11:34:00", "event_type": "click"},
+        {"user_id": 9, "ts": "2024-01-01 11:35:00", "event_type": "purchase"},
+    ])
+    out = sequence_pattern_matches(
+        _stream(spark, src, EV_SCHEMA),
+        pattern=["view", "click", "purchase"],
+        within="1 hour",
+    )
+    rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
+    got = [(r.key, str(r.start_ts), str(r.end_ts)) for r in rows]
+    assert got == [(9, "2024-01-01 11:33:00", "2024-01-01 11:35:00")]
