@@ -5663,3 +5663,67 @@ def q_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").rlike("(^|>)click>purchase(>|$)")
             .alias("direct_click_buy"),
     )
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(38,6))) AS v
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, CAST(ts AS DATE)),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span),
+    j AS (
+      SELECT cal.user_id, cal.day, daily.v
+      FROM cal LEFT JOIN daily
+        ON daily.user_id = cal.user_id AND daily.day = cal.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           v IS NULL AS filled,
+           floor(CAST(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             * 10000) / 10000 AS value_locf
+    FROM j
+    """,
+    "Time-series calendar densification + last-observation-carried-"
+    "forward (the hypertable gap-fill/locf pair): per-user daily sums, "
+    "the missing days generated from each user's OWN [first, last] span "
+    "(map-side date-sequence explode — no global min/max scalar, no "
+    "cross join), then LOCF via last_value IGNORE NULLS over an "
+    "unbounded-preceding frame. Leading rows are never null by "
+    "construction (spans start at an observed day). Shapes: two "
+    "shuffles on user_id; calendar rows ∝ span days, not events².",
+)
+def q_timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(_dec(F.col("value"))).alias("v"))
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id",
+                F.explode(F.expr("sequence(d0, d1, interval 1 day)"))
+                 .alias("day"))
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().alias("filled"),
+        _r4(F.last("v", ignorenulls=True).over(w).cast("double"))
+            .alias("value_locf"),
+    )
