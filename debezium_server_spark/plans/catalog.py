@@ -5727,3 +5727,69 @@ def q_timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.last("v", ignorenulls=True).over(w).cast("double"))
             .alias("value_locf"),
     )
+
+
+@register(
+    "regression_quantity_price",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000)
+             / 10000 AS slope,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) * 10000) / 10000 AS intercept,
+           floor((((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000)
+             / 10000 AS r2
+    FROM m
+    """,
+    "Grouped OLS regression + correlation (the regr_slope/regr_intercept/"
+    "corr family) of extended price on quantity per return flag: moments "
+    "accumulated EXACTLY (integer cents; squares summed as DECIMAL(38,0) "
+    "— Σy² overflows BIGINT at sf0.1 scale), closed forms evaluated in "
+    "doubles derived from those exact sums with identical parenthesization "
+    "in both engines, so every IEEE operation matches bit for bit. One "
+    "map-side-combinable aggregate — the 100 TB-safe way to fit per-group "
+    "trend lines (no per-group iteration, no second pass).",
+)
+def q_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+            .cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+            .cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        "l_returnflag", "n",
+        _r4(cov / varx).alias("slope"),
+        _r4((sy - (cov / varx) * sx) / n).alias("intercept"),
+        _r4((cov * cov) / (varx * vary)).alias("r2"),
+    )
