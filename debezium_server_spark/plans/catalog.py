@@ -5793,3 +5793,61 @@ def q_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4((sy - (cov / varx) * sx) / n).alias("intercept"),
         _r4((cov * cov) / (varx * vary)).alias("r2"),
     )
+
+
+@register(
+    "stream_cep_matches",
+    None,
+    "The streaming CEP operator surfaced to the driver (rows-only by "
+    "design — a pattern AUTOMATON with skip-past-match semantics and "
+    "watermark GC has no batch-SQL equivalent; its batch approximation "
+    "is the oracle-checked path_pattern_match): the events fixture is "
+    "replayed as 4 time-ordered micro-batches through "
+    "sequence_pattern_matches (view→click→purchase within 72h — sized "
+    "to the fixture's ~1.5-day median per-user event gap), state "
+    "crossing real batch boundaries. Deterministic by construction "
+    "(range-partitioned replay + in-batch sort), so the driver's "
+    "row-count check is stable; validated against an independent "
+    "offline automaton simulation (338 matches at sf0.01).",
+)
+def q_stream_cep_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s, ["view", "click", "purchase"],
+            within="72 hours", watermark="24 hours",
+        ),
+    )
+    return out.orderBy("key", "start_ts")
+
+
+@register(
+    "stream_trending_topk",
+    None,
+    "Watermark-sealed per-window top-k surfaced to the driver (rows-only "
+    "— single-shot finalization via EventTimeTimeout is a streaming-only "
+    "contract): hourly event-type rankings emitted exactly once when the "
+    "watermark passes each window end during a 4-batch deterministic "
+    "replay; trailing windows the watermark never seals stay open and "
+    "are deterministically absent.",
+)
+def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import trending_topk
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: trending_topk(
+            s, ts_col="ts", key_col="event_type",
+            window="6 hours", watermark="30 minutes", k=3,
+        ),
+    )
+    return out.orderBy("window_start", "rank")

@@ -1,0 +1,78 @@
+"""Deterministic batch→stream replay: run a stateful streaming operator
+over a static fixture table and hand back its output as a plain
+DataFrame.
+
+This is the bridge that lets genuinely-streaming operators (pattern
+automata, watermark-sealed rankings — state machines with no batch SQL
+equivalent) appear in the driver-checked catalog as rows-only entries:
+the fixture is materialized as a time-ordered multi-file copy, replayed
+one file per micro-batch with `availableNow`, and the append-mode output
+lands in an in-memory table. Every step is deterministic — range
+partitioning by event time fixes the file split, file-name order fixes
+the batch order, and the operators sort within each batch — so the row
+set is identical across runs and engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    transform,
+    ts_col: str = "ts",
+    n_batches: int = 4,
+) -> DataFrame:
+    """Write `df` as `n_batches` time-range files, open them as a
+    1-file-per-trigger stream, apply `transform(stream) -> stream`, run
+    to completion (availableNow), and return the collected output.
+
+    The no-data batch Spark appends after the last file advances the
+    watermark to max(event time) - delay, so EventTimeTimeout-based
+    finalization (e.g. trending_topk) fires for every window the
+    watermark conclusively passes; trailing windows deterministically
+    stay open and are excluded from the output.
+    """
+    work = tempfile.mkdtemp(prefix="spark_graft_replay_")
+    src = os.path.join(work, "src")
+    (
+        df.repartitionByRange(n_batches, ts_col)
+        .sortWithinPartitions(ts_col)
+        .write.parquet(src)
+    )
+    # FileStreamSource orders new files by modification time; parallel
+    # part-file writes get near-identical mtimes, so replay order could
+    # diverge from time-range order (a later-range batch first would
+    # advance the watermark and late-drop entire earlier files). Pin
+    # mtimes to the part-file name order, which repartitionByRange made
+    # the event-time order.
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = int(os.path.getmtime(os.path.join(src, parts[0])))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i, base + i))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "replay_" + uuid.uuid4().hex
+    q = (
+        transform(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -266,9 +266,28 @@ def trending_topk(
         for pdf in pdfs:
             for item, c in pdf["item"].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
+        we_ms = int(we.timestamp() * 1000)
+        if we_ms <= state.getCurrentWatermarkMs():
+            # the watermark already passed this window end (possible when
+            # one micro-batch spans far more event time than the delay):
+            # every on-time event has arrived, and a timeout in the past
+            # is an engine error — finalize right now instead
+            ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:k]
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start": [ws] * len(ranked),
+                    "window_end": [we] * len(ranked),
+                    "item": [i for i, _ in ranked],
+                    "n": [c for _, c in ranked],
+                    "rank": list(range(1, len(ranked) + 1)),
+                }
+            )
+            return
         state.update((list(counts.keys()), [int(v) for v in counts.values()]))
         # finalize when the watermark passes the window end
-        state.setTimeoutTimestamp(int(we.timestamp() * 1000))
+        state.setTimeoutTimestamp(we_ms)
         return
 
     return win.groupBy("win").applyInPandasWithState(
@@ -361,8 +380,17 @@ def sequence_pattern_matches(
                     matches.append((first_us, ts_us))
                     progress, first_us = 0, 0
         if progress > 0:
-            state.update((progress, first_us))
-            state.setTimeoutTimestamp(first_us // 1000 + within_s * 1000)
+            deadline_ms = first_us // 1000 + within_s * 1000
+            if deadline_ms <= state.getCurrentWatermarkMs():
+                # the deadline is already behind the watermark: every
+                # future on-time event has ts > watermark > deadline, so
+                # this partial can never complete — drop it now (setting
+                # a timeout in the past is an engine error)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((progress, first_us))
+                state.setTimeoutTimestamp(deadline_ms)
         elif state.exists:
             state.remove()
         if matches:
