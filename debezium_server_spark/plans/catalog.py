@@ -5851,3 +5851,129 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("window_start", "rank")
+
+
+@register(
+    "embedding_mmr_topk",
+    f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 {_DOT.format(a='q.e', b='c.e')} /
+                 ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 3),
+    cand AS (
+      SELECT qid, cid, CAST(floor(sim * 1000000) AS BIGINT) AS qrel
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM s)
+      WHERE rn <= 12),
+    pairs AS (
+      SELECT a.qid, a.cid AS aid, b.cid AS bid,
+             CAST(floor(({_DOT.format(a='va.e', b='vb.e')} /
+                         ({_NORM.format(v='va.e')} * {_NORM.format(v='vb.e')}))
+                        * 1000000) AS BIGINT) AS qsim
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.cid != b.cid
+      JOIN v va ON va.vec_id = a.cid
+      JOIN v vb ON vb.vec_id = b.cid),
+    sel AS (
+      SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS picked
+      FROM (SELECT DISTINCT qid FROM cand)
+      UNION ALL
+      SELECT s2.qid, s2.step + 1,
+             list_append(s2.picked, (
+               SELECT c.cid FROM cand c
+               WHERE c.qid = s2.qid AND NOT list_contains(s2.picked, c.cid)
+               ORDER BY 7 * c.qrel - 3 * COALESCE((
+                   SELECT max(p.qsim) FROM pairs p
+                   WHERE p.qid = s2.qid AND p.aid = c.cid
+                     AND list_contains(s2.picked, p.bid)), 0) DESC,
+                 c.cid
+               LIMIT 1))
+      FROM sel s2 WHERE s2.step < 5),
+    flat AS (
+      SELECT qid AS query_id,
+             CAST(generate_subscripts(picked, 1) AS INT) AS rank,
+             unnest(picked) AS vec_id
+      FROM sel WHERE step = 5)
+    SELECT flat.query_id, flat.rank, flat.vec_id, cand.qrel
+    FROM flat JOIN cand ON cand.qid = flat.query_id
+                       AND cand.cid = flat.vec_id
+    """,
+    "Maximal-marginal-relevance diversified retrieval (Carbonell & "
+    "Goldstein 1998): top-12 cosine candidates per query, then 5 greedy "
+    "picks maximizing 0.7*relevance - 0.3*max-similarity-to-selected. "
+    "Similarities are quantized to integer micro-units AFTER the "
+    "fold-parity cosine (same trick as the ANN entries), so the greedy "
+    "argmax is pure integer arithmetic with lowest-id ties — bit-"
+    "deterministic in both engines. Spark runs the greedy as an Arrow "
+    "applyInPandas kernel over the per-query 12x12 pair frame (bounded: "
+    "candidates x candidates, never corpus-quadratic); the oracle "
+    "replays it as a recursive CTE carrying the picked-set list — the "
+    "sequential-selection shape SQL can express but only recursively. "
+    "At scale the candidate stage is any ANN entry; MMR cost is "
+    "k*candidates^2 per query regardless of corpus size.",
+)
+def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        cosine_similarity,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    qs = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    scored = (
+        v.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"),
+                cosine_similarity(F.col("qe"), F.col("e")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .select("qid", "cid",
+                F.floor(F.col("sim") * 1000000).cast("long").alias("qrel"))
+    )
+    ca = cand.select("qid", F.col("cid").alias("aid"), "qrel")
+    cb = cand.select(F.col("qid").alias("qid2"), F.col("cid").alias("bid"))
+    pairs = (
+        ca.join(cb, (ca.qid == cb.qid2) & (F.col("aid") != F.col("bid")))
+        .join(v.select(F.col("vec_id").alias("aid"), F.col("e").alias("ae")),
+              "aid")
+        .join(v.select(F.col("vec_id").alias("bid"), F.col("e").alias("be")),
+              "bid")
+        .select("qid", "aid", "qrel", "bid",
+                F.floor(cosine_similarity(F.col("ae"), F.col("be")) * 1000000)
+                 .cast("long").alias("qsim"))
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        qid = int(pdf["qid"].iloc[0])
+        rel: dict[int, int] = {}
+        simm: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples():
+            rel[int(r.aid)] = int(r.qrel)
+            simm[(int(r.aid), int(r.bid))] = int(r.qsim)
+        picked: list[int] = []
+        rows = []
+        while len(picked) < 5 and len(picked) < len(rel):
+            chosen = None
+            for a in sorted(rel):
+                if a in picked:
+                    continue
+                ms = max((simm.get((a, b), 0) for b in picked), default=0)
+                sc = 7 * rel[a] - 3 * ms
+                if chosen is None or sc > chosen[0]:
+                    chosen = (sc, a)
+            picked.append(chosen[1])
+            rows.append((qid, len(picked), chosen[1], rel[chosen[1]]))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "qrel"])
+
+    return pairs.groupBy("qid").applyInPandas(
+        greedy, "query_id bigint, rank int, vec_id bigint, qrel bigint")

@@ -56,6 +56,10 @@ WHITELIST: set[str] = {
     # CMS error audit attaches the total-token scalar as a one-row
     # broadcast (same bounded single-row build side)
     "heavy_hitters_cms",
+    # MMR candidate scoring crossJoins the broadcast 3-query probe set
+    # (identical bounded pattern to embedding_topk); the MMR stage
+    # itself is candidates², never corpus-quadratic
+    "embedding_mmr_topk",
     # corpus-total scalars (one-row broadcast crossJoin attaching
     # t_uni/t_big/n_docs to the vocabulary frame) — single-row side,
     # bounded by construction
