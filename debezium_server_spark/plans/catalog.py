@@ -5977,3 +5977,77 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pairs.groupBy("qid").applyInPandas(
         greedy, "query_id bigint, rank int, vec_id bigint, qrel bigint")
+
+
+@register(
+    "join_skew_stats",
+    """
+    WITH k AS (SELECT o_custkey AS key, count(*) AS n
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT key, n, sum(n) OVER () AS total FROM k)
+    SELECT key, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // total AS BIGINT) AS share_bp,
+           n * 50 > total AS skewed
+    FROM (SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rn FROM t)
+    WHERE rn <= 20
+    """,
+    "Join-key skew detection — the planner primitive behind choosing "
+    "salting/AQE-skew-join before running a join: per-key frequency of "
+    "the orders→customer key, top-20 heaviest keys with basis-point "
+    "share and a cross-multiplied 2%-of-table skew flag (n*50 > total). "
+    "One map-side-combinable agg + TopK; pairs with "
+    "join_cardinality_estimate (size) and skew_salted_join (the cure).",
+)
+def q_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    k = od.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    w_all = Window.orderBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    t = k.select("key", "n", F.sum("n").over(w_all).alias("total"))
+    return (
+        t.orderBy(F.col("n").desc(), "key").limit(20)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 10000 div total").cast("long").alias("share_bp"),
+            (F.col("n") * 50 > F.col("total")).alias("skewed"),
+        )
+    )
+
+
+@register(
+    "bucket_zone_maps",
+    """
+    SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_date,
+           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_date,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderkey % 16
+    """,
+    "Zone-map / data-skipping statistics per storage bucket (the "
+    "min-max footer stats Delta/Iceberg keep per file, materialized as "
+    "a table): row counts, key ranges, date ranges, and status "
+    "cardinality per 16-way key bucket. At 100 TB this table is what "
+    "lets a reader prune buckets before opening them — the audit twin "
+    "of the bucketed-layout writers (sinks/parquet_sink.py, "
+    "operators/bucketing.py). One agg, output size = bucket count.",
+)
+def q_bucket_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.groupBy((F.col("o_orderkey") % 16).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.date_format(F.min(F.col("o_orderdate").cast("date")),
+                          "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max(F.col("o_orderdate").cast("date")),
+                          "yyyy-MM-dd").alias("max_date"),
+            F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        )
+    )

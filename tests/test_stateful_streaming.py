@@ -386,3 +386,51 @@ def test_sequence_pattern_expired_partial_restarts(spark, tmp_path):
     rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
     got = [(r.key, str(r.start_ts), str(r.end_ts)) for r in rows]
     assert got == [(9, "2024-01-01 11:33:00", "2024-01-01 11:35:00")]
+
+
+def test_sequence_pattern_matches_randomized_vs_simulation(spark, tmp_path):
+    """Property-style check: the streaming automaton over a deterministic
+    multi-batch replay must agree exactly with an independent offline
+    simulation of the same skip-past-match semantics."""
+    import datetime
+    import random
+
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import sequence_pattern_matches
+
+    rng = random.Random(7)
+    t0 = datetime.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    events = [
+        (u, t0 + datetime.timedelta(seconds=rng.randrange(0, 5 * 86400)),
+         rng.choice(types))
+        for u in range(10)
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame(events, "user_id long, ts timestamp, event_type string")
+
+    pattern, within_s = ["view", "click", "purchase"], 6 * 3600
+    out = replay_stream(
+        spark, df,
+        lambda s: sequence_pattern_matches(
+            s, pattern, within="6 hours", watermark="1 hour"),
+    )
+    got = sorted((r.key, r.start_ts, r.end_ts) for r in out.collect())
+
+    expected = []
+    per: dict[int, list] = {}
+    for u, ts, et in sorted(events, key=lambda e: (e[0], e[1], e[2])):
+        per.setdefault(u, []).append((ts, et))
+    for u, evs in per.items():
+        prog, first = 0, None
+        for ts, et in evs:
+            if prog > 0 and (ts - first).total_seconds() > within_s:
+                prog, first = 0, None
+            if et == pattern[prog]:
+                if prog == 0:
+                    first = ts
+                prog += 1
+                if prog == len(pattern):
+                    expected.append((u, first, ts))
+                    prog, first = 0, None
+    assert got == sorted(expected)
