@@ -299,12 +299,32 @@ def trending_topk(
     )
 
 
+class PatternStep:
+    """One step of a CEP pattern: an event type, optionally NEGATED
+    (its arrival between the surrounding positive steps kills the
+    partial match — 'A then NOT B before C'), optionally guarded by a
+    `where` predicate on the stream's `value_col` (the step only
+    matches when the predicate holds; non-matching events of the same
+    type are simply ignored, they neither advance nor kill)."""
+
+    __slots__ = ("etype", "negated", "where")
+
+    def __init__(self, etype: str, negated: bool = False, where=None):
+        if negated and where is not None:
+            raise ValueError("negated steps take no where-predicate: the "
+                             "kill applies to the event type itself")
+        self.etype = etype
+        self.negated = negated
+        self.where = where
+
+
 def sequence_pattern_matches(
     stream: DataFrame,
-    pattern: list[str],
+    pattern: list,
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    value_col: str | None = None,
     within: str = "1 hour",
     watermark: str = "30 minutes",
 ) -> DataFrame:
@@ -330,15 +350,41 @@ def sequence_pattern_matches(
     - an EventTimeTimeout at first_ts + within garbage-collects stalled
       partial matches when the watermark passes the deadline, so state
       never outlives the pattern window.
+
+    `pattern` mixes plain strings (positive steps) and `PatternStep`s:
+    negated steps ('view, NOT error, purchase') kill the partial when
+    the forbidden type arrives between its surrounding positive steps;
+    `where` predicates gate a positive step on `value_col` (an event of
+    the right type failing the predicate is ignored). Patterns must
+    start and end with positive steps — a leading negation has nothing
+    to guard, a trailing one would never be decidable before timeout.
     """
-    if not pattern:
+    steps = [PatternStep(s) if isinstance(s, str) else s for s in pattern]
+    if not steps:
         raise ValueError("pattern must name at least one event type")
+    if steps[0].negated or steps[-1].negated:
+        raise ValueError("pattern must start and end with positive steps")
+    positives = [s for s in steps if not s.negated]
+    guards: list[frozenset] = []
+    pending: set = set()
+    for s in steps:
+        if s.negated:
+            pending.add(s.etype)
+        else:
+            guards.append(frozenset(pending))
+            pending = set()
     within_s = _duration_seconds(within)
 
+    val_col = (
+        F.col(value_col).cast("double").alias("val")
+        if value_col is not None
+        else F.lit(0.0).alias("val")
+    )
     ev = stream.withWatermark(ts_col, watermark).select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("etype"),
+        val_col,
     )
     out_schema = T.StructType(
         [
@@ -367,16 +413,21 @@ def sequence_pattern_matches(
             progress, first_us = state.get
         matches: list[tuple[Any, Any]] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "etype"], ignore_index=True)
-        for ts, etype in zip(batch["ts"], batch["etype"]):
+        batch = batch.sort_values(["ts", "etype", "val"], ignore_index=True)
+        for ts, etype, val in zip(batch["ts"], batch["etype"], batch["val"]):
             ts_us = int(ts.value // 1000)  # pandas ns -> µs
             if progress > 0 and ts_us - first_us > within_s * 1_000_000:
                 progress, first_us = 0, 0  # expired partial; fall through
-            if etype == pattern[progress]:
+            if progress > 0 and etype in guards[progress]:
+                progress, first_us = 0, 0  # forbidden type kills the
+                # partial; fall through — the event may start a fresh one
+            step = positives[progress]
+            if etype == step.etype and (step.where is None
+                                        or step.where(val)):
                 if progress == 0:
                     first_us = ts_us
                 progress += 1
-                if progress == len(pattern):
+                if progress == len(positives):
                     matches.append((first_us, ts_us))
                     progress, first_us = 0, 0
         if progress > 0:

@@ -434,3 +434,90 @@ def test_sequence_pattern_matches_randomized_vs_simulation(spark, tmp_path):
                     expected.append((u, first, ts))
                     prog, first = 0, None
     assert got == sorted(expected)
+
+
+def test_sequence_pattern_checkpoint_recovery(spark, tmp_path):
+    """Kill the stream between micro-batches and restart from the same
+    checkpoint: automaton state must survive, and the combined output
+    must equal an uninterrupted run (no lost or duplicated matches)."""
+    from debezium_server_spark.streaming.stateful import sequence_pattern_matches
+
+    src = tmp_path / "cep_rec"
+    src.mkdir()
+    _write(src, "b1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 10:01:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:02:00", "event_type": "view"},
+    ])
+
+    def run(rows):
+        out = sequence_pattern_matches(
+            _stream(spark, src, EV_SCHEMA),
+            pattern=["view", "click", "purchase"], within="1 hour",
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first: list = []
+    run(first)          # processes b1, then the query STOPS (availableNow)
+    assert first == []  # both users mid-pattern, nothing emitted yet
+
+    _write(src, "b2.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01 10:05:00", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-01-01 10:06:00", "event_type": "click"},
+        {"user_id": 2, "ts": "2024-01-01 10:07:00", "event_type": "purchase"},
+    ])
+    second: list = []
+    run(second)         # restart from checkpoint: partials must resume
+    got = sorted((r.key, str(r.start_ts), str(r.end_ts)) for r in second)
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+        (2, "2024-01-01 10:02:00", "2024-01-01 10:07:00"),
+    ]
+
+
+def test_sequence_pattern_negation_and_predicate(spark, tmp_path):
+    from debezium_server_spark.streaming.stateful import (
+        PatternStep,
+        sequence_pattern_matches,
+    )
+
+    src = tmp_path / "cep3"
+    src.mkdir()
+    _write(src, "b1.jsonl", [
+        # user 1: view -> error -> purchase : killed by the negated step
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01 10:01:00", "event_type": "error", "value": 0.0},
+        {"user_id": 1, "ts": "2024-01-01 10:02:00", "event_type": "purchase", "value": 500.0},
+        # user 2: view -> small purchase (ignored) -> big purchase (match)
+        {"user_id": 2, "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+        {"user_id": 2, "ts": "2024-01-01 10:01:00", "event_type": "purchase", "value": 10.0},
+        {"user_id": 2, "ts": "2024-01-01 10:03:00", "event_type": "purchase", "value": 250.0},
+        # user 3: view -> purchase after an unrelated click (match — only
+        # 'error' is forbidden, other types pass through)
+        {"user_id": 3, "ts": "2024-01-01 10:00:00", "event_type": "view", "value": 1.0},
+        {"user_id": 3, "ts": "2024-01-01 10:01:00", "event_type": "click", "value": 0.0},
+        {"user_id": 3, "ts": "2024-01-01 10:02:00", "event_type": "purchase", "value": 120.0},
+    ])
+    out = sequence_pattern_matches(
+        _stream(spark, src, EV_SCHEMA + ", value double"),
+        pattern=[
+            "view",
+            PatternStep("error", negated=True),
+            PatternStep("purchase", where=lambda v: v >= 100.0),
+        ],
+        value_col="value",
+        within="1 hour",
+    )
+    rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
+    got = sorted((r.key, str(r.end_ts)) for r in rows)
+    assert got == [
+        (2, "2024-01-01 10:03:00"),
+        (3, "2024-01-01 10:02:00"),
+    ]
