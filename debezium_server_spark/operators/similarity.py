@@ -675,3 +675,72 @@ def coreset_sample(
             (F.floor(F.col("d2") * 10000) / 10000).alias("d2"),
         )
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    vectors: DataFrame,
+    k_sel: int = 5,
+    rel_w: int = 7,
+    div_w: int = 3,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    of a bounded candidate frame: greedily pick `k_sel` of each query's
+    candidates maximizing rel_w*relevance - div_w*max-sim-to-selected.
+
+    `cand`: (qid, cid, qrel) with qrel the micro-unit-quantized cosine
+    relevance; `vectors`: (vec_id, e double[]). Candidate-pair
+    similarities are quantized the same way, so the greedy argmax is
+    pure integer arithmetic (lowest-id tie-break) — bit-deterministic
+    across engines, which is what lets a recursive-CTE oracle replay
+    the selection exactly. Cost: k_sel * |candidates|² per query,
+    independent of corpus size — MMR composes behind any candidate
+    generator (exact top-k or an ANN entry)."""
+    # the candidate frame feeds BOTH sides of the pair join — checkpoint
+    # it so the (possibly expensive: full ANN pipeline) candidate stage
+    # runs once, not twice, and the pair plan restarts from a tiny
+    # materialized frame
+    cand = cand.localCheckpoint(eager=True)
+    ca = cand.select("qid", F.col("cid").alias("aid"), "qrel")
+    cb = cand.select(F.col("qid").alias("qid2"), F.col("cid").alias("bid"))
+    v = vectors
+    pair_keys = ca.join(
+        F.broadcast(cb), (ca.qid == cb.qid2) & (F.col("aid") != F.col("bid"))
+    ).select("qid", "aid", "qrel", "bid")
+    # candidates are bounded (queries × top-k), so the pair frame is the
+    # broadcast side and the corpus is streamed — no corpus shuffle
+    with_a = v.select(F.col("vec_id").alias("aid"), F.col("e").alias("ae")) \
+        .join(F.broadcast(pair_keys), "aid")
+    pairs = (
+        v.select(F.col("vec_id").alias("bid"), F.col("e").alias("be"))
+        .join(F.broadcast(with_a), "bid")
+        .select("qid", "aid", "qrel", "bid",
+                F.floor(cosine_similarity(F.col("ae"), F.col("be")) * 1000000)
+                 .cast("long").alias("qsim"))
+    )
+
+    def greedy(pdf):
+        qid = int(pdf["qid"].iloc[0])
+        rel: dict[int, int] = {}
+        simm: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples():
+            rel[int(r.aid)] = int(r.qrel)
+            simm[(int(r.aid), int(r.bid))] = int(r.qsim)
+        picked: list[int] = []
+        rows = []
+        while len(picked) < k_sel and len(picked) < len(rel):
+            chosen = None
+            for a in sorted(rel):
+                if a in picked:
+                    continue
+                ms = max((simm.get((a, b), 0) for b in picked), default=0)
+                sc = rel_w * rel[a] - div_w * ms
+                if chosen is None or sc > chosen[0]:
+                    chosen = (sc, a)
+            picked.append(chosen[1])
+            rows.append((qid, len(picked), chosen[1], rel[chosen[1]]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "qrel"])
+
+    return pairs.groupBy("qid").applyInPandas(
+        greedy, "query_id bigint, rank int, vec_id bigint, qrel bigint")

@@ -5938,45 +5938,9 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid",
                 F.floor(F.col("sim") * 1000000).cast("long").alias("qrel"))
     )
-    ca = cand.select("qid", F.col("cid").alias("aid"), "qrel")
-    cb = cand.select(F.col("qid").alias("qid2"), F.col("cid").alias("bid"))
-    pairs = (
-        ca.join(cb, (ca.qid == cb.qid2) & (F.col("aid") != F.col("bid")))
-        .join(v.select(F.col("vec_id").alias("aid"), F.col("e").alias("ae")),
-              "aid")
-        .join(v.select(F.col("vec_id").alias("bid"), F.col("e").alias("be")),
-              "bid")
-        .select("qid", "aid", "qrel", "bid",
-                F.floor(cosine_similarity(F.col("ae"), F.col("be")) * 1000000)
-                 .cast("long").alias("qsim"))
-    )
+    from debezium_server_spark.operators.similarity import mmr_rerank
 
-    def greedy(pdf):
-        import pandas as pd
-
-        qid = int(pdf["qid"].iloc[0])
-        rel: dict[int, int] = {}
-        simm: dict[tuple[int, int], int] = {}
-        for r in pdf.itertuples():
-            rel[int(r.aid)] = int(r.qrel)
-            simm[(int(r.aid), int(r.bid))] = int(r.qsim)
-        picked: list[int] = []
-        rows = []
-        while len(picked) < 5 and len(picked) < len(rel):
-            chosen = None
-            for a in sorted(rel):
-                if a in picked:
-                    continue
-                ms = max((simm.get((a, b), 0) for b in picked), default=0)
-                sc = 7 * rel[a] - 3 * ms
-                if chosen is None or sc > chosen[0]:
-                    chosen = (sc, a)
-            picked.append(chosen[1])
-            rows.append((qid, len(picked), chosen[1], rel[chosen[1]]))
-        return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "qrel"])
-
-    return pairs.groupBy("qid").applyInPandas(
-        greedy, "query_id bigint, rank int, vec_id bigint, qrel bigint")
+    return mmr_rerank(cand, v, k_sel=5)
 
 
 @register(
@@ -6051,3 +6015,115 @@ def q_bucket_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
         )
     )
+
+
+@register(
+    "embedding_ann_mmr",
+    f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    dist AS (SELECT v.vec_id, cell_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
+             FROM v CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell_id AS cell
+                 FROM (SELECT vec_id, cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cell_id) AS rn
+                       FROM dist) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e
+           FROM assigned a JOIN v ON a.vec_id = v.vec_id),
+    s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 {_DOT.format(a='q.e', b='c.e')} /
+                 ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+          FROM av q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 3),
+    cand AS (
+      SELECT qid, cid, CAST(floor(sim * 1000000) AS BIGINT) AS qrel
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM s)
+      WHERE rn <= 12),
+    pairs AS (
+      SELECT a.qid, a.cid AS aid, b.cid AS bid,
+             CAST(floor(({_DOT.format(a='va.e', b='vb.e')} /
+                         ({_NORM.format(v='va.e')} * {_NORM.format(v='vb.e')}))
+                        * 1000000) AS BIGINT) AS qsim
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.cid != b.cid
+      JOIN v va ON va.vec_id = a.cid
+      JOIN v vb ON vb.vec_id = b.cid),
+    sel AS (
+      SELECT qid, 0 AS step, CAST([] AS BIGINT[]) AS picked
+      FROM (SELECT DISTINCT qid FROM cand)
+      UNION ALL
+      SELECT s2.qid, s2.step + 1,
+             list_append(s2.picked, (
+               SELECT c.cid FROM cand c
+               WHERE c.qid = s2.qid AND NOT list_contains(s2.picked, c.cid)
+               ORDER BY 7 * c.qrel - 3 * COALESCE((
+                   SELECT max(p.qsim) FROM pairs p
+                   WHERE p.qid = s2.qid AND p.aid = c.cid
+                     AND list_contains(s2.picked, p.bid)), 0) DESC,
+                 c.cid
+               LIMIT 1))
+      FROM sel s2 WHERE s2.step < 5),
+    flat AS (
+      SELECT qid AS query_id,
+             CAST(generate_subscripts(picked, 1) AS INT) AS rank,
+             unnest(picked) AS vec_id
+      FROM sel WHERE step = 5)
+    SELECT flat.query_id, flat.rank, flat.vec_id, cand.qrel
+    FROM flat JOIN cand ON cand.qid = flat.query_id
+                       AND cand.cid = flat.vec_id
+    """,
+    "The production retrieval serving shape, composed end to end: IVF "
+    "cell-restricted candidate generation (broadcast centroids, hash "
+    "join on cell — candidates ∝ n/cells, never corpus-quadratic) "
+    "feeding the MMR diversification kernel (operators/similarity.py "
+    "mmr_rerank) — approximate recall first, bounded integer-"
+    "deterministic re-rank second. Same recursive-CTE oracle as "
+    "embedding_mmr_topk over the IVF candidate set; differences between "
+    "the two entries' outputs are exactly the ANN recall gap, which "
+    "ann_recall_eval measures.",
+)
+def q_embedding_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        cosine_similarity,
+    )
+    from debezium_server_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "cell_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2", "cell_id")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", F.col("cell_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cell")
+    scored = (
+        q.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"),
+                cosine_similarity(F.col("qe"), F.col("e")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .select("qid", "cid",
+                F.floor(F.col("sim") * 1000000).cast("long").alias("qrel"))
+    )
+    return mmr_rerank(cand, v, k_sel=5)

@@ -60,6 +60,9 @@ WHITELIST: set[str] = {
     # (identical bounded pattern to embedding_topk); the MMR stage
     # itself is candidates², never corpus-quadratic
     "embedding_mmr_topk",
+    # composed IVF→MMR: same k-centroid broadcast BNLJ as
+    # embedding_ann_ivf (16 rows) for cell assignment
+    "embedding_ann_mmr",
     # corpus-total scalars (one-row broadcast crossJoin attaching
     # t_uni/t_big/n_docs to the vocabulary frame) — single-row side,
     # bounded by construction
