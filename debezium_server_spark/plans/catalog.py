@@ -6127,3 +6127,54 @@ def q_embedding_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("sim") * 1000000).cast("long").alias("qrel"))
     )
     return mmr_rerank(cand, v, k_sel=5)
+
+
+@register(
+    "hierarchy_rollup",
+    """
+    WITH RECURSIVE up AS (
+      SELECT c_custkey AS id, c_custkey // 10 AS anc, 1 AS depth
+      FROM customer WHERE c_custkey >= 10
+      UNION ALL
+      SELECT id, anc // 10, depth + 1 FROM up WHERE anc >= 10
+    ),
+    resolved AS (
+      SELECT id, anc AS root, depth FROM up WHERE anc < 10
+      UNION ALL
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+    )
+    SELECT root, count(*) AS n_members, max(depth) AS max_depth,
+           floor((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE))
+                 * 10000) / 10000 AS total_acctbal
+    FROM resolved JOIN customer ON id = c_custkey
+    GROUP BY root ORDER BY root
+    """,
+    "Recursive-hierarchy rollup (the WITH RECURSIVE surface): every "
+    "customer walks a derived parent forest (parent = custkey DIV 10 — "
+    "deterministic, multi-level, same relation both engines) to its "
+    "root, then balances aggregate per tree. Spark side resolves the "
+    "forest by POINTER DOUBLING (operators/graph.py transitive_roots: "
+    "anc <- anc(anc), depths add), so a depth-d tree takes ceil(log2 d) "
+    "self-joins where the oracle's recursive CTE takes d hops — the "
+    "100 TB shape for org-chart/BOM/category-tree queries over CDC-"
+    "materialized dimensions.",
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.graph import transitive_roots
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey DIV 10").alias("parent"),
+    )
+    roots = transitive_roots(nodes)
+    return (
+        roots.join(cust, roots["id"] == cust["c_custkey"])
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("depth").alias("max_depth"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("root")
+    )

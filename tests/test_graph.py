@@ -1,0 +1,52 @@
+"""Pointer-doubling ancestry resolution (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.operators.graph import transitive_roots
+
+
+def _resolve(spark, rows):
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = transitive_roots(df).orderBy("id").collect()
+    return {r["id"]: (r["root"], r["depth"]) for r in out}
+
+
+def test_deep_chain_resolves_past_doubling_boundaries(spark):
+    # 1 <- 2 <- 3 <- ... <- 13: depth 12 needs 4 doubling rounds
+    # (1,2,4,8,12) — crosses several non-power-of-two boundaries.
+    rows = [(1, 0)] + [(i, i - 1) for i in range(2, 14)]
+    got = _resolve(spark, rows)
+    assert got == {i: (1, i - 1) for i in range(1, 14)}
+
+
+def test_forest_with_branching(spark):
+    #     1           10
+    #    / \           |
+    #   2   3         11
+    #       |
+    #       4
+    rows = [(1, 0), (2, 1), (3, 1), (4, 3), (10, None), (11, 10)]
+    got = _resolve(spark, rows)
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2),
+                   10: (10, 0), 11: (10, 1)}
+
+
+def test_dangling_parent_treated_as_root(spark):
+    # 7's parent 99 is not a listed node: the chain terminates there
+    # (root = the dangling id, depth = hops walked to it).
+    got = _resolve(spark, [(7, 99), (8, 7)])
+    assert got == {7: (99, 1), 8: (99, 2)}
+
+
+def test_matches_python_walk_on_random_forest(spark):
+    # parent(k) = k // 7 gives a ragged multi-level forest over 1..200.
+    rows = [(k, k // 7) for k in range(1, 201)]
+    got = _resolve(spark, rows)
+
+    def walk(k):
+        depth = 0
+        while k // 7 > 0:
+            k, depth = k // 7, depth + 1
+        return k, depth
+
+    assert got == {k: walk(k) for k in range(1, 201)}
