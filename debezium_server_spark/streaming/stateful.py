@@ -327,6 +327,7 @@ def sequence_pattern_matches(
     value_col: str | None = None,
     within: str = "1 hour",
     watermark: str = "30 minutes",
+    mode: str = "skip_past_match",
 ) -> DataFrame:
     """Streaming CEP: detect the ordered `pattern` of event types per key,
     completing within `within` of the first matched step, and emit one
@@ -358,12 +359,35 @@ def sequence_pattern_matches(
     the right type failing the predicate is ignored). Patterns must
     start and end with positive steps — a leading negation has nothing
     to guard, a trailing one would never be decidable before timeout.
+
+    `mode` picks the after-match / contiguity policy (the MATCH_RECOGNIZE
+    AFTER MATCH / Flink CEP strategy axis):
+
+    - 'skip_past_match' (default): ONE partial per key; a completed
+      match resets the automaton (AFTER MATCH SKIP PAST LAST ROW) — the
+      non-overlapping semantics above.
+    - 'every_start': every qualifying first-step event opens its OWN
+      partial, and partials advance independently — matches may overlap
+      (one click can complete several views' partials; Flink's
+      followedBy + NO_SKIP shape without intra-partial branching: each
+      partial greedily takes the first qualifying event per step).
+      State per key = the list of live partials; `within` expiry bounds
+      it by the first-step arrivals inside one window, not event volume.
+    - 'contiguous': strict contiguity (Flink `next`): the very next
+      event of the key must match the expected step or the partial dies
+      (the killing event may itself start a fresh partial). Negated
+      steps are rejected here — every intervening event already kills.
     """
+    if mode not in ("skip_past_match", "every_start", "contiguous"):
+        raise ValueError(f"unknown mode: {mode!r}")
     steps = [PatternStep(s) if isinstance(s, str) else s for s in pattern]
     if not steps:
         raise ValueError("pattern must name at least one event type")
     if steps[0].negated or steps[-1].negated:
         raise ValueError("pattern must start and end with positive steps")
+    if mode == "contiguous" and any(s.negated for s in steps):
+        raise ValueError("contiguous mode takes no negated steps: strict "
+                         "contiguity already kills on any intervening event")
     positives = [s for s in steps if not s.negated]
     guards: list[frozenset] = []
     pending: set = set()
@@ -394,56 +418,97 @@ def sequence_pattern_matches(
             T.StructField("duration_s", T.DoubleType()),
         ]
     )
+    # Partials live as parallel arrays (progress[i], first_us[i]); the
+    # single-partial modes keep at most one element, 'every_start' keeps
+    # one per live first-step arrival (bounded by `within` expiry).
     state_schema = T.StructType(
         [
-            T.StructField("progress", T.IntegerType()),
-            T.StructField("first_us", T.LongType()),
+            T.StructField("progress", T.ArrayType(T.IntegerType())),
+            T.StructField("first_us", T.ArrayType(T.LongType())),
         ]
     )
+    n_steps = len(positives)
 
     def advance(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
         if state.hasTimedOut:
-            # watermark passed first_ts + within: the partial match can
-            # never complete with on-time data
-            state.remove()
+            # watermark passed every live partial's earliest deadline:
+            # drop the expired ones; keep the rest (every_start can hold
+            # partials with later deadlines).
+            progress, first_us = state.get
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            live = [(p, f) for p, f in zip(progress, first_us)
+                    if f + within_s * 1_000_000 > wm_us]
+            if live:
+                state.update(([p for p, _ in live], [f for _, f in live]))
+                state.setTimeoutTimestamp(
+                    min(f for _, f in live) // 1000 + within_s * 1000)
+            else:
+                state.remove()
             return
-        progress, first_us = (0, 0)
+        partials: list[list] = []  # [progress, first_us], first-start order
         if state.exists:
             progress, first_us = state.get
+            partials = [[p, f] for p, f in zip(progress, first_us)]
         matches: list[tuple[Any, Any]] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "etype", "val"], ignore_index=True)
         for ts, etype, val in zip(batch["ts"], batch["etype"], batch["val"]):
             ts_us = int(ts.value // 1000)  # pandas ns -> µs
-            if progress > 0 and ts_us - first_us > within_s * 1_000_000:
-                progress, first_us = 0, 0  # expired partial; fall through
-            if progress > 0 and etype in guards[progress]:
-                progress, first_us = 0, 0  # forbidden type kills the
-                # partial; fall through — the event may start a fresh one
-            step = positives[progress]
-            if etype == step.etype and (step.where is None
-                                        or step.where(val)):
-                if progress == 0:
-                    first_us = ts_us
-                progress += 1
-                if progress == len(positives):
-                    matches.append((first_us, ts_us))
-                    progress, first_us = 0, 0
-        if progress > 0:
-            deadline_ms = first_us // 1000 + within_s * 1000
-            if deadline_ms <= state.getCurrentWatermarkMs():
-                # the deadline is already behind the watermark: every
-                # future on-time event has ts > watermark > deadline, so
-                # this partial can never complete — drop it now (setting
-                # a timeout in the past is an engine error)
-                if state.exists:
-                    state.remove()
-            else:
-                state.update((progress, first_us))
-                state.setTimeoutTimestamp(deadline_ms)
+            partials = [pf for pf in partials
+                        if ts_us - pf[1] <= within_s * 1_000_000]
+            nxt: list[list] = []
+            consumed = False  # did this event complete a match?
+            for pf in partials:
+                if etype in guards[pf[0]]:
+                    continue  # forbidden type kills the partial (guard
+                    # wins over a same-type positive step); the event
+                    # may still start a fresh one below
+                step = positives[pf[0]]
+                hit = etype == step.etype and (step.where is None
+                                               or step.where(val))
+                if hit:
+                    pf[0] += 1
+                    if pf[0] == n_steps:
+                        matches.append((pf[1], ts_us))
+                        consumed = True
+                    else:
+                        nxt.append(pf)
+                elif mode == "contiguous":
+                    pass  # strict contiguity: any non-matching event
+                    # kills; the event may still start a fresh partial
+                else:
+                    nxt.append(pf)
+            partials = nxt
+            # may this event open a new partial? single-partial modes
+            # only when the one automaton slot is free AND the event was
+            # not consumed by a completed match (skip PAST the match).
+            step0 = positives[0]
+            if (
+                mode == "every_start" or (not partials and not consumed)
+            ) and (
+                etype == step0.etype
+                and (step0.where is None or step0.where(val))
+            ):
+                if n_steps == 1:
+                    matches.append((ts_us, ts_us))
+                else:
+                    partials.append([1, ts_us])
+        if partials:
+            wm_ms = state.getCurrentWatermarkMs()
+            # a deadline already behind the watermark can never complete
+            # with on-time data — drop now (a timeout in the past is an
+            # engine error on long-span availableNow batches)
+            partials = [pf for pf in partials
+                        if pf[1] // 1000 + within_s * 1000 > wm_ms]
+        if partials:
+            state.update(([p for p, _ in partials],
+                          [f for _, f in partials]))
+            state.setTimeoutTimestamp(
+                min(f for _, f in partials) // 1000 + within_s * 1000)
         elif state.exists:
             state.remove()
+        matches.sort()
         if matches:
             yield pd.DataFrame(
                 {

@@ -388,10 +388,46 @@ def test_sequence_pattern_expired_partial_restarts(spark, tmp_path):
     assert got == [(9, "2024-01-01 11:33:00", "2024-01-01 11:35:00")]
 
 
-def test_sequence_pattern_matches_randomized_vs_simulation(spark, tmp_path):
+def _offline_cep(events, pattern, within_s, mode):
+    """Independent simulation of sequence_pattern_matches' per-mode
+    semantics (type-only steps): the multi-partial automaton in plain
+    Python over each key's time-sorted events."""
+    per: dict[int, list] = {}
+    for u, ts, et in sorted(events, key=lambda e: (e[0], e[1], e[2])):
+        per.setdefault(u, []).append((ts, et))
+    matches = []
+    for u, evs in per.items():
+        partials: list[list] = []  # [progress, first_ts]
+        for ts, et in evs:
+            partials = [p for p in partials
+                        if (ts - p[1]).total_seconds() <= within_s]
+            nxt, consumed = [], False
+            for p in partials:
+                if et == pattern[p[0]]:
+                    p[0] += 1
+                    if p[0] == len(pattern):
+                        matches.append((u, p[1], ts))
+                        consumed = True
+                    else:
+                        nxt.append(p)
+                elif mode == "contiguous":
+                    pass
+                else:
+                    nxt.append(p)
+            partials = nxt
+            if (mode == "every_start" or (not partials and not consumed)
+                    ) and et == pattern[0]:
+                partials.append([1, ts])
+    return matches
+
+
+@pytest.mark.parametrize("mode", ["skip_past_match", "every_start",
+                                  "contiguous"])
+def test_sequence_pattern_matches_randomized_vs_simulation(
+        spark, tmp_path, mode):
     """Property-style check: the streaming automaton over a deterministic
     multi-batch replay must agree exactly with an independent offline
-    simulation of the same skip-past-match semantics."""
+    simulation, for every after-match/contiguity policy."""
     import datetime
     import random
 
@@ -413,27 +449,48 @@ def test_sequence_pattern_matches_randomized_vs_simulation(spark, tmp_path):
     out = replay_stream(
         spark, df,
         lambda s: sequence_pattern_matches(
-            s, pattern, within="6 hours", watermark="1 hour"),
+            s, pattern, within="6 hours", watermark="1 hour", mode=mode),
     )
     got = sorted((r.key, r.start_ts, r.end_ts) for r in out.collect())
+    assert got == sorted(_offline_cep(events, pattern, within_s, mode))
 
-    expected = []
-    per: dict[int, list] = {}
-    for u, ts, et in sorted(events, key=lambda e: (e[0], e[1], e[2])):
-        per.setdefault(u, []).append((ts, et))
-    for u, evs in per.items():
-        prog, first = 0, None
-        for ts, et in evs:
-            if prog > 0 and (ts - first).total_seconds() > within_s:
-                prog, first = 0, None
-            if et == pattern[prog]:
-                if prog == 0:
-                    first = ts
-                prog += 1
-                if prog == len(pattern):
-                    expected.append((u, first, ts))
-                    prog, first = 0, None
-    assert got == sorted(expected)
+
+def test_sequence_pattern_overlap_modes_diverge(spark, tmp_path):
+    """One input, three policies, three different answers: the canonical
+    view,view,purchase,purchase sequence."""
+    import datetime
+
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import sequence_pattern_matches
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    events = [(1, at(0), "view"), (1, at(1), "view"),
+              (1, at(2), "purchase"), (1, at(3), "purchase")]
+    df = spark.createDataFrame(
+        events, "user_id long, ts timestamp, event_type string")
+
+    def run(mode):
+        out = replay_stream(
+            spark, df,
+            lambda s: sequence_pattern_matches(
+                s, ["view", "purchase"], within="1 hour", mode=mode),
+            n_batches=2,
+        )
+        return sorted((r.start_ts, r.end_ts) for r in out.collect())
+
+    # skip_past: one automaton slot — first view opens, first purchase
+    # closes, second purchase has nothing to close and can't open.
+    assert run("skip_past_match") == [(at(0), at(2))]
+    # every_start: both views open partials, the first purchase closes
+    # BOTH (overlapping matches).
+    assert run("every_start") == [(at(0), at(2)), (at(1), at(2))]
+    # contiguous: the second view kills the first partial and re-opens;
+    # only the adjacent view->purchase pair survives.
+    assert run("contiguous") == [(at(1), at(2))]
 
 
 def test_sequence_pattern_checkpoint_recovery(spark, tmp_path):
