@@ -89,3 +89,63 @@ def transitive_roots(
             .localCheckpoint()
         )
     return frame.select("id", F.col("anc").alias("root"), "depth")
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    outdeg_col: str = "outdeg",
+) -> DataFrame:
+    """Integer-arithmetic PageRank: (id, rank_micro) after a fixed
+    iteration count.
+
+    Ranks live in integer micro-units (initial 1_000_000 per node) and
+    every step is exact integer math —
+
+        rank'(v) = 150_000 + (85 * sum over u->v of rank(u) DIV outdeg(u)) DIV 100
+
+    i.e. damping 0.85 applied as integer cross-multiplication, per-edge
+    contributions floored by integer division. No floating point means
+    the fixpoint trajectory is bit-identical on any engine (the same
+    discipline as the catalog's cross-multiplied sigma tests), so a SQL
+    oracle can replay the exact iterations.
+
+    `nodes` must carry `outdeg_col` (out-degree per node; derive it
+    analytically when the edge rule allows, else one groupBy). Every
+    round is one shuffle join (edges x ranks on src) + one map-side-
+    combinable sum + a left join back onto `nodes` so zero-inflow nodes
+    keep contributing their outflow. `localCheckpoint` per round keeps
+    the final plan O(1)-deep instead of O(iterations). Fixed iteration
+    count, no convergence collect: PageRank rounds are data-independent,
+    so there is nothing to probe (contrast `transitive_roots`).
+    """
+    base = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(outdeg_col).cast("long").alias("outdeg"),
+    ).localCheckpoint()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ranks = base.select("id", "outdeg", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr("rank_micro DIV outdeg").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            base.join(inflow, base["id"] == inflow["dst"], "left")
+            .select(
+                "id",
+                "outdeg",
+                (F.lit(150_000).cast("long")
+                 + F.expr("85 * coalesce(inflow, 0) DIV 100")).alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", "rank_micro")

@@ -6178,3 +6178,78 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root")
     )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unroll the integer PageRank rounds as chained CTEs (pr0..prN):
+    the oracle replays the exact trajectory because every step is
+    integer arithmetic (rank DIV outdeg, 85*x DIV 100) — no FP drift."""
+    ctes = [
+        "nodes AS (SELECT c_custkey AS id,"
+        " CASE WHEN c_custkey >= 10 THEN 2 ELSE 1 END AS outdeg"
+        " FROM customer)",
+        "edges AS (SELECT c_custkey AS src, c_custkey // 10 AS dst"
+        " FROM customer WHERE c_custkey >= 10"
+        " UNION ALL SELECT c_custkey, (c_custkey % 97) + 1 FROM customer)",
+        "pr0 AS (SELECT id, outdeg, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT n.id, n.outdeg,"
+            f" CAST(150000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst AS id, SUM(p.r // p.outdeg) AS inflow"
+            f"  FROM pr{i-1} p JOIN edges e ON e.src = p.id"
+            f"  GROUP BY e.dst) s ON s.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, r AS rank_micro FROM pr{iters}"
+        + "\nORDER BY rank_micro DESC, id LIMIT 20"
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(5),
+    "PageRank over a derived customer link graph (edges: k -> k DIV 10 "
+    "and k -> (k mod 97)+1 — same deterministic relation both engines), "
+    "5 fixed iterations in integer micro-units: per-edge contribution = "
+    "rank DIV outdeg, damping as 150000 + 85*inflow DIV 100 — zero "
+    "floating point, so the oracle replays the exact trajectory as "
+    "unrolled CTEs. Spark side (operators/graph.py pagerank): one "
+    "shuffle join + map-side-combinable sum + left join back to the "
+    "node list per round (zero-inflow nodes keep contributing their "
+    "outflow), localCheckpoint lineage cuts, no driver-side graph. "
+    "Completes the iterative-graph family: transitive_roots (pointer "
+    "doubling), connected_components (label propagation), pagerank "
+    "(fixed-round power iteration).",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.graph import pagerank
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") >= 10, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("outdeg"),
+    )
+    edges = (
+        cust.filter(F.col("c_custkey") >= 10)
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.expr("c_custkey DIV 10").alias("dst"),
+        )
+        .union(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") % 97 + 1).alias("dst"),
+            )
+        )
+    )
+    return (
+        pagerank(edges, nodes, iterations=5)
+        .orderBy(F.desc("rank_micro"), F.asc("id"))
+        .limit(20)
+    )

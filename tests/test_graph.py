@@ -50,3 +50,25 @@ def test_matches_python_walk_on_random_forest(spark):
         return k, depth
 
     assert got == {k: walk(k) for k in range(1, 201)}
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    from debezium_server_spark.operators.graph import pagerank
+
+    # 4-node graph: 1->2, 2->3, 3->1, 3->2, 4->1 (node 4 has no inflow)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)]
+    outdeg = {1: 1, 2: 1, 3: 2, 4: 1}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame(
+        [(k, d) for k, d in outdeg.items()], "id long, outdeg int")
+    got = {r["id"]: r["rank_micro"]
+           for r in pagerank(e, n, iterations=5).collect()}
+
+    ranks = {k: 1_000_000 for k in outdeg}
+    for _ in range(5):
+        inflow = {k: 0 for k in outdeg}
+        for s, d in edges:
+            inflow[d] += ranks[s] // outdeg[s]
+        ranks = {k: 150_000 + 85 * inflow[k] // 100 for k in outdeg}
+    assert got == ranks
+    assert got[4] == 150_000  # zero-inflow node pinned at the floor
