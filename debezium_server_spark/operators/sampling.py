@@ -111,3 +111,43 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis priority shape): keep the k rows with the
+    highest priority
+
+        priority = hash60(key || salt) DIV weight     (pure int64)
+
+    A row's inclusion odds scale with its weight (a larger weight
+    shrinks its hash-per-unit-weight priority, so ascending top-k
+    favors heavy rows), membership is a pure function of (key, weight,
+    salt) — reproducible across runs and engines, append-stable for
+    unchanged rows — and selection is a global TakeOrdered: no shuffle
+    of the data, just a top-k reduce of (priority, key) pairs, the
+    right 100 TB shape for "sample 10k docs proportional to token
+    count". The classic E-S uses u^(1/w) with random u; this hash-
+    deterministic integral variant keeps the weight-monotone ordering
+    property while staying bit-exact in SQL (60-bit hash over int64
+    division — quotient granularity ~2^60/w, collisions key-broken).
+    """
+    h = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                          F.lit(salt))), 1, 15), 16, 10
+               ).cast("long")
+    w = weight.cast("long")
+    return (
+        df.select(F.col(key_col), w.alias("weight"), h.alias("__h"))
+        # integral divide (DIV), not `/`: float division would round the
+        # 60-bit hash through a 53-bit mantissa before truncation
+        .withColumn("priority", F.expr("__h DIV weight"))
+        .drop("__h")
+        .orderBy(F.asc("priority"), F.asc(key_col))
+        .limit(int(k))
+    )

@@ -6253,3 +6253,35 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), F.asc("id"))
         .limit(20)
     )
+
+
+@register(
+    "weighted_priority_sample",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(concat('0x', substr(md5(doc_id || 'wps'), 1, 15)) AS BIGINT)
+             // n_chars AS priority
+    FROM documents
+    ORDER BY priority, doc_id LIMIT 100
+    """,
+    "Weighted sampling WITHOUT replacement (deterministic Efraimidis-"
+    "Spirakis shape): priority = 60-bit md5 hash DIV weight, keep the "
+    "100 smallest — inclusion odds scale with document weight "
+    "(n_chars), membership is a pure (key, weight, salt) function "
+    "(append-stable, engine-portable), and selection is a global "
+    "TakeOrdered over (priority, key) pairs: the full corpus is "
+    "scanned but never shuffled — the 100 TB shape for 'sample k docs "
+    "proportional to token count'. Complements the basis-point rate "
+    "samplers (hash_sample/stratified) and the fixed-k per-group "
+    "carver (per_source_eval_sample) with proportional-to-size "
+    "selection.",
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, "doc_id", F.col("n_chars"), k=100, salt="wps"
+    )

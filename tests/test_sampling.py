@@ -114,3 +114,24 @@ def test_train_val_test_split_partition_and_determinism(spark):
     assert 0.02 < shares["test"] / 2000 < 0.09
     # every row lands in exactly one split (split is a total function)
     assert len(a) == 2000
+
+
+def test_weighted_priority_sample_favors_heavy_rows(spark):
+    from debezium_server_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # 200 light docs (weight 10) vs 200 heavy docs (weight 1000): the
+    # top-50 should be overwhelmingly heavy, and membership must be a
+    # stable function of (key, weight, salt).
+    rows = [(i, 10) for i in range(200)] + [(i + 200, 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_priority_sample(df, "doc_id", F.col("w"), k=50)
+    picked = [r["doc_id"] for r in got.collect()]
+    heavy = sum(1 for d in picked if d >= 200)
+    assert heavy >= 45  # ~100x weight ratio -> heavy rows dominate
+    again = [r["doc_id"]
+             for r in weighted_priority_sample(df, "doc_id", F.col("w"),
+                                               k=50).collect()]
+    assert picked == again  # deterministic, order included
