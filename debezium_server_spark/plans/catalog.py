@@ -6285,3 +6285,63 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         docs, "doc_id", F.col("n_chars"), k=100, salt="wps"
     )
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM agg
+    WHERE s_end <= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+    ORDER BY user_id, session_start
+    """,
+    "Streaming gap-sessionization surfaced to the driver WITH a true "
+    "value-hash oracle (unlike the automaton entries): Spark's native "
+    "session_window state operator over a 4-batch deterministic replay "
+    "— sessions merge incrementally executor-side, the watermark seals "
+    "and frees them (append mode emits exactly the sealed set). The "
+    "oracle replays the identical semantics declaratively: lag/cumsum "
+    "islands with the >= gap boundary rule (session windows are "
+    "half-open — an event exactly gap after its predecessor starts a "
+    "NEW session), session_end = last event + gap, and the emission "
+    "filter s_end <= max(ts) - watermark: the sealed-session condition. "
+    "Batch twin: `sessionize`; at 100 TB the streaming form never "
+    "re-sorts history — state per live session only.",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import session_windows
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = replay_stream(
+        spark, ev,
+        lambda s: session_windows(
+            s, ("user_id",), gap="30 minutes", watermark="24 hours"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
