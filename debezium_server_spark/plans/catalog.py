@@ -6345,3 +6345,47 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_hourly_counts",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events
+    FROM w
+    WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 24 HOUR
+                                   FROM events)
+    ORDER BY window_start, event_type
+    """,
+    "The bread-and-butter streaming aggregation driver-verified with a "
+    "true value-hash oracle: watermarked tumbling hourly counts per "
+    "event type over the 4-batch deterministic replay — append mode "
+    "emits each window exactly once when the watermark passes its end, "
+    "then frees the state (bounded — mandatory at 100 TB). Oracle = "
+    "the batch GROUP BY with the sealed-window emission filter "
+    "window_end <= max(ts) - watermark; the always-open trailing "
+    "windows are deterministically absent from both sides. Batch twin: "
+    "events_hourly_window.",
+)
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import windowed_event_counts
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: windowed_event_counts(
+            s, window="1 hour", watermark="24 hours",
+            extra_keys=("event_type",)),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+        F.col("n_events"),
+    ).orderBy("window_start", "event_type")
