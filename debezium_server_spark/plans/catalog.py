@@ -5830,13 +5830,40 @@ def q_stream_cep_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_trending_topk",
-    None,
-    "Watermark-sealed per-window top-k surfaced to the driver (rows-only "
-    "— single-shot finalization via EventTimeTimeout is a streaming-only "
-    "contract): hourly event-type rankings emitted exactly once when the "
-    "watermark passes each window end during a 4-batch deterministic "
-    "replay; trailing windows the watermark never seals stay open and "
-    "are deterministically absent.",
+    """
+    WITH w AS (
+      SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+               AS ws,
+             event_type AS item, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT ws, item, n,
+             CAST(row_number() OVER (PARTITION BY ws
+                                     ORDER BY n DESC, item) AS INT) AS rank
+      FROM w
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           item, n, rank
+    FROM ranked
+    WHERE rank <= 3
+      AND ws + INTERVAL 6 HOUR < (SELECT max(ts) - INTERVAL 30 MINUTE
+                                  FROM events)
+    ORDER BY window_start, rank
+    """,
+    "Watermark-sealed per-window top-k with a TRUE value-hash oracle "
+    "(was rows-only): 6-hour event-type rankings finalized exactly once "
+    "per window by an EventTimeTimeout that fires when the watermark "
+    "passes the window end, over the 4-batch deterministic replay. The "
+    "oracle replays the contract declaratively — windowed counts, "
+    "row_number ranking with the operator's lexicographic tie-break, "
+    "and the sealed-emission filter window_end < max(ts) - watermark. "
+    "STRICT inequality is load-bearing: EventTimeTimeout fires only "
+    "when the watermark moves strictly PAST the timeout timestamp, so "
+    "a window whose end lands exactly on the final watermark stays "
+    "open (pinned by a boundary unit test). At 100 TB state is one "
+    "count-map per live window, freed at emission.",
 )
 def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.streaming.replay import replay_stream
@@ -5850,7 +5877,13 @@ def q_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             window="6 hours", watermark="30 minutes", k=3,
         ),
     )
-    return out.orderBy("window_start", "rank")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_end"),
+        "item", "n", "rank",
+    ).orderBy("window_start", "rank")
 
 
 @register(
@@ -6389,3 +6422,103 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events"),
     ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_event,
+           p.event_id AS purchase_event,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY v.user_id, view_ts, purchase_ts, view_event, purchase_event
+    """,
+    "Stream-stream interval join driver-verified with a TRUE value-hash "
+    "oracle: views and purchases split from one replayed stream, "
+    "equi-keyed on user with purchase time in [view, view+1h] — the "
+    "CDC enrichment shape ('the payment within the hour of the order'). "
+    "Inner matches emit as soon as both sides arrive, so with the "
+    "24h watermark dwarfing both the 1h interval and any intra-range "
+    "disorder, the 4-batch replay reproduces the batch range join "
+    "EXACTLY — including cross-batch pairs matched out of the state "
+    "store. Scale contract: state per side is O(rate x (watermark + "
+    "interval)) per key-partition — without both watermarks and the "
+    "two-sided bound it grows without limit; batch twin is "
+    "range_join_recent_clicks (banded, no interval blow-up).",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.joins import interval_join
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+
+    def xform(s: DataFrame) -> DataFrame:
+        views = s.filter(F.col("event_type") == "view").drop("event_type")
+        buys = s.filter(F.col("event_type") == "purchase").drop("event_type")
+        return interval_join(
+            views, buys, on="user_id", left_ts="ts", right_ts="ts",
+            lower="interval 0 seconds", upper="interval 1 hour",
+            watermark="24 hours", left_alias="v", right_alias="p",
+        )
+
+    out = replay_stream(spark, ev, xform)
+    return out.select(
+        "user_id",
+        F.col("v_event_id").alias("view_event"),
+        F.col("p_event_id").alias("purchase_event"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    ).orderBy("user_id", "view_ts", "purchase_ts",
+              "view_event", "purchase_event")
+
+
+@register(
+    "stream_first_touch",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           event_type AS first_event_type,
+           event_id AS first_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "Cross-batch exactly-once dedup surfaced with a TRUE value-hash "
+    "oracle: first-touch attribution — the single earliest event per "
+    "user across the whole replayed stream, emitted exactly once. The "
+    "FIFO dedup-id operator (SqsChangeConsumer.java:87-88,133-136) "
+    "upgraded to a deterministic winner: per-key applyInPandasWithState "
+    "keeps one bit of state, and order_cols=(ts, event_id) makes the "
+    "winner the lexicographic minimum within the key's first batch — "
+    "sound because time-range batching puts each key's globally-minimal "
+    "row in its first batch, and the range partitioner never splits "
+    "equal timestamps. Oracle = per-key row_number argmin. State at "
+    "100 TB: one long per key ever seen (the dedup-id retention "
+    "contract; bound it with watermarked_dedup when keys are unbounded).",
+)
+def q_stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import exactly_once_dedup
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+    out = replay_stream(
+        spark, ev,
+        lambda s: exactly_once_dedup(
+            s, ["user_id"], order_cols=["ts", "event_id"]),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.col("event_type").alias("first_event_type"),
+        F.col("event_id").alias("first_event_id"),
+    ).orderBy("user_id")

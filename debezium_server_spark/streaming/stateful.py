@@ -37,15 +37,24 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def exactly_once_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
+def exactly_once_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
     """Emit only the FIRST event ever seen for each key, across all
     micro-batches (state persists in the checkpoint). Rows must share the
     input schema; output schema == input schema.
 
     This is the streaming upgrade of `dropDuplicates` — which in Spark
     streaming also keeps state, but cannot bound emission to row-arrival
-    order inside a batch; here the first row of the first batch wins
-    deterministically (sort upstream for a different winner).
+    order inside a batch. Without `order_cols` the first row of the
+    first batch wins (arrival order). With `order_cols` the winner is
+    the lexicographic minimum over those columns WITHIN the first batch
+    the key appears in — fully deterministic when the replay is
+    time-range batched and `order_cols` leads with the event-time column
+    (the key's globally-minimal row is then guaranteed to live in its
+    first batch, and equal order values never straddle a range split).
     """
     out_schema = stream.schema
     state_schema = T.StructType([T.StructField("seen", T.LongType())])
@@ -54,6 +63,19 @@ def exactly_once_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if not state.exists:
+            if order_cols:
+                best = None
+                for pdf in pdfs:
+                    if len(pdf):
+                        cand = pdf.sort_values(order_cols, kind="stable").iloc[[0]]
+                        if best is None or tuple(
+                            cand.iloc[0][order_cols]
+                        ) < tuple(best.iloc[0][order_cols]):
+                            best = cand
+                if best is not None:
+                    state.update((1,))
+                    yield best
+                return
             for pdf in pdfs:
                 if len(pdf):
                     state.update((1,))
@@ -64,7 +86,10 @@ def exactly_once_dedup(stream: DataFrame, key_cols: list[str]) -> DataFrame:
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
-        outputMode="update",
+        # each key emits at most once ever, so append semantics are
+        # exact — and append is what sink-side append-mode queries
+        # (e.g. the deterministic replay harness) require
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -63,7 +63,7 @@ def test_exactly_once_dedup_across_batches(spark, tmp_path):
         {"dedup_id": "C", "payload": "c1", "seq": 5},
     ])
     out = exactly_once_dedup(_stream(spark, src), ["dedup_id"])
-    rows = [r for _, r in _run_collect(out, tmp_path)]
+    rows = [r for _, r in _run_collect(out, tmp_path, mode="append")]
     by_id = {r["dedup_id"]: r for r in rows}
     assert len(rows) == 3  # one emission per distinct id, ever
     assert set(by_id) == {"A", "B", "C"}
@@ -316,6 +316,46 @@ def test_trending_topk_emits_final_ranking_once(spark, tmp_path):
     finalized = [r for r in rows if str(r["window_start"]) == "2024-01-01 10:00:00"]
     # emitted once, ranked a(2) > b(1), never re-emitted
     assert [(r["item"], r["n"], r["rank"]) for r in finalized] == [("a", 2, 1), ("b", 1, 2)]
+
+
+def test_trending_topk_timeout_strictness_at_exact_boundary(spark):
+    """EventTimeTimeout fires only when the watermark moves strictly PAST
+    the timeout timestamp: a window whose end lands EXACTLY on the final
+    watermark stays open (and is absent from the output), while one
+    microsecond past it seals. The stream_trending_topk oracle's
+    `window_end < max(ts) - watermark` strict filter encodes this."""
+    import datetime as dt
+
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import trending_topk
+
+    base = [
+        (dt.datetime(2024, 1, 1, 0, 5), "a"),
+        (dt.datetime(2024, 1, 1, 0, 10), "b"),
+        (dt.datetime(2024, 1, 1, 0, 10), "a"),
+    ]
+
+    def run(last_ts):
+        df = spark.createDataFrame(
+            base + [(last_ts, "c")], "ts timestamp, event_type string"
+        )
+        return replay_stream(
+            spark,
+            df,
+            lambda s: trending_topk(
+                s, ts_col="ts", key_col="event_type",
+                window="1 hour", watermark="30 minutes", k=3,
+            ),
+            n_batches=2,
+        ).collect()
+
+    # max ts 01:30 -> final watermark 01:00 == window end -> NOT sealed
+    assert run(dt.datetime(2024, 1, 1, 1, 30)) == []
+    # one second past the boundary -> sealed, ranking emitted once
+    sealed = run(dt.datetime(2024, 1, 1, 1, 30, 1))
+    assert [(r["item"], r["n"], r["rank"]) for r in sealed
+            if str(r["window_start"]) == "2024-01-01 00:00:00"] == [
+        ("a", 2, 1), ("b", 1, 2)]
 
 
 EV_SCHEMA = "user_id long, ts timestamp, event_type string"
