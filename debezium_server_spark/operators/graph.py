@@ -149,3 +149,71 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("id", "rank_micro")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    Input edges may be directed, duplicated, or self-looping — they are
+    canonicalized to distinct undirected (a < b) pairs first. Returns
+    (id, triangles): how many triangles each vertex belongs to (each
+    triangle increments all three of its vertices).
+
+    Algorithm: degree orientation (Chiba–Nishizeki / the standard
+    MapReduce triangle scheme). Every canonical edge is re-pointed from
+    its lower-(degree, id) endpoint to the higher one; wedges are then
+    enumerated only from each vertex's ORIENTED out-neighbors and closed
+    against the canonical edge set with a hash join. Orientation changes
+    nothing about the result (a triangle is found exactly once, from its
+    least-(degree, id) corner) but everything about the cost: out-degree
+    after orientation is O(sqrt(m)) even for a celebrity vertex whose
+    raw degree is millions, so the wedge fan-out — the term that
+    explodes on skewed graphs — is bounded by sum(outdeg^2) <= O(m^1.5)
+    instead of sum(deg^2), which is the difference between a 100 TB
+    social graph finishing and one task materializing 10^12 wedges.
+    Three shuffles total: degree agg, wedge self-join, closing join.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select("o.u", "o.v")
+    )
+    x = oriented.select(F.col("u"), F.col("v").alias("p"))
+    y = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = x.join(y, "u").filter(F.col("p") < F.col("q"))
+    # p < q already, so the canonical closing edge is exactly (a=p, b=q)
+    closed = wedges.join(
+        e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")), "inner"
+    ).select("u", "p", "q")
+    corners = (
+        closed.select(F.col("u").alias("id"))
+        .unionAll(closed.select(F.col("p").alias("id")))
+        .unionAll(closed.select(F.col("q").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("triangles"))

@@ -151,3 +151,62 @@ def weighted_priority_sample(
         .orderBy(F.asc("priority"), F.asc(key_col))
         .limit(int(k))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    weight: Column,
+    key_col: str,
+    denom: int = 4,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened corpus mixing at alpha = 0.5 (the
+    mT5/XLM-R recipe): the output budget is split across strata
+    proportional to mass^alpha instead of mass, up-sampling
+    low-resource strata relative to their raw share. Budget =
+    total_mass / `denom`, so the knob is scale-free.
+
+    Exactness across engines, despite the fractional exponent: alpha is
+    fixed at 0.5 because IEEE-754 requires sqrt (unlike pow) to be
+    CORRECTLY ROUNDED — both engines produce the identical double.
+    Each stratum's sqrt(mass) is then floor-quantized to an integer
+    (x1000) so the cross-stratum normalizing SUM is order-free, and the
+    final keep-rate is pure integer arithmetic in DECIMAL(38,0)
+    headroom:
+
+        rate_bp = min(10000, (10000 * (total DIV denom) * isq)
+                              DIV (sum_isq * mass))
+
+    Membership is the same md5-bucket predicate as `hash_sample` —
+    zero-shuffle scan filter, append-stable, engine-portable. Two-pass
+    shape like `token_budget_sample`: a tiny per-stratum aggregate plus
+    a one-row totals frame broadcast back onto the scan.
+    """
+    per = (
+        df.groupBy(strata_col)
+        .agg(F.sum(weight).cast("long").alias("__mass"))
+        .withColumn(
+            "__isq",
+            F.floor(F.sqrt(F.col("__mass").cast("double")) * 1000.0).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("__mass").cast("long").alias("__total"),
+        F.sum("__isq").cast("long").alias("__sum_isq"),
+    )
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            F.expr(
+                "CAST(least(CAST(10000 AS BIGINT), "
+                f"(CAST(10000 AS DECIMAL(38,0)) * (__total DIV {int(denom)}) * __isq) "
+                "DIV (CAST(__sum_isq AS DECIMAL(38,0)) * __mass)) AS BIGINT)"
+            ).alias("rate_bp"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(sample_bucket(F.col(key_col), salt) < F.col("rate_bp"))
+    )

@@ -744,3 +744,52 @@ def mmr_rerank(
 
     return pairs.groupBy("qid").applyInPandas(
         greedy, "query_id bigint, rank int, vec_id bigint, qrel bigint")
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack et al.
+    2009) — the standard hybrid-search combiner: each list contributes
+    1/(k + rank) for the documents it ranked, summed across lists.
+
+    Here the contribution is the INTEGER 10^12 DIV (k + rank) so the
+    fused score is an exact BIGINT sum — bit-identical in any engine
+    (float reciprocals would make cross-engine tie behavior depend on
+    summation order). Output: one row per candidate with its per-list
+    ranks (NULL where a list missed it), the fused score `rrf_u`, and
+    the fused `rank` (score desc, id asc).
+
+    Scale: the inputs are top-k lists — bounded by construction (k per
+    ranker), so the union + one aggregation + the global rank window all
+    operate on O(N x k) rows regardless of corpus size. The expensive
+    part of hybrid search is producing the lists (BM25 posting lists,
+    ANN buckets — both scale paths elsewhere in this package); fusion
+    itself is deliberately tiny.
+    """
+    tagged = None
+    for name, df in rankings.items():
+        t = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("_r"),
+            F.lit(name).alias("_src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = tagged.groupBy(id_col).agg(
+        F.sum(F.expr(f"{10**12}L DIV ({k_rrf} + _r)")).cast("long").alias("rrf_u"),
+        *[
+            F.min(F.when(F.col("_src") == name, F.col("_r")))
+            .cast("long")
+            .alias(f"{name}_rank")
+            for name in rankings
+        ],
+    )
+    w = Window.orderBy(F.desc("rrf_u"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -6522,3 +6522,210 @@ def q_stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("first_event_type"),
         F.col("event_id").alias("first_event_id"),
     ).orderBy("user_id")
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('table', 'window', 'stream') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6)
+                        AS BIGINT) AS idf_u,
+                   sum_dl, n_docs
+            FROM dfreq CROSS JOIN corpus),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(CAST(idf_u AS DOUBLE)
+                        * (CAST(tf AS DOUBLE) * 2.2)
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                  AS BIGINT) AS contrib
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)),
+    lexr AS (SELECT doc_id, rank
+             FROM (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY sum(contrib) DESC, doc_id)
+                            AS rank
+                   FROM contrib GROUP BY doc_id)
+             WHERE rank <= 20),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vecr AS (SELECT doc_id, rank FROM (
+               SELECT c.vec_id AS doc_id,
+                      ROW_NUMBER() OVER (ORDER BY
+                        {{_DOT_A}} / ({{_NORM_Q}} * {{_NORM_C}}) DESC,
+                        c.vec_id) AS rank
+               FROM v q JOIN v c ON c.vec_id != q.vec_id
+               WHERE q.vec_id = 0)
+             WHERE rank <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, w.doc_id) AS doc_id,
+             COALESCE(1000000000000 // (60 + l.rank), 0)
+             + COALESCE(1000000000000 // (60 + w.rank), 0) AS rrf_u,
+             l.rank AS lex_rank, w.rank AS vec_rank
+      FROM lexr l FULL OUTER JOIN vecr w ON l.doc_id = w.doc_id)
+    SELECT doc_id, rrf_u, lex_rank, vec_rank, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY rank
+    """.replace("{_DOT_A}", _DOT.format(a='q.e', b='c.e'))
+       .replace("{_NORM_Q}", _NORM.format(v='q.e'))
+       .replace("{_NORM_C}", _NORM.format(v='c.e')),
+    "Hybrid search: BM25 lexical top-20 fused with cosine-vector top-20 "
+    "by reciprocal-rank fusion (Cormack 2009) — the production "
+    "retrieval shape (sparse + dense, combined on RANKS so the two "
+    "incomparable score scales never meet). Contributions are exact "
+    "integers (10^12 DIV (60+rank)) so the fused ordering is "
+    "bit-identical in any engine. The rankers are the scale paths "
+    "proved elsewhere (posting-list BM25, broadcast-query cosine / "
+    "swap in the IVF entries); fusion itself touches O(lists x k) rows "
+    "— the global rank window is bounded at 40 rows by construction. "
+    "Doc ids and vec ids are the fixture's aligned key space.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import cosine_topk, rrf_fuse
+    from debezium_server_spark.operators.text import bm25_rank
+
+    lex = bm25_rank(
+        load(spark, sf_dir, "documents"),
+        terms=("table", "window", "stream"), top_n=20,
+    ).select("doc_id", "rank")
+    emb = load(spark, sf_dir, "embeddings")
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, top_n=10).select(
+        "doc_id", "rrf_u", "lex_rank", "vec_rank", "rank"
+    ).orderBy("rank")
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH base AS (
+      SELECT c_custkey AS src, c_custkey // 10 AS dst
+      FROM customer WHERE c_custkey >= 10
+      UNION ALL
+      SELECT c_custkey, (c_custkey % 97) + 1 FROM customer
+    ),
+    e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM base WHERE src != dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT id, count(*) AS triangles
+    FROM corners GROUP BY id
+    ORDER BY triangles DESC, id
+    LIMIT 20
+    """,
+    "Per-node triangle counts over the derived customer link graph "
+    "(same deterministic edge relation as graph_pagerank), top-20 "
+    "participants — the clustering/community primitive. Spark side "
+    "(operators/graph.py triangle_count) uses DEGREE ORIENTATION: "
+    "each canonical edge points low-(deg,id) -> high, wedges enumerate "
+    "only oriented out-neighbors, so wedge fan-out is bounded by "
+    "sum(outdeg^2) <= O(m^1.5) even when a celebrity vertex has "
+    "millions of neighbors — the skew bound that keeps a 100 TB social "
+    "graph from materializing 10^12 wedges. The oracle enumerates "
+    "each triangle once as a < b < c chained joins; orientation is "
+    "performance, not semantics, so both sides agree exactly.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.graph import triangle_count
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        cust.filter(F.col("c_custkey") >= 10)
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.expr("c_custkey DIV 10").alias("dst"),
+        )
+        .union(
+            cust.select(
+                F.col("c_custkey").alias("src"),
+                (F.col("c_custkey") % 97 + 1).alias("dst"),
+            )
+        )
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.desc("triangles"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""
+    WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+                 FROM documents GROUP BY source),
+    isq AS (SELECT source, mass,
+                   CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000.0) AS BIGINT)
+                     AS isq
+            FROM per),
+    tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total_mass,
+                   CAST(sum(isq) AS BIGINT) AS sum_isq
+            FROM isq),
+    rates AS (SELECT source,
+                     CAST(least(10000,
+                       (CAST(10000 AS HUGEINT) * (total_mass // 4) * isq)
+                       // (CAST(sum_isq AS HUGEINT) * mass)) AS BIGINT)
+                       AS rate_bp
+              FROM isq CROSS JOIN tot),
+    kept AS (SELECT d.source, d.doc_id, d.n_chars, r.rate_bp
+             FROM documents d JOIN rates r ON d.source = r.source
+             WHERE {_bucket_sql('tmix')} < r.rate_bp)
+    SELECT source, rate_bp,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
+    FROM kept
+    GROUP BY source, rate_bp
+    ORDER BY source
+    """,
+    "Temperature-flattened corpus mixing (alpha = 0.5, the mT5/XLM-R "
+    "up-sample-the-tail recipe): per-source keep rates proportional to "
+    "mass^0.5 / mass, budget = total/4. alpha is pinned to 0.5 because "
+    "IEEE requires sqrt (unlike pow) to be correctly rounded — the one "
+    "fractional exponent both engines compute bit-identically; the "
+    "sqrt is floor-quantized x1000 so the normalizing sum is "
+    "order-free, and the rate is integer arithmetic in DECIMAL(38,0) "
+    "headroom. Membership = the zero-shuffle md5-bucket scan filter; "
+    "the audit emits per-source kept counts, kept mass, and a "
+    "bit_xor(doc_id) membership checksum — the value hash proves the "
+    "EXACT kept set, not just its size.",
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import temperature_mix
+
+    kept = temperature_mix(
+        load(spark, sf_dir, "documents"), "source", F.col("n_chars"),
+        key_col="doc_id", denom=4, salt="tmix",
+    )
+    return (
+        kept.groupBy("source", "rate_bp")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("doc_xor"),
+        )
+        .select("source", "rate_bp", "kept_docs", "kept_chars", "doc_xor")
+        .orderBy("source")
+    )

@@ -72,3 +72,36 @@ def test_pagerank_matches_python_power_iteration(spark):
         ranks = {k: 150_000 + 85 * inflow[k] // 100 for k in outdeg}
     assert got == ranks
     assert got[4] == 150_000  # zero-inflow node pinned at the floor
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from debezium_server_spark.operators.graph import triangle_count
+
+    # messy input: directed duplicates, reversed pairs, a self-loop
+    raw = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 1), (4, 4),
+           (2, 4), (5, 6), (6, 7), (1, 2)]
+    e = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
+
+    edges = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    nodes = sorted({x for p in edges for x in p})
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    assert got == expect  # {1,2,3},{1,2,4},{1,3,4},{2,3,4} -> 3 each
+
+
+def test_triangle_count_skew_orientation_bounds_wedges(spark):
+    """A star center with high degree contributes NO wedges after
+    degree orientation (all its edges point outward from the leaves),
+    so the hub never fans out quadratically — and the count is right."""
+    from debezium_server_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 40)] + [(1, 2)]  # one closed corner
+    e = spark.createDataFrame(star, "src long, dst long")
+    got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

@@ -175,3 +175,22 @@ def test_incremental_dedup_drops_near_dupes_of_indexed_corpus(spark):
     index = minhash_bands(corpus)
     kept = [r["doc_id"] for r in incremental_dedup(increment, index).collect()]
     assert kept == [3]
+
+
+def test_rrf_fuse_integer_contract(spark):
+    from debezium_server_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long")
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse(
+        {"lex": lex, "vec": vec}, top_n=10).collect()}
+    T = 10 ** 12
+    # doc 11: lex rank 2 -> T//62, vec rank 1 -> T//61
+    assert out[11]["rrf_u"] == T // 62 + T // 61
+    assert out[10]["rrf_u"] == T // 61 and out[10]["vec_rank"] is None
+    assert out[13]["rrf_u"] == T // 62 and out[13]["lex_rank"] is None
+    # fused order: 11 (both lists) first, then 10 (lex#1), 13 (vec#2), 12
+    ranks = {r["doc_id"]: r["rank"] for r in out.values()}
+    assert ranks == {11: 1, 10: 2, 13: 3, 12: 4}

@@ -135,3 +135,27 @@ def test_weighted_priority_sample_favors_heavy_rows(spark):
              for r in weighted_priority_sample(df, "doc_id", F.col("w"),
                                                k=50).collect()]
     assert picked == again  # deterministic, order included
+
+
+def test_temperature_mix_flattens_toward_tail(spark):
+    from debezium_server_spark.operators.sampling import (
+        sample_bucket, temperature_mix,
+    )
+    from pyspark.sql import functions as F
+
+    # heavy source: 900 units of mass; light source: 100 units
+    rows = [(i, "heavy", 9) for i in range(100)] + [
+        (1000 + i, "light", 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    kept = temperature_mix(df, "source", F.col("w"), key_col="doc_id")
+    rates = {r["source"]: r["rate_bp"] for r in
+             kept.select("source", "rate_bp").distinct().collect()}
+    # alpha=0.5 shares: sqrt(900):sqrt(100) = 3:1 of budget 250
+    # heavy: 250*3/4 / 900 -> ~2083bp ; light: 250*1/4 / 100 -> 6250bp
+    assert rates["light"] > rates["heavy"] * 2, (
+        "temperature mixing must up-sample the low-resource source")
+    # deterministic membership: same salt -> identical kept set
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(
+        df, "source", F.col("w"), key_col="doc_id").collect())
+    assert a == b
