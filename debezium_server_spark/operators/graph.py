@@ -175,6 +175,12 @@ def triangle_count(
     social graph finishing and one task materializing 10^12 wedges.
     Three shuffles total: degree agg, wedge self-join, closing join.
     """
+    # The canonical edge set feeds FIVE downstream consumers (degree agg
+    # twice, orientation, the closing join) and `closed` feeds three
+    # corner projections — without lineage cuts Spark re-derives each
+    # branch from the source scan and the plan multiplies to ~60
+    # exchanges (caught by tools/plan_audit.py). localCheckpoint
+    # materializes each shared frame exactly once.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -182,6 +188,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("id"))
@@ -203,14 +210,19 @@ def triangle_count(
             .alias("o")
         )
         .select("o.u", "o.v")
+        .localCheckpoint()
     )
     x = oriented.select(F.col("u"), F.col("v").alias("p"))
     y = oriented.select(F.col("u"), F.col("v").alias("q"))
     wedges = x.join(y, "u").filter(F.col("p") < F.col("q"))
     # p < q already, so the canonical closing edge is exactly (a=p, b=q)
-    closed = wedges.join(
-        e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")), "inner"
-    ).select("u", "p", "q")
+    closed = (
+        wedges.join(
+            e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")), "inner"
+        )
+        .select("u", "p", "q")
+        .localCheckpoint()
+    )
     corners = (
         closed.select(F.col("u").alias("id"))
         .unionAll(closed.select(F.col("p").alias("id")))

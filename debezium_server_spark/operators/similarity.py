@@ -57,24 +57,38 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector, the k most
     similar corpus vectors (self excluded). `queries` is broadcast — the
-    corpus is scored in place, partition-parallel."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    corpus is scored in place, partition-parallel.
+
+    `exclude_same`: optionally a column present on both sides (e.g. a
+    class label); candidates sharing the query's value are skipped —
+    the HARD-NEGATIVE MINING shape for contrastive/retrieval training:
+    "the most similar items that are NOT the same class" are exactly
+    the negatives that teach a ranker the decision boundary. Same cost
+    and plan as the plain top-k (the label filter rides the scored
+    stream before the rank window)."""
+    qcols = [F.col(id_col).alias("query_id"),
+             F.col(vec_col).cast("array<double>").alias("qv")]
+    ccols = [F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).cast("array<double>").alias("cv")]
+    if exclude_same is not None:
+        qcols.append(F.col(exclude_same).alias("q_ex"))
+        ccols.append(F.col(exclude_same).alias("c_ex"))
+    q = queries.select(*qcols)
+    c = corpus.select(*ccols)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
-        )
+    )
+    if exclude_same is not None:
+        scored = scored.filter(F.col("q_ex") != F.col("c_ex"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -618,3 +618,85 @@ def boilerplate_strip(
             "dropped_chunks",
         )
     )
+
+
+def bigram_interp_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Interpolated-bigram language-model score per document — the
+    stronger fluency/perplexity proxy one notch up from
+    `unigram_logprob` (a document of real-but-shuffled words fools a
+    unigram LM; it cannot fool this one, because shuffling destroys the
+    bigram mass):
+
+        p(w2 | w1) = 0.75 * c(w1 w2) / ctx(w1)  +  0.25 * c(w2) / T
+
+    (Jelinek–Mercer interpolation with a fixed lambda; ctx(w1) = count
+    of bigrams starting with w1, T = corpus token count.) The mixture
+    is assembled as ONE exact integer ratio before the single ln:
+
+        p = (3*c_b*T + c_u*ctx) / (4*ctx*T)
+
+    so both engines hand the same two integers to the log and the
+    floor(ln * 1e6) micro-nat quantization sees identical operands —
+    the only cross-engine exposure is the one libm ln, same as every
+    other quantized-log entry here. Interpolation also makes p > 0 for
+    unseen-context bigrams without add-k smoothing's count distortion.
+
+    Plan: three token-stream aggregates (bigram counts, context counts
+    folded FROM the bigram counts — no second explode, unigram counts),
+    a hash join of the per-bigram score table back onto the exploded
+    doc-bigram stream (bigram vocabulary is Heaps-law-small but NOT
+    broadcast-assumed), then the per-doc integer rollup.
+
+    Returns (id, n_bigrams, avg_logp_micronats); docs with fewer than
+    two tokens have no bigrams and are absent by construction.
+    """
+    toks = _toks(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    doc_big = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    bc = doc_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
+    parts = F.split(F.col("bigram"), " ")
+    bc = bc.withColumn("tok_x", parts.getItem(0)).withColumn(
+        "tok_y", parts.getItem(1)
+    )
+    ctx = bc.groupBy("tok_x").agg(F.sum("c_b").alias("ctx"))
+    uni = (
+        df.select(F.explode(toks).alias("tok_y"))
+        .groupBy("tok_y")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    totals = df.select(F.size(toks).alias("_len")).agg(
+        F.sum("_len").cast("long").alias("t_uni")
+    )
+    scored = (
+        bc.join(F.broadcast(ctx), "tok_x")
+        .join(F.broadcast(uni), "tok_y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            F.floor(
+                F.log(
+                    (3 * F.col("c_b") * F.col("t_uni")
+                     + F.col("c_u") * F.col("ctx")).cast("double")
+                    / (4 * F.col("ctx") * F.col("t_uni")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("logp_u"),
+        )
+    )
+    return (
+        doc_big.join(scored, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(logp_u) div count(1)").alias("avg_logp_micronats"),
+        )
+    )

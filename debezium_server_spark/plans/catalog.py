@@ -6729,3 +6729,101 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rate_bp", "kept_docs", "kept_chars", "doc_xor")
         .orderBy("source")
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.label AS neg_label,
+                 {{_DOT}} / ({{_NQ}} * {{_NC}}) AS sim
+          FROM v q JOIN v c
+            ON c.vec_id != q.vec_id AND c.label != q.label
+          WHERE q.vec_id < 10)
+    SELECT query_id, neighbor_id, neg_label, rank,
+           floor((sim) * 10000) / 10000 AS sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """.replace("{_DOT}", _DOT.format(a='q.e', b='c.e'))
+       .replace("{_NQ}", _NORM.format(v='q.e'))
+       .replace("{_NC}", _NORM.format(v='c.e')),
+    "Hard-negative mining for contrastive/retrieval training: for each "
+    "probe, the top-5 most-similar vectors whose class LABEL differs — "
+    "the near-miss negatives that actually teach a ranker its decision "
+    "boundary (random negatives are trivially separable; these are "
+    "not). Same broadcast-probe plan as embedding_topk with the label "
+    "anti-filter riding the scored stream BEFORE the rank window; at "
+    "100 TB swap the exact scorer for the IVF candidate stage exactly "
+    "as embedding_ann_mmr does.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    topk = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, exclude_same="label"
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .select("query_id", "neighbor_id", "neg_label", "rank", "sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "bigram_interp_logprob",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    db AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                    AS bigram
+           FROM w),
+    bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_b
+           FROM db GROUP BY bigram),
+    bx AS (SELECT bigram, c_b,
+                  string_split(bigram, ' ')[1] AS tok_x,
+                  string_split(bigram, ' ')[2] AS tok_y
+           FROM bc),
+    ctx AS (SELECT tok_x, CAST(sum(c_b) AS BIGINT) AS ctx
+            FROM bx GROUP BY tok_x),
+    uc AS (SELECT tok_y, CAST(count(*) AS BIGINT) AS c_u
+           FROM (SELECT unnest(toks) AS tok_y FROM w) GROUP BY tok_y),
+    tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_uni FROM w),
+    scored AS (
+      SELECT b.bigram,
+             CAST(floor(ln(CAST(3 * b.c_b * t.t_uni + u.c_u * c.ctx AS DOUBLE)
+                           / CAST(4 * c.ctx * t.t_uni AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS logp_u
+      FROM bx b JOIN ctx c USING (tok_x) JOIN uc u USING (tok_y)
+      CROSS JOIN tot t)
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s.logp_u) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS avg_logp_micronats
+    FROM db d JOIN scored s USING (bigram)
+    GROUP BY d.doc_id
+    """,
+    "Interpolated-bigram LM document score (Jelinek-Mercer, lambda "
+    "0.75/0.25) — the fluency proxy one notch above unigram_logprob: "
+    "shuffled-word documents keep their unigram score but lose their "
+    "bigram mass, so this catches degenerate text the unigram screen "
+    "passes. The mixture is assembled as ONE exact integer ratio "
+    "(3*c_b*T + c_u*ctx) / (4*ctx*T) before the single ln, then "
+    "floor-quantized to micro-nats — identical operands to the log in "
+    "both engines, integer arithmetic everywhere else. Context counts "
+    "fold FROM the bigram-count frame (no second explode); the "
+    "per-bigram score table hash-joins back onto the doc-bigram "
+    "stream (Heaps-law-small but deliberately NOT broadcast-assumed).",
+)
+def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import bigram_interp_logprob
+
+    return bigram_interp_logprob(load(spark, sf_dir, "documents"))

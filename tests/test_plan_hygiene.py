@@ -16,7 +16,10 @@ def test_no_quadratic_join_operators(spark):
 #: Entries that legitimately compose TWO full method pipelines (an
 #: evaluation harness joining method A's output against method B's
 #: ground truth) get double the single-pipeline budget.
-COMPOSED = {"dedup_method_agreement", "ann_recall_eval"}
+COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
+            # RRF fusion composes the full bm25_search and embedding_topk
+            # ranker pipelines before the (40-row) fusion stage
+            "hybrid_search_rrf"}
 
 
 def test_exchange_budgets(spark):

@@ -194,3 +194,22 @@ def test_rrf_fuse_integer_contract(spark):
     # fused order: 11 (both lists) first, then 10 (lex#1), 13 (vec#2), 12
     ranks = {r["doc_id"]: r["rank"] for r in out.values()}
     assert ranks == {11: 1, 10: 2, 13: 3, 12: 4}
+
+
+def test_cosine_topk_exclude_same_label(spark):
+    from debezium_server_spark.operators.similarity import cosine_topk
+
+    # query 0 (label A) is nearly identical to 1 (label A) and 2 (label B);
+    # hard negatives must skip 1 despite its higher similarity
+    rows = [
+        (0, [1.0, 0.0, 0.0], "A"),
+        (1, [0.99, 0.14, 0.0], "A"),
+        (2, [0.9, 0.43, 0.0], "B"),
+        (3, [0.0, 1.0, 0.0], "B"),
+        (4, [0.0, 0.0, 1.0], "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = cosine_topk(
+        df, df.filter("vec_id = 0"), k=2, exclude_same="label").collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]

@@ -88,3 +88,44 @@ def test_boilerplate_strip_removes_shared_chunks_preserves_order(spark):
     assert out[0]["clean_text"] == u1
     assert out[1]["clean_text"] == u2
     assert out[0]["dropped_chunks"] == 1 and out[0]["kept_chunks"] == 1
+
+
+def test_bigram_interp_logprob_shuffling_detector(spark):
+    """A document whose words are real but shuffled keeps its unigram
+    mass yet loses bigram mass — the interpolated score must rank the
+    fluent doc above the shuffled one, and the score must equal a
+    direct Python recomputation (integer micro-nats)."""
+    import math
+
+    from debezium_server_spark.operators.text import bigram_interp_logprob
+
+    fluent = "the cat sat on the mat"
+    # 10 fluent docs establish the corpus bigram stats; doc 99 uses the
+    # SAME words once, shuffled — its unigram mass matches, its bigram
+    # counts are all 1
+    rows = [(i, fluent) for i in range(10)] + [
+        (99, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp_micronats"])
+           for r in bigram_interp_logprob(df).collect()}
+
+    from collections import Counter
+    docs = {i: t.split() for i, t in rows}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    big = Counter(
+        (ws[i], ws[i + 1]) for ws in docs.values() for i in range(len(ws) - 1))
+    ctx = Counter()
+    for (x, _), c in big.items():
+        ctx[x] += c
+    T = sum(uni.values())
+    expect = {}
+    for d, ws in docs.items():
+        lps = []
+        for i in range(len(ws) - 1):
+            cb, cu, cx = big[(ws[i], ws[i + 1])], uni[ws[i + 1]], ctx[ws[i]]
+            lps.append(math.floor(
+                math.log((3 * cb * T + cu * cx) / (4 * cx * T)) * 1e6))
+        # Spark `div` truncates toward zero, like int() on the quotient
+        expect[d] = (len(lps), int(sum(lps) / len(lps)))
+    assert got == expect, "exact micro-nat parity with direct recompute"
+    assert got[0][1] > got[99][1], "fluent doc must outscore shuffled doc"

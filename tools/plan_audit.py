@@ -69,6 +69,7 @@ WHITELIST: set[str] = {
     "unigram_logprob",
     "tfidf_doc_keywords",
     "bigram_pmi",
+    "bigram_interp_logprob",
     # PQ ADC scoring: crossJoin against the broadcast per-query LUT
     # frame — query side bounded to 10 probes, m×k LUT per row, not
     # data-quadratic (the corpus side is scanned once over codes)
@@ -91,6 +92,16 @@ WHITELIST: set[str] = {
     # recall harness composes the exact baseline (whitelisted bounded
     # all-pairs, 10 probes) with the IVF centroid BNLJ — both bounded
     "ann_recall_eval",
+    # hybrid fusion composes bm25_search's one-row corpus-scalar attach
+    # and embedding_topk's bounded probe crossJoin (1 query vector);
+    # the fusion stage itself is O(lists x k) = 40 rows
+    "hybrid_search_rrf",
+    # same bounded 10-probe crossJoin as embedding_topk, plus a label
+    # anti-filter on the scored stream
+    "hard_negative_mining",
+    # one-row totals frame (total_mass, sum_isq) broadcast onto the
+    # per-stratum rate table — single-row build side by construction
+    "corpus_temperature_mix",
 }
 
 
