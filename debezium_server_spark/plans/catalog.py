@@ -6827,3 +6827,159 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.text import bigram_interp_logprob
 
     return bigram_interp_logprob(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "stream_enrich_dimension",
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           e.event_type, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+    "Stream-static enrichment driver-verified with a TRUE value-hash "
+    "oracle: the replayed event stream joined per micro-batch against "
+    "the customer dimension (broadcast hint — the stream side NEVER "
+    "shuffles; Spark re-plans the static side each batch, so dimension "
+    "upserts between batches are visible without restarting the query "
+    "— the CDC enrichment contract the reference delegates to the sink "
+    "database). Left join keeps events whose dimension row hasn't "
+    "arrived yet. Stateless per batch: output = batch join exactly, "
+    "regardless of batch boundaries, which is precisely what the "
+    "oracle's plain LEFT JOIN states.",
+)
+def q_stream_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.joins import enrich_with_dimension
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    out = replay_stream(
+        spark, ev,
+        lambda s: enrich_with_dimension(s, dim, on="user_id", how="left"),
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type", "c_name", "c_mktsegment",
+    ).orderBy("event_id")
+
+
+@register(
+    "stream_running_stats",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) AS total,
+           CAST(CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) AS peak
+    FROM events
+    GROUP BY user_id
+    ORDER BY key
+    """,
+    "The update-mode metrics accumulator (running_key_stats — the "
+    "DebeziumMetrics.java:106-153 analog as a distributed operator) "
+    "driver-verified with a TRUE value-hash oracle: per-key running "
+    "(count, sum, max) across the 4-batch replay, every intermediate "
+    "emission collected from the update-mode memory sink, and the "
+    "FINAL state extracted as the argmax of the monotone event counter "
+    "(n_events strictly grows when a key receives rows, so the final "
+    "row per key is unique). Values are pre-quantized to integer cents "
+    "so the running float sum is integral — exact at any fold order, "
+    "in both engines. Oracle = the batch GROUP BY: running-state "
+    "convergence to the batch aggregate IS the correctness contract.",
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import running_key_stats
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = replay_stream(
+        spark, ev,
+        lambda s: running_key_stats(s, key_col="user_id", value_col="cents"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("key", "n_events", "total", "peak")
+        .orderBy("key")
+    )
+
+
+@register(
+    "stream_interval_join_outer",
+    """
+    WITH j AS (
+      SELECT v.user_id,
+             v.event_id AS view_event,
+             p.event_id AS purchase_event,
+             v.ts AS v_ts, p.ts AS p_ts
+      FROM events v
+      LEFT JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      WHERE v.event_type = 'view')
+    SELECT user_id, view_event, purchase_event,
+           strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM j
+    WHERE purchase_event IS NOT NULL
+       OR v_ts + INTERVAL 1 HOUR <
+          (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                  - INTERVAL 24 HOUR)
+    ORDER BY user_id, view_ts, view_event, purchase_ts, purchase_event
+    """,
+    "LEFT-OUTER stream-stream interval join with a TRUE value-hash "
+    "oracle — the subtlest emission contract in Structured Streaming, "
+    "reproduced declaratively: matches emit immediately; an unmatched "
+    "view emits null-padded only when the query watermark moves "
+    "STRICTLY past view_ts + upper; unsealed horizons are "
+    "deterministically absent. The load-bearing discovery (made by "
+    "this entry failing by ONE ROW at sf0.1): each withWatermark "
+    "instance measures the event-time progress of ITS OWN "
+    "post-optimization input, and the query watermark is the MIN "
+    "across instances — so with per-branch watermarks the basis is "
+    "least(max view ts, max purchase ts) - delay, NOT max(ts) - "
+    "delay, and the oracle says exactly that. (Watermarking before "
+    "the branch split does NOT fix this: predicate pushdown re-sites "
+    "the filters below the watermark anyway, optimizer-placement-"
+    "dependent — unusable as an oracle basis.) At 100 TB the same "
+    "fact is an ops contract: one sparse side drags the query "
+    "watermark, delaying outer emission and state eviction.",
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.joins import interval_join
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+
+    def xform(s: DataFrame) -> DataFrame:
+        views = s.filter(F.col("event_type") == "view").drop("event_type")
+        buys = s.filter(F.col("event_type") == "purchase").drop("event_type")
+        return interval_join(
+            views, buys, on="user_id", left_ts="ts", right_ts="ts",
+            lower="interval 0 seconds", upper="interval 1 hour",
+            watermark="24 hours", how="leftOuter",
+            left_alias="v", right_alias="p",
+        )
+
+    out = replay_stream(spark, ev, xform)
+    return out.select(
+        "user_id",
+        F.col("v_event_id").alias("view_event"),
+        F.col("p_event_id").alias("purchase_event"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    ).orderBy("user_id", "view_ts", "view_event",
+              "purchase_ts", "purchase_event")

@@ -29,7 +29,7 @@ def interval_join(
     right_ts: str,
     lower: str = "interval 0 seconds",
     upper: str = "interval 15 minutes",
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
     how: str = "inner",
     left_alias: str = "l",
     right_alias: str = "r",
@@ -44,9 +44,24 @@ def interval_join(
     stream-stream joins (leftOuter/rightOuter/fullOuter); outer rows
     emit once the watermark proves no match can arrive — meaning outer
     results are delayed by the watermark, which is semantics, not a bug.
+
+    `watermark=None` means the inputs are ALREADY watermarked.
+
+    Watermark-basis contract (pinned by test_stream_joins.py and the
+    stream_interval_join_outer oracle): each withWatermark instance
+    measures the event-time progress of its own POST-OPTIMIZATION
+    input, and the query watermark is the MIN across instances. With
+    the canonical two-branch split, that means the basis is
+    least(max left ts, max right ts) - delay — one sparse side drags
+    the query watermark, delaying outer-null emission and state
+    eviction engine-wide. Do NOT try to dodge this by watermarking
+    the source before the split: predicate pushdown re-sites the
+    branch filters below the watermark anyway, and whether it does is
+    optimizer-placement-dependent — build oracles and ops alerts on
+    the min-of-branches basis instead.
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = left if watermark is None else left.withWatermark(left_ts, watermark)
+    rw = right if watermark is None else right.withWatermark(right_ts, watermark)
     lsel = lw.select(
         F.col(on).alias("_lk"),
         *[F.col(c).alias(f"{left_alias}_{c}") for c in left.columns if c != on],

@@ -28,6 +28,7 @@ def replay_stream(
     transform,
     ts_col: str = "ts",
     n_batches: int = 4,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Write `df` as `n_batches` time-range files, open them as a
     1-file-per-trigger stream, apply `transform(stream) -> stream`, run
@@ -65,9 +66,12 @@ def replay_stream(
         .parquet(src)
     )
     name = "replay_" + uuid.uuid4().hex
+    # update mode: the memory sink APPENDS each batch's updated rows, so
+    # the collected table holds every intermediate emission — callers
+    # extract the final state per key (e.g. argmax of a monotone counter)
     q = (
         transform(stream)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", os.path.join(work, "ck"))

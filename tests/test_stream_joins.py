@@ -168,3 +168,60 @@ def test_stream_static_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["order_id"], r["tier"]) for r in spark.read.parquet(outdir).collect()}
     assert (12, "silver") in rows
+
+
+def _outer_replay(spark, view_driver_ts, purchase_driver_ts):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.streaming.joins import interval_join
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), "view", 100),   # unmatched
+        (2, dt.datetime(2024, 1, 1, 0, 25), "view", 101),
+        (2, dt.datetime(2024, 1, 1, 0, 30), "purchase", 102),
+        (8, view_driver_ts, "view", 108),        # views-branch max
+        (9, purchase_driver_ts, "purchase", 109),  # purchase-branch max
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+
+    def xform(s):
+        v = s.filter(F.col("event_type") == "view").drop("event_type")
+        p = s.filter(F.col("event_type") == "purchase").drop("event_type")
+        return interval_join(
+            v, p, on="user_id", left_ts="ts", right_ts="ts",
+            upper="interval 1 hour", watermark="30 minutes", how="leftOuter",
+            left_alias="v", right_alias="p")
+
+    out = replay_stream(spark, df, xform, n_batches=2)
+    return sorted((r["user_id"], r["v_event_id"], r["p_event_id"])
+                  for r in out.collect())
+
+
+def test_outer_interval_join_min_basis_and_strictness(spark):
+    """The emission basis for outer-null rows is the QUERY watermark =
+    MIN across the two branch watermark instances (each measures its
+    own input's event-time progress), and the horizon comparison is
+    STRICT — exactly what the stream_interval_join_outer oracle's
+    `v_ts + upper < least(max view, max purchase) - delay` encodes.
+    Discovered when the sf0.1 oracle failed by one row: the view whose
+    horizon was inside max(ts)-delay but outside the purchase branch's
+    lagging watermark."""
+    import datetime as dt
+
+    far = dt.datetime(2024, 1, 1, 6, 0)
+    # purchase branch is the min: its max 01:30 -> wm 01:00 == horizon
+    # of the 00:00 view -> held open (strict)
+    assert _outer_replay(spark, far, dt.datetime(2024, 1, 1, 1, 30)) == [
+        (2, 101, 102)]
+    # one second past the boundary -> the null row emits
+    assert _outer_replay(spark, far, dt.datetime(2024, 1, 1, 1, 30, 1)) == [
+        (1, 100, None), (2, 101, 102)]
+    # symmetric: views branch far ahead does NOT unseal on its own —
+    # the sparse purchase side gates the query watermark (the 100 TB
+    # ops hazard: one quiet stream stalls outer emission + eviction)
+    assert _outer_replay(spark, far, dt.datetime(2024, 1, 1, 0, 31)) == [
+        (2, 101, 102)]
