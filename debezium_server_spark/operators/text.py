@@ -662,8 +662,12 @@ def bigram_interp_logprob(
     doc_big = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
     bc = doc_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
     parts = F.split(F.col("bigram"), " ")
-    bc = bc.withColumn("tok_x", parts.getItem(0)).withColumn(
-        "tok_y", parts.getItem(1)
+    # the vocab frame feeds two consumers (ctx fold + score join);
+    # without a lineage cut each re-derives the explode+count pipeline
+    bc = (
+        bc.withColumn("tok_x", parts.getItem(0))
+        .withColumn("tok_y", parts.getItem(1))
+        .localCheckpoint()
     )
     ctx = bc.groupBy("tok_x").agg(F.sum("c_b").alias("ctx"))
     uni = (

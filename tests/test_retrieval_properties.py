@@ -121,3 +121,39 @@ def test_zorder_matches_python_interleave(spark, xs, ys):
             z |= ((xm >> bit) & 1) << (2 * bit + 1)
             z |= ((ym >> bit) & 1) << (2 * bit)
         assert got[(x, y)] == z
+
+
+def test_rrf_fuse_matches_python_model_randomized(spark):
+    """Randomized cross-check: rrf_fuse over arbitrary top-k lists must
+    equal a direct Python model (integer contributions, score-desc /
+    id-asc order), and be invariant to the order rankings are given."""
+    import random
+
+    from debezium_server_spark.operators.similarity import rrf_fuse
+
+    rng = random.Random(7)
+    T, K = 10 ** 12, 60
+    for trial in range(5):
+        ids = list(range(1, 30))
+        lists = {}
+        for name in ("a", "b", "c"):
+            rng.shuffle(ids)
+            lists[name] = ids[: rng.randint(1, 12)]
+        frames = {
+            name: spark.createDataFrame(
+                [(d, r + 1) for r, d in enumerate(docs)],
+                "doc_id long, rank long")
+            for name, docs in lists.items()
+        }
+        model: dict[int, int] = {}
+        for docs in lists.values():
+            for r, d in enumerate(docs):
+                model[d] = model.get(d, 0) + T // (K + r + 1)
+        order = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+        got = rrf_fuse(frames, top_n=10).orderBy("rank").collect()
+        assert [(r["doc_id"], r["rrf_u"]) for r in got] == order
+        # permutation invariance of the rankings dict
+        rev = {k: frames[k] for k in reversed(list(frames))}
+        got2 = rrf_fuse(rev, top_n=10).orderBy("rank").collect()
+        assert [(r["doc_id"], r["rrf_u"]) for r in got2] == order
