@@ -29,6 +29,7 @@ def replay_stream(
     ts_col: str = "ts",
     n_batches: int = 4,
     output_mode: str = "append",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Write `df` as `n_batches` time-range files, open them as a
     1-file-per-trigger stream, apply `transform(stream) -> stream`, run
@@ -69,14 +70,27 @@ def replay_stream(
     # update mode: the memory sink APPENDS each batch's updated rows, so
     # the collected table holds every intermediate emission — callers
     # extract the final state per key (e.g. argmax of a monotone counter)
-    q = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    #
+    # shuffle_partitions: a streaming query instantiates one state store
+    # per shuffle partition per stateful operator PER MICRO-BATCH; at
+    # replay scale (<=100k rows, 5 batches) 32 partitions are pure
+    # overhead — a stream-stream join pays ~200 state-store tasks per
+    # batch. 8 cuts the fixed cost ~4x; results are partition-invariant
+    # (every entry re-sorts, the driver compares sorted). The session
+    # value is restored after the query captures its own copy at start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
     return spark.table(name)

@@ -225,3 +225,59 @@ def test_outer_interval_join_min_basis_and_strictness(spark):
     # ops hazard: one quiet stream stalls outer emission + eviction)
     assert _outer_replay(spark, far, dt.datetime(2024, 1, 1, 0, 31)) == [
         (2, 101, 102)]
+
+
+def test_interval_join_checkpoint_recovery(spark, tmp_path):
+    """Stop the joined stream after the first file, then restart from
+    the same checkpoint with new right-side rows: buffered left-side
+    state must survive the restart, and the combined output must equal
+    an uninterrupted run (the at-least-once + state-recovery contract
+    for stream-stream joins)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    orders_dir, pay_dir = tmp_path / "o", tmp_path / "p"
+    orders_dir.mkdir(), pay_dir.mkdir()
+    _write(orders_dir, "o1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01 10:00:00", "event_id": 1},
+        {"user_id": 2, "ts": "2024-01-01 10:05:00", "event_id": 2},
+    ])
+    _write(pay_dir, "p0.jsonl", [])  # right side exists but empty
+
+    def run(rows):
+        j = interval_join(
+            _stream(spark, orders_dir, schema),
+            _stream(spark, pay_dir, schema),
+            on="user_id", left_ts="ts", right_ts="ts",
+            upper="interval 1 hour", watermark="30 minutes",
+            left_alias="o", right_alias="p",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first: list = []
+    run(first)
+    assert first == []  # no payments yet; both orders buffered in state
+
+    # payments arrive AFTER the restart — matches must come out of the
+    # recovered state store, not from re-reading the order files
+    _write(pay_dir, "p1.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01 10:20:00", "event_id": 11},
+        {"user_id": 2, "ts": "2024-01-01 12:00:00", "event_id": 12},  # outside 1h
+    ])
+    second: list = []
+    run(second)
+    got = sorted((r["user_id"], r["o_event_id"], r["p_event_id"]) for r in second)
+    assert got == [(1, 1, 11)], (
+        "order 1 must match from recovered state; order 2's payment is "
+        "outside the interval and must not")
