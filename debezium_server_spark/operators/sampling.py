@@ -186,10 +186,18 @@ def temperature_mix(
     per = (
         df.groupBy(strata_col)
         .agg(F.sum(weight).cast("long").alias("__mass"))
+        # zero-mass strata carry nothing to sample; dropping them here
+        # both matches the budget semantics (their share of mass^0.5 of
+        # zero mass is zero) and avoids the ANSI DIVIDE_BY_ZERO the
+        # rate expression's (sum_isq * mass) denominator would raise
+        .filter(F.col("__mass") > 0)
         .withColumn(
             "__isq",
             F.floor(F.sqrt(F.col("__mass").cast("double")) * 1000.0).cast("long"),
         )
+        # feeds two consumers (totals + rates) — cut lineage so the
+        # per-stratum aggregate runs once, not once per consumer
+        .localCheckpoint()
     )
     tot = per.agg(
         F.sum("__mass").cast("long").alias("__total"),

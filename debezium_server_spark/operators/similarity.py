@@ -785,6 +785,8 @@ def rrf_fuse(
     ANN buckets — both scale paths elsewhere in this package); fusion
     itself is deliberately tiny.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be a non-empty dict")
     tagged = None
     for name, df in rankings.items():
         t = df.select(

@@ -275,6 +275,22 @@ def _toks(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-pair strings from a token array. Single-token / empty
+    docs yield an EMPTY array: without the guard, sequence(1, size-1)
+    on size=1 is the DESCENDING [1, 0] and element_at(toks, 0) throws
+    under ANSI mode (INVALID_ARRAY_INDEX_IN_ELEMENT_AT)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -355,13 +371,7 @@ def bigram_pmi(
     Returns (bigram, n, pmi_micronats).
     """
     toks = _toks(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    big = df.select(F.explode(bigrams).alias("bigram"))
+    big = df.select(F.explode(_bigrams(toks)).alias("bigram"))
     bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     bc = bc.filter(F.col("n") >= min_count)
     uni = (
@@ -653,13 +663,7 @@ def bigram_interp_logprob(
     two tokens have no bigrams and are absent by construction.
     """
     toks = _toks(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    doc_big = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    doc_big = df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("bigram"))
     bc = doc_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_b"))
     parts = F.split(F.col("bigram"), " ")
     # the vocab frame feeds two consumers (ctx fold + score join);

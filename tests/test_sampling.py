@@ -159,3 +159,17 @@ def test_temperature_mix_flattens_toward_tail(spark):
     b = sorted(r["doc_id"] for r in temperature_mix(
         df, "source", F.col("w"), key_col="doc_id").collect())
     assert a == b
+
+
+def test_temperature_mix_skips_zero_mass_strata(spark):
+    """A stratum whose rows all have weight 0 must be dropped, not
+    raise ANSI DIVIDE_BY_ZERO in the rate expression."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "real", 5) for i in range(50)] + [
+        (100 + i, "empty", 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    kept = temperature_mix(df, "source", F.col("w"), key_col="doc_id")
+    assert {r["source"] for r in kept.collect()} == {"real"}

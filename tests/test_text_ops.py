@@ -129,3 +129,21 @@ def test_bigram_interp_logprob_shuffling_detector(spark):
         expect[d] = (len(lps), int(sum(lps) / len(lps)))
     assert got == expect, "exact micro-nat parity with direct recompute"
     assert got[0][1] > got[99][1], "fluent doc must outscore shuffled doc"
+
+
+def test_bigram_ops_survive_single_token_docs(spark):
+    """Docs with <2 tokens must yield zero bigrams, not an ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash (sequence(1, 0) is the
+    DESCENDING [1, 0] — regression guard in _bigrams)."""
+    from debezium_server_spark.operators.text import (
+        bigram_interp_logprob,
+        bigram_pmi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "the cat sat")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bigrams"]
+           for r in bigram_interp_logprob(df).collect()}
+    assert got == {3: 2}  # one-token and empty docs absent, no crash
+    assert bigram_pmi(df, min_count=1).count() == 2
