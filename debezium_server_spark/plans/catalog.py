@@ -5797,18 +5797,60 @@ def q_regression_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cep_matches",
-    None,
-    "The streaming CEP operator surfaced to the driver (rows-only by "
-    "design — a pattern AUTOMATON with skip-past-match semantics and "
-    "watermark GC has no batch-SQL equivalent; its batch approximation "
-    "is the oracle-checked path_pattern_match): the events fixture is "
-    "replayed as 4 time-ordered micro-batches through "
-    "sequence_pattern_matches (view→click→purchase within 72h — sized "
-    "to the fixture's ~1.5-day median per-user event gap), state "
-    "crossing real batch boundaries. Deterministic by construction "
-    "(range-partitioned replay + in-batch sort), so the driver's "
-    "row-count check is stable; validated against an independent "
-    "offline automaton simulation (338 matches at sf0.01).",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type) AS rn
+           FROM events),
+    walk AS (
+      SELECT key, 0 AS rn, 0 AS prog,
+             CAST(NULL AS TIMESTAMP) AS first_ts,
+             CAST(NULL AS TIMESTAMP) AS m_start,
+             CAST(NULL AS TIMESTAMP) AS m_end
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             CASE WHEN started THEN 1 ELSE advanced END,
+             CASE WHEN started THEN e.ts
+                  WHEN advanced > 0 THEN w.first_ts END,
+             CASE WHEN consumed THEN w.first_ts END,
+             CASE WHEN consumed THEN e.ts END
+      FROM walk w
+      JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1,
+      LATERAL (SELECT w.prog > 0
+                      AND e.ts <= w.first_ts + INTERVAL 72 HOUR AS alive) a,
+      LATERAL (SELECT (a.alive AND w.prog = 2
+                       AND e.etype = 'purchase') AS consumed) c,
+      LATERAL (SELECT CASE
+                 WHEN a.alive AND w.prog = 1 AND e.etype = 'click' THEN 2
+                 WHEN c.consumed THEN 0
+                 WHEN a.alive THEN w.prog
+                 ELSE 0 END AS advanced) d,
+      LATERAL (SELECT (d.advanced = 0 AND NOT c.consumed
+                       AND e.etype = 'view') AS started) s
+    )
+    SELECT key,
+           strftime(m_start, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(m_end, '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM walk
+    WHERE m_start IS NOT NULL
+    ORDER BY key, start_ts
+    """,
+    "The streaming CEP automaton with a TRUE value-hash oracle — the "
+    "last rows-only entry converted: skip-past-match with a single "
+    "partial is a SEQUENTIAL FOLD per key, so a recursive CTE walking "
+    "each user's (ts, event_type)-ordered events replays the exact "
+    "transition function (expiry-before-transition on the 72h window, "
+    "guard-free view→click→purchase, completed match resets the "
+    "automaton, an expired slot lets the same event start fresh). "
+    "Equal-(ts,type) neighbors commute through the automaton, so the "
+    "row_number tiebreak is immaterial; watermark GC ≡ window expiry "
+    "under the replay's 24h delay (any completing event for a "
+    "GC-dropped partial would be watermark-late anyway). The streaming "
+    "side still proves the hard part — O(1)-per-key state crossing "
+    "real micro-batch boundaries with EventTimeTimeout GC; the CTE "
+    "proves its output equals the declarative spec, per value hash.",
 )
 def q_stream_cep_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.streaming.replay import replay_stream
@@ -5825,7 +5867,11 @@ def q_stream_cep_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             within="72 hours", watermark="24 hours",
         ),
     )
-    return out.orderBy("key", "start_ts")
+    return out.select(
+        "key",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    ).orderBy("key", "start_ts")
 
 
 @register(
