@@ -7029,3 +7029,79 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     ).orderBy("user_id", "view_ts", "view_event",
               "purchase_ts", "purchase_event")
+
+
+@register(
+    "stream_cep_every_start",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type) AS rn
+           FROM events),
+    walk AS (
+      SELECT key, 0 AS rn,
+             CAST([] AS STRUCT(prog INT, first TIMESTAMP)[]) AS parts,
+             CAST([] AS STRUCT(s TIMESTAMP, e TIMESTAMP)[]) AS m
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             list_concat(
+               list_filter(x.adv, p -> p.prog < 3),
+               CASE WHEN e.etype = 'view'
+                    THEN [{'prog': 1, 'first': e.ts}]
+                    ELSE CAST([] AS STRUCT(prog INT, first TIMESTAMP)[])
+               END),
+             list_transform(list_filter(x.adv, p -> p.prog = 3),
+                            p -> {'s': p.first, 'e': e.ts})
+      FROM walk w
+      JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1,
+      LATERAL (SELECT list_transform(
+                 list_filter(w.parts,
+                             p -> e.ts <= p.first + INTERVAL 72 HOUR),
+                 p -> CASE WHEN (p.prog = 1 AND e.etype = 'click')
+                             OR (p.prog = 2 AND e.etype = 'purchase')
+                           THEN {'prog': p.prog + 1, 'first': p.first}
+                           ELSE p END) AS adv) x
+    )
+    SELECT key,
+           strftime(mm.s, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(mm.e, '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM (SELECT key, unnest(m) AS mm FROM walk)
+    ORDER BY key, start_ts, end_ts
+    """,
+    "The OVERLAPPING-matches CEP policy (mode='every_start' — Flink "
+    "followedBy/NO_SKIP shape: every view opens its own partial, "
+    "partials advance independently, one click/purchase event may "
+    "complete several) with a TRUE value-hash oracle: the multi-"
+    "partial automaton is still a sequential fold, so the recursive "
+    "CTE carries the LIVE PARTIAL LIST as a struct-list column "
+    "(expiry via list_filter, advancement via list_transform, "
+    "completions unnested at the end) — the same list-state trick as "
+    "the MMR picked-set oracle, applied to stream state. Streaming "
+    "side: state per key = the live-partial array, bounded by "
+    "first-step arrivals inside the 72h window, GC'd by "
+    "EventTimeTimeout. Pairs with stream_cep_matches "
+    "(skip-past-match) to cover the MATCH_RECOGNIZE AFTER-MATCH axis "
+    "driver-verified.",
+)
+def q_stream_cep_every_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s, ["view", "click", "purchase"],
+            within="72 hours", watermark="24 hours", mode="every_start",
+        ),
+    )
+    return out.select(
+        "key",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    ).orderBy("key", "start_ts", "end_ts")
