@@ -7105,3 +7105,75 @@ def q_stream_cep_every_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
     ).orderBy("key", "start_ts", "end_ts")
+
+
+@register(
+    "stream_cep_contiguous",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type) AS rn
+           FROM events),
+    walk AS (
+      SELECT key, 0 AS rn, 0 AS prog,
+             CAST(NULL AS TIMESTAMP) AS first_ts,
+             CAST(NULL AS TIMESTAMP) AS m_start,
+             CAST(NULL AS TIMESTAMP) AS m_end
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             CASE WHEN s.started THEN 1 ELSE d.advanced END,
+             CASE WHEN s.started THEN e.ts
+                  WHEN d.advanced > 0 THEN w.first_ts END,
+             CASE WHEN c.consumed THEN w.first_ts END,
+             CASE WHEN c.consumed THEN e.ts END
+      FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1,
+      LATERAL (SELECT w.prog > 0
+                      AND e.ts <= w.first_ts + INTERVAL 72 HOUR AS alive) a,
+      LATERAL (SELECT (a.alive AND w.prog = 2
+                       AND e.etype = 'purchase') AS consumed) c,
+      LATERAL (SELECT CASE WHEN a.alive AND w.prog = 1
+                            AND e.etype = 'click' THEN 2
+                           ELSE 0 END AS advanced) d,
+      LATERAL (SELECT (d.advanced = 0 AND NOT c.consumed
+                       AND e.etype = 'view') AS started) s
+    )
+    SELECT key,
+           strftime(m_start, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(m_end, '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM walk
+    WHERE m_start IS NOT NULL
+    ORDER BY key, start_ts
+    """,
+    "Strict-contiguity CEP (mode='contiguous', Flink `next`: the very "
+    "next event of the key must match the expected step or the "
+    "partial dies — the killing event may itself start a fresh "
+    "attempt) with a TRUE value-hash oracle: the same scalar "
+    "sequential fold as stream_cep_matches, with the skip-irrelevant "
+    "fallback replaced by a kill (advanced collapses to 0 on any "
+    "non-matching event). Completes the after-match/contiguity axis "
+    "driver-verified: skip_past_match, every_start, AND contiguous "
+    "all value-hash-checked against declarative replays of their "
+    "transition functions.",
+)
+def q_stream_cep_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s, ["view", "click", "purchase"],
+            within="72 hours", watermark="24 hours", mode="contiguous",
+        ),
+    )
+    return out.select(
+        "key",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    ).orderBy("key", "start_ts")
