@@ -708,3 +708,64 @@ def bigram_interp_logprob(
             F.expr("sum(logp_u) div count(1)").alias("avg_logp_micronats"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS winnowing (Schleimer et al., SIGMOD 2003): select a sparse,
+    position-aware fingerprint set per document with the COVERAGE
+    GUARANTEE fixed-stride chunking (chunk_dedup) lacks — any token run
+    shared between two documents of length >= w + k - 1 shares at least
+    one selected fingerprint, regardless of alignment. The
+    exact-substring-overlap detector for plagiarism / license text /
+    cross-doc boilerplate, one notch stronger than bag-of-chunks.
+
+    Per document: k-token shingles -> 40-bit md5 hash each -> over every
+    FULL window of w consecutive shingles keep the minimum of the
+    composite (hash * 100000 + position) -> distinct. The composite
+    makes every window's argmin unique (position breaks hash ties), so
+    selection is deterministic and engine-portable in pure integer
+    arithmetic; positions must fit 100000 (guaranteed for fixture-scale
+    docs; shard longer texts upstream).
+
+    Plan shape: one explode + one doc-partitioned running-min window +
+    distinct — shuffles key on the document id, no cross-doc work until
+    the caller joins fingerprints, which is a hash join on fp_hash with
+    candidates proportional to TRUE overlap (never docs^2).
+
+    Returns (id, n_grams, fp_hash, fp_pos), distinct per document.
+    """
+    from debezium_server_spark.functions.text_functions import token_shingles
+
+    toks = tokens(F.col(text_col))
+    grams = token_shingles(toks, k)
+    g = df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    g = g.withColumn(
+        "comp", h40 * F.lit(100000).cast("long") + F.col("pos")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.withColumn("fp", F.min("comp").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)  # full windows only
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.expr("fp DIV 100000").alias("fp_hash"),
+            (F.col("fp") % 100000).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )

@@ -7177,3 +7177,78 @@ def q_stream_cep_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
     ).orderBy("key", "start_ts")
+
+
+@register(
+    "winnowing_overlap_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) - 4 AS n_grams,
+                 unnest(list_transform(range(1, len(toks) - 3),
+                   i -> {{'pos': i - 1,
+                         'gram': toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                 toks[i+4]}})) AS u
+          FROM t WHERE len(toks) >= 5),
+    h AS (SELECT doc_id, n_grams, u.pos AS pos,
+                 CAST(concat('0x', substr(md5(u.gram), 1, 10)) AS BIGINT)
+                   * 100000 + u.pos AS comp
+          FROM g),
+    wmin AS (SELECT doc_id, n_grams, pos,
+                    min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS fp
+             FROM h),
+    fps AS (SELECT DISTINCT doc_id, fp // 100000 AS fp_hash
+            FROM wmin WHERE pos <= n_grams - 4),
+    scored AS (SELECT doc_id, fp_hash,
+                      count(*) OVER (PARTITION BY fp_hash) AS df
+               FROM fps)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           floor((CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 10000) / 10000
+             AS shared_frac
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "MOSS winnowing fingerprints (Schleimer et al. 2003) as the "
+    "exact-substring-overlap screen: per document, select the minimum "
+    "of (40-bit md5 x 100000 + position) over every full window of 4 "
+    "consecutive 5-token shingles — a sparse set with the guarantee "
+    "fixed-stride chunking lacks: ANY shared token run of length >= "
+    "w + k - 1 = 8 shares a selected fingerprint regardless of "
+    "alignment. The position term makes every window argmin unique "
+    "(hash ties broken deterministically), so selection is pure "
+    "integer arithmetic both engines. Audit: per-doc fingerprint "
+    "count, cross-doc shared count, shared fraction. Scale: one "
+    "doc-partitioned running-min window + a docfreq window on the "
+    "sparse fingerprint table — candidates proportional to TRUE "
+    "overlap, never docs^2.",
+)
+def q_winnowing_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import round4
+    from debezium_server_spark.operators.text import winnowing_fingerprints
+
+    fp = (
+        winnowing_fingerprints(load(spark, sf_dir, "documents"), k=5, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    docfreq = F.count("*").over(Window.partitionBy("fp_hash"))
+    shared_frac = (
+        F.col("n_shared").cast("double") / F.col("n_fp").cast("double")
+    )
+    return (
+        fp.select("doc_id", (docfreq >= 2).cast("int").alias("shared"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_fp"),
+            F.sum("shared").cast("long").alias("n_shared"),
+        )
+        .select("doc_id", "n_fp", "n_shared",
+                round4(shared_frac).alias("shared_frac"))
+        .orderBy("doc_id")
+    )

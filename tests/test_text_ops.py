@@ -147,3 +147,26 @@ def test_bigram_ops_survive_single_token_docs(spark):
            for r in bigram_interp_logprob(df).collect()}
     assert got == {3: 2}  # one-token and empty docs absent, no crash
     assert bigram_pmi(df, min_count=1).count() == 2
+
+
+def test_winnowing_guarantee_detects_shared_run(spark):
+    """The winnowing coverage guarantee: two docs sharing a token run of
+    length >= w + k - 1 = 8 MUST share at least one fingerprint, at any
+    alignment; docs with no shared substring share none."""
+    from debezium_server_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = "x1 x2 x3 " + shared + " x4 x5 x6"
+    b = "y1 " + shared + " y2 y3 y4 y5 y6 y7"                 # shifted
+    c = " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fp = winnowing_fingerprints(df, k=5, w=4)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # density: every full window contributed, positions within bounds
+    for r in fp.collect():
+        assert 0 <= r["fp_pos"] <= r["n_grams"] - 1
