@@ -7252,3 +7252,149 @@ def q_winnowing_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round4(shared_frac).alias("shared_frac"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_cep_negation",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type) AS rn
+           FROM events),
+    walk AS (
+      SELECT key, 0 AS rn, 0 AS prog,
+             CAST(NULL AS TIMESTAMP) AS first_ts,
+             CAST(NULL AS TIMESTAMP) AS m_start,
+             CAST(NULL AS TIMESTAMP) AS m_end
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             CASE WHEN s.started THEN 1 ELSE d.advanced END,
+             CASE WHEN s.started THEN e.ts
+                  WHEN d.advanced > 0 THEN w.first_ts END,
+             CASE WHEN c.consumed THEN w.first_ts END,
+             CASE WHEN c.consumed THEN e.ts END
+      FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1,
+      LATERAL (SELECT w.prog > 0
+                      AND e.ts <= w.first_ts + INTERVAL 72 HOUR AS alive) a,
+      LATERAL (SELECT (a.alive AND e.etype = 'error') AS kill) k,
+      LATERAL (SELECT (a.alive AND NOT k.kill AND w.prog = 1
+                       AND e.etype = 'purchase') AS consumed) c,
+      LATERAL (SELECT CASE WHEN k.kill OR c.consumed THEN 0
+                           WHEN a.alive THEN w.prog
+                           ELSE 0 END AS advanced) d,
+      LATERAL (SELECT (d.advanced = 0 AND NOT c.consumed
+                       AND e.etype = 'view') AS started) s
+    )
+    SELECT key,
+           strftime(m_start, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(m_end, '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM walk
+    WHERE m_start IS NOT NULL
+    ORDER BY key, start_ts
+    """,
+    "CEP NEGATED step driver-verified: view -> NOT error -> purchase "
+    "within 72h — an error between the view and its purchase KILLS "
+    "the partial (the funnel-without-failure shape: conversions that "
+    "never hit an error page). The recursive-CTE fold adds the kill "
+    "branch to the skip-past-match automaton (kill collapses the "
+    "slot; the killer is not a view so nothing restarts). With the "
+    "three after-match policies this driver-verifies the CEP pattern "
+    "LANGUAGE surface, not just its happy path.",
+)
+def q_stream_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        PatternStep,
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s, ["view", PatternStep("error", negated=True), "purchase"],
+            within="72 hours", watermark="24 hours",
+        ),
+    )
+    return out.select(
+        "key",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    ).orderBy("key", "start_ts")
+
+
+@register(
+    "stream_cep_value_gate",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype, value AS val,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type, value) AS rn
+           FROM events),
+    walk AS (
+      SELECT key, 0 AS rn, 0 AS prog,
+             CAST(NULL AS TIMESTAMP) AS first_ts,
+             CAST(NULL AS TIMESTAMP) AS m_start,
+             CAST(NULL AS TIMESTAMP) AS m_end
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             CASE WHEN s.started THEN 1 ELSE d.advanced END,
+             CASE WHEN s.started THEN e.ts
+                  WHEN d.advanced > 0 THEN w.first_ts END,
+             CASE WHEN c.consumed THEN w.first_ts END,
+             CASE WHEN c.consumed THEN e.ts END
+      FROM walk w JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1,
+      LATERAL (SELECT w.prog > 0
+                      AND e.ts <= w.first_ts + INTERVAL 72 HOUR AS alive) a,
+      LATERAL (SELECT (a.alive AND w.prog = 1 AND e.etype = 'purchase'
+                       AND e.val >= 50.0) AS consumed) c,
+      LATERAL (SELECT CASE WHEN c.consumed THEN 0
+                           WHEN a.alive THEN w.prog
+                           ELSE 0 END AS advanced) d,
+      LATERAL (SELECT (d.advanced = 0 AND NOT c.consumed
+                       AND e.etype = 'view') AS started) s
+    )
+    SELECT key,
+           strftime(m_start, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(m_end, '%Y-%m-%d %H:%M:%S') AS end_ts
+    FROM walk
+    WHERE m_start IS NOT NULL
+    ORDER BY key, start_ts
+    """,
+    "CEP per-step VALUE PREDICATE driver-verified: view -> "
+    "purchase(value >= 50) within 72h — a purchase below the gate "
+    "neither advances nor kills (it passes through; the partial keeps "
+    "waiting for a qualifying one), the high-value-conversion funnel. "
+    "The within-batch sort includes the value column (ts, type, "
+    "value), so equal-timestamp purchases process in value order — "
+    "the oracle's row_number uses the identical tiebreak, making the "
+    "matched end event deterministic even when several purchases "
+    "share a timestamp.",
+)
+def q_stream_cep_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        PatternStep,
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "value")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s,
+            ["view", PatternStep("purchase", where=lambda v: v >= 50.0)],
+            value_col="value",
+            within="72 hours", watermark="24 hours",
+        ),
+    )
+    return out.select(
+        "key",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    ).orderBy("key", "start_ts")
