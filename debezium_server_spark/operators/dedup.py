@@ -436,3 +436,175 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def exact_span_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_span: int = 8,
+) -> DataFrame:
+    """Exact duplicated token spans between document pairs — the
+    ExactSubstr detector of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") re-expressed relationally
+    instead of via a monolithic suffix array:
+
+    1. candidate pairs come from MOSS winnowing fingerprints (any
+       shared token run >= w + k - 1 shares a selected fingerprint at
+       any alignment, so no qualifying span can miss the candidate
+       screen as long as min_span >= w + k - 1);
+    2. per candidate pair, join the two documents' k-gram hash tables
+       on hash equality and extract maximal DIAGONAL runs (pa - pb
+       constant, pa consecutive): a run of r matching k-grams is a
+       shared token span of r + k - 1 tokens.
+
+    Pure integer arithmetic end-to-end (40-bit md5 gram hashes, the
+    same family winnowing uses), so an SQL oracle reproduces it
+    bit-for-bit. Scale shape: the gram join is equi-keyed on
+    (candidate doc, hash) and the candidate set is proportional to
+    TRUE fingerprint overlap — never |docs|^2; the suffix-array
+    original is a single global sort that cannot shard this way.
+
+    Returns (da, db, start_a, start_b, span_tokens), da < db,
+    spans >= min_span tokens.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_toks"),
+        F.posexplode(token_shingles(toks, k)).alias("pos", "gram"),
+    )
+    h40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    # The gram table feeds THREE consumers (the fingerprint screen and
+    # both sides of the match join); checkpoint it once so the
+    # tokenize/explode/md5 pipeline runs a single time and downstream
+    # plans read a materialized frame (the triangle_count lesson).
+    grams = g.select(
+        "id", (F.col("n_toks") - (k - 1)).alias("n_grams"), "pos",
+        h40.alias("h"),
+    ).localCheckpoint()
+
+    # Winnowing fingerprint selection (same arithmetic as
+    # text.winnowing_fingerprints) inlined over the shared gram frame.
+    wfp = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    comp = F.col("h") * F.lit(100000).cast("long") + F.col("pos")
+    fp = (
+        grams.withColumn("fp", F.min(comp).over(wfp))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select("id", F.expr("fp DIV 100000").alias("fp_hash"))
+        .distinct()
+    )
+    cand = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp_hash")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+        .distinct()
+    )
+
+    ga = grams.select(
+        F.col("id").alias("da"), F.col("pos").alias("pa"), F.col("h").alias("ha")
+    )
+    gb = grams.select(
+        F.col("id").alias("db"), F.col("pos").alias("pb"), F.col("h").alias("hb")
+    )
+    m = (
+        cand.join(ga, "da")
+        .join(gb, ["db"])
+        .filter(F.col("ha") == F.col("hb"))
+        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wisl = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+    )
+    return runs.filter(F.col("span_tokens") >= min_span).select(
+        "da", "db",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        "span_tokens",
+    )
+
+
+def exact_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_span: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal audit (the second half of
+    Lee et al.'s ExactSubstr dedup): keep the EARLIEST document's copy
+    of every duplicated span and mark the later document's range for
+    removal. For each doc: take every [start_b, start_b + span) token
+    interval it owes to a lower-id partner (from exact_span_matches),
+    union overlapping-or-touching intervals via a sweep (running max
+    of interval end over the preceding rows; a new removal range
+    starts strictly past it), and report per-doc
+    (n_spans, tokens_removed, n_tokens, tokens_kept) over the WHOLE
+    corpus — untouched documents report zero removal.
+
+    The sweep is one doc-partitioned window over the (sparse) span
+    table; no per-pair state survives, so the audit scales with the
+    number of detected spans, not documents^2.
+    """
+    from pyspark.sql.window import Window
+
+    spans = exact_span_matches(df, text_col, id_col, k=k, w=w, min_span=min_span)
+    iv = spans.select(
+        F.col("db").alias("id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.partitionBy("id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_end = F.max("e").over(wprev)
+    new_grp = F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+    merged = (
+        iv.withColumn("grp", F.sum(new_grp).over(wrun))
+        .groupBy("id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("me") - F.col("ms")).cast("long").alias("tokens_removed"),
+        )
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        docs.join(merged, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long")
+            .alias("tokens_removed"),
+            "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce("tokens_removed", F.lit(0))).cast("long")
+            .alias("tokens_kept"),
+        )
+    )

@@ -7398,3 +7398,125 @@ def q_stream_cep_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
         F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
     ).orderBy("key", "start_ts")
+
+
+# =====================================================================
+# Exact duplicate-span detection / removal (Lee et al. 2022 ExactSubstr)
+# =====================================================================
+
+_SPAN_RUNS_CTE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) - 4 AS n_grams,
+                 unnest(list_transform(range(1, len(toks) - 3),
+                   i -> {{'pos': i - 1,
+                         'gram': toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                                 toks[i+4]}})) AS u
+          FROM t WHERE len(toks) >= 5),
+    h AS (SELECT doc_id, n_grams, u.pos AS pos,
+                 CAST(concat('0x', substr(md5(u.gram), 1, 10)) AS BIGINT)
+                   AS h
+          FROM g),
+    wmin AS (SELECT doc_id, n_grams, pos,
+                    min(h * 100000 + pos)
+                      OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             FROM h),
+    fps AS (SELECT DISTINCT doc_id, fp // 100000 AS fp_hash
+            FROM wmin WHERE pos <= n_grams - 4),
+    cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM fps a JOIN fps b
+               ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id),
+    m AS (SELECT c.da, c.db, x.pos AS pa, y.pos AS pb,
+                 x.pos - y.pos AS diag
+          FROM cand c
+          JOIN h x ON x.doc_id = c.da
+          JOIN h y ON y.doc_id = c.db AND y.h = x.h),
+    isl AS (SELECT da, db, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY da, db, diag
+                                           ORDER BY pa) AS isl_id
+            FROM m),
+    runs AS (SELECT da, db,
+                    CAST(min(pa) AS BIGINT) AS start_a,
+                    CAST(min(pb) AS BIGINT) AS start_b,
+                    CAST(count(*) + 4 AS BIGINT) AS span_tokens
+             FROM isl GROUP BY da, db, diag, isl_id)
+"""
+
+
+@register(
+    "exact_span_pairs",
+    _SPAN_RUNS_CTE + """
+    SELECT da, db, start_a, start_b, span_tokens
+    FROM runs WHERE span_tokens >= 8
+    ORDER BY da, db, start_a, start_b
+    """,
+    "ExactSubstr span detection (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better') without the global "
+    "suffix array: candidate pairs from MOSS winnowing fingerprints "
+    "(any shared run >= w+k-1 = 8 tokens is guaranteed a shared "
+    "fingerprint, so the screen is lossless for min_span = 8), then "
+    "per pair the two k-gram hash tables join on hash and maximal "
+    "DIAGONAL runs (pa - pb constant, consecutive pa) become spans of "
+    "run + k - 1 tokens. 40-bit md5 integer hashes end-to-end — the "
+    "oracle replays it bit-exactly. Scale: the gram join keys on "
+    "(candidate doc, hash) with candidates proportional to true "
+    "overlap, never docs^2; the suffix-array original is one global "
+    "sort that cannot shard this way.",
+)
+def q_exact_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import exact_span_matches
+
+    return exact_span_matches(
+        load(spark, sf_dir, "documents"), k=5, w=4, min_span=8
+    ).orderBy("da", "db", "start_a", "start_b")
+
+
+@register(
+    "exact_span_removal",
+    _SPAN_RUNS_CTE + """
+    , iv AS (SELECT db AS id, start_b AS s, start_b + span_tokens AS e
+             FROM runs WHERE span_tokens >= 8),
+    swp AS (SELECT id, s, e,
+                   max(e) OVER (PARTITION BY id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_e
+            FROM iv),
+    grp AS (SELECT id, s, e,
+                   sum(CASE WHEN prev_e IS NULL OR s > prev_e
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS grp_id
+            FROM swp),
+    mg AS (SELECT id, grp_id, min(s) AS ms, max(e) AS me
+           FROM grp GROUP BY id, grp_id),
+    rem AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(me - ms) AS BIGINT) AS tokens_removed
+            FROM mg GROUP BY id),
+    nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT nt.doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(tokens_removed, 0) AS BIGINT) AS tokens_removed,
+           n_tokens,
+           CAST(n_tokens - COALESCE(tokens_removed, 0) AS BIGINT)
+             AS tokens_kept
+    FROM nt LEFT JOIN rem ON rem.id = nt.doc_id
+    ORDER BY doc_id
+    """,
+    "Corpus duplicate-span REMOVAL audit — the second half of Lee et "
+    "al.'s ExactSubstr dedup: the earliest document keeps its copy; "
+    "every later (higher-id) document's duplicated token intervals "
+    "are unioned by a sweep (running max of interval end over the "
+    "preceding rows; a new removal range opens strictly past it) and "
+    "reported per doc as (n_spans, tokens_removed, n_tokens, "
+    "tokens_kept) over the WHOLE corpus, zero rows for untouched "
+    "docs. One doc-partitioned window over the sparse span table — "
+    "cost follows detected spans, not documents^2.",
+)
+def q_exact_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import exact_span_removal
+
+    return exact_span_removal(
+        load(spark, sf_dir, "documents"), k=5, w=4, min_span=8
+    ).orderBy("doc_id")

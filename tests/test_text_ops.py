@@ -170,3 +170,49 @@ def test_winnowing_guarantee_detects_shared_run(spark):
     # density: every full window contributed, positions within bounds
     for r in fp.collect():
         assert 0 <= r["fp_pos"] <= r["n_grams"] - 1
+
+
+def test_exact_span_matches_shifted_run(spark):
+    """ExactSubstr span detection: a shared run of exactly min_span
+    tokens is found at any alignment with exact start offsets and
+    length; a 7-token (sub-threshold) run is excluded."""
+    from debezium_server_spark.operators.dedup import exact_span_matches
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = "x1 x2 x3 " + shared + " x4 x5 x6"                    # starts at 3
+    b = "y1 " + shared + " y2 y3 y4 y5 y6 y7"                 # starts at 1
+    sub = "p1 p2 p3 p4 p5 p6 p7"                              # 7 tokens
+    c = "m1 m2 " + sub + " m3 m4 m5 m6 m7 m8 m9"
+    d = sub + " n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+    rows = exact_span_matches(df, k=5, w=4, min_span=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["da"], r["db"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (3, 1, 8)
+
+
+def test_exact_span_removal_merges_overlaps(spark):
+    """Removal audit: overlapping spans owed to DIFFERENT earlier
+    partners union into one removal range on the later doc; the
+    earliest doc keeps its copy (zero removed)."""
+    from debezium_server_spark.operators.dedup import exact_span_removal
+
+    run = ("alpha beta gamma delta epsilon zeta eta theta "
+           "iota kappa lam mu")                                # 12 tokens
+    toks = run.split()
+    a = " ".join(toks[:10]) + " a1 a2 a3 a4"   # first 10 of the run
+    b = " ".join(toks[2:]) + " b1 b2 b3 b4"    # last 10 of the run
+    c = run + " c1 c2"                         # the full 12-token run
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           exact_span_removal(df, k=5, w=4, min_span=8).collect()}
+    assert got[1]["tokens_removed"] == 0 and got[1]["tokens_kept"] == 14
+    # doc 3 owes [0,10) to doc 1 and [2,12) to doc 2 -> merged [0,12)
+    assert got[3]["n_spans"] == 1
+    assert got[3]["tokens_removed"] == 12
+    assert got[3]["tokens_kept"] == got[3]["n_tokens"] - 12
+    # doc 2 owes its overlap with doc 1 (run[2:10] = 8 tokens at pos 0)
+    assert got[2]["tokens_removed"] == 8
