@@ -7520,3 +7520,95 @@ def q_exact_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_span_removal(
         load(spark, sf_dir, "documents"), k=5, w=4, min_span=8
     ).orderBy("doc_id")
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_type,
+             (date_part('day', ts) - 1) // 8 AS b, ts, event_id
+      FROM events
+    ), reps0 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type, b
+                                   ORDER BY ts, event_id) AS rn0
+      FROM base
+    ), reps1 AS (
+      SELECT user_id, event_type, b, ts, event_id
+      FROM reps0 WHERE rn0 = 1
+    ), reps AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY b) AS rn
+      FROM reps1
+    ), bmax AS (
+      SELECT b, max(ts) AS mx FROM reps1 GROUP BY b
+    ), wm AS (
+      -- the LAST eviction before batch b ran at the END of batch b-1
+      -- and used batch b-1's own watermark: data through b-2
+      SELECT b, max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 2 PRECEDING) - INTERVAL 3 DAY AS evict_wm
+      FROM bmax
+    ), fold AS (
+      SELECT user_id, event_type, rn, ts, event_id,
+             TRUE AS emitted, ts + INTERVAL 3 DAY AS expiry
+      FROM reps WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_type, r.rn, r.ts, r.event_id,
+             CASE WHEN w.evict_wm IS NULL OR f.expiry > w.evict_wm
+                  THEN FALSE ELSE TRUE END,
+             CASE WHEN w.evict_wm IS NULL OR f.expiry > w.evict_wm
+                  THEN f.expiry ELSE r.ts + INTERVAL 3 DAY END
+      FROM fold f
+      JOIN reps r ON r.user_id = f.user_id
+                 AND r.event_type = f.event_type AND r.rn = f.rn + 1
+      JOIN wm w ON w.b = r.b
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_id
+    FROM fold WHERE emitted
+    ORDER BY user_id, event_type, ts
+    """,
+    "Bounded-state streaming dedup (dropDuplicatesWithinWatermark) "
+    "driver-verified with a TRUE value-hash oracle that models the "
+    "ENGINE'S EVICTION LAG — the entry NEXT.md round 2 deferred as "
+    "'fiddly'. The stream is replayed over four caller-pinned "
+    "micro-batches (batch = (day-1) div 8, one representative per "
+    "(user, event_type, batch): argmin (ts, event_id)); a key "
+    "re-emits only after its state is evicted. The oracle replays "
+    "the eviction contract pinned by test_ddww_eviction_contract: "
+    "eviction runs at END of batch N with batch N's OWN watermark "
+    "(computed from data through N-1, NOT the freshly advanced one) "
+    "— so a row in batch b survives in state iff its expiry exceeds "
+    "max(representative ts over batches <= b-2) - delay, a TWO-batch "
+    "lag; the boundary is non-strict (expiry == watermark evicts), "
+    "and dropped duplicates never extend the stored expiry — a "
+    "per-key recursive-CTE fold whose state is the last ADMITTED "
+    "row's expiry. State at 100 TB: one (key, expiry) "
+    "pair per live key per watermark horizon — the bounded "
+    "complement to stream_first_touch's keep-forever contract.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import watermarked_dedup
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+    reps = (
+        ev.withColumn("b", F.expr("(day(ts) - 1) div 8"))
+        .groupBy("user_id", "event_type", "b")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", "b",
+                F.col("m.ts").alias("ts"), F.col("m.event_id").alias("event_id"))
+    )
+    out = replay_stream(
+        spark, reps,
+        lambda s: watermarked_dedup(
+            s, ["user_id", "event_type"], watermark="3 days"),
+        batch_col="b",
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+    ).orderBy("user_id", "event_type", "ts")

@@ -30,6 +30,7 @@ def replay_stream(
     n_batches: int = 4,
     output_mode: str = "append",
     shuffle_partitions: int = 8,
+    batch_col: str | None = None,
 ) -> DataFrame:
     """Write `df` as `n_batches` time-range files, open them as a
     1-file-per-trigger stream, apply `transform(stream) -> stream`, run
@@ -43,11 +44,39 @@ def replay_stream(
     """
     work = tempfile.mkdtemp(prefix="spark_graft_replay_")
     src = os.path.join(work, "src")
-    (
-        df.repartitionByRange(n_batches, ts_col)
-        .sortWithinPartitions(ts_col)
-        .write.parquet(src)
-    )
+    if batch_col is not None:
+        # Caller-pinned micro-batches: one file per ascending batch_col
+        # value, written under names that sort in batch order. Oracles
+        # that must model PER-BATCH watermark progression (e.g. the
+        # dropDuplicatesWithinWatermark eviction lag) need the batch
+        # boundaries to be exact arithmetic on the data — not
+        # repartitionByRange's sampled splits.
+        import shutil
+
+        from pyspark.sql import functions as _F
+
+        os.makedirs(src)
+        vals = [r[0] for r in
+                df.select(batch_col).distinct().orderBy(batch_col).collect()]
+        for i, v in enumerate(vals):
+            tmp = os.path.join(work, f"b{i}")
+            (
+                df.filter(_F.col(batch_col) == v).drop(batch_col)
+                .coalesce(1).sortWithinPartitions(ts_col)
+                .write.parquet(tmp)
+            )
+            part = next(f for f in os.listdir(tmp)
+                        if f.startswith("part-") and f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part),
+                        os.path.join(src, f"part-{i:05d}.parquet"))
+            shutil.rmtree(tmp)
+        df = df.drop(batch_col)
+    else:
+        (
+            df.repartitionByRange(n_batches, ts_col)
+            .sortWithinPartitions(ts_col)
+            .write.parquet(src)
+        )
     # FileStreamSource orders new files by modification time; parallel
     # part-file writes get near-identical mtimes, so replay order could
     # diverge from time-range order (a later-range batch first would

@@ -618,3 +618,41 @@ def test_sequence_pattern_negation_and_predicate(spark, tmp_path):
         (2, "2024-01-01 10:03:00"),
         (3, "2024-01-01 10:02:00"),
     ]
+
+
+def test_ddww_eviction_contract(spark):
+    """Pins dropDuplicatesWithinWatermark's eviction contract, which the
+    stream_dedup_watermark oracle replays declaratively:
+    - eviction runs at END of batch N with batch N's OWN watermark
+      (computed from data through N-1), not the freshly advanced one;
+    - the boundary is NON-strict: expiry == watermark evicts;
+    - a dropped duplicate does NOT extend the stored expiry.
+    """
+    from datetime import datetime, timedelta
+
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    M = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        ("A", M(0), 0), ("F", M(100), 0),   # wm_1 = 90
+        ("A", M(95), 1),                    # hit: state not yet evicted
+        ("B", M(80), 0),                    # expiry 90 == wm_1 -> evicts
+        ("B", M(99), 1),                    # hit (eviction is end-of-batch)
+        ("C", M(85), 0),                    # expiry 95 > wm_1 -> survives
+        ("F2", M(150), 1),                  # post-b1 wm = 140
+        ("A", M(200), 2), ("B", M(200), 2),  # both evicted end-of-b1
+        ("C", M(160), 2),                   # still in state: end-of-b1 used wm_1=90
+        ("A", M(205), 3),                   # expiry 210 > wm_3=190 -> hit
+        ("C", M(300), 3),                   # evicted end-of-b2 (wm_2=140)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, b int")
+    out = replay_stream(
+        spark, df,
+        lambda s: s.withWatermark("ts", "10 minutes")
+                   .dropDuplicatesWithinWatermark(["k"]),
+        batch_col="b",
+    )
+    got = sorted((r["k"], int((r["ts"] - M(0)).total_seconds()) // 60)
+                 for r in out.collect())
+    assert got == [("A", 0), ("A", 200), ("B", 80), ("B", 200),
+                   ("C", 85), ("C", 300), ("F", 100), ("F2", 150)]
