@@ -608,3 +608,100 @@ def exact_span_removal(
             .alias("tokens_kept"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 1,
+    tau_den: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard-threshold self-join via PREFIX FILTERING (the
+    PPJoin family, Xiao et al. WWW'08) — the provably COMPLETE
+    candidate scheme, where MinHash LSH is only probabilistically
+    complete: order each document's distinct-SHINGLE set (k-token
+    shingles; shingle_k=1 degenerates to token sets) by global rarity
+    (document frequency asc, shingle asc), keep the first
+    |d| - ceil(tau·|d|) + 1 shingles as its prefix, and any pair with
+    J >= tau MUST share a prefix shingle. Candidates then pass the
+    size filter (tau·|a| <= |b|) and are verified with an exact
+    intersection count; the threshold test is pure integers
+    (J >= n/d  <=>  d·inter >= n·union), so no float ever appears.
+    Shingles, not raw tokens, are the similarity unit: small-vocabulary
+    corpora make token SETS of unrelated documents collide wholesale
+    (73k token-set pairs >= 0.6 in the 500-doc fixture vs 28 true
+    shingle-set near-dups).
+
+    Returns (da, db, inter, union_sz, jacc_u) for verified pairs,
+    jacc_u = floor(inter·1e4 / union), da < db.
+
+    Scale shape: prefixes shrink candidate fan-out toward truly
+    similar pairs (rare tokens first), every join is equi-keyed
+    (token, then pair), and the exact verify touches only candidate
+    token rows — never |docs|^2. The all-pairs brute force this
+    replaces is the whitelisted-exception shape.
+    """
+    from pyspark.sql.window import Window
+
+    units = (
+        tokens(F.col(text_col)) if shingle_k == 1
+        else token_shingles(tokens(F.col(text_col)), shingle_k)
+    )
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(units)).alias("tok"),
+    )
+    sz = t.groupBy("id").agg(F.count("*").alias("len"))
+    dfreq = t.groupBy("tok").agg(F.count("*").alias("df"))
+    # ceil(tau*len) in exact integer arithmetic: (n*len + d - 1) div d
+    p_len = (
+        F.col("len")
+        - F.expr(f"({tau_num} * len + {tau_den} - 1) div {tau_den}")
+        + F.lit(1)
+    )
+    ordered = (
+        t.join(dfreq, "tok")
+        .join(sz, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "tok")),
+        )
+    )
+    prefix = ordered.filter(F.col("rn") <= p_len).select("id", "tok", "len")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # size filter: tau*max_len <= min_len is necessary for J >= tau
+        .filter(
+            F.lit(tau_num) * F.greatest(F.col("a.len"), F.col("b.len"))
+            <= F.lit(tau_den) * F.least(F.col("a.len"), F.col("b.len"))
+        )
+        .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"),
+                F.col("a.len").alias("la"), F.col("b.len").alias("lb"))
+        .distinct()
+    )
+    ta = t.select(F.col("id").alias("da"), "tok")
+    tb = t.select(F.col("id").alias("db"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db"])
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("da", "db", "la", "lb")
+        .agg(F.count("*").alias("inter"))
+    )
+    u = F.col("la") + F.col("lb") - F.col("inter")
+    return (
+        inter.withColumn("union_sz", u.cast("long"))
+        .filter(F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * u)
+        .select(
+            "da", "db",
+            F.col("inter").cast("long").alias("inter"),
+            "union_sz",
+            F.expr("(inter * 10000) div union_sz").cast("long")
+            .alias("jacc_u"),
+        )
+    )

@@ -7612,3 +7612,64 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "event_id",
     ).orderBy("user_id", "event_type", "ts")
+
+
+@register(
+    "jaccard_prefix_filter_join",
+    f"""
+    WITH tk AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT DISTINCT id, tok FROM
+            (SELECT id, unnest(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS tok
+             FROM tk WHERE len(toks) >= 3)),
+    sz AS (SELECT id, count(*) AS len FROM t GROUP BY id),
+    dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+    ordered AS (SELECT t.id, t.tok, sz.len,
+                       row_number() OVER (PARTITION BY t.id
+                                          ORDER BY df, tok) AS rn
+                FROM t JOIN dfreq USING (tok) JOIN sz USING (id)),
+    prefix AS (SELECT id, tok, len FROM ordered
+               WHERE rn <= len - ((len + 1) // 2) + 1),
+    cand AS (SELECT DISTINCT a.id AS da, b.id AS db,
+                    a.len AS la, b.len AS lb
+             FROM prefix a JOIN prefix b
+               ON a.tok = b.tok AND a.id < b.id
+             WHERE greatest(a.len, b.len)
+                   <= 2 * least(a.len, b.len)),
+    inter AS (SELECT c.da, c.db, c.la, c.lb, count(*) AS inter
+              FROM cand c
+              JOIN t x ON x.id = c.da
+              JOIN t y ON y.id = c.db AND y.tok = x.tok
+              GROUP BY c.da, c.db, c.la, c.lb)
+    SELECT da, db, CAST(inter AS BIGINT) AS inter,
+           CAST(la + lb - inter AS BIGINT) AS union_sz,
+           CAST((inter * 10000) // (la + lb - inter) AS BIGINT) AS jacc_u
+    FROM inter
+    WHERE 2 * inter >= la + lb - inter
+    ORDER BY da, db
+    """,
+    "Exact Jaccard >= 1/2 self-join over distinct 3-SHINGLE sets via "
+    "PREFIX FILTERING (PPJoin family, Xiao et al. WWW'08) — the "
+    "provably COMPLETE candidate scheme where MinHash LSH "
+    "(dedup_minhash_lsh) is only probabilistically complete: order "
+    "each shingle set by global rarity (docfreq asc, shingle asc), "
+    "keep the first |d| - ceil(tau|d|) + 1 shingles, and any "
+    "qualifying pair MUST collide on a prefix shingle (pinned "
+    "against brute force by "
+    "test_jaccard_prefix_join_complete_vs_bruteforce); size filter "
+    "tau*max_len <= min_len prunes, exact intersection verifies. The "
+    "threshold test is pure integers (2*inter >= union) — no float "
+    "anywhere. Shingles, not tokens, are the unit: this fixture's "
+    "small vocabulary makes token SETS collide wholesale (73k "
+    "token-set pairs >= 0.6 vs 28 true shingle near-dups at "
+    "sf0.001). Scale: rare-first prefixes keep candidate fan-out "
+    "proportional to true similarity; every join is equi-keyed; the "
+    "exact verify touches candidate shingle rows only, never docs^2.",
+)
+def q_jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        load(spark, sf_dir, "documents"), tau_num=1, tau_den=2, shingle_k=3
+    ).orderBy("da", "db")

@@ -216,3 +216,33 @@ def test_exact_span_removal_merges_overlaps(spark):
     assert got[3]["tokens_kept"] == got[3]["n_tokens"] - 12
     # doc 2 owes its overlap with doc 1 (run[2:10] = 8 tokens at pos 0)
     assert got[2]["tokens_removed"] == 8
+
+
+def test_jaccard_prefix_join_complete_vs_bruteforce(spark):
+    """Prefix filtering is COMPLETE: the operator returns exactly the
+    pairs a brute-force all-pairs exact Jaccard >= 3/5 finds."""
+    from itertools import combinations
+
+    from debezium_server_spark.operators.dedup import jaccard_prefix_join
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),          # J(1,2)=4/6=0.66 -> pair
+        (3, "a b c x y z"),        # J(1,3)=3/8 -> no
+        (4, "a b c d e"),          # J(1,4)=1, J(2,4)=0.66
+        (5, "q r s t"),            # disjoint
+        (6, "q r s t u v w"),      # J(5,6)=4/7=0.57 -> no (< 0.6)
+        (7, "q r s t u"),          # J(5,7)=4/5=0.8, J(6,7)=5/7=0.71
+    ]
+    expect = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = set(ta.split()), set(tb.split())
+        if 5 * len(sa & sb) >= 3 * len(sa | sb):
+            expect.add((ia, ib))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = jaccard_prefix_join(df, tau_num=3, tau_den=5, shingle_k=1).collect()
+    got = {(r["da"], r["db"]) for r in rows}
+    assert got == expect
+    for r in rows:  # exact integer verification columns
+        assert r["jacc_u"] == r["inter"] * 10000 // r["union_sz"]
+        assert 5 * r["inter"] >= 3 * r["union_sz"]
