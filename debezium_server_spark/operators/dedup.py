@@ -649,10 +649,13 @@ def jaccard_prefix_join(
         tokens(F.col(text_col)) if shingle_k == 1
         else token_shingles(tokens(F.col(text_col)), shingle_k)
     )
+    # The shingle-row table feeds FOUR consumers (sizes, docfreq,
+    # prefix ordering, both sides of the exact verify) — checkpoint it
+    # once so tokenize/shingle/explode runs a single time.
     t = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(units)).alias("tok"),
-    )
+    ).localCheckpoint()
     sz = t.groupBy("id").agg(F.count("*").alias("len"))
     dfreq = t.groupBy("tok").agg(F.count("*").alias("df"))
     # ceil(tau*len) in exact integer arithmetic: (n*len + d - 1) div d
@@ -670,7 +673,12 @@ def jaccard_prefix_join(
                 Window.partitionBy("id").orderBy("df", "tok")),
         )
     )
-    prefix = ordered.filter(F.col("rn") <= p_len).select("id", "tok", "len")
+    # Both sides of the candidate self-join read the prefix table.
+    prefix = (
+        ordered.filter(F.col("rn") <= p_len)
+        .select("id", "tok", "len")
+        .localCheckpoint()
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
