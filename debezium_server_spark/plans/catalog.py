@@ -7673,3 +7673,107 @@ def q_jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(
         load(spark, sf_dir, "documents"), tau_num=1, tau_den=2, shingle_k=3
     ).orderBy("da", "db")
+
+
+@register(
+    "stream_dedup_then_hourly",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_type,
+             (date_part('day', ts) - 1) // 8 AS b, ts, event_id
+      FROM events
+    ), reps0 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type, b
+                                   ORDER BY ts, event_id) AS rn0
+      FROM base
+    ), reps1 AS (
+      SELECT user_id, event_type, b, ts, event_id
+      FROM reps0 WHERE rn0 = 1
+    ), reps AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY b) AS rn
+      FROM reps1
+    ), bmax AS (
+      SELECT b, max(ts) AS mx FROM reps1 GROUP BY b
+    ), wm AS (
+      SELECT b, max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 2 PRECEDING) - INTERVAL 3 DAY AS evict_wm
+      FROM bmax
+    ), fold AS (
+      SELECT user_id, event_type, rn, ts,
+             TRUE AS emitted, ts + INTERVAL 3 DAY AS expiry
+      FROM reps WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.event_type, r.rn, r.ts,
+             CASE WHEN w.evict_wm IS NULL OR f.expiry > w.evict_wm
+                  THEN FALSE ELSE TRUE END,
+             CASE WHEN w.evict_wm IS NULL OR f.expiry > w.evict_wm
+                  THEN f.expiry ELSE r.ts + INTERVAL 3 DAY END
+      FROM fold f
+      JOIN reps r ON r.user_id = f.user_id
+                 AND r.event_type = f.event_type AND r.rn = f.rn + 1
+      JOIN wm w ON w.b = r.b
+    ), hourly AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS n_admitted
+      FROM fold WHERE emitted GROUP BY 1
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, n_admitted
+    FROM hourly
+    WHERE ws + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM reps1) - INTERVAL 3 DAY
+    ORDER BY window_start
+    """,
+    "CHAINED stateful streaming operators in one query — Spark's "
+    "multiple-stateful-operator pipeline (bounded watermark dedup -> "
+    "watermarked tumbling aggregation, both in append mode), the CDC "
+    "replay-dedup-then-rollup shape that previously required two "
+    "jobs and an intermediate topic. The oracle composes the two "
+    "operator contracts already pinned individually: the "
+    "dropDuplicatesWithinWatermark eviction fold of "
+    "stream_dedup_watermark (two-batch eviction lag, non-strict "
+    "boundary, no expiry extension) feeding the sealed-window "
+    "emission filter of stream_hourly_counts (window_end <= global "
+    "max ts - delay). Time-ordered batches make late arrivals at the "
+    "downstream aggregation impossible (proof in the entry's "
+    "docstring), so the composition is exact. State at 100 TB: one "
+    "(key, expiry) per live key plus one open window per hour per "
+    "partition — both watermark-bounded.",
+)
+def q_stream_dedup_then_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-stateful composition over the pinned replay.
+
+    Late-arrival impossibility at the agg: a row admitted in batch b has
+    ts inside batch b's day range; any window sealed before batch b
+    satisfied wm_{b'} > window_end for some b' < b, and wm_{b'} is
+    3 days behind data that precedes batch b's range — so window_end <
+    ts for every row of batch b, i.e. its own window cannot be sealed.
+    """
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import watermarked_dedup
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+    reps = (
+        ev.withColumn("b", F.expr("(day(ts) - 1) div 8"))
+        .groupBy("user_id", "event_type", "b")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", "b",
+                F.col("m.ts").alias("ts"), F.col("m.event_id").alias("event_id"))
+    )
+
+    def xform(s: DataFrame) -> DataFrame:
+        deduped = watermarked_dedup(
+            s, ["user_id", "event_type"], watermark="3 days")
+        return (
+            deduped.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n_admitted"))
+            .select(F.col("window.start").alias("window_start"), "n_admitted")
+        )
+
+    out = replay_stream(spark, reps, xform, batch_col="b")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.col("n_admitted").cast("long").alias("n_admitted"),
+    ).orderBy("window_start")
