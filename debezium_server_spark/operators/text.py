@@ -769,3 +769,118 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def nb_lang_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """TRAINED multinomial Naive Bayes language classifier — training
+    AND inference as one relational pipeline (the in-engine complement
+    to quality_classifier's fixed-weight inference): per-(label, token)
+    counts with add-one smoothing become integer log-likelihoods
+    floor(ln((c+1)/(T_label+V))·1e6), priors floor(ln(n_label/N)·1e6),
+    and each document scores every label as
+        prior + Σ_seen ll(label, tok) + (n_tokens − n_covered)·unseen
+    — the unseen-token closed form avoids materializing the full
+    doc×vocab×label grid: only (doc, token)×(labels that saw the
+    token) rows exist, ≤ |labels|·|token occurrences|.
+
+    Integer arithmetic after the one floor-quantized ln, so scores sum
+    order-independently and the argmax (tie → label asc) is
+    engine-exact. The label set is collected once (a handful of rows,
+    the IVF-centroid pattern) and becomes a literal explode — the
+    doc×label grid needs no join, keeping the plan free of
+    nested-loop shapes.
+
+    Returns (id, actual, predicted, score_u, correct) per document.
+
+    Scale: training is two hash aggregations over token rows; scoring
+    is one equi-join on token plus a per-doc argmax window — every
+    shuffle keys on token, label, or doc. A 100 TB corpus trains and
+    scores in three passes with no driver-side model but the label
+    list.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("actual"),
+        toks.alias("__toks"),
+    )
+    t = docs.select(
+        "id", F.explode("__toks").alias("tok")
+    ).localCheckpoint()  # token occurrences feed train AND score
+
+    tl = t.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(label_col).alias("lang")),
+        "id",
+    )
+    # the count model feeds BOTH the per-label totals and the
+    # log-likelihood table — materialize it once
+    cnt = (
+        tl.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t_lang"))
+    v = t.select("tok").distinct().count()
+    n_docs = df.count()
+    pri = df.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count("*").alias("n_l"))
+    lang_stats = (
+        pri.join(tot, "lang")
+        .select(
+            "lang",
+            F.floor(F.log(F.col("n_l").cast("double") / F.lit(float(n_docs)))
+                    * 1e6).cast("long").alias("prior_u"),
+            F.floor(F.log(F.lit(1.0)
+                          / (F.col("t_lang") + F.lit(v)).cast("double"))
+                    * 1e6).cast("long").alias("unseen_u"),
+            "t_lang",
+        )
+    ).localCheckpoint()  # |labels| rows, read by the ll table AND scoring
+    ll = (
+        cnt.join(F.broadcast(lang_stats.select("lang", "t_lang")), "lang")
+        .select(
+            "lang", "tok",
+            F.floor(F.log((F.col("c") + 1).cast("double")
+                          / (F.col("t_lang") + F.lit(v)).cast("double"))
+                    * 1e6).cast("long").alias("ll_u"),
+        )
+    )
+    cov = (
+        t.join(ll, "tok")
+        .groupBy("id", "lang")
+        .agg(F.sum("ll_u").alias("sum_ll"), F.count("*").alias("n_cov"))
+    )
+    labels = sorted(r["lang"] for r in pri.select("lang").collect())
+    grid = docs.select(
+        "id", "actual", F.size("__toks").cast("long").alias("n_tokens"),
+        F.explode(F.array(*[F.lit(x) for x in labels])).alias("lang"),
+    )
+    scored = (
+        grid.join(cov, ["id", "lang"], "left")
+        .join(F.broadcast(lang_stats.select("lang", "prior_u", "unseen_u")),
+              "lang")
+        .select(
+            "id", "actual", "lang",
+            (F.col("prior_u")
+             + F.coalesce(F.col("sum_ll"), F.lit(0))
+             + (F.col("n_tokens") - F.coalesce(F.col("n_cov"), F.lit(0)))
+             * F.col("unseen_u")).cast("long").alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_u"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col), "actual",
+            F.col("lang").alias("predicted"), "score_u",
+            (F.col("lang") == F.col("actual")).alias("correct"),
+        )
+    )

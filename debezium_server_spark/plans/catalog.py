@@ -7777,3 +7777,75 @@ def q_stream_dedup_then_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_start"),
         F.col("n_admitted").cast("long").alias("n_admitted"),
     ).orderBy("window_start")
+
+
+@register(
+    "nb_lang_train_score",
+    f"""
+    WITH t AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok
+               FROM documents),
+    doclang AS (SELECT doc_id AS id, lang FROM documents),
+    tl AS (SELECT t.id, t.tok, d.lang FROM t JOIN doclang d USING (id)),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM tl GROUP BY lang, tok),
+    tot AS (SELECT lang, sum(c) AS t_lang FROM cnt GROUP BY lang),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM t),
+    nn AS (SELECT count(*) AS n_docs FROM documents),
+    pri AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+    stats AS (SELECT p.lang,
+                     CAST(floor(ln(CAST(n_l AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS prior_u,
+                     CAST(floor(ln(1.0 / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS unseen_u,
+                     t_lang, v
+              FROM pri p JOIN tot USING (lang)
+              CROSS JOIN vv CROSS JOIN nn),
+    ll AS (SELECT c.lang, c.tok,
+                  CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS ll_u
+           FROM cnt c JOIN stats USING (lang)),
+    cov AS (SELECT t.id, l.lang, sum(ll_u) AS sum_ll,
+                   count(*) AS n_cov
+            FROM t JOIN ll l USING (tok) GROUP BY t.id, l.lang),
+    ntok AS (SELECT doc_id AS id, lang AS actual,
+                    CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+             FROM documents),
+    grid AS (SELECT n.id, n.actual, n.n_tokens,
+                    s.lang, s.prior_u, s.unseen_u
+             FROM ntok n CROSS JOIN
+                  (SELECT lang, prior_u, unseen_u FROM stats) s),
+    scored AS (SELECT g.id, g.actual, g.lang,
+                      CAST(g.prior_u + COALESCE(c.sum_ll, 0)
+                           + (g.n_tokens - COALESCE(c.n_cov, 0))
+                             * g.unseen_u AS BIGINT) AS score_u
+               FROM grid g
+               LEFT JOIN cov c ON c.id = g.id AND c.lang = g.lang),
+    best AS (SELECT *, row_number() OVER (PARTITION BY id
+                                          ORDER BY score_u DESC, lang)
+                    AS rn
+             FROM scored)
+    SELECT id AS doc_id, actual, lang AS predicted, score_u,
+           lang = actual AS correct
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    "TRAINED multinomial Naive Bayes language classifier — training "
+    "and inference as ONE relational pipeline over the fixture's "
+    "ground-truth labels (the in-engine complement to "
+    "quality_classifier's fixed-weight inference): add-one-smoothed "
+    "per-(label, token) counts become integer log-likelihoods "
+    "floor(ln((c+1)/(T+V))*1e6); each doc scores every label as "
+    "prior + sum(seen ll) + (n_tokens - n_covered)*unseen — the "
+    "unseen-token closed form that avoids the doc x vocab x label "
+    "grid (only tokens a label actually saw are joined). One "
+    "floor-quantized ln per model weight, integer sums afterward "
+    "(order-independent), argmax tie -> label asc: engine-exact. "
+    "Scale: two hash aggs to train, one token equi-join plus a "
+    "per-doc window to score, label set collected once (the "
+    "IVF-centroid pattern) so the doc x label grid is a literal "
+    "explode, no nested-loop join anywhere.",
+)
+def q_nb_lang_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import nb_lang_classifier
+
+    return nb_lang_classifier(load(spark, sf_dir, "documents")).orderBy("doc_id")
