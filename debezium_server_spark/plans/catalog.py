@@ -7849,3 +7849,78 @@ def q_nb_lang_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.text import nb_lang_classifier
 
     return nb_lang_classifier(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "stream_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events
+    ), s AS (
+      SELECT *, max(ev_end) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), g AS (
+      SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sid
+      FROM s
+    ), agg AS (
+      SELECT user_id, sid, min(ts) AS s_start, max(ev_end) AS s_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM agg
+    WHERE s_end <= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+    ORDER BY user_id, session_start
+    """,
+    "DYNAMIC-gap streaming sessionization: the session quiet period "
+    "depends on the event itself (purchases hold the session open 60 "
+    "minutes, everything else 30) — the engagement-dependent timeout "
+    "every session-analytics stack wants and fixed-gap sessionize "
+    "cannot express. Spark's session_window takes the gap as a "
+    "COLUMN; each event spans [ts, ts + gap(event)) and overlapping "
+    "spans merge executor-side. The oracle is the interval-union "
+    "sweep: per user in (ts, event_id) order, a new session opens "
+    "iff ts >= running max of prior span ends (half-open, matching "
+    "the fixed-gap >= boundary rule sessionize pinned); session_end "
+    "= max span end; sealed-session emission filter s_end <= "
+    "max(ts) - watermark. Equal-timestamp events merge regardless "
+    "of tie order (both spans contain ts), so the tiebreak is "
+    "immaterial — the sweep is engine-exact. State at 100 TB: live "
+    "sessions only, merged incrementally — history is never "
+    "re-sorted.",
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import session_windows
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+    gap = F.when(F.col("event_type") == "purchase",
+                 F.lit("60 minutes")).otherwise(F.lit("30 minutes"))
+    out = replay_stream(
+        spark, ev,
+        lambda s: session_windows(
+            s, ("user_id",), gap=gap, watermark="24 hours"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
