@@ -7924,3 +7924,74 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "ewma_user_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY day) AS t
+      FROM daily
+    ), tm AS (
+      SELECT *, n_events * (CASE WHEN t = 1 THEN 2
+                                 ELSE CAST(pow(2, t - 1) AS BIGINT) END)
+                  AS term
+      FROM o
+    ), c AS (
+      SELECT *, sum(term) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM tm
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+           CAST(CASE WHEN t <= 20
+                     THEN cum * CAST(pow(2, 20 - t) AS BIGINT)
+                     ELSE cum // CAST(pow(2, t - 20) AS BIGINT)
+                END AS BIGINT) AS ewma_u
+    FROM c ORDER BY user_id, day
+    """,
+    "EXACT exponential smoothing — EWMA (alpha = 1/2) of per-user "
+    "daily event counts with NO floating point anywhere: s_t = "
+    "(x_t + s_{t-1})/2 unrolls to (2 x_1 + sum_{i>=2} x_i 2^{i-1}) "
+    "/ 2^t, so one integer cumulative sum of shifted terms plus a "
+    "final shift yields ewma_u = floor(s_t * 2^20) in pure integer "
+    "arithmetic — the dyadic-weight trick that turns a sequential "
+    "smoothing recurrence into one window pass, bit-identical in any "
+    "engine (the usual float EWMA is order-fragile and "
+    "library-dependent). The anomaly/trend baseline every metrics "
+    "pipeline wants next to rolling means. Scale: one shuffle on "
+    "user, three chained window passes over the same partitioning, "
+    "state O(1) per row; 2^{i-1} terms cap at the series length "
+    "(30 days here; re-anchor the recurrence per epoch for unbounded "
+    "series).",
+)
+def q_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d1 = daily.withColumn("t", F.row_number().over(w))
+    d2 = d1.withColumn(
+        "term",
+        F.col("n_events")
+        * F.when(F.col("t") == 1, F.lit(2).cast("long"))
+        .otherwise(F.expr("CAST(pow(2, t - 1) AS BIGINT)")),
+    )
+    d3 = d2.withColumn("cum", F.sum("term").over(wc))
+    return d3.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.expr(
+            "CAST(CASE WHEN t <= 20 THEN cum * CAST(pow(2, 20 - t) AS BIGINT)"
+            " ELSE cum div CAST(pow(2, t - 20) AS BIGINT) END AS BIGINT)"
+        ).alias("ewma_u"),
+    ).orderBy("user_id", "day")

