@@ -229,3 +229,45 @@ def triangle_count(
         .unionAll(closed.select(F.col("q").alias("id")))
     )
     return corners.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    bounded at `max_hops` — reachability tiers / blast-radius layers
+    over CDC-derived link graphs. Returns (id, dist), one row per
+    reached node.
+
+    Each round is one equi-join (frontier x edges on src) + an
+    anti-join against the visited set + a min-aggregate — the frontier
+    never re-expands settled nodes, so total work is O(edges within
+    the horizon), not O(edges x hops). localCheckpoint per round keeps
+    the plan O(1)-deep (the pagerank discipline). Fixed hop count, no
+    convergence probe: rounds are data-independent.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = seeds.select(
+        F.col(id_col).alias("id"), F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint()
+    visited = frontier
+    for _ in range(max_hops):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("dist") + 1).alias("dist"))
+            .join(visited.select("id"), "id", "left_anti")
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

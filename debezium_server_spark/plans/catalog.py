@@ -7995,3 +7995,75 @@ def q_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE cum div CAST(pow(2, t - 20) AS BIGINT) END AS BIGINT)"
         ).alias("ewma_u"),
     ).orderBy("user_id", "day")
+
+
+def _bfs_oracle(hops: int = 4) -> str:
+    """Unrolled multi-source BFS: v_i holds min dist over paths of
+    length <= i from the seed set; min-aggregate per step equals the
+    first-reach BFS distance for every node within the horizon."""
+    ctes = [
+        "d AS (SELECT c_custkey AS src, c_custkey // 10 AS dst"
+        " FROM customer WHERE c_custkey >= 10"
+        " UNION ALL SELECT c_custkey, (c_custkey % 97) + 1 FROM customer)",
+        "e AS (SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d)",
+        "v0 AS (SELECT c_custkey AS id, 0 AS dist FROM customer"
+        " WHERE c_custkey < 10)",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"v{i} AS (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT id, dist FROM v{i-1}"
+            f" UNION ALL SELECT e.dst, v.dist + 1 FROM v{i-1} v"
+            f" JOIN e ON e.src = v.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(dist AS INT) AS dist FROM v{hops}"
+        + "\nORDER BY dist, id"
+    )
+
+
+@register(
+    "graph_bfs_layers",
+    _bfs_oracle(4),
+    "Multi-source BFS reachability tiers over the derived customer "
+    "link graph (graph_pagerank's edge relation made UNDIRECTED — the "
+    "reversed DIV-10 tree fans out ~10x per hop so layers scale with "
+    "the table): minimum hop distance from the seed set {id < 10}, "
+    "bounded at 4 hops — the blast-radius / dependency-tier query over "
+    "CDC-derived link graphs. Spark side (operators/graph.py "
+    "bfs_layers): per round one equi-join frontier x edges + "
+    "anti-join against the visited set + min-aggregate, so settled "
+    "nodes never re-expand (work follows the horizon's edges, not "
+    "edges x hops); localCheckpoint per round keeps the plan "
+    "O(1)-deep. Oracle: unrolled min-dist CTEs — min over paths of "
+    "length <= i equals first-reach BFS distance within the horizon. "
+    "Completes the iterative-graph family alongside pointer-doubling "
+    "roots, label-propagation components, power-iteration pagerank "
+    "and degree-oriented triangles.",
+)
+def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.graph import bfs_layers
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    directed = (
+        cust.filter(F.col("c_custkey") >= 10)
+        .select(F.col("c_custkey").alias("src"),
+                F.expr("c_custkey DIV 10").alias("dst"))
+        .union(
+            cust.select(F.col("c_custkey").alias("src"),
+                        (F.col("c_custkey") % 97 + 1).alias("dst"))
+        )
+    )
+    # undirected: the DIV-10 tree reversed fans out ~10x per hop, so
+    # the layer sizes scale with the table instead of degenerating to
+    # the (k mod 97)+1 path
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = cust.filter(F.col("c_custkey") < 10).select(
+        F.col("c_custkey").alias("id"))
+    return (
+        bfs_layers(edges, seeds, max_hops=4)
+        .select("id", F.col("dist").cast("int").alias("dist"))
+        .orderBy("dist", "id")
+    )
