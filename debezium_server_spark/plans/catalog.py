@@ -8067,3 +8067,65 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.col("dist").cast("int").alias("dist"))
         .orderBy("dist", "id")
     )
+
+
+@register(
+    "ivm_partial_rollup_merge",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 * 10000) / 10000 AS total_price,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) * 10000) / 10000 AS avg_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "Incremental view maintenance via MERGEABLE partial rollups — the "
+    "only aggregation discipline that works at 100 TB: the Spark side "
+    "never aggregates the full table in one pass; it builds two "
+    "independent partial rollups (orders before/after a date cutoff — "
+    "standing in for yesterday's materialized rollup plus today's CDC "
+    "delta), then merges them with the second-stage algebra (sum of "
+    "sums, sum of counts, min of mins, max of maxes) and recombines "
+    "avg = merged_sum / merged_count at the END (averaging averages "
+    "is the classic IVM bug). Decimal(38,6) partial sums make the "
+    "merge order-independent. The oracle is the direct one-pass "
+    "aggregation — equality IS the IVM correctness proof. At scale "
+    "this is the daily-partition rollup + delta merge that avoids "
+    "reading history on every refresh.",
+)
+def q_ivm_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate")
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count("*").alias("c"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("s"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("c").alias("c"), F.sum("s").alias("s"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus", "o_orderpriority",
+        F.col("c").cast("long").alias("n_orders"),
+        _r4(F.col("s").cast("double")).alias("total_price"),
+        _r4(F.col("s").cast("double") / F.col("c")).alias("avg_price"),
+        F.date_format("mn", "yyyy-MM-dd").alias("first_date"),
+        F.date_format("mx", "yyyy-MM-dd").alias("last_date"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
