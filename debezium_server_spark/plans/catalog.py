@@ -8129,3 +8129,83 @@ def q_ivm_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("mn", "yyyy-MM-dd").alias("first_date"),
         F.date_format("mx", "yyyy-MM-dd").alias("last_date"),
     ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT GROUPING(n_name) * 4 + GROUPING(r_name) * 2
+             + GROUPING(c_mktsegment) AS gid,
+             count(*) AS sz
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((n_name, r_name, c_mktsegment),
+                              (r_name, c_mktsegment),
+                              (c_mktsegment))
+    )
+    SELECT CAST(gid AS BIGINT) AS gid,
+           CASE gid WHEN 0 THEN 'nation_segment'
+                    WHEN 4 THEN 'region_segment'
+                    ELSE 'segment' END AS level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(sz) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g GROUP BY gid ORDER BY gid
+    """,
+    "k-anonymity audit across a GENERALIZATION HIERARCHY — the "
+    "release-gate query of privacy-preserving publishing (Sweeney "
+    "2002), completing the privacy family alongside PII redaction "
+    "and GDPR erasure: quasi-identifier group sizes at three "
+    "generalization levels (nation x segment -> region x segment -> "
+    "segment) computed in ONE pass via GROUPING SETS (one EXPAND + "
+    "one shuffle, partial aggs map-side — not three scans), then per "
+    "level: group count, minimum group size, groups below k = 10 and "
+    "rows at re-identification risk. Generalizing up the hierarchy "
+    "visibly repairs violations (rows_at_risk shrinks as gid "
+    "climbs). grouping_id bits disambiguate levels identically in "
+    "both engines.",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_name", "r_name", "c_mktsegment")
+    )
+    sizes = (
+        joined.groupingSets(
+            [["n_name", "r_name", "c_mktsegment"],
+             ["r_name", "c_mktsegment"],
+             ["c_mktsegment"]],
+            "n_name", "r_name", "c_mktsegment",
+        )
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count("*").alias("sz"))
+    )
+    return (
+        sizes.groupBy("gid")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("sz").cast("long").alias("min_group_size"),
+            F.sum(F.when(F.col("sz") < 10, 1).otherwise(0)).cast("long")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+            .cast("long").alias("rows_at_risk"),
+        )
+        .select(
+            "gid",
+            F.when(F.col("gid") == 0, "nation_segment")
+            .when(F.col("gid") == 4, "region_segment")
+            .otherwise("segment").alias("level"),
+            "n_groups", "min_group_size", "groups_below_k", "rows_at_risk",
+        )
+        .orderBy("gid")
+    )
