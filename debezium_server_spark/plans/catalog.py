@@ -8209,3 +8209,82 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid")
     )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY day) AS t,
+             sum(x) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(x) OVER (PARTITION BY user_id) AS total,
+             count(*) OVER (PARTITION BY user_id) AS n_days
+      FROM daily
+    ), s AS (
+      SELECT user_id, day, x, total, n_days,
+             n_days * cum - t * total AS s_t
+      FROM o
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY abs(s_t) DESC, day) AS rn
+      FROM s
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(abs(s_t) AS BIGINT) AS s_abs,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "CUSUM changepoint detection per user — the standard "
+    "level-shift locator for activity series, with ZERO floating "
+    "point: the centered cumulative sum S_t = sum(x_i - mean) is "
+    "cross-multiplied by n_days (S'_t = n*cum_t - t*total), so the "
+    "argmax |S'_t| is exact integer arithmetic and the tie-break "
+    "(earliest day) is total — engine-identical without any epsilon. "
+    "Emits per user the most likely changepoint day, the scaled "
+    "CUSUM magnitude, and series totals. Scale: one shuffle on "
+    "user_id, four window passes over the same partitioning, no "
+    "self-joins — the same single-pass shape at any row count.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
+    o = (
+        daily.withColumn("t", F.row_number().over(w))
+        .withColumn("cum", F.sum("x").over(wc))
+        .withColumn("total", F.sum("x").over(wp))
+        .withColumn("n_days", F.count("*").over(wp))
+        .withColumn(
+            "s_t",
+            F.col("n_days") * F.col("cum") - F.col("t") * F.col("total"),
+        )
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("s_t")).desc(), F.col("day"))
+    return (
+        o.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.abs(F.col("s_t")).cast("long").alias("s_abs"),
+            F.col("total").cast("long").alias("total_events"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("user_id")
+    )
