@@ -8288,3 +8288,74 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "benford_price_audit",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000
+                  AS BIGINT) AS u
+      FROM orders
+    ), digit AS (
+      SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents
+    ), obs AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_orders
+      FROM digit GROUP BY d
+    ), tot AS (SELECT sum(n_orders) AS total FROM obs)
+    SELECT d AS first_digit, n_orders,
+           CAST((n_orders * 1000000) // total AS BIGINT) AS obs_ppm,
+           CAST(CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                       WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                       WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                       WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                       ELSE 45757 END AS BIGINT) AS benford_ppm,
+           CAST(abs((n_orders * 1000000) // total
+                    - CASE d WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                             WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                             WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                             WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                             ELSE 45757 END) AS BIGINT) AS dev_ppm
+    FROM obs CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+    "Benford first-significant-digit audit of order totals — the "
+    "classic fabricated-data / anomaly screen for financial CDC "
+    "feeds: observed leading-digit frequencies in ppm against the "
+    "Benford expectation log10(1 + 1/d), with the expectations "
+    "HARDCODED as integer ppm literals so no transcendental function "
+    "runs in either engine. Digit extraction goes through the "
+    "catalog's decimal(38,6) convention (exact micro-unit integer, "
+    "first character of its decimal rendering), observed shares are "
+    "integer floor-ppm — the whole audit is engine-exact integer "
+    "arithmetic. One aggregation plus a one-row totals broadcast. "
+    "(TPC-H-style uniform prices deliberately FAIL Benford — large "
+    "dev_ppm is the expected, informative output here.)",
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _BEN = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+            6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    o = load(spark, sf_dir, "orders")
+    digit = o.select(
+        F.substring(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000"
+                   " AS BIGINT)").cast("string"), 1, 1
+        ).cast("long").alias("d")
+    )
+    obs = digit.groupBy("d").agg(F.count("*").cast("long").alias("n_orders"))
+    tot = obs.agg(F.sum("n_orders").alias("total"))
+    ben = F.create_map(
+        *[F.lit(x) for kv in _BEN.items() for x in kv])[F.col("d")]
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"), "n_orders",
+            F.expr("(n_orders * 1000000) div total").cast("long")
+            .alias("obs_ppm"),
+            ben.cast("long").alias("benford_ppm"),
+            F.abs(F.expr("(n_orders * 1000000) div total") - ben)
+            .cast("long").alias("dev_ppm"),
+        )
+        .orderBy("first_digit")
+    )

@@ -102,6 +102,10 @@ WHITELIST: set[str] = {
     # one-row totals frame (total_mass, sum_isq) broadcast onto the
     # per-stratum rate table — single-row build side by construction
     "corpus_temperature_mix",
+    # one-row grand-total frame (sum of the 9 digit counts) broadcast
+    # onto the 9-row observed-digit table — both sides bounded by
+    # construction (digits 1..9), never grows with data
+    "benford_price_audit",
 }
 
 
