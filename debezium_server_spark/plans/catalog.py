@@ -8359,3 +8359,84 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    """
+    WITH tiers AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN value >= 75 THEN 'high'
+                  WHEN value >= 25 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events
+    ), ordered AS (
+      SELECT *, lag(tier) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+      FROM tiers
+    ), changes AS (
+      SELECT user_id, ts AS change_ts, tier
+      FROM ordered WHERE prev IS NULL OR prev <> tier
+    ), facts AS (
+      SELECT user_id, event_id, ts, ts - INTERVAL 1 HOUR AS t
+      FROM events WHERE event_type = 'error'
+    ), cand AS (
+      SELECT f.user_id, f.event_id, f.ts, c.tier,
+             row_number() OVER (PARTITION BY f.user_id, f.event_id
+                                ORDER BY c.change_ts DESC, c.tier DESC)
+               AS rn
+      FROM facts f
+      LEFT JOIN changes c
+        ON c.user_id = f.user_id AND c.change_ts <= f.t
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           tier AS tier_asof
+    FROM cand WHERE rn = 1
+    ORDER BY user_id, error_ts, event_id
+    """,
+    "Fact-to-SCD2-dimension AS-OF lookup — the dimension-version "
+    "join every CDC warehouse runs (which tier was this user in an "
+    "hour BEFORE the error?): the value-tier change stream (SCD2 run "
+    "starts via lag) is as-of joined under each error's ts - 1h with "
+    "the union+window trick (operators/asof.py) — one sort per key "
+    "partition, NO range-join row blow-up, unmatched facts keep "
+    "null (left shape). Tie contract: equal change timestamps "
+    "resolve tier-descending, equal-to-t changes match (inclusive) "
+    "— both replicated in the oracle's row_number. At 100 TB this "
+    "shape replaces the O(facts x versions) interval join with "
+    "O((facts + versions) log) per key.",
+)
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from debezium_server_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    tier = (
+        F.when(F.col("value") >= 75, "high")
+        .when(F.col("value") >= 25, "mid")
+        .otherwise("low")
+    )
+    tiers = ev.select("user_id", "ts", "event_id", "event_type",
+                      tier.alias("tier"))
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        tiers.withColumn("prev", F.lag("tier").over(wlag))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("tier")))
+        .select("user_id", F.col("ts").alias("change_ts"), "tier")
+    )
+    facts = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "ts",
+                (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("t"))
+    )
+    joined = asof_join(
+        facts, changes.select("user_id", "change_ts", "tier"),
+        on="user_id", left_ts="t", right_ts="change_ts",
+    )
+    return joined.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.col("tier_asof"),
+    ).orderBy("user_id", "error_ts", "event_id")
