@@ -105,3 +105,18 @@ def test_triangle_count_skew_orientation_bounds_wedges(spark):
     e = spark.createDataFrame(star, "src long, dst long")
     got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_bfs_layers_min_dist_and_early_exit(spark):
+    """Multi-source BFS: min hop distance wins when a node is reachable
+    from two seeds; expansion stops early when the frontier drains
+    before max_hops."""
+    from debezium_server_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 3), (5, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "id long")
+    got = {r["id"]: r["dist"]
+           for r in bfs_layers(edges, seeds, max_hops=10).collect()}
+    # 3 is 1 hop from seed 10 (not 2 hops from seed 1); 5 unreachable
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2}

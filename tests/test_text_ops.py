@@ -246,3 +246,23 @@ def test_jaccard_prefix_join_complete_vs_bruteforce(spark):
     for r in rows:  # exact integer verification columns
         assert r["jacc_u"] == r["inter"] * 10000 // r["union_sz"]
         assert 5 * r["inter"] >= 3 * r["union_sz"]
+
+
+def test_nb_classifier_separable_vocab(spark):
+    """NB train+score: on a corpus with disjoint per-label vocabulary the
+    classifier recovers every label, and unseen-token mass is handled
+    through the closed form (a doc with one out-of-label token still
+    classifies by its majority vocabulary)."""
+    from debezium_server_spark.operators.text import nb_lang_classifier
+
+    rows = [
+        (1, "aa bb cc aa bb", "x"),
+        (2, "aa cc aa cc bb", "x"),
+        (3, "dd ee ff dd ee", "y"),
+        (4, "ff ee dd ff dd", "y"),
+        (5, "aa bb aa bb dd", "x"),   # one y-vocab token, still x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in nb_lang_classifier(df).collect()}
+    assert all(got[i]["predicted"] == got[i]["actual"] for i in got)
+    assert got[5]["correct"] is True
