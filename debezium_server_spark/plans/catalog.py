@@ -8440,3 +8440,64 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
         F.col("tier_asof"),
     ).orderBy("user_id", "error_ts", "event_id")
+
+
+@register(
+    "pseudonymize_join_audit",
+    """
+    WITH ctok AS (
+      SELECT sha256('pepper-2024|' || CAST(c_custkey AS VARCHAR)) AS pid,
+             c_nationkey
+      FROM customer
+    ), otok AS (
+      SELECT sha256('pepper-2024|' || CAST(o_custkey AS VARCHAR)) AS pid,
+             o_totalprice
+      FROM orders
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_customers,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 * 10000) / 10000 AS total_price
+    FROM otok JOIN ctok USING (pid)
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    "Deterministic PII pseudonymization that PRESERVES referential "
+    "integrity — the CDC-pipeline requirement GDPR tokenization adds "
+    "on top of plain masking: customer keys are replaced by a keyed "
+    "hash (sha256 over a pepper || key, the HMAC-style construction) "
+    "INDEPENDENTLY in each table, and the fact-dimension join still "
+    "lines up on the pseudonyms — per-nation order counts, distinct "
+    "pseudonymous customers and revenue come out identical to the "
+    "raw-key join, with no real key ever leaving the scan. Scale: "
+    "the tokenization is a map-side expression folded into each "
+    "scan; the join shuffles on the pseudonym exactly as it would on "
+    "the key (same cardinality, same skew profile).",
+)
+def q_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pep = F.lit("pepper-2024|")
+
+    c = load(spark, sf_dir, "customer").select(
+        F.sha2(F.concat(pep, F.col("c_custkey").cast("string")), 256)
+        .alias("pid"),
+        "c_nationkey",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.sha2(F.concat(pep, F.col("o_custkey").cast("string")), 256)
+        .alias("pid"),
+        "o_totalprice",
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, "pid")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("pid").cast("long").alias("n_customers"),
+            _r4(F.sum(_dec(F.col("o_totalprice"))).cast("double"))
+            .alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
