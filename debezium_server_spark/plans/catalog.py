@@ -7618,11 +7618,14 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_prefix_filter_join",
     f"""
     WITH tk AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
-    t AS (SELECT DISTINCT id, tok FROM
+    t0 AS (SELECT DISTINCT id, tok FROM
             (SELECT id, unnest(list_transform(range(1, len(toks) - 1),
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                     AS tok
              FROM tk WHERE len(toks) >= 3)),
+    t AS (SELECT id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                   AS tok
+          FROM t0),
     sz AS (SELECT id, count(*) AS len FROM t GROUP BY id),
     dfreq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
     ordered AS (SELECT t.id, t.tok, sz.len,
