@@ -8504,3 +8504,88 @@ def q_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS prio, o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(38,6)) AS p
+      FROM orders
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY prio ORDER BY p, k) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n
+      FROM o
+    ), med AS (
+      SELECT prio, p AS m FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT o.prio, o.k, o.p, abs(o.p - med.m) AS d, med.m
+      FROM o JOIN med USING (prio)
+    ), ranked2 AS (
+      SELECT *, row_number() OVER (PARTITION BY prio ORDER BY d, k) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n
+      FROM dev
+    ), mad AS (
+      SELECT prio, d AS mad_v FROM ranked2 WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.prio AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(CAST(min(dev.m) AS DOUBLE) * 10000) / 10000 AS median_price,
+           floor(CAST(min(mad_v) AS DOUBLE) * 10000) / 10000 AS mad,
+           CAST(sum(CASE WHEN dev.d > 3 * mad_v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (prio)
+    GROUP BY dev.prio
+    ORDER BY o_orderpriority
+    """,
+    "Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the "
+    "breakdown-resistant twin of zscore_outliers (one wild price "
+    "shifts a mean+stddev gate; the MAD gate needs half the data "
+    "corrupted before it moves): per priority group, the exact lower "
+    "median is PICKED as an element (row_number (n+1) div 2 with a "
+    "full (value, key) tiebreak — no interpolation, no float), "
+    "deviations are exact decimal(38,6) subtraction, the MAD is "
+    "picked the same way, and the 3-MAD flag compares decimals — "
+    "engine-exact with zero epsilon. Scale: two window passes and "
+    "two tiny per-group join-backs (one row per group, broadcast); "
+    "the same shape at any group cardinality since medians never "
+    "leave the executors.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("k"),
+        _dec(F.col("o_totalprice")).alias("p"),
+    )
+    w1 = Window.partitionBy("prio").orderBy("p", "k")
+    wn = Window.partitionBy("prio")
+    med = (
+        o.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("prio", F.col("p").alias("m"))
+    )
+    dev = o.join(F.broadcast(med), "prio").withColumn(
+        "d", F.abs(F.col("p") - F.col("m")))
+    w2 = Window.partitionBy("prio").orderBy("d", "k")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("prio", F.col("d").alias("mad_v"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            _r4(F.min("m").cast("double")).alias("median_price"),
+            _r4(F.min("mad_v").cast("double")).alias("mad"),
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_v"), 1).otherwise(0))
+            .cast("long").alias("n_outliers"),
+        )
+        .select(F.col("prio").alias("o_orderpriority"), "n_orders",
+                "median_price", "mad", "n_outliers")
+        .orderBy("o_orderpriority")
+    )
