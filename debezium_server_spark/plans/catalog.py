@@ -8589,3 +8589,88 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "median_price", "mad", "n_outliers")
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "stream_interval_join_full_outer",
+    """
+    WITH wmq AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 24 HOUR AS wm
+    ), m AS (
+      SELECT v.user_id AS vu, p.user_id AS pu,
+             v.event_id AS view_event, p.event_id AS purchase_event,
+             v.ts AS v_ts, p.ts AS p_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ), lv AS (
+      SELECT v.user_id, v.event_id AS view_event,
+             CAST(NULL AS BIGINT) AS purchase_event,
+             v.ts AS v_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+      FROM events v CROSS JOIN wmq
+      WHERE v.event_type = 'view'
+        AND v.ts + INTERVAL 1 HOUR < wmq.wm
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_event = v.event_id)
+    ), rp AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS view_event,
+             p.event_id AS purchase_event,
+             CAST(NULL AS TIMESTAMP) AS v_ts, p.ts AS p_ts
+      FROM events p CROSS JOIN wmq
+      WHERE p.event_type = 'purchase'
+        AND p.ts < wmq.wm
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_event = p.event_id)
+    ), allrows AS (
+      SELECT vu AS user_id, view_event, purchase_event, v_ts, p_ts FROM m
+      UNION ALL SELECT * FROM lv
+      UNION ALL SELECT * FROM rp
+    )
+    SELECT user_id, view_event, purchase_event,
+           strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM allrows
+    ORDER BY user_id, view_ts, view_event, purchase_ts, purchase_event
+    """,
+    "FULL-OUTER stream-stream interval join — completes the join "
+    "matrix (inner / leftOuter / fullOuter) with a TRUE value-hash "
+    "oracle. Matches emit immediately; an unmatched VIEW null-pads "
+    "when the query watermark moves strictly past view_ts + upper "
+    "(its last possible partner horizon); an unmatched PURCHASE "
+    "null-pads when the watermark moves strictly past purchase_ts "
+    "itself — the right side's horizon is its OWN timestamp because "
+    "future views (ts >= wm) can only match purchases with p_ts >= "
+    "their ts. Both horizons sit on the min-of-branch-watermarks "
+    "basis (SCALE.md rule 21) with strict boundaries (rule 22). At "
+    "100 TB: both state sides evict on these exact horizons — the "
+    "asymmetry (ts + upper vs ts) is why the LEFT side's state is "
+    "the one that grows when the interval widens.",
+)
+def q_stream_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.joins import interval_join
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+
+    def xform(s: DataFrame) -> DataFrame:
+        views = s.filter(F.col("event_type") == "view").drop("event_type")
+        buys = s.filter(F.col("event_type") == "purchase").drop("event_type")
+        return interval_join(
+            views, buys, on="user_id", left_ts="ts", right_ts="ts",
+            lower="interval 0 seconds", upper="interval 1 hour",
+            watermark="24 hours", how="fullOuter",
+            left_alias="v", right_alias="p",
+        )
+
+    out = replay_stream(spark, ev, xform)
+    # interval_join already coalesces the key across sides
+    return out.select(
+        "user_id",
+        F.col("v_event_id").alias("view_event"),
+        F.col("p_event_id").alias("purchase_event"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    ).orderBy("user_id", "view_ts", "view_event",
+              "purchase_ts", "purchase_event")
