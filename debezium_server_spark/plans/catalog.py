@@ -8674,3 +8674,99 @@ def q_stream_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataF
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     ).orderBy("user_id", "view_ts", "view_event",
               "purchase_ts", "purchase_event")
+
+
+@register(
+    "stream_cep_abandoned",
+    """
+    WITH RECURSIVE
+    ev AS (SELECT user_id AS key, ts, event_type AS etype,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_type) AS rn
+           FROM events),
+    wmf AS (SELECT max(ts) - INTERVAL 24 HOUR AS wm FROM events),
+    walk AS (
+      SELECT key, 0 AS rn, CAST(NULL AS TIMESTAMP) AS first,
+             CAST(NULL AS TIMESTAMP) AS ab
+      FROM (SELECT DISTINCT key FROM ev)
+      UNION ALL
+      SELECT w.key, e.rn,
+             -- expire, then transition, then (re)open
+             CASE
+               WHEN x.slot IS NOT NULL AND e.etype = 'purchase' THEN NULL
+               WHEN x.slot IS NOT NULL THEN x.slot
+               WHEN e.etype = 'view' THEN e.ts
+               ELSE NULL END,
+             CASE WHEN w.first IS NOT NULL
+                       AND e.ts > w.first + INTERVAL 72 HOUR
+                  THEN w.first ELSE NULL END
+      FROM walk w
+      JOIN ev e ON e.key = w.key AND e.rn = w.rn + 1
+      CROSS JOIN LATERAL (SELECT CASE
+            WHEN w.first IS NOT NULL
+                 AND e.ts > w.first + INTERVAL 72 HOUR THEN NULL
+            ELSE w.first END AS slot) x
+    ),
+    inbatch AS (SELECT key, ab AS start_ts FROM walk WHERE ab IS NOT NULL),
+    final_state AS (
+      SELECT key, first FROM (
+        SELECT key, first, rn,
+               max(rn) OVER (PARTITION BY key) AS max_rn
+        FROM walk)
+      WHERE rn = max_rn AND first IS NOT NULL
+    ),
+    tail_to AS (
+      SELECT f.key, f.first AS start_ts
+      FROM final_state f CROSS JOIN wmf
+      WHERE f.first + INTERVAL 72 HOUR < wmf.wm
+    ),
+    allto AS (SELECT * FROM inbatch UNION ALL SELECT * FROM tail_to)
+    SELECT key,
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+           strftime(start_ts + INTERVAL 72 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS deadline_ts
+    FROM allto
+    ORDER BY key, start_ts
+    """,
+    "CEP NEGATIVE SPACE driver-verified: the abandoned funnel — every "
+    "view whose 72-hour purchase window expired without converting, "
+    "emitted by the automaton itself (emit_timeouts=True) so ONE "
+    "streaming query yields both the conversion and the abandonment "
+    "streams (the batch workaround is a second anti-join pass over "
+    "history). A partial is emitted when its expiry is PROVEN: a "
+    "later same-key event past the deadline (in-batch drop) or the "
+    "watermark passing the deadline (EventTimeTimeout / end-of-batch "
+    "cleanup); partials the stream never proves expired stay "
+    "unemitted, exactly like unsealed windows. The oracle folds the "
+    "skip-past-match slot per key (expire -> transition -> reopen, "
+    "with the expiry boundary strictly > first + within) and adds "
+    "the tail rule deadline < max(ts) - delay for slots still open "
+    "at stream end. State at 100 TB: unchanged O(1) per key — the "
+    "timeout rows ride the cleanup passes that already ran.",
+)
+def q_stream_cep_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        sequence_pattern_matches,
+    )
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: sequence_pattern_matches(
+            s, ["view", "purchase"],
+            within="72 hours", watermark="24 hours",
+            emit_timeouts=True,
+        ),
+    )
+    return (
+        out.filter(F.col("outcome") == "timeout")
+        .select(
+            "key",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("start_ts"),
+            F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("deadline_ts"),
+        )
+        .orderBy("key", "start_ts")
+    )

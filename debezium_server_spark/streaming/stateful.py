@@ -353,6 +353,7 @@ def sequence_pattern_matches(
     within: str = "1 hour",
     watermark: str = "30 minutes",
     mode: str = "skip_past_match",
+    emit_timeouts: bool = False,
 ) -> DataFrame:
     """Streaming CEP: detect the ordered `pattern` of event types per key,
     completing within `within` of the first matched step, and emit one
@@ -402,6 +403,18 @@ def sequence_pattern_matches(
       event of the key must match the expected step or the partial dies
       (the killing event may itself start a fresh partial). Negated
       steps are rejected here — every intervening event already kills.
+
+    `emit_timeouts=True` additionally emits the NEGATIVE SPACE — every
+    partial that expires without completing (the abandoned funnel):
+    one row per timed-out partial with outcome='timeout', start_ts =
+    the first-step arrival, end_ts = its deadline (start + within).
+    A partial is provably expired when a later same-key event arrives
+    past its deadline (in-batch drop) or when the watermark passes the
+    deadline (EventTimeTimeout / end-of-batch cleanup) — whichever
+    proof lands first; partials whose deadline the stream never proves
+    past stay unemitted, exactly like unsealed windows. Matches carry
+    outcome='match' so one query yields both conversion and
+    abandonment streams.
     """
     if mode not in ("skip_past_match", "every_start", "contiguous"):
         raise ValueError(f"unknown mode: {mode!r}")
@@ -441,6 +454,7 @@ def sequence_pattern_matches(
             T.StructField("start_ts", T.TimestampType()),
             T.StructField("end_ts", T.TimestampType()),
             T.StructField("duration_s", T.DoubleType()),
+            T.StructField("outcome", T.StringType()),
         ]
     )
     # Partials live as parallel arrays (progress[i], first_us[i]); the
@@ -456,6 +470,7 @@ def sequence_pattern_matches(
 
     def advance(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (k,) = key
+        timeouts: list[int] = []  # first_us of provably-expired partials
         if state.hasTimedOut:
             # watermark passed every live partial's earliest deadline:
             # drop the expired ones; keep the rest (every_start can hold
@@ -464,12 +479,27 @@ def sequence_pattern_matches(
             wm_us = state.getCurrentWatermarkMs() * 1000
             live = [(p, f) for p, f in zip(progress, first_us)
                     if f + within_s * 1_000_000 > wm_us]
+            timeouts.extend(f for _, f in zip(progress, first_us)
+                            if f + within_s * 1_000_000 <= wm_us)
             if live:
                 state.update(([p for p, _ in live], [f for _, f in live]))
                 state.setTimeoutTimestamp(
                     min(f for _, f in live) // 1000 + within_s * 1000)
             else:
                 state.remove()
+            if emit_timeouts and timeouts:
+                timeouts.sort()
+                yield pd.DataFrame(
+                    {
+                        "key": [k] * len(timeouts),
+                        "start_ts": [pd.Timestamp(f, unit="us")
+                                     for f in timeouts],
+                        "end_ts": [pd.Timestamp(f + within_s * 1_000_000,
+                                                unit="us") for f in timeouts],
+                        "duration_s": [float(within_s)] * len(timeouts),
+                        "outcome": ["timeout"] * len(timeouts),
+                    }
+                )
             return
         partials: list[list] = []  # [progress, first_us], first-start order
         if state.exists:
@@ -480,6 +510,8 @@ def sequence_pattern_matches(
         batch = batch.sort_values(["ts", "etype", "val"], ignore_index=True)
         for ts, etype, val in zip(batch["ts"], batch["etype"], batch["val"]):
             ts_us = int(ts.value // 1000)  # pandas ns -> µs
+            timeouts.extend(pf[1] for pf in partials
+                            if ts_us - pf[1] > within_s * 1_000_000)
             partials = [pf for pf in partials
                         if ts_us - pf[1] <= within_s * 1_000_000]
             nxt: list[list] = []
@@ -524,6 +556,8 @@ def sequence_pattern_matches(
             # a deadline already behind the watermark can never complete
             # with on-time data — drop now (a timeout in the past is an
             # engine error on long-span availableNow batches)
+            timeouts.extend(pf[1] for pf in partials
+                            if pf[1] // 1000 + within_s * 1000 <= wm_ms)
             partials = [pf for pf in partials
                         if pf[1] // 1000 + within_s * 1000 > wm_ms]
         if partials:
@@ -534,13 +568,21 @@ def sequence_pattern_matches(
         elif state.exists:
             state.remove()
         matches.sort()
-        if matches:
+        rows = [(s, e, (e - s) / 1e6, "match") for s, e in matches]
+        if emit_timeouts:
+            timeouts.sort()
+            rows += [(f, f + within_s * 1_000_000, float(within_s), "timeout")
+                     for f in timeouts]
+        if rows:
             yield pd.DataFrame(
                 {
-                    "key": [k] * len(matches),
-                    "start_ts": [pd.Timestamp(s, unit="us") for s, _ in matches],
-                    "end_ts": [pd.Timestamp(e, unit="us") for _, e in matches],
-                    "duration_s": [(e - s) / 1e6 for s, e in matches],
+                    "key": [k] * len(rows),
+                    "start_ts": [pd.Timestamp(s, unit="us")
+                                 for s, _, _, _ in rows],
+                    "end_ts": [pd.Timestamp(e, unit="us")
+                               for _, e, _, _ in rows],
+                    "duration_s": [d for _, _, d, _ in rows],
+                    "outcome": [o for _, _, _, o in rows],
                 }
             )
 

@@ -656,3 +656,44 @@ def test_ddww_eviction_contract(spark):
                  for r in out.collect())
     assert got == [("A", 0), ("A", 200), ("B", 80), ("B", 200),
                    ("C", 85), ("C", 300), ("F", 100), ("F2", 150)]
+
+
+def test_cep_emit_timeouts_proof_paths(spark):
+    """Abandoned partials emit only when expiry is PROVEN: by a later
+    same-key event past the deadline (even if the watermark never gets
+    there), or by the watermark passing the deadline; a partial with
+    neither proof stays unemitted."""
+    from datetime import datetime, timedelta
+
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        sequence_pattern_matches,
+    )
+
+    M = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        # key 1: view@0, next event at 70 > deadline 60 -> in-batch proof
+        (1, M(0), "view", 0), (1, M(70), "click", 1),
+        # key 2: view@0, purchase@30 -> match, no timeout
+        (2, M(0), "view", 0), (2, M(30), "purchase", 0),
+        # key 3: view@100 -> deadline 160; final wm = 200-10=190 > 160
+        #        -> watermark proof (timeout fire), no later key event
+        (3, M(100), "view", 1),
+        # key 4: view@185 -> deadline 245 > wm 190 -> NEVER proven
+        (4, M(185), "view", 2),
+        # filler fixing batch maxes; b2 max = 200
+        (9, M(60), "click", 0), (9, M(200), "click", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, b int")
+    out = replay_stream(
+        spark, df.select("user_id", "ts", "event_type", "b"),
+        lambda s: sequence_pattern_matches(
+            s, ["view", "purchase"], within="60 minutes",
+            watermark="10 minutes", emit_timeouts=True),
+        batch_col="b",
+    )
+    got = sorted((r["key"], r["outcome"],
+                  int((r["start_ts"] - M(0)).total_seconds()) // 60)
+                 for r in out.collect())
+    assert got == [(1, "timeout", 0), (2, "match", 0), (3, "timeout", 100)]
