@@ -8770,3 +8770,97 @@ def q_stream_cep_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "start_ts")
     )
+
+
+def _matryoshka_cte(m: int) -> str:
+    dm = (f"list_aggregate(list_transform(range(1, {m}+1),"
+          f" i -> q.e[i] * c.e[i]), 'sum')")
+    nq = f"sqrt(list_aggregate(list_transform(q.e[1:{m}], x -> x*x), 'sum'))"
+    nc = f"sqrt(list_aggregate(list_transform(c.e[1:{m}], x -> x*x), 'sum'))"
+    return f"""
+    s{m} AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    {dm} / ({nq} * {nc}) AS sim
+             FROM v q JOIN v c ON c.vec_id != q.vec_id
+             WHERE q.vec_id < 10),
+    t{m} AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+                   FROM s{m}) WHERE rank <= 5)"""
+
+
+@register(
+    "embedding_matryoshka_recall",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    {_matryoshka_cte(8)},
+    {_matryoshka_cte(16)},
+    {_matryoshka_cte(32)},
+    exact_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {_DOT.format(a='q.e', b='c.e')} /
+                       ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')})
+                         AS sim
+                FROM v q JOIN v c ON c.vec_id != q.vec_id
+                WHERE q.vec_id < 10),
+    exact AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id) AS rank
+                    FROM exact_s) WHERE rank <= 5)
+    SELECT CAST(m_dims AS BIGINT) AS m_dims, CAST(hits AS BIGINT) AS hits,
+           CAST(possible AS BIGINT) AS possible
+    FROM (
+      SELECT 8 AS m_dims,
+             (SELECT count(*) FROM t8 t JOIN exact e
+               ON t.query_id = e.query_id
+              AND t.neighbor_id = e.neighbor_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+      UNION ALL
+      SELECT 16,
+             (SELECT count(*) FROM t16 t JOIN exact e
+               ON t.query_id = e.query_id
+              AND t.neighbor_id = e.neighbor_id),
+             (SELECT count(*) FROM exact)
+      UNION ALL
+      SELECT 32,
+             (SELECT count(*) FROM t32 t JOIN exact e
+               ON t.query_id = e.query_id
+              AND t.neighbor_id = e.neighbor_id),
+             (SELECT count(*) FROM exact))
+    ORDER BY m_dims
+    """,
+    "Matryoshka-truncation retrieval eval — the modern "
+    "dimension-budget audit (MRL, Kusupati et al. 2022): rank with "
+    "only the first 8/16/32 of 64 dimensions and score recall@5 "
+    "against the full-dimension exact top-k on the bounded probe "
+    "set. The operational question it answers at 100 TB: how many "
+    "prefix dims must the first-stage index store before exact "
+    "re-rank, i.e. a 2-8x index shrink priced in recall. Same "
+    "sequential-fold dot products both engines (list_aggregate "
+    "left-to-right = F.aggregate), full (sim, neighbor) tiebreak; "
+    "prefix slicing composes with the existing cosine_topk operator "
+    "unchanged — truncation is just a projection upstream.",
+)
+def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from debezium_server_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    possible = exact.count()
+    outs = []
+    for m in (8, 16, 32):
+        tr = emb.select(
+            "vec_id", F.slice("embedding", 1, m).alias("embedding"))
+        topm = cosine_topk(tr, tr.filter("vec_id < 10"), k=5).select(
+            "query_id", "neighbor_id")
+        outs.append(
+            topm.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+                F.lit(m).cast("long").alias("m_dims"),
+                F.count(F.lit(1)).cast("long").alias("hits"),
+                F.lit(possible).cast("long").alias("possible"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("m_dims")

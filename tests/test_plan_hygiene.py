@@ -19,7 +19,10 @@ def test_no_quadratic_join_operators(spark):
 COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             # RRF fusion composes the full bm25_search and embedding_topk
             # ranker pipelines before the (40-row) fusion stage
-            "hybrid_search_rrf"}
+            "hybrid_search_rrf",
+            # four cosine_topk pipelines (full + 8/16/32-dim truncations)
+            # scored against each other
+            "embedding_matryoshka_recall"}
 
 
 def test_exchange_budgets(spark):

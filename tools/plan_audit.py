@@ -92,6 +92,10 @@ WHITELIST: set[str] = {
     # recall harness composes the exact baseline (whitelisted bounded
     # all-pairs, 10 probes) with the IVF centroid BNLJ — both bounded
     "ann_recall_eval",
+    # Matryoshka eval: four instances of embedding_topk's bounded
+    # 10-probe broadcast crossJoin (full + three prefix truncations) —
+    # every BNLJ side capped at the probe set
+    "embedding_matryoshka_recall",
     # hybrid fusion composes bm25_search's one-row corpus-scalar attach
     # and embedding_topk's bounded probe crossJoin (1 query vector);
     # the fusion stage itself is O(lists x k) = 40 rows
