@@ -8864,3 +8864,71 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("m_dims")
+
+
+@register(
+    "psi_drift_gate",
+    """
+    WITH halves AS (
+      SELECT event_type,
+             sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+               AS a,
+             sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+               AS b
+      FROM events GROUP BY event_type),
+    t AS (SELECT event_type, a, b,
+                 sum(a) OVER () AS ta, sum(b) OVER () AS tb
+          FROM halves),
+    c AS (SELECT event_type, a, b,
+                 (a * tb - b * ta)
+                 * CAST(floor(ln(CAST(a AS DOUBLE) * tb
+                               / (CAST(b AS DOUBLE) * ta)) * 1e6) AS BIGINT)
+                 // (ta * tb) AS psi_u
+          FROM t)
+    SELECT event_type,
+           CAST(a AS BIGINT) AS n_baseline,
+           CAST(b AS BIGINT) AS n_current,
+           CAST(psi_u AS BIGINT) AS psi_u,
+           CAST(sum(psi_u) OVER () AS BIGINT) AS total_psi_u,
+           sum(psi_u) OVER () > 250000 AS drift_alert
+    FROM c ORDER BY event_type
+    """,
+    "Population Stability Index drift gate — THE model-monitoring "
+    "number (PSI = sum (p-q) ln(p/q); > 0.25 = significant shift): "
+    "event-type mix of the month's first half (baseline) vs second "
+    "half (current), each bucket's contribution computed as "
+    "(a*tb - b*ta) * floor(ln(a*tb / (b*ta)) * 1e6) div (ta*tb) — "
+    "cross-multiplied shares, ONE floor-quantized ln per bucket, "
+    "integer division, so the per-bucket and total micro-PSI are "
+    "engine-exact (contributions are non-negative, making Spark "
+    "div and DuckDB // agree). Complements source_drift_audit's "
+    "share-threshold gate with the magnitude-weighted industry "
+    "metric. Shape: one grouped agg + window totals over the "
+    "|buckets|-row frame — O(1) rows after the first aggregation at "
+    "any scale.",
+)
+def q_psi_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    halves = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)).alias("b"),
+    )
+    wall = Window.partitionBy()
+    t = halves.withColumn("ta", F.sum("a").over(wall)).withColumn(
+        "tb", F.sum("b").over(wall))
+    lnu = F.floor(
+        F.log(F.col("a").cast("double") * F.col("tb")
+              / (F.col("b").cast("double") * F.col("ta"))) * 1e6
+    ).cast("long")
+    c = t.withColumn(
+        "psi_u",
+        F.expr("(a * tb - b * ta)").cast("long") * lnu
+    ).withColumn("psi_u", F.expr("psi_u div (ta * tb)").cast("long"))
+    return c.select(
+        "event_type",
+        F.col("a").cast("long").alias("n_baseline"),
+        F.col("b").cast("long").alias("n_current"),
+        "psi_u",
+        F.sum("psi_u").over(wall).cast("long").alias("total_psi_u"),
+        (F.sum("psi_u").over(wall) > 250000).alias("drift_alert"),
+    ).orderBy("event_type")
