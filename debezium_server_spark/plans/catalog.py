@@ -8932,3 +8932,90 @@ def q_psi_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psi_u").over(wall).cast("long").alias("total_psi_u"),
         (F.sum("psi_u").over(wall) > 250000).alias("drift_alert"),
     ).orderBy("event_type")
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_event, ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_event, ts
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT v.user_id, v.view_event, p.purchase_event,
+                 v.ts AS v_ts, p.ts AS p_ts
+          FROM v JOIN p ON p.user_id = v.user_id
+           AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY purchase_event
+                                   ORDER BY v_ts, view_event) AS i,
+             count(*) OVER (PARTITION BY purchase_event) AS n
+      FROM j),
+    credited AS (
+      SELECT user_id, view_event,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN i = 1 OR i = n
+                    THEN 4000 + CASE WHEN n = 2 THEN 1000 ELSE 0 END
+                  ELSE 2000 // (n - 2)
+                       + CASE WHEN i - 1 <= 2000 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS bp
+      FROM ranked)
+    SELECT user_id, view_event,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(bp) AS BIGINT) AS total_bp
+    FROM credited GROUP BY user_id, view_event
+    ORDER BY user_id, view_event
+    """,
+    "Position-based MULTI-TOUCH attribution (the 40/20/40 U-shape "
+    "every marketing stack reports, next to the catalog's first-touch "
+    "and as-of last-touch entries): each purchase credits its views "
+    "from the prior 24h — 40% first touch, 40% last, 20% split across "
+    "the middles — in integer basis points with the split remainder "
+    "assigned to the EARLIEST middles (rank arithmetic, so every "
+    "purchase's credits sum to exactly 10000 and the assignment is "
+    "engine-exact; n=1 takes all, n=2 splits 50/50). Scale: the "
+    "touch join is equi-keyed on user with the 24h range as a "
+    "residual predicate — a hash join, never a nested loop; two "
+    "window passes per purchase partition; output aggregates per "
+    "view.",
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event"),
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("p_ts"))
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOUR"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    )
+    wp = Window.partitionBy("purchase_event")
+    wr = wp.orderBy("v_ts", "view_event")
+    ranked = j.withColumn("i", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wp))
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(
+            (F.col("i") == 1) | (F.col("i") == F.col("n")),
+            F.lit(4000) + F.when(F.col("n") == 2, 1000).otherwise(0),
+        )
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("i") - 1 <= F.expr("2000 % (n - 2)"), 1)
+            .otherwise(0)
+        )
+    )
+    return (
+        ranked.withColumn("bp", bp)
+        .groupBy("user_id", "view_event")
+        .agg(
+            F.count("*").cast("long").alias("n_credits"),
+            F.sum("bp").cast("long").alias("total_bp"),
+        )
+        .orderBy("user_id", "view_event")
+    )
