@@ -681,12 +681,17 @@ def jaccard_prefix_join(
                 Window.partitionBy("id").orderBy("df", "tok")),
         )
     )
-    # Both sides of the candidate self-join read the prefix table; NO
-    # checkpoint here — Spark reuses the prefix pipeline's shuffle for
-    # both join sides (ReusedExchange), so materializing it would only
-    # add a job barrier (measured: 5.95s -> 4.36s at sf0.1 without it,
-    # exchange count unchanged at 5).
-    prefix = ordered.filter(F.col("rn") <= p_len).select("id", "tok", "len")
+    # Both sides of the candidate self-join read the prefix table. A
+    # LAZY checkpoint (eager=False): the plan truncates (the prefix
+    # pipeline appears once, not once per join side), but there is no
+    # up-front job barrier — materialization happens inside the first
+    # action and is shared (an eager checkpoint here cost 1.6 s of
+    # barrier at sf0.1: 5.95 s vs 4.36 s total).
+    prefix = (
+        ordered.filter(F.col("rn") <= p_len)
+        .select("id", "tok", "len")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
