@@ -9019,3 +9019,84 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_event")
     )
+
+
+@register(
+    "source_centroid_similarity",
+    """
+    WITH e0 AS (
+      SELECT d.source,
+             unnest(list_transform(range(1, len(v.embedding) + 1),
+               i -> {'dim': i,
+                     'x': CAST(v.embedding[i] AS DOUBLE)})) AS u
+      FROM embeddings v
+      JOIN documents d ON d.doc_id = v.vec_id
+    ), e AS (
+      SELECT source, u.dim AS dim,
+             CAST(floor(u.x * 1000000) AS BIGINT) AS q
+      FROM e0
+    ), sums AS (
+      SELECT source, dim, sum(q) AS s FROM e GROUP BY source, dim
+    ), cent AS (
+      SELECT source,
+             list(CAST(s AS DOUBLE) ORDER BY dim) AS c
+      FROM sums GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           floor(list_aggregate(list_transform(range(1, len(a.c) + 1),
+                     i -> a.c[i] * b.c[i]), 'sum')
+                 / (sqrt(list_aggregate(list_transform(a.c, x -> x*x),
+                                        'sum'))
+                    * sqrt(list_aggregate(list_transform(b.c, x -> x*x),
+                                          'sum'))) * 10000) / 10000
+             AS cos_sim
+    FROM cent a JOIN cent b ON a.source <= b.source
+    ORDER BY src_a, src_b
+    """,
+    "Per-source embedding CENTROIDS and their cross-source cosine "
+    "matrix — the domain-clustering / corpus-mixing diagnostic "
+    "(which sources occupy the same embedding region?). Mean pooling "
+    "is made engine-exact by quantizing each coordinate to integer "
+    "micro-units FIRST (floor(x*1e6)) so the per-dimension sums are "
+    "exact integers at any aggregation order — the naive "
+    "mean-of-doubles is shuffle-order-dependent and can never "
+    "hash-match; cosine then cancels the count (cos(S/n, T/m) = "
+    "cos(S, T)) so the similarity runs on the integer sum vectors "
+    "via the same sequential fold both engines use. Scale: one "
+    "explode + one (source, dim) hash agg — map-side combinable, "
+    "|sources| x dims rows after; the pairwise stage is "
+    "|sources|^2.",
+)
+def q_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .select("source", F.posexplode("embedding").alias("dim0", "x"))
+        .select(
+            "source", (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("q"),
+        )
+    )
+    cent = (
+        e.groupBy("source", "dim").agg(F.sum("q").alias("s"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select(
+            "source",
+            F.expr("transform(ds, p -> CAST(p.s AS DOUBLE))").alias("c"),
+        )
+    )
+    a = cent.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
+    dot = F.expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(
+        "aggregate(transform(ca, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    nb = F.sqrt(F.expr(
+        "aggregate(transform(cb, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    return (
+        a.join(b, F.col("src_a") <= F.col("src_b"))
+        .select("src_a", "src_b", _r4(dot / (na * nb)).alias("cos_sim"))
+        .orderBy("src_a", "src_b")
+    )
