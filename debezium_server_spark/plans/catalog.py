@@ -9100,3 +9100,73 @@ def q_source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", _r4(dot / (na * nb)).alias("cos_sim"))
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "stream_interval_join_right_outer",
+    """
+    WITH wmq AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 24 HOUR AS wm
+    ), m AS (
+      SELECT v.user_id AS vu, v.event_id AS view_event,
+             p.event_id AS purchase_event, v.ts AS v_ts, p.ts AS p_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ), rp AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS view_event,
+             p.event_id AS purchase_event,
+             CAST(NULL AS TIMESTAMP) AS v_ts, p.ts AS p_ts
+      FROM events p CROSS JOIN wmq
+      WHERE p.event_type = 'purchase'
+        AND p.ts < wmq.wm
+        AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_event = p.event_id)
+    ), allrows AS (
+      SELECT vu AS user_id, view_event, purchase_event, v_ts, p_ts FROM m
+      UNION ALL SELECT * FROM rp
+    )
+    SELECT user_id, view_event, purchase_event,
+           strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM allrows
+    ORDER BY user_id, purchase_ts, purchase_event, view_ts, view_event
+    """,
+    "RIGHT-OUTER stream-stream interval join — the last shape of the "
+    "matrix (inner / leftOuter / rightOuter / fullOuter), the "
+    "'orphaned payment' audit: every purchase, null-padded when no "
+    "view preceded it within the hour. The right side's null horizon "
+    "is its OWN timestamp (strictly past purchase_ts — future views "
+    "can only match purchases at or after their own ts), on the "
+    "min-of-branch-watermarks basis; contrast the left side's "
+    "ts + upper horizon in stream_interval_join_outer — the horizon "
+    "asymmetry is the state-size asymmetry at 100 TB.",
+)
+def q_stream_interval_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.joins import interval_join
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id")
+
+    def xform(s: DataFrame) -> DataFrame:
+        views = s.filter(F.col("event_type") == "view").drop("event_type")
+        buys = s.filter(F.col("event_type") == "purchase").drop("event_type")
+        return interval_join(
+            views, buys, on="user_id", left_ts="ts", right_ts="ts",
+            lower="interval 0 seconds", upper="interval 1 hour",
+            watermark="24 hours", how="rightOuter",
+            left_alias="v", right_alias="p",
+        )
+
+    out = replay_stream(spark, ev, xform)
+    return out.select(
+        "user_id",
+        F.col("v_event_id").alias("view_event"),
+        F.col("p_event_id").alias("purchase_event"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    ).orderBy("user_id", "purchase_ts", "purchase_event",
+              "view_ts", "view_event")
