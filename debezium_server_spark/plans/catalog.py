@@ -9170,3 +9170,80 @@ def q_stream_interval_join_right_outer(spark: SparkSession, sf_dir: str) -> Data
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     ).orderBy("user_id", "purchase_ts", "purchase_event",
               "view_ts", "view_event")
+
+
+@register(
+    "quantile_cont_prices",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS prio, o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000
+                  AS BIGINT) AS u
+      FROM orders
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY prio ORDER BY u, k) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n
+      FROM o
+    ), q AS (
+      SELECT prio, n,
+             max(CASE WHEN rn = (n-1) * 1 // 4 + 1 THEN u END) AS lo1,
+             max(CASE WHEN rn = least((n-1) * 1 // 4 + 2, n) THEN u END)
+               AS hi1,
+             max(CASE WHEN rn = (n-1) * 2 // 4 + 1 THEN u END) AS lo2,
+             max(CASE WHEN rn = least((n-1) * 2 // 4 + 2, n) THEN u END)
+               AS hi2,
+             max(CASE WHEN rn = (n-1) * 3 // 4 + 1 THEN u END) AS lo3,
+             max(CASE WHEN rn = least((n-1) * 3 // 4 + 2, n) THEN u END)
+               AS hi3
+      FROM ranked GROUP BY prio, n
+    )
+    SELECT prio AS o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           CAST(((4 - (n-1) * 1 % 4) * lo1 + ((n-1) * 1 % 4) * hi1) // 4
+                AS BIGINT) AS p25_u,
+           CAST(((4 - (n-1) * 2 % 4) * lo2 + ((n-1) * 2 % 4) * hi2) // 4
+                AS BIGINT) AS p50_u,
+           CAST(((4 - (n-1) * 3 % 4) * lo3 + ((n-1) * 3 % 4) * hi3) // 4
+                AS BIGINT) AS p75_u
+    FROM q ORDER BY o_orderpriority
+    """,
+    "Exact TYPE-7 continuous quantiles (the R/NumPy/PERCENTILE_CONT "
+    "interpolation rule) in pure integer arithmetic: prices become "
+    "micro-unit integers, the quartile position (n-1)k/4 splits into "
+    "an element index and a remainder r, and the interpolated value "
+    "is ((4-r)*lo + r*hi) div 4 — no float division, so the result "
+    "is bit-identical in any engine where builtin percentile/ "
+    "quantile_cont implementations differ in last-ulp behavior and "
+    "can never be hash-compared. Complements percentile_disc "
+    "(element picks) and mad_outliers (robust spread): one ranked "
+    "window pass, then conditional aggregation picks the two "
+    "bracketing elements per quartile — no per-group sort repeated, "
+    "no collect.",
+)
+def q_quantile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1000000"
+               " AS BIGINT)").alias("u"),
+    )
+    w = Window.partitionBy("prio").orderBy("u", "k")
+    wn = Window.partitionBy("prio")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn))
+    aggs = []
+    for qk in (1, 2, 3):
+        aggs.append(F.max(F.when(
+            F.col("rn") == F.expr(f"(n-1) * {qk} div 4 + 1"),
+            F.col("u"))).alias(f"lo{qk}"))
+        aggs.append(F.max(F.when(
+            F.col("rn") == F.expr(f"least((n-1) * {qk} div 4 + 2, n)"),
+            F.col("u"))).alias(f"hi{qk}"))
+    q = ranked.groupBy("prio", "n").agg(*aggs)
+    cols = [F.col("prio").alias("o_orderpriority"),
+            F.col("n").cast("long").alias("n_orders")]
+    for qk, name in ((1, "p25_u"), (2, "p50_u"), (3, "p75_u")):
+        cols.append(
+            F.expr(f"((4 - (n-1) * {qk} % 4) * lo{qk}"
+                   f" + ((n-1) * {qk} % 4) * hi{qk}) div 4")
+            .cast("long").alias(name))
+    return q.select(*cols).orderBy("o_orderpriority")
