@@ -726,3 +726,60 @@ def jaccard_prefix_join(
             .alias("jacc_u"),
         )
     )
+
+
+def intra_doc_repeat_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_span: int = 8,
+) -> DataFrame:
+    """Exact repeated token spans WITHIN a single document — the
+    repeated-paragraph / copy-loop artifact screen for generated or
+    template text (the intra-document half of ExactSubstr, which
+    repetition_signals' ratio heuristics cannot localize): the
+    document's k-gram hash table self-joins on hash with pa > pb, and
+    maximal diagonal runs (pa - pb constant, consecutive pa) are spans
+    occurring at BOTH positions. Returns (id, start_a, start_b,
+    span_tokens) with start_a > start_b, spans >= min_span.
+
+    Bound: pair count per doc is sum over gram values of freq^2 —
+    proportional to actual repetition, not doc length^2; shard
+    pathological docs upstream (the winnowing caveat).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(token_shingles(toks, k)).alias("pos", "gram"),
+    )
+    h40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    grams = g.select("id", "pos", h40.alias("h")).localCheckpoint()
+    ga = grams.select("id", F.col("pos").alias("pa"), F.col("h").alias("ha"))
+    gb = grams.select(
+        F.col("id").alias("idb"), F.col("pos").alias("pb"),
+        F.col("h").alias("hb"))
+    m = (
+        ga.join(gb, (F.col("id") == F.col("idb"))
+                & (F.col("ha") == F.col("hb"))
+                & (F.col("pa") > F.col("pb")))
+        .select("id", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wisl = Window.partitionBy("id", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("id", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+    )
+    return runs.filter(F.col("span_tokens") >= min_span).select(
+        F.col("id").alias(id_col),
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        "span_tokens",
+    )

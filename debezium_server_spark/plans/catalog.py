@@ -9247,3 +9247,53 @@ def q_quantile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f" + ((n-1) * {qk} % 4) * hi{qk}) div 4")
             .cast("long").alias(name))
     return q.select(*cols).orderBy("o_orderpriority")
+
+
+@register(
+    "intra_doc_repeats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> {{'pos': i - 1,
+                         'gram': toks[i] || ' ' || toks[i+1]}})) AS u
+          FROM t WHERE len(toks) >= 2),
+    h AS (SELECT doc_id, u.pos AS pos,
+                 CAST(concat('0x', substr(md5(u.gram), 1, 10)) AS BIGINT)
+                   AS h
+          FROM g),
+    m AS (SELECT a.doc_id AS id, a.pos AS pa, b.pos AS pb,
+                 a.pos - b.pos AS diag
+          FROM h a JOIN h b
+            ON b.doc_id = a.doc_id AND b.h = a.h AND a.pos > b.pos),
+    isl AS (SELECT id, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY id, diag
+                                           ORDER BY pa) AS isl_id
+            FROM m),
+    runs AS (SELECT id, CAST(min(pa) AS BIGINT) AS start_a,
+                    CAST(min(pb) AS BIGINT) AS start_b,
+                    CAST(count(*) + 1 AS BIGINT) AS span_tokens
+             FROM isl GROUP BY id, diag, isl_id)
+    SELECT id AS doc_id, start_a, start_b, span_tokens
+    FROM runs WHERE span_tokens >= 3
+    ORDER BY doc_id, start_b, start_a
+    """,
+    "Intra-document repeated-span detection — the repeated-phrase / "
+    "copy-loop artifact screen for generated and template text, "
+    "localizing what repetition_signals' ratios can only score: the "
+    "doc's own k-gram hash table self-joins (pa > pb) and maximal "
+    "diagonal runs are spans occurring at BOTH positions, exact to "
+    "the token offset (k=2, min repeated span 3 tokens — tuned to "
+    "this corpus's repetition scale: no 5-gram repeats exist but "
+    "~29 docs repeat a trigram+ at sf0.01). Pair count per doc "
+    "follows actual repetition (sum of gram-frequency^2), never "
+    "doc_length^2. Same 40-bit md5 integer arithmetic as the "
+    "cross-doc ExactSubstr entries — the oracle replays it "
+    "bit-exactly.",
+)
+def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import intra_doc_repeat_spans
+
+    return intra_doc_repeat_spans(
+        load(spark, sf_dir, "documents"), k=2, min_span=3
+    ).orderBy("doc_id", "start_b", "start_a")

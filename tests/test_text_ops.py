@@ -266,3 +266,19 @@ def test_nb_classifier_separable_vocab(spark):
     got = {r["doc_id"]: r for r in nb_lang_classifier(df).collect()}
     assert all(got[i]["predicted"] == got[i]["actual"] for i in got)
     assert got[5]["correct"] is True
+
+
+def test_intra_doc_repeat_spans_offsets(spark):
+    """A doc repeating a 4-token phrase at two offsets yields one span
+    with exact positions; a doc with no repetition yields nothing."""
+    from debezium_server_spark.operators.dedup import intra_doc_repeat_spans
+
+    phrase = "alpha beta gamma delta"
+    a = phrase + " x1 x2 x3 " + phrase + " x4"   # at 0 and at 8
+    b = " ".join(f"u{i}" for i in range(15))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = intra_doc_repeat_spans(df, k=2, min_span=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["start_b"], r["start_a"], r["span_tokens"]) == \
+        (1, 0, 8, 4)
