@@ -274,11 +274,11 @@ def test_intra_doc_repeat_spans_offsets(spark):
     from debezium_server_spark.operators.dedup import intra_doc_repeat_spans
 
     phrase = "alpha beta gamma delta"
-    a = phrase + " x1 x2 x3 " + phrase + " x4"   # at 0 and at 8
+    a = phrase + " x1 x2 x3 " + phrase + " x4"   # at 0 and at 7
     b = " ".join(f"u{i}" for i in range(15))
     df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
     rows = intra_doc_repeat_spans(df, k=2, min_span=3).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r["doc_id"], r["start_b"], r["start_a"], r["span_tokens"]) == \
-        (1, 0, 8, 4)
+        (1, 0, 7, 4)
