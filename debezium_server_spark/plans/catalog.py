@@ -9297,3 +9297,78 @@ def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_doc_repeat_spans(
         load(spark, sf_dir, "documents"), k=2, min_span=3
     ).orderBy("doc_id", "start_b", "start_a")
+
+
+@register(
+    "revenue_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             COALESCE(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100)
+                           AS BIGINT), 0) AS x
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), ranked AS (
+      SELECT n.n_name, x,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY x, c_custkey) AS i,
+             count(*) OVER (PARTITION BY n.n_name) AS n,
+             sum(x) OVER (PARTITION BY n.n_name) AS s
+      FROM rev JOIN nation n ON n.n_nationkey = rev.c_nationkey
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST(sum((2 * i - n - 1) * x) * 10000 // (n * s) AS BIGINT)
+             AS gini_bp
+    FROM ranked
+    GROUP BY n_name, n, s
+    ORDER BY n_name
+    """,
+    "Gini concentration index of customer revenue per nation — the "
+    "inequality / whale-concentration metric behind quota and risk "
+    "dashboards, in EXACT integer arithmetic: revenue in cents, the "
+    "sorted-rank identity G = sum((2i - n - 1) x_i) / (n sum(x)) "
+    "cross-multiplied into basis points (numerator bounded ~1e18 — "
+    "cents not micro-units precisely so the 64-bit product cannot "
+    "overflow), ascending sort makes the numerator non-negative so "
+    "Spark div and DuckDB // agree. Zero-order customers join in at "
+    "x = 0 (a LEFT join — dropping them understates concentration). "
+    "One grouped agg + one ranked window pass per nation.",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(o_totalprice AS DECIMAL(38,2)) * 100"))
+                .cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("x")
+        )
+    )
+    ranked = rev.join(F.broadcast(n),
+                      rev["c_nationkey"] == n["n_nationkey"])
+    wp = Window.partitionBy("n_name")
+    wr = wp.orderBy("x", "c_custkey")
+    ranked = (
+        ranked.withColumn("i", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wp))
+        .withColumn("s", F.sum("x").over(wp))
+    )
+    return (
+        ranked.groupBy("n_name", "n", "s")
+        .agg(F.sum(F.expr("(2 * i - n - 1) * x")).alias("a"))
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("s").cast("long").alias("total_cents"),
+            F.expr("(a * 10000) div (n * s)").cast("long").alias("gini_bp"),
+        )
+        .orderBy("n_name")
+    )
