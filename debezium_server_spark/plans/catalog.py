@@ -9372,3 +9372,61 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, to_type, n,
+             sum(n) OVER (PARTITION BY from_type) AS row_total
+      FROM pairs
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // row_total AS BIGINT) AS p_ppm
+    FROM tot
+    ORDER BY from_type, to_type
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences — the building block behind next-event prediction, "
+    "anomalous-flow detection and the CEP patterns the catalog "
+    "already matches: per user, each event's successor (lead over "
+    "the (ts, event_id)-ordered stream), global transition counts, "
+    "and row-normalized probabilities as exact integer ppm "
+    "(n * 1e6 div row_total — no float). One shuffle on user for "
+    "the sequence window, then a tiny |types|^2 aggregation. At "
+    "100 TB the lead() pass is the only data-sized stage and it "
+    "reuses the user partitioning every session/funnel entry "
+    "already needs.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wt))
+        .select(
+            "from_type", "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div row_total").cast("long")
+            .alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
