@@ -123,3 +123,45 @@ def split_upserts_deletes(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     the exchange under AQE."""
     live = df.filter(~is_tombstone())
     return live.filter(~is_delete()), live.filter(is_delete())
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delta_col: str = "delta",
+    floor_value: int = 0,
+) -> DataFrame:
+    """Per-key running balance CLAMPED at a floor:
+    balance_t = max(floor, balance_{t-1} + delta_t) — inventory /
+    credit / quota semantics. The clamp makes this a genuinely
+    sequential fold: no window frame expresses it (a clamped sum is
+    not a prefix sum — max(0, .) is applied at EVERY step, so
+    history cannot be replayed from aggregates). This is the
+    documented escape hatch: Arrow-batched applyInPandas per key,
+    a tight numpy loop inside, one shuffle on the key — the ONLY
+    per-row Python in the catalog's batch surface, used precisely
+    where DataFrame algebra cannot go.
+
+    `delta_col` must be integer units (cents); rows come back with
+    `balance` appended, per-key (ts, tiebreak) order preserved.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    fields = df.schema.fields + [T.StructField("balance", T.LongType())]
+    out_schema = T.StructType(fields)
+    other = [c for c in df.columns if c != key_col]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, delta_col], ignore_index=True)
+        bal = 0
+        out = []
+        for d in pdf[delta_col]:
+            bal = max(floor_value, bal + int(d))
+            out.append(bal)
+        pdf["balance"] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)

@@ -9430,3 +9430,66 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "clamped_running_balance",
+    """
+    WITH RECURSIVE d AS (
+      SELECT user_id, ts,
+             CASE event_type
+               WHEN 'purchase' THEN CAST(floor(value * 100) AS BIGINT)
+               ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ), o AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, delta) AS rn
+      FROM d
+    ), walk AS (
+      SELECT user_id, rn, ts, delta,
+             greatest(0, delta) AS balance
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn, n.ts, n.delta,
+             greatest(0, w.balance + n.delta)
+      FROM walk w JOIN o n ON n.user_id = w.user_id AND n.rn = w.rn + 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(delta AS BIGINT) AS delta,
+           CAST(balance AS BIGINT) AS balance
+    FROM walk ORDER BY user_id, ts, delta
+    """,
+    "Floor-clamped running balance (credits add, errors refund-debit, "
+    "balance never below zero) — the inventory/credit/quota fold that "
+    "NO window frame expresses: max(0, .) applies at EVERY step, so "
+    "the result is not a prefix sum and cannot be replayed from "
+    "aggregates. This entry is the catalog's documented escape "
+    "hatch made visible: Arrow-batched applyInPandas per key with a "
+    "tight per-group loop (operators/materialize.py "
+    "clamped_running_balance) — the only per-row Python on the "
+    "batch surface, used precisely where DataFrame algebra cannot "
+    "go; one shuffle on the key, per-group work linear. Deltas are "
+    "integer cents; the oracle replays the fold as a per-key "
+    "recursive CTE with the identical (ts, delta) order.",
+)
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.materialize import (
+        clamped_running_balance,
+    )
+
+    ev = load_events(spark, sf_dir)
+    d = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts",
+        F.when(F.col("event_type") == "purchase",
+               F.floor(F.col("value") * 100).cast("long"))
+        .otherwise(-F.floor(F.col("value") * 100).cast("long"))
+        .alias("delta"),
+    )
+    out = clamped_running_balance(d, key_col="user_id", ts_col="ts",
+                                  delta_col="delta")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("delta").cast("long").alias("delta"),
+        F.col("balance").cast("long").alias("balance"),
+    ).orderBy("user_id", "ts", "delta")
