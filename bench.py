@@ -44,8 +44,13 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     total = 0.0
     for name, qd in CATALOG.items():
+        # stream_* entries replay a full streaming query per run (fresh
+        # checkpoint, fixed state-store + micro-batch costs) — best-of-N
+        # buys no codegen-reuse there and triples the dominant block
+        # (~19 entries x ~6 s); a single run is as stable.
+        n_runs = 1 if name.startswith("stream_") else runs
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             qd.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
