@@ -110,6 +110,11 @@ WHITELIST: set[str] = {
     # onto the 9-row observed-digit table — both sides bounded by
     # construction (digits 1..9), never grows with data
     "benford_price_audit",
+    # pairwise cosine over the POST-AGGREGATION centroid frame: both
+    # sides are |sources| rows (20 here — dimension cardinality, not
+    # data volume) and the |sources|^2 matrix IS the requested output,
+    # so the quadratic join is the output size, not an accident
+    "source_centroid_similarity",
 }
 
 
