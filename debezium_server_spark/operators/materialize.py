@@ -131,20 +131,25 @@ def clamped_running_balance(
     ts_col: str = "ts",
     delta_col: str = "delta",
     floor_value: int = 0,
+    cap_value: int | None = None,
 ) -> DataFrame:
-    """Per-key running balance CLAMPED at a floor:
-    balance_t = max(floor, balance_{t-1} + delta_t) — inventory /
-    credit / quota semantics. The clamp makes this a genuinely
-    sequential fold: no window frame expresses it (a clamped sum is
-    not a prefix sum — max(0, .) is applied at EVERY step, so
-    history cannot be replayed from aggregates). This is the
-    documented escape hatch: Arrow-batched applyInPandas per key,
-    a tight numpy loop inside, one shuffle on the key — the ONLY
-    per-row Python in the catalog's batch surface, used precisely
-    where DataFrame algebra cannot go.
+    """Per-key running balance clamped on BOTH sides:
+    balance_t = min(cap, max(floor, balance_{t-1} + delta_t)) —
+    inventory-with-capacity / prepaid-credit semantics.
+
+    Why this is the escape hatch and not a window: the ONE-sided
+    clamp has a prefix-scan closed form (the Skorokhod reflection
+    identity, b_t = S_t - min(0, min_{j<=t} S_j) — expressible as
+    cumsum minus a running min), but the TWO-sided clamp does not:
+    every step is a nonlinear saturating map and the walk between
+    the two barriers cannot be reconstructed from any fixed set of
+    prefix aggregates. Hence Arrow-batched applyInPandas per key
+    with a linear per-group loop — the only per-row Python on the
+    catalog's batch surface, used precisely where DataFrame algebra
+    cannot go. One shuffle on the key.
 
     `delta_col` must be integer units (cents); rows come back with
-    `balance` appended, per-key (ts, tiebreak) order preserved.
+    `balance` appended, per-key (ts, delta) order.
     """
     import pandas as pd
 
@@ -152,7 +157,7 @@ def clamped_running_balance(
 
     fields = df.schema.fields + [T.StructField("balance", T.LongType())]
     out_schema = T.StructType(fields)
-    other = [c for c in df.columns if c != key_col]
+    cap = cap_value
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, delta_col], ignore_index=True)
@@ -160,6 +165,8 @@ def clamped_running_balance(
         out = []
         for d in pdf[delta_col]:
             bal = max(floor_value, bal + int(d))
+            if cap is not None:
+                bal = min(cap, bal)
             out.append(bal)
         pdf["balance"] = out
         return pdf

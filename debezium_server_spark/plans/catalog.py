@@ -9447,11 +9447,11 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     ), walk AS (
       SELECT user_id, rn, ts, delta,
-             greatest(0, delta) AS balance
+             least(20000, greatest(0, delta)) AS balance
       FROM o WHERE rn = 1
       UNION ALL
       SELECT n.user_id, n.rn, n.ts, n.delta,
-             greatest(0, w.balance + n.delta)
+             least(20000, greatest(0, w.balance + n.delta))
       FROM walk w JOIN o n ON n.user_id = w.user_id AND n.rn = w.rn + 1
     )
     SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -9459,17 +9459,20 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(balance AS BIGINT) AS balance
     FROM walk ORDER BY user_id, ts, delta
     """,
-    "Floor-clamped running balance (credits add, errors refund-debit, "
-    "balance never below zero) — the inventory/credit/quota fold that "
-    "NO window frame expresses: max(0, .) applies at EVERY step, so "
-    "the result is not a prefix sum and cannot be replayed from "
-    "aggregates. This entry is the catalog's documented escape "
-    "hatch made visible: Arrow-batched applyInPandas per key with a "
-    "tight per-group loop (operators/materialize.py "
-    "clamped_running_balance) — the only per-row Python on the "
-    "batch surface, used precisely where DataFrame algebra cannot "
-    "go; one shuffle on the key, per-group work linear. Deltas are "
-    "integer cents; the oracle replays the fold as a per-key "
+    "TWO-SIDED clamped running balance (credits add, errors debit, "
+    "balance saturates at 0 and at a $200 capacity) — the "
+    "inventory-with-capacity fold no window frame expresses. The "
+    "distinction is sharp: a ONE-sided clamp has the Skorokhod "
+    "reflection closed form (cumsum minus running min — pure window "
+    "algebra), but between TWO barriers every step is a nonlinear "
+    "saturating map and no fixed set of prefix aggregates "
+    "reconstructs the walk. Hence this entry is the catalog's "
+    "documented escape hatch made visible: Arrow-batched "
+    "applyInPandas per key with a linear per-group loop "
+    "(operators/materialize.py clamped_running_balance) — the only "
+    "per-row Python on the batch surface, used precisely where "
+    "DataFrame algebra cannot go; one shuffle on the key. Deltas "
+    "are integer cents; the oracle replays the fold as a per-key "
     "recursive CTE with the identical (ts, delta) order.",
 )
 def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9486,7 +9489,7 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta"),
     )
     out = clamped_running_balance(d, key_col="user_id", ts_col="ts",
-                                  delta_col="delta")
+                                  delta_col="delta", cap_value=20000)
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
