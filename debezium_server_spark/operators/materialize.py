@@ -171,4 +171,15 @@ def clamped_running_balance(
         pdf["balance"] = out
         return pdf
 
-    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+    # Explicit repartition on the key: grouped-map pays a fixed
+    # per-group cost (Arrow batch flush ~30 ms), and AQE happily
+    # coalesces a small shuffle to ONE task, serializing every group
+    # through one Python worker (150 groups -> 5 s). A user-specified
+    # repartition survives AQE, spreads groups across workers, and the
+    # groupBy reuses the same hash partitioning — no extra exchange.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(para, F.col(key_col))
+        .groupBy(key_col)
+        .applyInPandas(fold, schema=out_schema)
+    )

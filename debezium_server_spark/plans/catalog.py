@@ -9488,8 +9488,12 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.floor(F.col("value") * 100).cast("long"))
         .alias("delta"),
     )
-    out = clamped_running_balance(d, key_col="user_id", ts_col="ts",
-                                  delta_col="delta", cap_value=20000)
+    # materialize the fold ONCE: the final orderBy's range sampler
+    # would otherwise execute the Python stage a second time
+    out = clamped_running_balance(
+        d, key_col="user_id", ts_col="ts",
+        delta_col="delta", cap_value=20000,
+    ).localCheckpoint()
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
