@@ -776,6 +776,7 @@ def nb_lang_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     label_col: str = "lang",
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """TRAINED multinomial Naive Bayes language classifier — training
     AND inference as one relational pipeline (the in-engine complement
@@ -815,8 +816,18 @@ def nb_lang_classifier(
         "id", F.explode("__toks").alias("tok")
     ).localCheckpoint()  # token occurrences feed train AND score
 
-    tl = t.join(
-        df.select(F.col(id_col).alias("id"),
+    # `train_df` splits training from scoring (holdout evaluation);
+    # default trains on the scored frame itself
+    if train_df is None:
+        tr, t_train = df, t
+    else:
+        tr = train_df
+        t_train = tr.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        ).localCheckpoint()
+    tl = t_train.join(
+        tr.select(F.col(id_col).alias("id"),
                   F.col(label_col).alias("lang")),
         "id",
     )
@@ -827,9 +838,9 @@ def nb_lang_classifier(
         .localCheckpoint()
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t_lang"))
-    v = t.select("tok").distinct().count()
-    n_docs = df.count()
-    pri = df.groupBy(F.col(label_col).alias("lang")).agg(
+    v = t_train.select("tok").distinct().count()
+    n_docs = tr.count()
+    pri = tr.groupBy(F.col(label_col).alias("lang")).agg(
         F.count("*").alias("n_l"))
     lang_stats = (
         pri.join(tot, "lang")

@@ -9500,3 +9500,82 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("delta"),
         F.col("balance").cast("long").alias("balance"),
     ).orderBy("user_id", "ts", "delta")
+
+
+@register(
+    "nb_holdout_confusion",
+    f"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    ttr AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM tr),
+    tte AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM te),
+    doclang AS (SELECT doc_id AS id, lang FROM tr),
+    tl AS (SELECT t.id, t.tok, d.lang FROM ttr t JOIN doclang d USING (id)),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM tl GROUP BY lang, tok),
+    tot AS (SELECT lang, sum(c) AS t_lang FROM cnt GROUP BY lang),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM ttr),
+    nn AS (SELECT count(*) AS n_docs FROM tr),
+    pri AS (SELECT lang, count(*) AS n_l FROM tr GROUP BY lang),
+    stats AS (SELECT p.lang,
+                     CAST(floor(ln(CAST(n_l AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS prior_u,
+                     CAST(floor(ln(1.0 / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS unseen_u,
+                     t_lang, v
+              FROM pri p JOIN tot USING (lang)
+              CROSS JOIN vv CROSS JOIN nn),
+    ll AS (SELECT c.lang, c.tok,
+                  CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS ll_u
+           FROM cnt c JOIN stats USING (lang)),
+    cov AS (SELECT t.id, l.lang, sum(ll_u) AS sum_ll, count(*) AS n_cov
+            FROM tte t JOIN ll l USING (tok) GROUP BY t.id, l.lang),
+    ntok AS (SELECT doc_id AS id, lang AS actual,
+                    CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+             FROM te),
+    grid AS (SELECT n.id, n.actual, n.n_tokens,
+                    s.lang, s.prior_u, s.unseen_u
+             FROM ntok n CROSS JOIN
+                  (SELECT lang, prior_u, unseen_u FROM stats) s),
+    scored AS (SELECT g.id, g.actual, g.lang,
+                      CAST(g.prior_u + COALESCE(c.sum_ll, 0)
+                           + (g.n_tokens - COALESCE(c.n_cov, 0))
+                             * g.unseen_u AS BIGINT) AS score_u
+               FROM grid g
+               LEFT JOIN cov c ON c.id = g.id AND c.lang = g.lang),
+    best AS (SELECT *, row_number() OVER (PARTITION BY id
+                                          ORDER BY score_u DESC, lang)
+                    AS rn
+             FROM scored)
+    SELECT actual, lang AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1
+    GROUP BY actual, lang
+    ORDER BY actual, predicted
+    """,
+    "HONEST holdout evaluation of the trained Naive Bayes classifier "
+    "— train on the 4/5 of documents with doc_id % 5 != 0, score the "
+    "held-out fifth, emit the confusion matrix (the train-on-test "
+    "shortcut of nb_lang_train_score flatters every count-based "
+    "model): same smoothed integer log-likelihood arithmetic, with "
+    "held-out tokens absent from the training vocabulary flowing "
+    "through the per-label unseen closed form (V and totals come "
+    "from the TRAIN split only). The split is a pure key predicate "
+    "— both engines cut identically, no sampling. Scale shape "
+    "unchanged: two hash aggs to train, one token equi-join to "
+    "score.",
+)
+def q_nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import nb_lang_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    per_doc = nb_lang_classifier(test, train_df=train)
+    return (
+        per_doc.groupBy("actual", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )
