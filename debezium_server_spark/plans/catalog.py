@@ -9579,3 +9579,92 @@ def q_nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "markov_holdout_accuracy",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ), train AS (
+      SELECT event_type AS from_type, next_type, count(*) AS n
+      FROM seq
+      WHERE next_type IS NOT NULL AND date_part('day', next_ts) <= 15
+      GROUP BY 1, 2
+    ), model AS (
+      SELECT from_type, next_type AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+                                         ORDER BY n DESC, next_type) AS rn
+            FROM train)
+      WHERE rn = 1
+    ), test AS (
+      SELECT event_type AS from_type, next_type AS actual
+      FROM seq
+      WHERE next_type IS NOT NULL AND date_part('day', next_ts) > 15
+    )
+    SELECT t.from_type, m.predicted,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN t.actual = m.predicted
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN t.actual = m.predicted THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS accuracy_bp
+    FROM test t JOIN model m USING (from_type)
+    GROUP BY t.from_type, m.predicted
+    ORDER BY t.from_type
+    """,
+    "TEMPORAL-holdout evaluation of the Markov next-event model: the "
+    "argmax transition trained on the month's first half (transitions "
+    "whose TARGET lands on days 1-15) predicts successors in the "
+    "second half — per source type, the majority-class prediction, "
+    "transition counts, hits and accuracy in exact integer basis "
+    "points. The time-based split is the one that matters for "
+    "sequence models (random splits leak adjacent transitions); the "
+    "argmax tiebreak (count desc, type asc) is total, so the model "
+    "itself is engine-exact. One user-partitioned lead() pass feeds "
+    "both splits; the model is |types| rows broadcast onto the test "
+    "aggregate.",
+)
+def q_markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select("event_type", "next_type", "next_ts")
+        .localCheckpoint()  # one lead() pass feeds train AND test
+    )
+    train = (
+        seq.filter(F.dayofmonth("next_ts") <= 15)
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wm = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("next_type"))
+    model = (
+        train.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("from_type", F.col("next_type").alias("predicted"))
+    )
+    test = seq.filter(F.dayofmonth("next_ts") > 15).select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("actual"))
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1)
+                  .otherwise(0)).cast("long").alias("n_correct"),
+        )
+        .withColumn("accuracy_bp",
+                    F.expr("(n_correct * 10000) div n_transitions")
+                    .cast("long"))
+        .orderBy("from_type")
+    )
