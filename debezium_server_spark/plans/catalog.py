@@ -9668,3 +9668,132 @@ def q_markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("long"))
         .orderBy("from_type")
     )
+
+
+@register(
+    "embedding_pq_recall_eval",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sp AS (SELECT unnest(range(0, 4)) AS s),
+    cb AS (SELECT sp.s, seeds.vec_id AS j,
+                  list_transform(range(1, 17), i -> seeds.e[sp.s * 16 + i]) AS ce
+           FROM (SELECT vec_id, e FROM v WHERE vec_id < 16) seeds CROSS JOIN sp),
+    sv AS (SELECT v.vec_id, sp.s,
+                  list_transform(range(1, 17), i -> v.e[sp.s * 16 + i]) AS sub
+           FROM v CROSS JOIN sp),
+    d AS (SELECT sv.vec_id, sv.s, cb.j,
+                 list_aggregate(list_transform(range(1, 17),
+                     i -> (sv.sub[i] - cb.ce[i]) * (sv.sub[i] - cb.ce[i])),
+                     'sum') AS d2
+          FROM sv JOIN cb ON sv.s = cb.s),
+    codes AS (SELECT vec_id,
+                     max(CASE WHEN s = 0 THEN code END) AS c0,
+                     max(CASE WHEN s = 1 THEN code END) AS c1,
+                     max(CASE WHEN s = 2 THEN code END) AS c2,
+                     max(CASE WHEN s = 3 THEN code END) AS c3
+              FROM (SELECT vec_id, s, j AS code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                              ORDER BY d2, j) AS rn
+                    FROM d) WHERE rn = 1
+              GROUP BY vec_id),
+    adc AS (SELECT q0.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                   ((q0.d2 + q1.d2) + q2.d2) + q3.d2 AS adc
+            FROM codes nb
+            JOIN d q0 ON q0.s = 0 AND q0.j = nb.c0
+            JOIN d q1 ON q1.s = 1 AND q1.j = nb.c1 AND q1.vec_id = q0.vec_id
+            JOIN d q2 ON q2.s = 2 AND q2.j = nb.c2 AND q2.vec_id = q0.vec_id
+            JOIN d q3 ON q3.s = 3 AND q3.j = nb.c3 AND q3.vec_id = q0.vec_id
+            WHERE q0.vec_id < 10 AND nb.vec_id != q0.vec_id),
+    p5 AS (SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY adc, neighbor_id) AS rn
+                 FROM adc) WHERE rn <= 5),
+    ex_s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_aggregate(list_transform(range(1, 65),
+                        i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])),
+                        'sum') AS d2
+             FROM v q JOIN v c ON c.vec_id != q.vec_id
+             WHERE q.vec_id < 10),
+    exact AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY d2, neighbor_id) AS rn
+                    FROM ex_s) WHERE rn <= 5)
+    SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(5 AS BIGINT) AS possible
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN (SELECT a.query_id, count(*) AS hits
+               FROM p5 a JOIN exact e
+                 ON a.query_id = e.query_id
+                AND a.neighbor_id = e.neighbor_id
+               GROUP BY a.query_id) h USING (query_id)
+    ORDER BY q.query_id
+    """,
+    "PQ quantization-loss audit: recall@5 of PURE ADC ranking (no "
+    "exact re-rank) against the exact L2 top-5 on the probe set — "
+    "measured in the SAME metric the codes approximate, so the "
+    "number isolates quantization error rather than conflating it "
+    "with a cosine/L2 mismatch. This is the number that prices the "
+    "64x code compression before deciding the re-rank pool size "
+    "(embedding_pq_topk's pool=30 exists precisely because this "
+    "recall is imperfect). Closes the recall-harness family: LSH and "
+    "IVF (ann_recall_eval), prefix-dim truncation (matryoshka), and "
+    "now the storage-compression axis.",
+)
+def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter("vec_id < 16")
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    )
+    m, sub = 4, 16
+    codebooks = [
+        [list(r["e"][s * sub:(s + 1) * sub]) for r in seeds]
+        for s in range(m)
+    ]
+    codes = pq_encode(emb, codebooks)
+    adc5 = pq_adc_topk(
+        codes, emb.filter("vec_id < 10"), codebooks, k=5
+    ).select("query_id", "neighbor_id")
+
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    hits = (
+        adc5.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(5).cast("long").alias("possible"),
+        )
+        .orderBy("query_id")
+    )

@@ -96,6 +96,10 @@ WHITELIST: set[str] = {
     # 10-probe broadcast crossJoin (full + three prefix truncations) —
     # every BNLJ side capped at the probe set
     "embedding_matryoshka_recall",
+    # PQ quantization-loss eval: embedding_pq_topk's bounded per-query
+    # LUT crossJoin plus the exact-L2 baseline's 10-probe broadcast
+    # crossJoin — both sides probe-bounded
+    "embedding_pq_recall_eval",
     # hybrid fusion composes bm25_search's one-row corpus-scalar attach
     # and embedding_topk's bounded probe crossJoin (1 query vector);
     # the fusion stage itself is O(lists x k) = 40 rows
