@@ -9797,3 +9797,119 @@ def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "corpus_data_card",
+    f"""
+    WITH t AS (SELECT doc_id, source, lang, text, {_TOKS} AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source, lang, text,
+                 len(toks) AS n_tokens,
+                 md5(text) AS h,
+                 CASE WHEN greatest(
+                        len(list_filter(toks, x -> x IN
+                            ('the','a','of','and','in','to'))),
+                        len(list_filter(toks, x -> x IN
+                            ('le','la','et','les','des','un'))),
+                        len(list_filter(toks, x -> x IN
+                            ('el','la','de','los','que','un'))),
+                        len(list_filter(toks, x -> x IN
+                            ('der','die','und','das','ein','nicht')))) = 0
+                      THEN 'unknown'
+                      WHEN len(list_filter(toks, x -> x IN
+                            ('the','a','of','and','in','to'))) = greatest(
+                        len(list_filter(toks, x -> x IN
+                            ('the','a','of','and','in','to'))),
+                        len(list_filter(toks, x -> x IN
+                            ('le','la','et','les','des','un'))),
+                        len(list_filter(toks, x -> x IN
+                            ('el','la','de','los','que','un'))),
+                        len(list_filter(toks, x -> x IN
+                            ('der','die','und','das','ein','nicht'))))
+                      THEN 'en' ELSE 'other' END AS pred
+          FROM t),
+    d AS (SELECT *, count(*) OVER (PARTITION BY h) > 1 AS dup FROM s),
+    f AS (
+      SELECT doc_id,
+             CAST(2 * floor(CAST(list_aggregate(list_transform({_TOKS},
+                        x -> length(x)), 'sum') AS DOUBLE)
+                    / CAST(len({_TOKS}) AS DOUBLE) * 1e4)
+                + 10 * floor(CAST(len(list_filter({_TOKS},
+                        x -> x IN ('the','a','of','and','in','to')))
+                        AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) * 1e4)
+                + 12 * floor(CAST(length(regexp_replace(text,
+                        '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE) * 1e4)
+                - 40 * (length(text) - length(regexp_replace(text,
+                        '[\\.,;:!\\?]', '', 'g')))
+                + 2 * least(len({_TOKS}), 400)
+                - 70000 AS BIGINT) >= 0 AS keep
+      FROM documents),
+    j AS (SELECT d.*, f.keep FROM d JOIN f USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS pred_en_bp,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS keep_bp,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS dup_bp
+    FROM j GROUP BY source ORDER BY source
+    """,
+    "The corpus DATA CARD — the per-source datasheet every corpus "
+    "release ships (Datasheets for Datasets, Gebru et al.): document "
+    "and token counts, ground-truth language diversity, predicted-"
+    "English share (stopword vote), quality keep rate (the integer "
+    "logit gate), and exact-duplicate rate (corpus-wide md5 "
+    "membership), each as exact integer basis points. One pass "
+    "computes every per-doc signal (the vote, the logit, the hash) "
+    "as column algebra fused into the same scan; the dup flag costs "
+    "one hash-partitioned window; the card is a |sources|-row "
+    "aggregate. The capstone composition: four catalog operator "
+    "families surfaced in a single plan.",
+)
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import (
+        pred_lang,
+        quality_classifier,
+    )
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "lang", "text",
+        _tk(F.col("text")).alias("__toks"),
+    ).select(
+        "doc_id", "source", "lang",
+        F.when(pred_lang(F.col("__toks")) == "en", "en")
+        .when(pred_lang(F.col("__toks")) == "unknown", "unknown")
+        .otherwise("other").alias("pred"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    dup = (F.count("*").over(Window.partitionBy("h")) > 1).alias("dup")
+    d = base.select("*", dup)
+    q = quality_classifier(docs).select("doc_id", "keep")
+    j = d.join(q, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("pred") == "en", 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("nk"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("nd"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens", "n_langs",
+            F.expr("(ne * 10000) div n_docs").cast("long")
+            .alias("pred_en_bp"),
+            F.expr("(nk * 10000) div n_docs").cast("long").alias("keep_bp"),
+            F.expr("(nd * 10000) div n_docs").cast("long").alias("dup_bp"),
+        )
+        .orderBy("source")
+    )
