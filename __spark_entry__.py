@@ -22,6 +22,84 @@ from debezium_server_spark.plans.catalog import CATALOG  # noqa: E402
 
 FLAGSHIP = "q5_local_supplier_volume"
 
+#: The driver's correctness run checks the FIRST 50 entries of
+#: `queries()` in iteration order. Catalog-insertion order would put the
+#: oldest (safest) 50 in that window, leaving the riskiest surface —
+#: the 19 stateful-streaming replays, the applyInPandas escape hatch,
+#: the PQ/recall evals, PPJoin, ExactSubstr removal, the iterative graph
+#: ops — observed only by the stricter local `tools/oracle_check.py`
+#: sweeps. This curated prefix puts the highest-risk entries (plus a few
+#: long-green canaries) inside the driver's observation window; the
+#: remaining entries follow in catalog order.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # canaries — long-green core-pipeline entries kept for regression
+    # signal on the shared load/compare path itself
+    "cdc_latest_state",
+    "route_rename",
+    "predicate_filter_json",
+    # stateful streaming replays: watermark semantics, state GC, strict
+    # emission boundaries — the hardest-won oracles in the repo
+    "stream_session_windows",
+    "stream_hourly_counts",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_interval_join_right_outer",
+    "stream_interval_join_full_outer",
+    "stream_first_touch",
+    "stream_enrich_dimension",
+    "stream_running_stats",
+    "stream_trending_topk",
+    "stream_session_dynamic_gap",
+    "stream_dedup_watermark",
+    "stream_dedup_then_hourly",
+    "stream_cep_matches",
+    "stream_cep_every_start",
+    "stream_cep_contiguous",
+    "stream_cep_negation",
+    "stream_cep_value_gate",
+    "stream_cep_abandoned",
+    # the one applyInPandas escape hatch (two-sided saturating fold)
+    "clamped_running_balance",
+    # ANN / embedding quantization + the recall-eval harnesses
+    "embedding_pq_topk",
+    "embedding_pq_recall_eval",
+    "embedding_ann_ivf_multiprobe",
+    "embedding_matryoshka_recall",
+    "ann_recall_eval",
+    "dedup_method_agreement",
+    # set-similarity and exact-substring dedup (candidate-completeness
+    # arguments live or die here)
+    "jaccard_prefix_filter_join",
+    "exact_span_pairs",
+    "exact_span_removal",
+    "winnowing_overlap_audit",
+    "dedup_minhash_apply",
+    "dedup_cc_clusters",
+    "dedup_incremental",
+    # iterative / recursive: unrolled-round oracles
+    "graph_pagerank",
+    "graph_bfs_layers",
+    "hierarchy_rollup",
+    # trained-model + holdout evals (split determinism on both engines)
+    "bpe_pair_counts",
+    "nb_holdout_confusion",
+    "markov_holdout_accuracy",
+    # exact-analytics entries with the trickiest numeric contracts
+    "quantile_cont_prices",
+    "ewma_user_daily",
+    "cusum_changepoint",
+    "multitouch_attribution",
+    "ivm_partial_rollup_merge",
+    "scd2_asof_lookup",
+    "intra_doc_repeats",
+    "revenue_gini",
+)
+
+
+def _ordered() -> list[str]:
+    rest = [n for n in CATALOG if n not in set(DRIVER_WINDOW)]
+    return [*DRIVER_WINDOW, *rest]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -30,9 +108,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.spark_fn for name, qd in CATALOG.items()}
+    return {name: CATALOG[name].spark_fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}
+    return {
+        name: CATALOG[name].oracle
+        for name in _ordered()
+        if CATALOG[name].oracle is not None
+    }

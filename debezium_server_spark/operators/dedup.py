@@ -470,6 +470,14 @@ def exact_span_matches(
     Returns (da, db, start_a, start_b, span_tokens), da < db,
     spans >= min_span tokens.
     """
+    if min_span < w + k - 1:
+        raise ValueError(
+            f"min_span={min_span} < w + k - 1 = {w + k - 1}: the winnowing "
+            "candidate screen only guarantees completeness for spans of at "
+            "least w + k - 1 tokens — a smaller min_span would silently "
+            "return an incomplete candidate set. Lower w (the fingerprint "
+            "window) or k (the gram size) instead."
+        )
     from pyspark.sql.window import Window
 
     toks = tokens(F.col(text_col))

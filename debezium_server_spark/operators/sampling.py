@@ -122,7 +122,7 @@ def weighted_priority_sample(
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (the
     Efraimidis–Spirakis priority shape): keep the k rows with the
-    highest priority
+    LOWEST priority (ascending top-k)
 
         priority = hash60(key || salt) DIV weight     (pure int64)
 
@@ -137,6 +137,12 @@ def weighted_priority_sample(
     deterministic integral variant keeps the weight-monotone ordering
     property while staying bit-exact in SQL (60-bit hash over int64
     division — quotient granularity ~2^60/w, collisions key-broken).
+
+    Returns only (key, weight, priority) — join back to `df` on the key
+    to recover full rows. Rows with weight <= 0 carry zero sampling
+    mass and are excluded up front (mirroring temperature_mix's
+    zero-mass stratum filter); without the guard an empty doc's
+    weight=0 raises DIVIDE_BY_ZERO under ANSI mode.
     """
     h = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
                                           F.lit(salt))), 1, 15), 16, 10
@@ -144,6 +150,7 @@ def weighted_priority_sample(
     w = weight.cast("long")
     return (
         df.select(F.col(key_col), w.alias("weight"), h.alias("__h"))
+        .filter(F.col("weight") > 0)
         # integral divide (DIV), not `/`: float division would round the
         # 60-bit hash through a 53-bit mantissa before truncation
         .withColumn("priority", F.expr("__h DIV weight"))

@@ -84,7 +84,10 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     if exclude_same is not None:
-        scored = scored.filter(F.col("q_ex") != F.col("c_ex"))
+        # null-safe inequality: a NULL label is a DISTINCT class, not a
+        # wildcard — plain `!=` evaluates to NULL against a NULL label
+        # and would silently drop every pair touching an unlabeled row
+        scored = scored.filter(~F.col("q_ex").eqNullSafe(F.col("c_ex")))
     scored = scored.select(
         "query_id",
         "neighbor_id",
@@ -124,7 +127,11 @@ def ivf_ann_topk(
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    cents = v.filter(F.col("vid") < n_cells).select(
+    # .limit() after the id filter is a row-wise no-op (ids are unique)
+    # but makes the bound STRUCTURAL: the broadcast build side carries a
+    # GlobalLimit node, so plan audits can prove the frame is bounded
+    # and a fixture change can never silently widen the broadcast.
+    cents = v.filter(F.col("vid") < n_cells).limit(int(n_cells)).select(
         F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
     )
     # assign: nearest centroid(s) by squared L2 (monotone with L2; cosine
@@ -596,7 +603,11 @@ def assign_cells(
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    cents = v.filter(F.col("vid") < n_cells).select(
+    # .limit() after the id filter is a row-wise no-op (ids are unique)
+    # but makes the bound STRUCTURAL: the broadcast build side carries a
+    # GlobalLimit node, so plan audits can prove the frame is bounded
+    # and a fixture change can never silently widen the broadcast.
+    cents = v.filter(F.col("vid") < n_cells).limit(int(n_cells)).select(
         F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
     )
     d2 = F.aggregate(
@@ -722,12 +733,16 @@ def mmr_rerank(
         F.broadcast(cb), (ca.qid == cb.qid2) & (F.col("aid") != F.col("bid"))
     ).select("qid", "aid", "qrel", "bid")
     # candidates are bounded (queries × top-k), so the pair frame is the
-    # broadcast side and the corpus is streamed — no corpus shuffle
+    # broadcast side and the corpus is streamed — no corpus shuffle.
+    # with_a's bound is a JOIN bound (≤ |pair_keys| rows) that a plan
+    # audit cannot prove structurally, so no explicit hint on it: AQE's
+    # measured-size check converts the join to broadcast at runtime —
+    # the policy SCALE.md prescribes for every non-provably-bounded side.
     with_a = v.select(F.col("vec_id").alias("aid"), F.col("e").alias("ae")) \
         .join(F.broadcast(pair_keys), "aid")
     pairs = (
         v.select(F.col("vec_id").alias("bid"), F.col("e").alias("be"))
-        .join(F.broadcast(with_a), "bid")
+        .join(with_a, "bid")
         .select("qid", "aid", "qrel", "bid",
                 F.floor(cosine_similarity(F.col("ae"), F.col("be")) * 1000000)
                  .cast("long").alias("qsim"))

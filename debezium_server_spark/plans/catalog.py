@@ -388,8 +388,8 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
     """,
-    "TPC-H Q3: selective 3-way join + agg + top-k; customer side is "
-    "broadcast-able at any SF (dims ≪ fact).",
+    "TPC-H Q3: selective 3-way join + agg + top-k; customer grows with "
+    "SF so no broadcast hint — AQE converts by measured size.",
 )
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -402,7 +402,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
@@ -430,8 +430,9 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
     GROUP BY n_name
     """,
-    "TPC-H Q5: 6-way snowflake join; all dims broadcast, single shuffle "
-    "on the fact side.",
+    "TPC-H Q5: 6-way snowflake join; bounded dims (nation/region) "
+    "broadcast-hinted, SF-proportional sides (customer/supplier) left "
+    "to AQE's size-based choice.",
 )
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -446,8 +447,8 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -770,7 +771,7 @@ _NORM = "sqrt(list_aggregate(list_transform({v}, x -> x*x), 'sum'))"
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10).limit(10), k=5)
 
 
 @register(
@@ -972,8 +973,8 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1006,7 +1007,8 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     """,
     "TPC-H Q8 (adapted: p_type = 'ECONOMY'): conditional aggregation for "
-    "market share; every dimension broadcast, numerator/denominator in one pass.",
+    "market share; bounded dims (nation/region) broadcast-hinted, "
+    "SF-proportional sides AQE-decided; numerator/denominator in one pass.",
 )
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -1025,10 +1027,10 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     zero = F.lit(0).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -1071,7 +1073,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev"))
@@ -1123,8 +1125,9 @@ def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01'
       AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'
     """,
-    "TPC-H Q14: promotion revenue share — broadcast part join + "
-    "numerator/denominator conditional agg in a single pass.",
+    "TPC-H Q14: promotion revenue share — part join (AQE-decided "
+    "strategy; part grows with SF) + numerator/denominator conditional "
+    "agg in a single pass.",
 )
 def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -1134,7 +1137,7 @@ def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     zero = F.lit(0).cast("decimal(38,6)")
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         _r4(F.sum(F.when(F.col("p_type") == "PROMO", _dec(volume)).otherwise(zero))
             .cast("double")
             * 100
@@ -1173,7 +1176,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev, "left_semi")
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1204,7 +1207,7 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("avg_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -1226,7 +1229,8 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     """,
     "TPC-H Q18: large-volume orders — HAVING on an exact decimal sum, then "
-    "the (tiny) qualifying set joins back to orders/customer broadcast-side.",
+    "the (tiny) qualifying set semi-joins back to orders/customer — AQE "
+    "broadcasts the qualifying side by measured size.",
 )
 def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1239,7 +1243,7 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1262,7 +1266,7 @@ def q_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TPC-H Q19 (adapted to available columns): OR-of-ANDs predicate across "
     "both join sides — Catalyst extracts the common l_quantity/p_brand bounds "
-    "for pushdown; part stays broadcast.",
+    "for pushdown; the part-side strategy is AQE's size-based choice.",
 )
 def q_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1276,7 +1280,7 @@ def q_q19_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -1413,7 +1417,7 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load(spark, sf_dir, "supplier")
     return (
-        per_order.join(F.broadcast(supplier), F.col("the_supp") == supplier.s_suppkey)
+        per_order.join(supplier, F.col("the_supp") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1470,7 +1474,8 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q2 (adapted: region table has 5 rows but nation carries no "
     "r_name join in the fixture's 25-nation set, so the 'region' filter is "
     "the deterministic nationkey%5 stripe; p_mfgr absent, p_type shown): "
-    "min-supplycost-per-part via self-agg + join-back, dims broadcast, "
+    "min-supplycost-per-part via self-agg + join-back, bounded dims "
+    "(nation) broadcast, SF-proportional sides AQE-decided, "
     "fully-tiebroken ORDER BY ... LIMIT so both engines pick the same 100.",
 )
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1479,7 +1484,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     costs = (
         _ps(spark, sf_dir)
-        .join(F.broadcast(supplier), F.col("ps_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("ps_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .filter(F.col("n_nationkey") % 5 == 3)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents",
@@ -1495,8 +1500,8 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         winners.join(
-            F.broadcast(part.filter((F.col("p_type") == "STANDARD")
-                                    & (F.col("p_size") <= 10))),
+            part.filter((F.col("p_type") == "STANDARD")
+                        & (F.col("p_size") <= 10)),
             F.col("ps_partkey") == part.p_partkey,
         )
         .select(
@@ -1534,7 +1539,8 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The per-row profit term is one IEEE double expression evaluated "
     "identically in both engines, then exact-decimal summed; partsupp "
     "joins on its (partkey, suppkey) PK so cardinality stays 1:1 with "
-    "lineitem — no fan-out, dims broadcast.",
+    "lineitem — no fan-out; bounded dims (nation) broadcast, the rest "
+    "AQE-decided.",
 )
 def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1548,14 +1554,14 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("ps_supplycost_cents") * F.col("l_quantity") / 100.0
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (li.l_partkey == F.col("ps_partkey"))
             & (li.l_suppkey == F.col("ps_suppkey")),
         )
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1591,7 +1597,7 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     scoped = (
         _ps(spark, sf_dir)
-        .join(F.broadcast(supplier.filter(F.col("s_nationkey") % 5 == 2)),
+        .join(supplier.filter(F.col("s_nationkey") % 5 == 2),
               F.col("ps_suppkey") == supplier.s_suppkey)
         .select("ps_partkey",
                 (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"))
@@ -1623,7 +1629,8 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPC-H Q16 supplier-part relationship (adapted: the 'customer "
     "complaints' exclusion is suppliers with negative acctbal — supplier "
     "has no comment column): NOT-IN subquery as a left_anti join against "
-    "the (tiny, broadcast) excluded-supplier set, then COUNT(DISTINCT "
+    "the excluded-supplier set (SF-proportional, so AQE picks the "
+    "strategy), then COUNT(DISTINCT "
     "suppkey) per (brand, type, size) bucket.",
 )
 def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,8 +1643,8 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         _ps(spark, sf_dir)
-        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
-        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"),
               "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
@@ -1691,7 +1698,7 @@ def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualifying = (
         _ps(spark, sf_dir)
-        .join(F.broadcast(small), F.col("ps_partkey") == F.col("p_partkey"),
+        .join(small, F.col("ps_partkey") == F.col("p_partkey"),
               "left_semi")
         .join(
             shipped,
@@ -4023,10 +4030,10 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l2 LEFT JOIN supplier s ON l2.l_suppkey = s.s_suppkey
     """,
     "Referential-integrity audit across three FK edges: left join + "
-    "null-parent count per edge. Customer/supplier parent keys broadcast "
-    "(key columns only - column-pruned scans); the orders edge is left "
-    "to AQE's size-based choice (orders keys are not broadcast-scale at "
-    "SF100+); output is one row per FK regardless of scale.",
+    "null-parent count per edge. Every parent side (customer/supplier/"
+    "orders keys) grows linearly with SF, so no broadcast hints anywhere "
+    "— AQE picks broadcast vs shuffle by MEASURED size at runtime; "
+    "output is one row per FK regardless of scale.",
 )
 def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
@@ -4034,12 +4041,11 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier").select("s_suppkey")
 
-    def edge(name, child, parent, ck, pk, hint=True):
-        # hint=False: parent side grows with SF (e.g. orders keys, 150M+
-        # rows at SF100) — let AQE pick shuffle-hash vs broadcast by
-        # measured size instead of forcing a driver-side OOM risk.
-        pside = F.broadcast(parent) if hint else parent
-        j = child.join(pside, child[ck] == parent[pk], "left")
+    def edge(name, child, parent, ck, pk):
+        # Parent sides are SF-proportional key columns (customer keys =
+        # 15B rows at SF100) — never hint a broadcast; AQE converts to
+        # broadcast-hash at runtime when the measured size allows.
+        j = child.join(parent, child[ck] == parent[pk], "left")
         return j.agg(
             F.lit(name).alias("fk"),
             F.count(F.lit(1)).alias("n_child"),
@@ -4051,8 +4057,7 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              "o_custkey", "c_custkey")
         .unionAll(edge("lineitem.l_orderkey->orders",
                        li.select("l_orderkey"),
-                       od.select("o_orderkey"), "l_orderkey", "o_orderkey",
-                       hint=False))
+                       od.select("o_orderkey"), "l_orderkey", "o_orderkey"))
         .unionAll(edge("lineitem.l_suppkey->supplier",
                        li.select("l_suppkey"), su, "l_suppkey", "s_suppkey"))
     )
@@ -4230,7 +4235,8 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = [
         [list(r["e"][s * sub : (s + 1) * sub]) for r in seeds] for s in range(m)
     ]
-    return pq_topk_rerank(emb, emb.filter("vec_id < 10"), codebooks, k=5, pool=30)
+    return pq_topk_rerank(emb, emb.filter("vec_id < 10").limit(10), codebooks,
+                          k=5, pool=30)
 
 
 @register(
@@ -5237,7 +5243,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+    exact = cosine_topk(emb, emb.filter("vec_id < 10").limit(10), k=5).select(
         "query_id", "neighbor_id"
     ).localCheckpoint(eager=True)
     lsh = lsh_ann_topk(emb, k=5, query_filter="query_id < 10").select(
@@ -6002,7 +6008,7 @@ def q_embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    qs = v.filter(F.col("vec_id") < 3).select(
+    qs = v.filter(F.col("vec_id") < 3).limit(3).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     scored = (
         v.crossJoin(F.broadcast(qs))
@@ -6175,7 +6181,7 @@ def q_embedding_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cents = v.filter(F.col("vec_id") < 16).select(
+    cents = v.filter(F.col("vec_id") < 16).limit(16).select(
         F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"))
     d2 = F.aggregate(
         F.zip_with(F.col("e"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
@@ -6190,7 +6196,7 @@ def q_embedding_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cell_id").alias("cell"))
     )
-    q = assigned.filter(F.col("vec_id") < 3).select(
+    q = assigned.filter(F.col("vec_id") < 3).limit(3).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "cell")
     scored = (
         q.join(assigned, "cell")
@@ -6341,6 +6347,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(concat('0x', substr(md5(doc_id || 'wps'), 1, 15)) AS BIGINT)
              // n_chars AS priority
     FROM documents
+    WHERE n_chars > 0
     ORDER BY priority, doc_id LIMIT 100
     """,
     "Weighted sampling WITHOUT replacement (deterministic Efraimidis-"
@@ -6646,7 +6653,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms=("table", "window", "stream"), top_n=20,
     ).select("doc_id", "rank")
     emb = load(spark, sf_dir, "embeddings")
-    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0).limit(1), k=20).select(
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse({"lex": lex, "vec": vec}, top_n=10).select(
@@ -6786,7 +6793,7 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  c.label AS neg_label,
                  {{_DOT}} / ({{_NQ}} * {{_NC}}) AS sim
           FROM v q JOIN v c
-            ON c.vec_id != q.vec_id AND c.label != q.label
+            ON c.vec_id != q.vec_id AND c.label IS DISTINCT FROM q.label
           WHERE q.vec_id < 10)
     SELECT query_id, neighbor_id, neg_label, rank,
            floor((sim) * 10000) / 10000 AS sim
@@ -6812,13 +6819,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     topk = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, exclude_same="label"
+        emb, emb.filter(F.col("vec_id") < 10).limit(10), k=5, exclude_same="label"
     )
     labels = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neg_label")
     )
     return (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        topk.join(labels, "neighbor_id")
         .select("query_id", "neighbor_id", "neg_label", "rank", "sim")
         .orderBy("query_id", "rank")
     )
@@ -6886,8 +6893,9 @@ def q_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Stream-static enrichment driver-verified with a TRUE value-hash "
     "oracle: the replayed event stream joined per micro-batch against "
-    "the customer dimension (broadcast hint — the stream side NEVER "
-    "shuffles; Spark re-plans the static side each batch, so dimension "
+    "the customer dimension (no broadcast hint — customer grows with "
+    "SF, so the per-batch join strategy is AQE's size-based choice; "
+    "Spark re-plans the static side each batch, so dimension "
     "upserts between batches are visible without restarting the query "
     "— the CDC enrichment contract the reference delegates to the sink "
     "database). Left join keeps events whose dimension row hasn't "
@@ -6905,7 +6913,8 @@ def q_stream_enrich_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
     out = replay_stream(
         spark, ev,
-        lambda s: enrich_with_dimension(s, dim, on="user_id", how="left"),
+        lambda s: enrich_with_dimension(s, dim, on="user_id", how="left",
+                                        broadcast_dim=False),
     )
     return out.select(
         "event_id", "user_id",
@@ -8846,7 +8855,7 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     from debezium_server_spark.operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    exact = cosine_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+    exact = cosine_topk(emb, emb.filter("vec_id < 10").limit(10), k=5).select(
         "query_id", "neighbor_id"
     ).localCheckpoint(eager=True)
     possible = exact.count()
@@ -8854,7 +8863,7 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     for m in (8, 16, 32):
         tr = emb.select(
             "vec_id", F.slice("embedding", 1, m).alias("embedding"))
-        topm = cosine_topk(tr, tr.filter("vec_id < 10"), k=5).select(
+        topm = cosine_topk(tr, tr.filter("vec_id < 10").limit(10), k=5).select(
             "query_id", "neighbor_id")
         outs.append(
             topm.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
@@ -9759,10 +9768,10 @@ def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     codes = pq_encode(emb, codebooks)
     adc5 = pq_adc_topk(
-        codes, emb.filter("vec_id < 10"), codebooks, k=5
+        codes, emb.filter("vec_id < 10").limit(10), codebooks, k=5
     ).select("query_id", "neighbor_id")
 
-    q = emb.filter("vec_id < 10").select(
+    q = emb.filter("vec_id < 10").limit(10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"))
     c = emb.select(

@@ -121,5 +121,13 @@ def replay_stream(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a hung state-store batch would otherwise surface as a
+        # partially-populated memory table masquerading as a completed
+        # replay — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay {name!r} still running after 300s; "
+            "aborted to avoid returning a partial memory table"
+        )
     return spark.table(name)

@@ -122,6 +122,79 @@ WHITELIST: set[str] = {
 }
 
 
+#: Tables whose row count grows linearly with scale factor. A broadcast
+#: HINT whose build side is one of these overrides AQE's size check and
+#: OOMs the executors at 100 TB (customer ≈ 15 B rows at SF100) even
+#: though the plan is correct and fast at sf0.1. `nation`/`region` are
+#: bounded dimension tables (25 / 5 rows at every SF) and stay hintable.
+SF_PROPORTIONAL = (
+    "customer", "supplier", "part", "partsupp", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+#: Logical operators that decouple output cardinality from input scale:
+#: anything below one of these in a hint's subtree is bounded by the
+#: aggregation's group count / the limit, not by the scan (centroid
+#: tables, one-row totals, per-dimension stats are all Aggregate roots).
+CARDINALITY_BOUNDING = ("Aggregate", "GlobalLimit", "Limit")
+
+#: Entries allowed to broadcast-hint a frame derived from an
+#: SF-proportional scan WITHOUT an Aggregate/Limit bound — each with a
+#: written boundedness argument (the 14-entry TPC-H family that
+#: motivated this rule was fixed by dropping the hints; the probe/
+#: centroid frames in the embedding entries were fixed by making their
+#: bounds structural — a no-op `.limit(n)` after the unique-id filter).
+BROADCAST_HINT_WHITELIST: set[str] = {
+    # broadcasts the per-group median / MAD frames: a row_number()==mid
+    # window filter leaves EXACTLY ONE row per o_orderpriority group,
+    # and the group domain is the 5-value priority enum — bounded at
+    # any SF, but by a window-filter invariant no structural node shows.
+    "mad_outliers",
+}
+
+
+def broadcast_hint_violations(df) -> list[str]:
+    """Return the SF-proportional tables scanned under an explicit
+    broadcast HINT with no cardinality-bounding operator in between.
+
+    Walks the ANALYZED logical plan (hints are eliminated from the
+    optimized plan): for every ``ResolvedHint (strategy=broadcast)``
+    node, descend its subtree pruning at Aggregate/Limit; any
+    ``LogicalRelation`` leaf whose file path names an SF-proportional
+    table means the hint ships a frame whose size grows with the data —
+    exactly the plan that dies at 100×. AQE's runtime size check (which
+    an explicit hint overrides) is the correct mechanism for those."""
+    hits: list[str] = []
+
+    def scan(node):
+        name = node.getClass().getSimpleName()
+        if name in CARDINALITY_BOUNDING:
+            return
+        if name == "LogicalRelation":
+            try:
+                path = node.relation().location().rootPaths().apply(0).toString()
+            except Exception:
+                path = ""
+            for t in SF_PROPORTIONAL:
+                if f"/{t}.parquet" in path:
+                    hits.append(t)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            scan(ch.apply(i))
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "ResolvedHint" and "broadcast" in node.hints().toString():
+            scan(node)
+            return  # nested hints inside an already-flagged subtree: one report
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return sorted(set(hits))
+
+
 def physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -131,16 +204,22 @@ def audit(spark, sf_dir: str) -> dict:
 
     result = {"queries": {}, "violations": []}
     for name, qd in CATALOG.items():
-        plan = physical_plan(qd.spark_fn(spark, sf_dir))
+        df = qd.spark_fn(spark, sf_dir)
+        plan = physical_plan(df)
         n_exchange = plan.count("Exchange")
         bad = [op for op in FORBIDDEN if op in plan and name not in WHITELIST]
         full_scans = len(re.findall(r"PushedFilters: \[\]", plan))
+        hinted = ([] if name in BROADCAST_HINT_WHITELIST
+                  else broadcast_hint_violations(df))
         result["queries"][name] = {
             "exchanges": n_exchange,
             "unfiltered_scans": full_scans,
         }
         if bad:
             result["violations"].append({"query": name, "operators": bad})
+        if hinted:
+            result["violations"].append(
+                {"query": name, "sf_broadcast_hints": hinted})
     return result
 
 
