@@ -356,6 +356,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
+    rounds: int = 3,
     max_iter: int = 25,
 ) -> DataFrame:
     """Exact connected components over a near-dup pair graph →
@@ -369,17 +370,25 @@ def connected_components(
 
     followed by pointer jumping (label(v) ← label(label(v)) — labels are
     always node ids, so the compression step is a self-join of the label
-    frame), repeated to fixpoint. Neighbor propagation alone needs
-    diameter rounds; with path compression the count drops to O(log n)
-    even on adversarial chains (same doubling that makes large-star/
-    small-star converge — Kiveris et al., "Connected Components in
-    MapReduce"). Each round is two shuffle-joins + a map-side-combinable
-    min aggregate — no driver-side graph; the labels frame covers only
-    nodes touched by a pair, far smaller than the corpus. Convergence
-    detection is free: labels only decrease, so the global sum strictly
-    decreases until fixpoint (one scalar action per round, no
-    change-join). `localCheckpoint` truncates lineage each round —
-    without it, round k replays rounds 1..k.
+    frame). Neighbor propagation alone needs diameter rounds; with path
+    compression the count drops to O(log n) even on adversarial chains
+    (same doubling that makes large-star/small-star converge — Kiveris
+    et al., "Connected Components in MapReduce"). Each round is two
+    shuffle-joins + a map-side-combinable min aggregate — no driver-side
+    graph; the labels frame covers only nodes touched by a pair, far
+    smaller than the corpus.
+
+    Scheduling: the first `rounds` doubling rounds are UNROLLED into one
+    job with ZERO per-round driver actions — each round's frame carries
+    only a lazy localCheckpoint (plan truncation + persistence when the
+    single final job computes through it; an eager checkpoint would be a
+    driver-blocking job barrier per round). One scalar action then reads
+    the label sum, and a verification round confirms the fixpoint:
+    labels only decrease, so an unchanged sum IS convergence. Graphs
+    deeper than 2^rounds (near-dup clusters almost never are) fall back
+    to sum-checked rounds up to `max_iter`. Common case: 2 actions
+    total, independent of round count — previously 1 barrier + 1
+    collect per round.
     """
     a, b = F.col(src).alias("u"), F.col(dst).alias("v")
     # Materialize the edge list ONCE: `pairs` usually carries an
@@ -405,17 +414,17 @@ def connected_components(
     # would otherwise pick). Past ~10M nodes the hint drops away and the
     # rounds run as the usual shuffled joins.
     n_nodes = labels.count()
+
     def _maybe_b(df):
         return F.broadcast(df) if n_nodes < 10_000_000 else df
 
-    prev_sum = None
-    for _ in range(max_iter):
+    def one_round(cur: DataFrame) -> DataFrame:
         prop = (
-            edges.join(_maybe_b(labels), edges["u"] == labels["node"])
+            edges.join(_maybe_b(cur), edges["u"] == cur["node"])
             .select(F.col("v").alias("node"), "component")
         )
         merged = (
-            labels.union(prop)
+            cur.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
@@ -423,18 +432,26 @@ def connected_components(
         lut = merged.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_label")
         )
-        labels = (
+        return (
             merged.join(_maybe_b(lut), merged["component"] == lut["c_node"], "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.col("c_label")).alias("component"),
             )
-            .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    # doubling phase: no driver actions, lineage cut lazily per round
+    for _ in range(max(rounds, 1)):
+        labels = one_round(labels).localCheckpoint(eager=False)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    # verification (+ rare continuation for graphs deeper than 2^rounds)
+    for _ in range(max_iter):
+        labels_next = one_round(labels).localCheckpoint(eager=False)
+        cur_sum = labels_next.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            return labels
+        labels, prev_sum = labels_next, cur_sum
     return labels
 
 

@@ -629,7 +629,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_apply",
     f"""
-    WITH sh AS (SELECT doc_id,
+    WITH RECURSIVE sh AS (SELECT doc_id,
                   list_transform({_SHINGLES},
                       x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
                            % 2147483647) AS s
@@ -644,27 +644,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT doc_id, b AS band_id,
                      md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
               FROM sig, unnest(range(0, 4)) AS u(b)),
-    losers AS (SELECT DISTINCT b.doc_id
-               FROM bands a JOIN bands b
-                 ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id)
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+    reach AS (SELECT u, v FROM e UNION SELECT u, u FROM e
+              UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
     SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
            CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
     FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
     GROUP BY d.lang
     """,
-    "Dedup APPLY step: materialize the kept corpus by anti-joining away "
-    "every doc that has a minhash near-dup with a smaller doc_id "
-    "(smallest id = canonical — the standard one-pass approximation of "
-    "connected components; exact for pairwise clusters). The anti join "
-    "shuffles only (doc_id) pairs; output audited per language.",
+    "Dedup APPLY step from TRUE connected-component labels: the kept "
+    "corpus anti-joins away every non-root member of a near-dup "
+    "component (root = smallest doc_id, via the same pointer-doubling "
+    "min-label propagation dedup_cc_clusters exposes). Exactly one doc "
+    "survives per component — unlike the one-pass smaller-id-partner "
+    "rule this entry used to carry, which over-keeps any LOCAL minimum "
+    "on chains (a~b, b~c, a≁c kept both a and c). Oracle replays the "
+    "closure as a recursive CTE. The CC label frame covers only docs "
+    "touched by a candidate pair (≪ corpus); the anti join shuffles "
+    "doc_id keys only; output audited per language.",
 )
 def q_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import connected_components
+
     docs = load(spark, sf_dir, "documents")
+    cc = connected_components(minhash_lsh_pairs(docs))
     losers = (
-        minhash_lsh_pairs(docs)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
     )
     return (
         docs.join(losers, "doc_id", "left_anti")
