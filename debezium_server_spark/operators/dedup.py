@@ -808,3 +808,114 @@ def intra_doc_repeat_spans(
         F.col("start_b").cast("long").alias("start_b"),
         "span_tokens",
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    shingle_k: int = 3,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Exact containment-threshold join via prefix filtering — the
+    ASYMMETRIC sibling of `jaccard_prefix_join` for quote / excerpt /
+    sub-document detection:
+
+        c(a → b) = |Sa ∩ Sb| / |Sa| >= tau     (a's shingles inside b)
+
+    Jaccard misses exactly this case: a 50-token quote inside a
+    5000-token article has J ~ 0.01 but containment 1.0. Candidate
+    completeness is one-sided pigeonhole: order a's distinct shingles
+    by global rarity (df asc, shingle asc) and keep the first
+    |Sa| - ceil(tau*|Sa|) + 1 as a's prefix; if c(a->b) >= tau then at
+    least one of a's prefix shingles is in Sb (fewer than
+    ceil(tau*|Sa|) of a's shingles can be missing from b), so joining
+    a-prefixes against b's FULL shingle table cannot drop a qualifying
+    pair. The threshold test is pure integers (den*inter >= num*|Sa|).
+
+    `partition_col` (e.g. lang) confines pairs to equal values —
+    riding the candidate equi-join key, not a post-filter.
+
+    Returns (da, db, la, inter, containment_bp), da != db — asymmetric:
+    (a contained-in b) and (b contained-in a) are distinct findings.
+
+    Scale shape mirrors PPJoin: one tokenize scan (checkpointed once
+    for its four consumers), candidates ∝ prefix-token collisions
+    (rarest-first ordering keeps fan-out near true matches), every
+    join equi-keyed on (token[, partition]) then (pair) — never
+    |docs|^2; the b side carries no prefix because containment has no
+    lower bound on |Sb|.
+    """
+    from pyspark.sql.window import Window
+
+    units = (
+        tokens(F.col(text_col)) if shingle_k == 1
+        else token_shingles(tokens(F.col(text_col)), shingle_k)
+    )
+    part = [partition_col] if partition_col else []
+    t = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in part],
+        F.explode(F.array_distinct(units)).alias("__s"),
+    ).select(
+        "id", *part,
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+        .alias("tok"),
+    ).localCheckpoint()
+    sz = t.groupBy("id").agg(F.count("*").alias("len"))
+    dfreq = t.groupBy("tok").agg(F.count("*").alias("df"))
+    # prefix length |Sa| - ceil(tau*|Sa|) + 1, ceil in exact integers
+    p_len = (
+        F.col("len")
+        - F.expr(f"({tau_num} * len + {tau_den} - 1) div {tau_den}")
+        + F.lit(1)
+    )
+    prefix = (
+        t.join(dfreq, "tok")
+        .join(sz, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "tok")),
+        )
+        .filter(F.col("rn") <= p_len)
+        .select("id", *part, "tok", "len")
+        .localCheckpoint(eager=False)
+    )
+    full_b = t.select(
+        F.col("id").alias("db"),
+        *[F.col(c).alias(f"__pb_{c}") for c in part],
+        "tok",
+    )
+    join_cond = [F.col("a.tok") == full_b["tok"]]
+    for c in part:
+        join_cond.append(F.col(f"a.{c}") == full_b[f"__pb_{c}"])
+    cand = (
+        prefix.alias("a")
+        .join(full_b, join_cond[0] if len(join_cond) == 1
+              else join_cond[0] & join_cond[1])
+        .filter(F.col("a.id") != F.col("db"))
+        .select(F.col("a.id").alias("da"), "db", F.col("a.len").alias("la"))
+        .distinct()
+    )
+    ta = t.select(F.col("id").alias("da"), "tok")
+    tb = t.select(F.col("id").alias("db"), F.col("tok").alias("tok_b"))
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db"])
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("da", "db", "la")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.filter(
+            F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("la"))
+        .select(
+            "da", "db", F.col("la").cast("long").alias("la"),
+            F.col("inter").cast("long").alias("inter"),
+            F.expr("(inter * 10000) div la").cast("long")
+            .alias("containment_bp"),
+        )
+    )

@@ -225,3 +225,97 @@ def temperature_mix(
         df.join(F.broadcast(rates), strata_col)
         .where(sample_bucket(F.col(key_col), salt) < F.col("rate_bp"))
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW doc by
+    how target-like its hashed-bigram distribution is,
+
+        w(doc) = Σ_grams  [ ln p_target(bucket(g)) − ln p_raw(bucket(g)) ]
+
+    with add-1 smoothing over `n_buckets` hashed feature buckets. Docs
+    whose n-gram profile matches the target domain (e.g. curated
+    English) get high weight; selection = keep the top-k by weight —
+    the deterministic analog of DSIR's Gumbel-noised resampling (an RNG
+    has no cross-engine/ cross-run stability; rank order is what the
+    noise perturbs, so top-k is the de-noised limit).
+
+    Exactness: per-bucket λ_b = floor((ln p_t − ln p_r)·1e6) is an
+    integer micro-nat (the unigram_logprob trick), so each doc's weight
+    is an exact integer dot product count_b·λ_b — engine-portable.
+
+    Scale shape: one corpus pass builds per-bucket counts (groupBy over
+    ≤ n_buckets keys, map-side combinable), the λ table is
+    Aggregate-bounded (≤ n_buckets rows — broadcast provably bounded),
+    scoring is one equi-join of doc-gram counts against it, and
+    selection is a global top-k. No shuffle wider than the gram
+    explode; the 100 TB cost is the tokenize scan.
+
+    Returns (key, n_grams, weight_micronats) for ALL raw docs —
+    callers `.orderBy(desc).limit(k)` to resample.
+    """
+    from debezium_server_spark.functions.text_functions import tokens
+
+    toks = tokens(F.col(text_col))
+    # guard single-token docs: Spark's sequence(1, 0) is DESCENDING
+    # ([1, 0]), not empty — it would fabricate a null-padded gram
+    grams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(__toks[i - 1], ' ', __toks[i])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    base = (
+        df.select(
+            F.col(key_col).alias("key"),
+            is_target.alias("__t"),
+            toks.alias("__toks"),
+        )
+        .select("key", "__t", F.explode(grams).alias("g"))
+        .select(
+            "key",
+            "__t",
+            (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+             % n_buckets).alias("b"),
+        )
+    )
+    # one scan → both distributions: conditional counts per bucket
+    per_bucket = (
+        base.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long").alias("cr"),
+        )
+        .localCheckpoint()  # feeds the totals agg AND the λ join
+    )
+    tot = per_bucket.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    lam = per_bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1).cast("double")
+                      / (F.col("tt") + n_buckets).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + n_buckets).cast("double"))
+            )
+            * 1e6
+        ).cast("long").alias("lam"),
+    )
+    return (
+        base.filter(~F.col("__t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lam").cast("long").alias("weight_micronats"),
+        )
+    )

@@ -9934,3 +9934,95 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dsir_importance_resample",
+    f"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS t, {_TOKS} AS tk
+                 FROM documents),
+    g AS (SELECT doc_id, t,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS g
+          FROM tok),
+    b AS (SELECT doc_id, t,
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 512 AS b
+          FROM g),
+    pb AS (SELECT b,
+                  sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                  sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+           FROM b GROUP BY b),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+    lam AS (SELECT b,
+                   CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 512 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 512 AS DOUBLE)))
+                              * 1e6) AS BIGINT) AS lam
+            FROM pb CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(lam) AS BIGINT) AS weight_micronats
+    FROM b JOIN lam USING (b) WHERE NOT t
+    GROUP BY doc_id
+    ORDER BY weight_micronats DESC, doc_id LIMIT 100
+    """,
+    "DSIR importance resampling (Xie et al. 2023): select raw docs "
+    "whose hashed-bigram profile looks most like the target domain "
+    "(here lang='en'), weight = sum over grams of ln p_target(bucket) "
+    "- ln p_raw(bucket), add-1 smoothed over 512 hashed buckets and "
+    "floor-quantized to integer micro-nats per bucket so doc scores "
+    "are exact integer dot products (the unigram_logprob trick). "
+    "Deterministic top-100 stands in for DSIR's Gumbel resampling (an "
+    "RNG has no cross-engine stability; rank order is what the noise "
+    "perturbs). Scale: one tokenize scan, a <=512-row Aggregate-bounded "
+    "lambda broadcast, one equi-join, one global top-k - no shuffle "
+    "wider than the gram explode.",
+)
+def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, F.col("lang") == "en", n_buckets=512)
+    return (
+        w.select(F.col("key").alias("doc_id"), "n_grams", "weight_micronats")
+        .orderBy(F.desc("weight_micronats"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "containment_quote_join",
+    f"""
+    WITH sh AS (SELECT doc_id, lang,
+                  list_distinct(list_transform({_SHINGLES},
+                      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS s
+                FROM documents)
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(len(a.s) AS BIGINT) AS la,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST((len(list_intersect(a.s, b.s)) * 10000) // len(a.s) AS BIGINT)
+             AS containment_bp
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id != b.doc_id
+    WHERE len(a.s) > 0
+      AND 5 * len(list_intersect(a.s, b.s)) >= 4 * len(a.s)
+    """,
+    "Asymmetric containment join (quote / excerpt / sub-document "
+    "detection): pairs where >= 80% of doc a's distinct shingles "
+    "appear in doc b - the case Jaccard structurally misses (a "
+    "50-token quote inside a 5000-token article has J ~ 0.01 but "
+    "containment 1.0). Candidates via ONE-SIDED prefix filtering "
+    "(pigeonhole: if c(a->b) >= tau, one of a's "
+    "|Sa|-ceil(tau|Sa|)+1 rarest shingles must be in Sb), joined "
+    "against b's full shingle table on (lang, shingle); verification "
+    "and threshold are exact integers. Completes the set-similarity "
+    "family: LSH (probabilistic), PPJoin (symmetric Jaccard), this "
+    "(asymmetric). Oracle = brute-force list_intersect over same-lang "
+    "pairs.",
+)
+def q_containment_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import containment_prefix_join
+
+    return containment_prefix_join(
+        load(spark, sf_dir, "documents"),
+        tau_num=4, tau_den=5, partition_col="lang",
+    )
