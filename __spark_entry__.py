@@ -88,11 +88,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_cont_prices",
     "ewma_user_daily",
     "cusum_changepoint",
-    "multitouch_attribution",
-    "ivm_partial_rollup_merge",
-    "scd2_asof_lookup",
-    "intra_doc_repeats",
-    "revenue_gini",
+    # round-3 additions (newest code = least soak time)
+    "graph_kcore",
+    "containment_quote_join",
+    "minhash_error_audit",
+    "dedup_keep_best_apply",
+    "dsir_importance_resample",
 )
 
 

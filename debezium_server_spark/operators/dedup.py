@@ -46,20 +46,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_bands(
+def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 12,
-    bands: int = 4,
 ) -> DataFrame:
-    """Banded MinHash signatures: (id, band_id, band_hash) rows — the
-    reusable index half of LSH dedup. Same deterministic hash family as
-    `minhash_lsh_pairs`, so signatures built at different times (e.g. a
-    persisted corpus index vs today's increment) collide exactly when
-    the band rows agree."""
-    rows_per_band = num_hashes // bands
+    """Raw MinHash signatures: (id, __m0..__m{K-1}), __mj = min over the
+    doc's distinct shingles of the j-th universal hash. One md5 per
+    shingle, K affine hashes per row, map-side-combinable min aggregate
+    — the shared signature stage under `minhash_bands` (banded LSH) and
+    the sketch-error audit (per-pair signature agreement)."""
     exploded = df.select(
         F.col(id_col),
         F.explode(
@@ -77,8 +75,28 @@ def minhash_bands(
             for j in range(num_hashes)
         ],
     )
-    sig_df = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded MinHash signatures: (id, band_id, band_hash) rows — the
+    reusable index half of LSH dedup. Same deterministic hash family as
+    `minhash_lsh_pairs`, so signatures built at different times (e.g. a
+    persisted corpus index vs today's increment) collide exactly when
+    the band rows agree."""
+    rows_per_band = num_hashes // bands
+    sig_df = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        num_hashes=num_hashes,
     )
     band_arr = F.array(
         *[

@@ -271,3 +271,54 @@ def bfs_layers(
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by `rounds` fixed peel rounds: repeatedly
+    drop nodes with degree < k among the survivors; what remains after
+    convergence is the maximal subgraph where every node has >= k
+    in-core neighbors. On a near-dup pair graph the 2-core separates
+    DENSELY duplicated template/boilerplate families from incidental
+    pairwise matches (a chain is in no 2-core; a clique family is) —
+    the corpus-curation signal CC alone cannot give, since CC merges a
+    clique and its pendant chain into one component.
+
+    Fixed `rounds` rather than converge-detect: each round strictly
+    removes nodes or is the fixpoint, and peeling removes whole
+    lowest-degree LAYERS per round (not single nodes), so shallow
+    graphs converge in a handful of rounds; a fixed count makes the
+    trajectory replayable as unrolled SQL CTEs on an oracle engine
+    (the pagerank/BFS convention) and keeps the plan action-free —
+    the loop builds ONE job, lazy localCheckpoints cutting lineage.
+
+    `edges` must be UNDIRECTED-complete (both (u,v) and (v,u) rows).
+    Returns (node, degree) for the surviving core, degree = in-core
+    degree after the final round.
+
+    Scale shape per round: one degree aggregate (map-side combinable)
+    + two semi-joins to confine edges — all equi-keyed on node ids;
+    the frame can only shrink, so round cost is bounded by the first.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
+        .localCheckpoint()
+    alive = e
+    for _ in range(max(rounds, 1)):
+        deg = alive.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        alive = (
+            alive.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        alive.groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -10026,3 +10026,522 @@ def q_containment_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         tau_num=4, tau_den=5, partition_col="lang",
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel rounds over the LSH pair graph — same fixed
+    trajectory the Spark operator executes (the pagerank convention)."""
+    sql = f"""
+    WITH sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    pr AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pr
+                        UNION ALL SELECT b, a FROM pr)"""
+    for i in range(rounds):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # a{i} is referenced twice per level — an inlined chain
+        # re-evaluates the whole minhash pipeline 2^rounds times
+        sql += f""",
+    k{i} AS MATERIALIZED (SELECT u FROM a{i} GROUP BY u
+                          HAVING count(*) >= {k}),
+    a{i+1} AS MATERIALIZED (SELECT a.u, a.v FROM a{i} a
+               JOIN k{i} x ON a.u = x.u
+               JOIN k{i} y ON a.v = y.u)"""
+    sql += f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM a{rounds} GROUP BY u HAVING count(*) >= {k}
+    """
+    return sql
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle(2, 6),
+    "k-core decomposition (k=2, 6 fixed peel rounds) of the MinHash/"
+    "LSH near-dup graph: the maximal subgraph where every doc has >= 2 "
+    "in-core near-dup partners - the densely-duplicated template/"
+    "boilerplate families, separated from incidental pairwise matches "
+    "and chains (in no 2-core), which is the curation signal CC alone "
+    "cannot give (CC merges a clique and its pendant chain into one "
+    "component). Peeling removes whole lowest-degree layers per round; "
+    "fixed rounds keep the trajectory replayable as unrolled SQL CTEs "
+    "and the Spark plan action-free (lazy checkpoints, one job). "
+    "Completes the iterative-graph family: pointer doubling (CC), "
+    "power iteration (pagerank), frontier BFS, degree peel (this).",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.graph import kcore
+
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst")))
+    return kcore(edges, k=2, rounds=6).select(
+        F.col("node").alias("node"), "degree")
+
+
+@register(
+    "decontaminate_apply",
+    f"""
+    WITH g AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(doc_id || 'decon'), 1, 15))
+                      AS BIGINT) % 10000 < 1000 AS ev,
+                 unnest(list_transform({_SHINGLES},
+                     x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)))
+                   AS gr
+               FROM documents),
+    evg AS (SELECT DISTINCT gr FROM g WHERE ev),
+    st AS (SELECT doc_id, count(*) AS n_grams,
+                  sum(CASE WHEN e.gr IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+           FROM g LEFT JOIN evg e ON g.gr = e.gr
+           WHERE NOT ev GROUP BY doc_id),
+    tr AS (SELECT d.doc_id, d.lang, d.n_chars,
+                  coalesce(s.n_grams, 0) AS n_grams,
+                  coalesce(s.n_hit, 0) AS n_hit
+           FROM documents d LEFT JOIN st s ON d.doc_id = s.doc_id
+           WHERE CAST(concat('0x', substr(md5(d.doc_id || 'decon'), 1, 15))
+                      AS BIGINT) % 10000 >= 1000)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN n_grams > 0 AND 10 * n_hit >= n_grams
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN n_grams > 0 AND 10 * n_hit >= n_grams
+                    THEN 0 ELSE n_chars END) AS BIGINT) AS chars_kept
+    FROM tr GROUP BY lang
+    """,
+    "Benchmark decontamination APPLY (the GPT-3/PaLM appendix "
+    "procedure): hold out a deterministic 10% md5-bucket eval split, "
+    "then drop every TRAIN doc whose distinct-trigram overlap with "
+    "the eval set reaches 10% - the train/eval leakage filter "
+    "ngram_contamination only measures. Gram membership via one "
+    "equi-join of train gram rows against the distinct eval-gram "
+    "table (both SF-proportional - no broadcast hint, AQE decides); "
+    "the split rides the scan as a pure hash expression (leak-proof: "
+    "membership is a function of doc_id alone); thresholds exact "
+    "integers (10*n_hit >= n_grams, zero-gram docs kept). Output "
+    "audited per language.",
+)
+def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens,
+    )
+    from debezium_server_spark.operators.sampling import sample_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    ev = sample_bucket(F.col("doc_id"), "decon") < 1000
+    g = docs.select(
+        "doc_id", ev.alias("ev"),
+        F.explode(F.array_distinct(
+            token_shingles(tokens(F.col("text")), 3))).alias("__s"),
+    ).select(
+        "doc_id", "ev",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+        .alias("gr"),
+    ).localCheckpoint(eager=False)  # feeds eval-gram set AND train rows
+    evg = g.filter("ev").select("gr").distinct().withColumn("hit", F.lit(1))
+    st = (
+        g.filter(~F.col("ev"))
+        .join(evg, "gr", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    tr = (
+        docs.filter(~ev)
+        .join(st, "doc_id", "left")
+        .select(
+            "lang", "n_chars",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    dropped = (F.col("n_grams") > 0) & (10 * F.col("n_hit") >= F.col("n_grams"))
+    return tr.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.sum(F.when(dropped, 0).otherwise(F.col("n_chars"))).cast("long")
+        .alias("chars_kept"),
+    )
+
+
+@register(
+    "tokenizer_fertility_audit",
+    f"""
+    WITH t AS (SELECT lang,
+                 len({_TOKS}) AS n_ws,
+                 len(regexp_extract_all(lower(text), '(\\w+|[^\\w\\s])'))
+                   AS n_bpe,
+                 length(text) AS n_ch
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_bpe) * 10000 // sum(n_ws) AS BIGINT) AS fertility_bp,
+           CAST(sum(n_ch) // sum(n_ws) AS BIGINT) AS chars_per_word
+    FROM t GROUP BY lang
+    """,
+    "Tokenizer fertility audit per language: BPE-ish tokens per "
+    "whitespace word (basis points) and chars per word - THE "
+    "cross-lingual tokenizer-cost metric (a language with 2x "
+    "fertility pays 2x context budget and 2x inference cost for the "
+    "same text; the standard argument for byte-fallback vocab "
+    "rebalancing). Pure column algebra riding one scan - counts are "
+    "exact integers, ratios integer-division basis points. Uses the "
+    "same two tokenizers the engine exposes (functions/"
+    "text_functions.py tokens / bpe_ish_tokens), so the audit "
+    "measures exactly what token_counts and bpe_pair_counts consume.",
+)
+def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        bpe_ish_tokens, tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_ws"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe"),
+        F.length("text").alias("n_ch"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.expr("sum(n_bpe) * 10000 div sum(n_ws)").cast("long")
+        .alias("fertility_bp"),
+        F.expr("sum(n_ch) div sum(n_ws)").cast("long").alias("chars_per_word"),
+    )
+
+
+@register(
+    "dedup_keep_best_apply",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+    reach AS (SELECT u, v FROM e UNION SELECT u, u FROM e
+              UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    ranked AS (SELECT c.doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY c.component
+                                         ORDER BY d.n_chars DESC, c.doc_id)
+                        AS rn
+               FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+    GROUP BY d.lang
+    """,
+    "Dedup apply, KEEP-BEST policy: within each near-dup connected "
+    "component keep the highest-quality member (longest doc, "
+    "doc_id tie-break) instead of the smallest id - what production "
+    "curation actually ships (the canonical copy of a template family "
+    "is its fullest instance, not its first-crawled one). CC labels "
+    "from the same pointer-doubling propagation as dedup_minhash_apply; "
+    "winner selection is one per-component rank window over the "
+    "(node, component, quality) frame - components are near-dup "
+    "clusters, so partitions are small by construction; the kept "
+    "corpus is one anti-join. Oracle = recursive-CTE closure + the "
+    "same rank window.",
+)
+def q_dedup_keep_best_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    cc = connected_components(minhash_lsh_pairs(docs))
+    members = cc.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node"))
+    losers = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
+
+
+@register(
+    "minhash_error_audit",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                  list_transform({_SHINGLES},
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b)),
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    sh60 AS (SELECT doc_id,
+               list_distinct(list_transform({_SHINGLES},
+                   x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))) AS s
+             FROM documents),
+    est AS (SELECT p.a, p.b,
+                   len(list_filter(range(1, 13),
+                       j -> sa.m[j] = sb.m[j])) AS n_eq
+            FROM pr p JOIN sig sa ON p.a = sa.doc_id
+                      JOIN sig sb ON p.b = sb.doc_id)
+    SELECT e.a AS doc_a, e.b AS doc_b,
+           CAST(e.n_eq * 10000 // 12 AS BIGINT) AS est_bp,
+           CAST(len(list_intersect(xa.s, xb.s)) * 10000 //
+                (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)))
+                AS BIGINT) AS exact_bp,
+           CAST(e.n_eq * 10000 // 12
+                - len(list_intersect(xa.s, xb.s)) * 10000 //
+                  (len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)))
+                AS BIGINT) AS err_bp
+    FROM est e JOIN sh60 xa ON e.a = xa.doc_id
+               JOIN sh60 xb ON e.b = xb.doc_id
+    """,
+    "MinHash sketch-error audit: for every LSH candidate pair, the "
+    "signature-agreement Jaccard estimate (equal positions / 12, basis "
+    "points) against the exact shingle-set Jaccard, plus the signed "
+    "error - E[agreement] = J is the MinHash guarantee, and with K=12 "
+    "hashes the std dev is sqrt(J(1-J)/12) ~ 14 bp-percent, so this "
+    "entry measures the estimator the banding THRESHOLD is built on. "
+    "Completes the sketch-error family (count-min heavy hitters, "
+    "histogram quantiles, HLL tolerance band, PQ/LSH/IVF recall): "
+    "every approximate operator in the engine ships with the audit "
+    "that prices its error. Exact side reuses the candidate-confined "
+    "verify join (never all pairs); signature side is two hash joins "
+    "of the 12-column signature frame.",
+)
+def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"__m{j}").alias(f"a{j}") for j in range(12)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"__m{j}").alias(f"b{j}") for j in range(12)])
+    n_eq = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(12)
+    )
+    est = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens,
+    )
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            token_shingles(tokens(F.col("text")), 3))).alias("__s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+        .alias("tok"),
+    ).localCheckpoint(eager=False)
+    sz = t.groupBy("doc_id").agg(F.count("*").alias("len"))
+    ta = t.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        est.select("doc_a", "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b"])
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    la = sz.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("la"))
+    lb = sz.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("lb"))
+    est_bp = F.expr("n_eq * 10000 div 12")
+    exact_bp = F.expr("inter * 10000 div (la + lb - inter)")
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(la, "doc_a").join(lb, "doc_b")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .select(
+            "doc_a", "doc_b",
+            est_bp.cast("long").alias("est_bp"),
+            exact_bp.cast("long").alias("exact_bp"),
+            (est_bp - exact_bp).cast("long").alias("err_bp"),
+        )
+    )
+
+
+@register(
+    "media_chunk_dedup",
+    """
+    WITH c AS (SELECT doc_id AS media_id, md5(substring(text, s*64+1, 64)) AS h
+               FROM documents,
+                    unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT)))
+                      AS t(s)
+               WHERE length(text) > 0),
+    d AS (SELECT DISTINCT media_id, h FROM c),
+    sz AS (SELECT media_id, count(*) AS n_chunks FROM d GROUP BY media_id),
+    p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 count(*) AS shared
+          FROM d a JOIN d b ON a.h = b.h AND a.media_id < b.media_id
+          GROUP BY a.media_id, b.media_id HAVING count(*) >= 2)
+    SELECT p.media_a, p.media_b,
+           CAST(sa.n_chunks AS BIGINT) AS chunks_a,
+           CAST(sb.n_chunks AS BIGINT) AS chunks_b,
+           CAST(p.shared AS BIGINT) AS shared,
+           CAST(p.shared * 10000 // least(sa.n_chunks, sb.n_chunks) AS BIGINT)
+             AS overlap_bp
+    FROM p JOIN sz sa ON p.media_a = sa.media_id
+           JOIN sz sb ON p.media_b = sb.media_id
+    """,
+    "Binary payload chunk-level dedup - the STORAGE dedup shape "
+    "(fixed-size chunking + content hashing, the rsync/borg/VAST "
+    "recipe) applied to opaque media blobs: chunk each payload into "
+    "fixed 64-unit slices, hash every chunk, and pairs sharing >= 2 "
+    "distinct chunk hashes are storage near-dups with an exact "
+    "overlap fraction (shared / smaller chunk count, basis points). "
+    "Catches partial overlap exact-byte families (same header + "
+    "different tail, concatenated copies) that whole-blob md5 "
+    "(media_binary_stats checksum) misses and token shingles never "
+    "see. All columnar - chunk explode rides the scan, candidates "
+    "come from a chunk-hash equi-join (never all pairs), counts "
+    "exact integers.",
+)
+def q_media_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(
+            F.sequence(F.lit(0), (F.ceil(F.length("text") / 64.0)
+                                  .cast("long")) - 1)
+        ).alias("s"),
+        "text",
+    ).select(
+        "media_id",
+        F.md5(F.expr("encode(substring(text, s*64+1, 64), 'UTF-8')"))
+        .alias("h"),
+    )
+    d = c.distinct().localCheckpoint(eager=False)  # sizes + both join sides
+    sz = d.groupBy("media_id").agg(F.count("*").alias("n_chunks"))
+    a = d.select(F.col("media_id").alias("media_a"), "h")
+    b = d.select(F.col("media_id").alias("media_b"), "h")
+    p = (
+        a.join(b, "h")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    sa = sz.select(F.col("media_id").alias("media_a"),
+                   F.col("n_chunks").alias("chunks_a"))
+    sb = sz.select(F.col("media_id").alias("media_b"),
+                   F.col("n_chunks").alias("chunks_b"))
+    return (
+        p.join(sa, "media_a").join(sb, "media_b")
+        .select(
+            "media_a", "media_b",
+            F.col("chunks_a").cast("long").alias("chunks_a"),
+            F.col("chunks_b").cast("long").alias("chunks_b"),
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("shared * 10000 div least(chunks_a, chunks_b)")
+            .cast("long").alias("overlap_bp"),
+        )
+    )
+
+
+@register(
+    "sampled_estimate_audit",
+    """
+    WITH s AS (SELECT o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(concat('0x', substr(md5(o_orderkey || 'est'), 1, 15))
+                      AS BIGINT) % 10000 < 100 AS insamp
+               FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN insamp THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+           CAST(sum(cents) AS BIGINT) AS exact_cents,
+           CAST(sum(CASE WHEN insamp THEN cents ELSE 0 END) * 100 AS BIGINT)
+             AS est_cents,
+           CAST(abs(sum(CASE WHEN insamp THEN cents ELSE 0 END) * 100
+                    - sum(cents)) * 10000 // sum(cents) AS BIGINT) AS err_bp
+    FROM s GROUP BY o_orderpriority
+    """,
+    "Approximate-query estimator audit: per order priority, the "
+    "Horvitz-Thompson total estimate from a deterministic 1% md5-"
+    "bucket sample (sample sum x inverse inclusion rate) against the "
+    "exact total, error in basis points - the sampled-scan shape BI "
+    "layers run on 100 TB when exact isn't worth the scan, here "
+    "priced against ground truth in one pass (the sample flag is a "
+    "pure hash expression, so 'sample' and 'exact' share the same "
+    "scan; integer cents end-to-end). Completes the approximation-"
+    "audit family: sketches (CMS/HLL/quantile), ANN recall "
+    "(LSH/IVF/PQ/MRL), sketch-estimator (minhash_error_audit), and "
+    "now plain sampling estimators.",
+)
+def q_sampled_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import sample_bucket
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ins = sample_bucket(F.col("o_orderkey"), "est") < 100
+    s = o.select("o_orderpriority", cents.alias("cents"), ins.alias("insamp"))
+    return s.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("insamp"), 1).otherwise(0)).cast("long")
+        .alias("n_sample"),
+        F.sum("cents").cast("long").alias("exact_cents"),
+        (F.sum(F.when(F.col("insamp"), F.col("cents")).otherwise(0)) * 100)
+        .cast("long").alias("est_cents"),
+        F.expr(
+            "abs(sum(CASE WHEN insamp THEN cents ELSE 0 END) * 100"
+            " - sum(cents)) * 10000 div sum(cents)"
+        ).cast("long").alias("err_bp"),
+    )

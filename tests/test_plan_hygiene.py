@@ -33,3 +33,33 @@ def test_exchange_budgets(spark):
     over = {n: q["exchanges"] for n, q in result["queries"].items()
             if q["exchanges"] > (24 if n in COMPOSED else 12)}
     assert not over, f"queries exceeding the exchange budget: {over}"
+
+
+def test_broadcast_hint_rule_fires(spark):
+    """The SF-proportional broadcast-hint detector must actually detect:
+    a deliberate F.broadcast(customer) hint (the round-2 scale-killer
+    class) is flagged, and the same join with an Aggregate bound or
+    a Limit cap between hint and scan is not."""
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import broadcast_hint_violations
+
+    sf = os.environ["SPARK_GRAFT_SF_DIR"]
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert broadcast_hint_violations(bad) == ["customer"]
+
+    agg = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    ok_agg = orders.join(
+        F.broadcast(agg), orders.o_orderstatus == agg.c_mktsegment)
+    assert broadcast_hint_violations(ok_agg) == []
+
+    capped = cust.filter(F.col("c_custkey") < 10).limit(10)
+    ok_cap = orders.join(
+        F.broadcast(capped), orders.o_custkey == capped.c_custkey)
+    assert broadcast_hint_violations(ok_cap) == []
+
+    unhinted = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert broadcast_hint_violations(unhinted) == []
