@@ -120,3 +120,37 @@ def test_bfs_layers_min_dist_and_early_exit(spark):
            for r in bfs_layers(edges, seeds, max_hops=10).collect()}
     # 3 is 1 hop from seed 10 (not 2 hops from seed 1); 5 unreachable
     assert got == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2}
+
+
+# ---- k-core decomposition -------------------------------------------------
+
+def _kcore(spark, und_pairs, k=2, rounds=6):
+    from debezium_server_spark.operators.graph import kcore
+
+    both = und_pairs + [(b, a) for a, b in und_pairs]
+    df = spark.createDataFrame(both, "src long, dst long")
+    out = kcore(df, k=k, rounds=rounds).collect()
+    return {r["node"]: r["degree"] for r in out}
+
+
+def test_kcore_keeps_clique_drops_pendant_chain(spark):
+    # triangle 1-2-3 (each degree 2) with pendant chain 3-4-5:
+    # chain nodes peel (degree 1), the triangle is the entire 2-core.
+    got = _kcore(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascading_peel(spark):
+    # path 1-2-3-4-5: every node eventually peels (no 2-core), but only
+    # via CASCADE — after round 1 removes the endpoints, new endpoints
+    # appear. A single-round degree filter would wrongly keep 2,3,4.
+    got = _kcore(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {}
+
+
+def test_kcore_two_components(spark):
+    # 4-clique survives at k=3; the separate triangle does not.
+    clique = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    got = _kcore(spark, clique + tri, k=3)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -173,3 +173,31 @@ def test_temperature_mix_skips_zero_mass_strata(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, w long")
     kept = temperature_mix(df, "source", F.col("w"), key_col="doc_id")
     assert {r["source"] for r in kept.collect()} == {"real"}
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs whose bigrams match the target distribution score strictly
+    higher than off-distribution docs; zero/one-token docs drop out of
+    scoring entirely (no fabricated null grams from the descending-
+    sequence trap)."""
+    from debezium_server_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        # target corpus: "good clean text" style bigrams
+        [(i, "good clean text good clean", 1) for i in range(20)]
+        # raw, target-like
+        + [(100, "good clean text good", 0)]
+        # raw, off-distribution
+        + [(101, "zz yy xx ww vv", 0)]
+        # raw, degenerate single-token
+        + [(102, "solo", 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, t int")
+    w = dsir_importance_weights(df, F.col("t") == 1, key_col="doc_id")
+    got = {r["key"]: r["weight_micronats"] for r in w.collect()}
+    assert 102 not in got            # no grams -> not scored
+    assert got[100] > got[101]       # target-like outranks junk
+    assert got[100] > 0 > got[101]   # signs match the log-ratio intuition

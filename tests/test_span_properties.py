@@ -79,3 +79,25 @@ def test_prefix_filter_complete_on_random_corpora(spark, docs):
            jaccard_prefix_join(df, tau_num=3, tau_den=5, shingle_k=1)
            .collect()}
     assert got == expect
+
+
+@_SETTINGS
+@given(_random_corpus())
+def test_containment_prefix_complete_on_random_corpora(spark, docs):
+    """One-sided prefix filtering is COMPLETE for containment: every
+    pair with |Sa ∩ Sb| >= ceil(tau*|Sa|) must be found (both
+    directions — containment is asymmetric)."""
+    from debezium_server_spark.operators.dedup import containment_prefix_join
+
+    expect = set()
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = set(ta.split()), set(tb.split())
+        if sa and 5 * len(sa & sb) >= 3 * len(sa):
+            expect.add((ia, ib))
+        if sb and 5 * len(sa & sb) >= 3 * len(sb):
+            expect.add((ib, ia))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["da"], r["db"]) for r in
+           containment_prefix_join(df, tau_num=3, tau_den=5, shingle_k=1)
+           .collect()}
+    assert got == expect
