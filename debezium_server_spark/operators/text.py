@@ -888,10 +888,16 @@ def nb_lang_classifier(
     w = Window.partitionBy("id").orderBy(F.desc("score_u"), F.asc("lang"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        # margin over the runner-up label: the integer CONFIDENCE the
+        # calibration audit buckets on (lead reads rn=2 from the same
+        # sorted window — no second pass)
+        .withColumn("margin_u",
+                    (F.col("score_u") - F.lead("score_u").over(w))
+                    .cast("long"))
         .filter(F.col("rn") == 1)
         .select(
             F.col("id").alias(id_col), "actual",
-            F.col("lang").alias("predicted"), "score_u",
+            F.col("lang").alias("predicted"), "score_u", "margin_u",
             (F.col("lang") == F.col("actual")).alias("correct"),
         )
     )

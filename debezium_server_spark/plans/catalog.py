@@ -7872,7 +7872,11 @@ def q_stream_dedup_then_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nb_lang_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.text import nb_lang_classifier
 
-    return nb_lang_classifier(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return (
+        nb_lang_classifier(load(spark, sf_dir, "documents"))
+        .select("doc_id", "actual", "predicted", "score_u", "correct")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -10544,4 +10548,202 @@ def q_sampled_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(sum(CASE WHEN insamp THEN cents ELSE 0 END) * 100"
             " - sum(cents)) * 10000 div sum(cents)"
         ).cast("long").alias("err_bp"),
+    )
+
+
+@register(
+    "nb_confidence_calibration",
+    f"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    ttr AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM tr),
+    tte AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM te),
+    doclang AS (SELECT doc_id AS id, lang FROM tr),
+    tl AS (SELECT t.id, t.tok, d.lang FROM ttr t JOIN doclang d USING (id)),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM tl GROUP BY lang, tok),
+    tot AS (SELECT lang, sum(c) AS t_lang FROM cnt GROUP BY lang),
+    vv AS (SELECT count(DISTINCT tok) AS v FROM ttr),
+    nn AS (SELECT count(*) AS n_docs FROM tr),
+    pri AS (SELECT lang, count(*) AS n_l FROM tr GROUP BY lang),
+    stats AS (SELECT p.lang,
+                     CAST(floor(ln(CAST(n_l AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS prior_u,
+                     CAST(floor(ln(1.0 / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                          AS BIGINT) AS unseen_u,
+                     t_lang, v
+              FROM pri p JOIN tot USING (lang)
+              CROSS JOIN vv CROSS JOIN nn),
+    ll AS (SELECT c.lang, c.tok,
+                  CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                                / CAST(t_lang + v AS DOUBLE)) * 1e6)
+                       AS BIGINT) AS ll_u
+           FROM cnt c JOIN stats USING (lang)),
+    cov AS (SELECT t.id, l.lang, sum(ll_u) AS sum_ll, count(*) AS n_cov
+            FROM tte t JOIN ll l USING (tok) GROUP BY t.id, l.lang),
+    ntok AS (SELECT doc_id AS id, lang AS actual,
+                    CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+             FROM te),
+    grid AS (SELECT n.id, n.actual, n.n_tokens,
+                    s.lang, s.prior_u, s.unseen_u
+             FROM ntok n CROSS JOIN
+                  (SELECT lang, prior_u, unseen_u FROM stats) s),
+    scored AS (SELECT g.id, g.actual, g.lang,
+                      CAST(g.prior_u + COALESCE(c.sum_ll, 0)
+                           + (g.n_tokens - COALESCE(c.n_cov, 0))
+                             * g.unseen_u AS BIGINT) AS score_u
+               FROM grid g
+               LEFT JOIN cov c ON c.id = g.id AND c.lang = g.lang),
+    best AS (SELECT *,
+                    row_number() OVER (PARTITION BY id
+                                       ORDER BY score_u DESC, lang) AS rn,
+                    lead(score_u) OVER (PARTITION BY id
+                                        ORDER BY score_u DESC, lang)
+                      AS runner_u
+             FROM scored),
+    pred AS (SELECT id, actual, lang AS predicted,
+                    score_u - runner_u AS margin_u
+             FROM best WHERE rn = 1)
+    SELECT least(margin_u // 200000, 5) AS margin_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                * 10000 // count(*) AS BIGINT) AS accuracy_bp
+    FROM pred GROUP BY least(margin_u // 200000, 5)
+    ORDER BY margin_bucket
+    """,
+    "Classifier confidence CALIBRATION on the honest holdout (the "
+    "reliability-diagram audit next to PSI in the model-monitoring "
+    "family): bucket held-out predictions by the integer logit MARGIN "
+    "over the runner-up label (0.2-nat buckets, top-coded at 5) and "
+    "report per-bucket accuracy in basis points - a well-calibrated "
+    "classifier's accuracy must rise monotonically with margin, and "
+    "the low-margin buckets are exactly the docs a production "
+    "pipeline routes to human review / a bigger model (confidence "
+    "thresholding is how quality classifiers actually ship). Margin "
+    "comes free from the same argmax window (lead over the sorted "
+    "scores); everything downstream is exact integers.",
+)
+def q_nb_confidence_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import nb_lang_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = nb_lang_classifier(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        train_df=docs.filter(F.col("doc_id") % 5 != 0),
+    )
+    bucket = F.least(F.expr("margin_u div 200000"), F.lit(5).cast("long"))
+    return (
+        per_doc.groupBy(bucket.alias("margin_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("long")
+            .alias("n_correct"),
+            F.expr("sum(CASE WHEN correct THEN 1 ELSE 0 END) * 10000"
+                   " div count(*)").cast("long").alias("accuracy_bp"),
+        )
+        .orderBy("margin_bucket")
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Replay BPE training AND encoding in SQL: per round, weighted
+    pair counts -> argmax merge -> recursive-CTE sequential fold
+    applying the merge left-to-right non-overlapping per vocab word
+    (the greedy order an overlap like a,a,a requires — the same
+    struct-state recursion the CEP automaton oracle uses). All CTEs
+    MATERIALIZED (the graph_kcore lesson: inlined unrolls re-evaluate
+    exponentially)."""
+    sql = """
+    WITH RECURSIVE w AS MATERIALIZED (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents),
+    v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_append(list_transform(range(1, len(word) + 1),
+                                        i -> word[i]), '</w>') AS syms
+      FROM w WHERE word != '' GROUP BY word)"""
+    for r in range(rounds):
+        sql += f""",
+    p{r} AS MATERIALIZED (
+      SELECT string_split(pk, ' ')[1] AS a, string_split(pk, ' ')[2] AS b,
+             CAST(sum(freq) AS BIGINT) AS n
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                          i -> syms[i] || ' ' || syms[i + 1])) AS pk, freq
+            FROM v{r})
+      GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (
+      SELECT a, b, a || b AS ab FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    f{r} AS (
+      SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v{r}
+      UNION ALL
+      SELECT word, freq, syms,
+             CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM m{r})
+                       AND syms[i+1] = (SELECT b FROM m{r})
+                  THEN i + 2 ELSE i + 1 END,
+             CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM m{r})
+                       AND syms[i+1] = (SELECT b FROM m{r})
+                  THEN list_append(acc, (SELECT ab FROM m{r}))
+                  ELSE list_append(acc, syms[i]) END
+      FROM f{r} WHERE i <= len(syms)),
+    v{r+1} AS MATERIALIZED (
+      SELECT word, freq, acc AS syms FROM f{r} WHERE i = len(syms) + 1)"""
+    sql += f""",
+    dw AS (SELECT doc_id, lang,
+                  unnest(string_split_regex(lower(text), '\\s+')) AS word
+           FROM documents),
+    dn AS (SELECT doc_id, lang, word FROM dw WHERE word != '')
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(v.syms)) * 10000 // count(*) AS BIGINT)
+             AS bpe_per_word_bp
+    FROM dn JOIN v{rounds} v USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+    return sql
+
+
+@register(
+    "bpe_encode_corpus",
+    _bpe_encode_oracle(5),
+    "End-to-end TRAINED-tokenizer encoding: learn 5 BPE merges "
+    "in-engine (bpe_train - the Sennrich loop over the Heaps-law-small "
+    "vocab frame, argmax with deterministic tie-break per round), then "
+    "ENCODE the corpus with the learned merge list (bpe_segment's "
+    "Arrow-batched kernel - merges ride as broadcast closure data) and "
+    "report per-language token economics: words, BPE tokens, tokens "
+    "per word in basis points. Closes the tokenizer family loop: "
+    "bpe_pair_counts exposes one training round, this entry proves "
+    "train -> encode -> count end-to-end with a full SQL replay "
+    "(training via unrolled MATERIALIZED rounds; the greedy "
+    "left-to-right merge apply - which overlaps like a,a,a make "
+    "inherently sequential - as a per-word recursive-CTE fold, the "
+    "CEP-automaton oracle pattern). Scale: the only corpus passes are "
+    "the word count and the final encode; the 5-round loop runs on "
+    "the vocab frame alone.",
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=5)
+    seg = bpe_segment(docs, merges)
+    n_words = F.size(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""))
+    return (
+        seg.select("doc_id", "lang",
+                   F.size("bpe_tokens").alias("n_bpe"),
+                   n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.expr("sum(n_bpe) * 10000 div sum(n_words)").cast("long")
+            .alias("bpe_per_word_bp"),
+        )
+        .orderBy("lang")
     )
