@@ -22,7 +22,10 @@ COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             "hybrid_search_rrf",
             # four cosine_topk pipelines (full + 8/16/32-dim truncations)
             # scored against each other
-            "embedding_matryoshka_recall"}
+            "embedding_matryoshka_recall",
+            # composes the LSH candidate pipeline + the 12-column
+            # signature joins + the exact candidate-confined verify
+            "minhash_error_audit"}
 
 
 def test_exchange_budgets(spark):

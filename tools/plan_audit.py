@@ -56,6 +56,9 @@ WHITELIST: set[str] = {
     # CMS error audit attaches the total-token scalar as a one-row
     # broadcast (same bounded single-row build side)
     "heavy_hitters_cms",
+    # DSIR attaches the corpus gram totals (one Aggregate row) to the
+    # <=512-row per-bucket frame — single-row build side, bounded
+    "dsir_importance_resample",
     # MMR candidate scoring crossJoins the broadcast 3-query probe set
     # (identical bounded pattern to embedding_topk); the MMR stage
     # itself is candidates², never corpus-quadratic
