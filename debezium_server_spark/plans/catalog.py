@@ -10747,3 +10747,465 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# =====================================================================
+# Round-3 block 2: data-quality gate, distributional drift (continuous),
+# resampling statistics, co-occurrence mining, skyline, phrase retrieval.
+# =====================================================================
+
+@register(
+    "dq_expectations",
+    """
+    WITH o AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS v_price,
+             sum(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS v_status,
+             count(*) - count(DISTINCT o_orderkey) AS v_unique,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_cust
+      FROM orders),
+    l AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN li.l_discount < 0 OR li.l_discount > 1
+                      THEN 1 ELSE 0 END) AS v_disc,
+             sum(CASE WHEN li.l_quantity IS NULL OR li.l_quantity <= 0
+                      THEN 1 ELSE 0 END) AS v_qty,
+             sum(CASE WHEN li.l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
+             sum(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_fk
+      FROM lineitem li LEFT JOIN orders o2 ON o2.o_orderkey = li.l_orderkey),
+    e AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_user,
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts
+      FROM events)
+    SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'orders.totalprice_positive' AS check_name, n_rows,
+             v_price AS n_violations FROM o
+      UNION ALL SELECT 'orders.status_in_domain', n_rows, v_status FROM o
+      UNION ALL SELECT 'orders.orderkey_unique', n_rows, v_unique FROM o
+      UNION ALL SELECT 'orders.custkey_not_null', n_rows, v_cust FROM o
+      UNION ALL SELECT 'lineitem.discount_in_unit_range', n_rows, v_disc FROM l
+      UNION ALL SELECT 'lineitem.quantity_positive', n_rows, v_qty FROM l
+      UNION ALL SELECT 'lineitem.shipdate_not_null', n_rows, v_ship FROM l
+      UNION ALL SELECT 'lineitem.orderkey_fk_resolves', n_rows, v_fk FROM l
+      UNION ALL SELECT 'events.user_id_not_null', n_rows, v_user FROM e
+      UNION ALL SELECT 'events.ts_not_null', n_rows, v_ts FROM e
+    ) ORDER BY check_name
+    """,
+    "Declarative data-quality expectation suite (the Deequ / "
+    "Great-Expectations gate every production pipeline runs before "
+    "publishing a table): ten expectations across three tables — "
+    "positivity, domain membership, key uniqueness, null contracts, "
+    "referential integrity — each emitted as one (check, n_rows, "
+    "n_violations, passed) row. Shape: ONE fused aggregate scan per "
+    "table (every per-row predicate is a sum(CASE) riding the same "
+    "pass; uniqueness is a count-distinct partial in the same agg; the "
+    "FK check rides a single equi LEFT JOIN to the unique parent key, "
+    "which AQE broadcast-converts when eligible), then a |checks|-row "
+    "stack/union — violations are COUNTED engine-side, never "
+    "materialized, so the output is O(checks) at any corpus size.",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load_events(spark, sf_dir)
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("o_totalprice").isNull()
+             | (F.col("o_totalprice") <= 0)).alias("v_price"),
+        viol(F.col("o_orderstatus").isNull()
+             | ~F.col("o_orderstatus").isin("O", "F", "P")).alias("v_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_unique"),
+        viol(F.col("o_custkey").isNull()).alias("v_cust"),
+    )
+    lj = li.join(
+        orders.select(F.col("o_orderkey").alias("__ok")),
+        li["l_orderkey"] == F.col("__ok"), "left")
+    lagg = lj.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias("v_qty"),
+        viol(F.col("l_shipdate").isNull()).alias("v_ship"),
+        viol(F.col("__ok").isNull()).alias("v_fk"),
+    )
+    eagg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("user_id").isNull()).alias("v_user"),
+        viol(F.col("ts").isNull()).alias("v_ts"),
+    )
+
+    def unpack(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+        args = ", ".join(f"'{name}', {col}" for name, col in pairs)
+        return df.select(
+            F.col("n_rows"),
+            F.expr(f"stack({len(pairs)}, {args}) AS (check_name, n_violations)"),
+        )
+
+    rows = (
+        unpack(o, [("orders.totalprice_positive", "v_price"),
+                   ("orders.status_in_domain", "v_status"),
+                   ("orders.orderkey_unique", "v_unique"),
+                   ("orders.custkey_not_null", "v_cust")])
+        .unionByName(unpack(lagg, [
+            ("lineitem.discount_in_unit_range", "v_disc"),
+            ("lineitem.quantity_positive", "v_qty"),
+            ("lineitem.shipdate_not_null", "v_ship"),
+            ("lineitem.orderkey_fk_resolves", "v_fk")]))
+        .unionByName(unpack(eagg, [("events.user_id_not_null", "v_user"),
+                                   ("events.ts_not_null", "v_ts")]))
+    )
+    return rows.select(
+        "check_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+@register(
+    "ks_source_drift",
+    """
+    WITH g AS (
+      SELECT n_chars,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY n_chars),
+    c AS (
+      SELECT n_chars,
+             sum(ca) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM g),
+    gap AS (
+      SELECT n_chars, na, nb,
+             abs(cuma * nb - cumb * na) AS d_u,
+             row_number() OVER (ORDER BY abs(cuma * nb - cumb * na) DESC,
+                                n_chars) AS rk
+      FROM c)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(d_u * 10000 // (na * nb) AS BIGINT) AS ks_d_bp,
+           CAST(n_chars AS BIGINT) AS ks_at_n_chars,
+           (d_u * 10000 // (na * nb)) * (d_u * 10000 // (na * nb)) * na * nb
+             > 184416400 * (na + nb) AS drift_alert
+    FROM gap WHERE rk = 1
+    """,
+    "Two-sample Kolmogorov-Smirnov drift gate on a CONTINUOUS column "
+    "(doc length, src0 vs src1) — the companion to psi_drift_gate's "
+    "categorical PSI: D = max |ECDF_a - ECDF_b| computed entirely in "
+    "integers as max |cum_a*nb - cum_b*na| over the merged value grid "
+    "(cross-multiplied ECDFs — no division until the final basis-point "
+    "quantization), argmax location reported with a deterministic "
+    "min-value tiebreak, and the alpha=0.05 alert via the squared "
+    "Smirnov threshold D^2 > 1.358^2 (na+nb)/(na nb) cross-multiplied "
+    "to d_bp^2 * na * nb > 184416400 * (na+nb) — no sqrt, engine-exact "
+    "(int64-safe while na*nb < ~1e10; beyond that, pre-scale the "
+    "basis-point quantization). Shape: one grouped count per distinct "
+    "length, then windows over the |distinct lengths|-row frame — "
+    "bounded by the value domain, not the corpus, so the single-"
+    "partition window is benign at any scale.",
+)
+def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1"))
+    g = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("cb"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    c = (g.withColumn("cuma", F.sum("ca").over(wcum))
+          .withColumn("cumb", F.sum("cb").over(wcum))
+          .withColumn("na", F.sum("ca").over(wall))
+          .withColumn("nb", F.sum("cb").over(wall)))
+    gap = c.withColumn(
+        "d_u", F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    ).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("d_u").desc(), "n_chars")))
+    d_bp = F.expr("d_u * 10000 div (na * nb)")
+    return gap.filter(F.col("rk") == 1).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        d_bp.cast("long").alias("ks_d_bp"),
+        F.col("n_chars").cast("long").alias("ks_at_n_chars"),
+        (d_bp * d_bp * F.col("na") * F.col("nb")
+         > 184416400 * (F.col("na") + F.col("nb"))).alias("drift_alert"),
+    )
+
+
+@register(
+    "poisson_bootstrap_ci",
+    """
+    WITH reps AS (SELECT range AS b FROM range(-1, 100)),
+    w AS (
+      SELECT b, cents,
+             CASE WHEN b = -1 THEN 1
+                  WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+                  ELSE 6 END AS wt
+      FROM (
+        SELECT r.b AS b,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(concat('0x', substr(md5(o.o_orderkey || ':' || r.b), 1, 15))
+                    AS BIGINT) % 1000000 AS u
+        FROM orders o CROSS JOIN reps r)),
+    rep AS (SELECT b, sum(wt * cents) // greatest(sum(wt), 1) AS mean_cents
+            FROM w GROUP BY b),
+    ranked AS (SELECT b, mean_cents,
+                      row_number() OVER (PARTITION BY b = -1
+                                         ORDER BY mean_cents, b) AS rn
+               FROM rep)
+    SELECT CAST(100 AS BIGINT) AS n_replicates,
+           CAST(max(CASE WHEN b = -1 THEN mean_cents END) AS BIGINT)
+             AS point_mean_cents,
+           CAST(max(CASE WHEN b >= 0 AND rn = 3 THEN mean_cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(max(CASE WHEN b >= 0 AND rn = 98 THEN mean_cents END) AS BIGINT)
+             AS ci_hi_cents
+    FROM ranked
+    """,
+    "Poisson-bootstrap confidence interval for the mean order value — "
+    "THE resampling scheme that survives 100 TB (Chamandy et al., "
+    "'Estimating Uncertainty for Massive Data Streams': classical "
+    "bootstrap needs B full resample passes; Poisson bootstrap gives "
+    "every (row, replicate) an independent Poisson(1) weight, so all "
+    "B=100 replicates ride ONE scan). Weights are deterministic: "
+    "u = md5(orderkey:b) mod 1e6 cut at the exact Poisson(1) CDF "
+    "thresholds (367879/735759/919699/981012/996340/999406, truncated "
+    "at 6); replicate means are integer-cents divisions; the CI is the "
+    "3rd/98th order statistics of the 100 replicate means (conservative "
+    "central 95%+), the point estimate rides as pseudo-replicate b=-1 "
+    "with weight 1. An all-zero-weight replicate (probability e^-n — "
+    "impossible beyond toy inputs) is defined as mean 0 via a "
+    "greatest(weight_sum, 1) divisor guard, identically on both "
+    "engine and oracle sides, keeping ANSI mode division-safe. "
+    "Shape: explode x101 fuses onto the scan and "
+    "partial-aggregates map-side, so the shuffle is 101 rows per "
+    "partition regardless of data volume; the order-statistic window "
+    "runs on the fixed 101-row replicate frame.",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    # The x101 explode + per-row md5 fuses onto the scan; a single-file
+    # local scan would run all of it in ONE task (the _HEAVY_TABLES
+    # lesson above). Repartition the narrow 16-byte/row projection
+    # before fan-out — on a real multi-row-group layout this is
+    # unnecessary (disable with SPARK_GRAFT_NO_REPART=1).
+    if not os.environ.get("SPARK_GRAFT_NO_REPART"):
+        o = o.repartition(spark.sparkContext.defaultParallelism)
+    w = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(-1), F.lit(99))).alias("b"),
+        F.col("o_orderkey"))
+    u = (F.conv(F.substring(F.md5(F.concat(
+            F.col("o_orderkey").cast("string"), F.lit(":"),
+            F.col("b").cast("string")).cast("binary")), 1, 15), 16, 10)
+         .cast("long") % 1000000)
+    wt = (F.when(F.col("b") == -1, 1)
+           .when(u < 367879, 0).when(u < 735759, 1).when(u < 919699, 2)
+           .when(u < 981012, 3).when(u < 996340, 4).when(u < 999406, 5)
+           .otherwise(6))
+    rep = (w.withColumn("wt", wt)
+            .groupBy("b")
+            .agg(F.sum(F.col("wt") * F.col("cents")).alias("s"),
+                 F.sum("wt").alias("m"))
+            .select("b", F.expr("s div greatest(m, 1)").alias("mean_cents")))
+    ranked = rep.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy(F.col("b") == -1).orderBy("mean_cents", "b")))
+    return ranked.agg(
+        F.lit(100).cast("long").alias("n_replicates"),
+        F.max(F.when(F.col("b") == -1, F.col("mean_cents")))
+         .cast("long").alias("point_mean_cents"),
+        F.max(F.when((F.col("b") >= 0) & (F.col("rn") == 3),
+                     F.col("mean_cents"))).cast("long").alias("ci_lo_cents"),
+        F.max(F.when((F.col("b") >= 0) & (F.col("rn") == 98),
+                     F.col("mean_cents"))).cast("long").alias("ci_hi_cents"),
+    )
+
+
+@register(
+    "item_cooccurrence_jaccard",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events),
+    n AS (SELECT event_type, count(*) AS n_t FROM b GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS item_a, c.event_type AS item_b,
+             count(*) AS n_ab
+      FROM b a JOIN b c
+        ON a.user_id = c.user_id AND a.day = c.day
+       AND a.event_type < c.event_type
+      GROUP BY a.event_type, c.event_type)
+    SELECT item_a, item_b,
+           CAST(na.n_t AS BIGINT) AS n_a, CAST(nb.n_t AS BIGINT) AS n_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(p.n_ab * 10000 // (na.n_t + nb.n_t - p.n_ab) AS BIGINT)
+             AS jaccard_bp
+    FROM p JOIN n na ON na.event_type = p.item_a
+           JOIN n nb ON nb.event_type = p.item_b
+    ORDER BY item_a, item_b
+    """,
+    "Item-to-item co-occurrence mining over (user, day) baskets — the "
+    "association core of every 'users who did X also did Y' "
+    "recommender and of market-basket lift analysis: distinct "
+    "event-type pairs co-present in a basket, scored by exact Jaccard "
+    "|A AND B| / |A OR B| in integer basis points (cross-multiplied, "
+    "one integer division — engine-exact). Shape: baskets come from "
+    "one distinct pass; the pair join is EQUI-keyed on (user, day) "
+    "with per-basket fan-out bounded by |event types| (a dimension "
+    "constant, so candidate pairs are O(baskets * |types|^2), never "
+    "corpus-quadratic); the per-item support frame aggregates to "
+    "|types| rows and AQE broadcast-joins it back; output is the "
+    "|types|^2-bounded co-occurrence matrix.",
+)
+def q_item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    b = ev.select("user_id", F.to_date("ts").alias("day"),
+                  "event_type").distinct()
+    n = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    p = (b.alias("a")
+          .join(b.alias("c"),
+                (F.col("a.user_id") == F.col("c.user_id"))
+                & (F.col("a.day") == F.col("c.day"))
+                & (F.col("a.event_type") < F.col("c.event_type")))
+          .groupBy(F.col("a.event_type").alias("item_a"),
+                   F.col("c.event_type").alias("item_b"))
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    res = (p.join(n.select(F.col("event_type").alias("item_a"),
+                           F.col("n_t").alias("n_a_raw")), "item_a")
+            .join(n.select(F.col("event_type").alias("item_b"),
+                           F.col("n_t").alias("n_b_raw")), "item_b"))
+    return res.select(
+        "item_a", "item_b",
+        F.col("n_a_raw").cast("long").alias("n_a"),
+        F.col("n_b_raw").cast("long").alias("n_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.expr("n_ab * 10000 div (n_a_raw + n_b_raw - n_ab)")
+         .cast("long").alias("jaccard_bp"),
+    ).orderBy("item_a", "item_b")
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day
+      FROM orders),
+    d AS (SELECT day, max(price_cents) AS day_max FROM c GROUP BY day),
+    r AS (SELECT day, day_max,
+                 max(day_max) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+          FROM d)
+    SELECT c.o_orderkey, CAST(c.day AS BIGINT) AS day, c.price_cents
+    FROM c JOIN r ON r.day = c.day
+    WHERE c.price_cents = r.day_max
+      AND (r.prev_max IS NULL OR c.price_cents > r.prev_max)
+    ORDER BY c.o_orderkey
+    """,
+    "Pareto frontier (skyline) of orders on (earliest date, highest "
+    "value): an order is on the frontier iff NO other order has "
+    "orderdate <= AND price_cents >= with at least one strict — the "
+    "classic skyline operator (Borzsony et al., ICDE'01) whose naive "
+    "form is an all-pairs NOT EXISTS. For a 2-D skyline dominance "
+    "collapses to order statistics: keep a row iff it attains its "
+    "day's max price AND beats the running max over all earlier days. "
+    "Shape: one grouped max to the |days|-row frame (bounded by the "
+    "date domain, not the corpus), a running-max window over that "
+    "bounded frame, and one equi join back on day (AQE broadcasts the "
+    "day frame) — O(n) + O(|days| log |days|) where the textbook "
+    "block-nested-loop skyline is O(n^2). Integer cents make the "
+    "dominance comparisons engine-exact; same-(day, price) duplicates "
+    "dominate neither direction and are both kept, matching the NOT "
+    "EXISTS spec.",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+         .cast("long").alias("day"))
+    d = c.groupBy("day").agg(F.max("price_cents").alias("day_max"))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    r = d.withColumn("prev_max", F.max("day_max").over(wprev))
+    return (
+        c.join(r, "day")
+         .filter((F.col("price_cents") == F.col("day_max"))
+                 & (F.col("prev_max").isNull()
+                    | (F.col("price_cents") > F.col("prev_max"))))
+         .select("o_orderkey", "day", "price_cents")
+         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "phrase_search",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t),
+    a AS (SELECT doc_id, pos FROM p WHERE tok = 'order'),
+    bq AS (SELECT doc_id, pos FROM p WHERE tok = 'fast')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN bq ON bq.doc_id = a.doc_id AND bq.pos = a.pos + 1
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    "Exact PHRASE query ('order fast') over a POSITIONAL inverted "
+    "index — the retrieval primitive bm25_search/keyword_search can't "
+    "express (bag-of-words scoring loses adjacency): posexplode "
+    "builds (doc, term, position) postings, the two query terms' "
+    "posting lists survive the term filter, and adjacency is an "
+    "EQUI join on (doc_id, pos+1 = pos) — hash join on integer keys, "
+    "never a scan of non-query terms past the filter. Reports "
+    "per-doc match count and first occurrence (1-based). Shape: "
+    "postings ∝ corpus tokens but only the two query-term lists "
+    "cross the shuffle; the adjacency join's build side is one "
+    "term's postings (AQE broadcasts when small). Extends to k-term "
+    "phrases as a (k-1)-fold chain of the same equi join.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    t1 = (toks.filter(F.col("tok") == "order")
+              .select("doc_id", (F.col("pos") + 1).alias("pa1"),
+                      F.col("pos").alias("pa")))
+    t2 = (toks.filter(F.col("tok") == "fast")
+              .select(F.col("doc_id").alias("doc_b"),
+                      F.col("pos").alias("pb")))
+    m = t1.join(t2, (t1["doc_id"] == t2["doc_b"]) & (t1["pa1"] == t2["pb"]))
+    return (
+        m.groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+              (F.min("pa") + 1).cast("long").alias("first_pos"))
+         .orderBy("doc_id")
+    )
