@@ -88,11 +88,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_cont_prices",
     "ewma_user_daily",
     "cusum_changepoint",
-    # round-3 additions (newest code = least soak time)
+    # round-3 additions (newest code = least soak time); favors the
+    # novel-mechanism entries — the recursive-CTE BPE train+encode
+    # fold and the unrolled iterative Lloyd rounds — over plain-join
+    # entries like containment_quote_join/dedup_keep_best_apply, which
+    # the local three-SF sweeps cover
     "graph_kcore",
-    "containment_quote_join",
+    "bpe_encode_corpus",
     "minhash_error_audit",
-    "dedup_keep_best_apply",
+    "kmeans_integer_lloyd",
     "dsir_importance_resample",
 )
 

@@ -824,3 +824,93 @@ def rrf_fuse(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def kmeans_lloyd_integer(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-round Lloyd k-means, fully in-engine and integer-exact.
+
+    Unlike `kmeans_centroids` (float avg, centroids collected to the
+    driver each round), every step here stays a DataFrame op and every
+    number is a 64-bit integer, so a SQL oracle can replay the rounds
+    bit-for-bit: vectors are quantized to round(x * scale) longs,
+    assignment is argmin of the integer squared L2 distance (ties to the
+    lower cell id), and the centroid update is the per-dimension integer
+    mean sum div count. The quantization error vs float Lloyd is
+    O(1/scale) per coordinate — irrelevant for clustering, decisive for
+    cross-engine verification.
+
+    Distributed shape per round: the centroid frame is k rows (bounded by
+    construction — init carries a structural limit(k)), broadcast into a
+    crossJoin, so assignment is one partition-parallel pass; the update
+    aggregates dim per-dimension sums map-side-combinably in ONE groupBy
+    (no posexplode — the shuffle carries k rows x dim columns, not
+    n x dim rows). `rounds` is fixed ⇒ zero driver actions; each round's
+    k-row centroid frame is cut by a LAZY localCheckpoint (the
+    iterative-graph convention — connected_components/graph_kcore do the
+    same) so plan depth and exchange counts stay bounded per round
+    instead of compounding across the unroll. An empty cell simply
+    drops out of the centroid frame (documented determinism, mirrored
+    by the oracle's GROUP BY).
+
+    Returns per-cell stats of the final assignment: (cell, n_members,
+    inertia) where inertia is the summed integer squared distance.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("q"),
+    )
+    cent = (
+        q.filter(F.col("vec_id") < k)
+        .limit(k)  # structural bound: the broadcast side can never grow
+        .select(F.col("vec_id").cast("long").alias("cell"), F.col("q").alias("c"))
+    )
+
+    def d2_col():
+        return F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(rounds):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("__d2", d2_col())
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("__d2", "cell", "q")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.q").alias("q"))
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("q").getItem(i)).alias(f"s{i}") for i in range(dim)],
+        )
+        cent = sums.select(
+            "cell",
+            F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("c"),
+        ).localCheckpoint(eager=False)
+    final = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2_col())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__d2", "cell")).alias("m"))
+        .select(F.col("m.cell").alias("cell"), F.col("m.__d2").alias("d2"))
+    )
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("d2").cast("long").alias("inertia"),
+        )
+        .orderBy("cell")
+    )

@@ -11209,3 +11209,1167 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.min("pa") + 1).cast("long").alias("first_pos"))
          .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# Round-3 block 3: model-evaluation statistics (AUC, kappa), forecast
+# baselines, novelty mining, in-engine iterative ML (integer Lloyd),
+# and differentially-private release.
+# =====================================================================
+
+_EN_SCORE = (
+    f"len(list_filter({_TOKS}, "
+    "x -> x IN ('the','a','of','and','in','to')))"
+)
+
+
+@register(
+    "classifier_auc_ranksum",
+    f"""
+    WITH s AS (SELECT {_EN_SCORE} AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+               FROM documents),
+    g AS (SELECT score, sum(pos) AS pos_at,
+                 count(*) - sum(pos) AS neg_at
+          FROM s GROUP BY score),
+    w AS (SELECT score, pos_at, neg_at,
+                 coalesce(sum(neg_at) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cneg
+          FROM g)
+    SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+           CAST(sum(neg_at) AS BIGINT) AS n_neg,
+           CAST(sum(pos_at * (2 * cneg + neg_at)) AS BIGINT) AS auc_num2,
+           CAST(sum(pos_at * (2 * cneg + neg_at)) * 10000
+                // greatest(2 * sum(pos_at) * sum(neg_at), 1) AS BIGINT)
+             AS auc_bp
+    FROM w
+    """,
+    "Exact ROC-AUC of the English-stopword score as a detector for "
+    "lang='en', via the tie-corrected Mann-Whitney rank-sum identity "
+    "(AUC = P(score_pos > score_neg) + P(tie)/2) — the standard way "
+    "to compute AUC at scale WITHOUT materializing the O(n_pos*n_neg) "
+    "pair space or a full sort of the corpus: group rows by score "
+    "(one shuffle, map-side combinable), one cumulative window over "
+    "the per-score frame (bounded by |distinct scores| <= max doc "
+    "token count, NOT corpus size), and the doubled numerator "
+    "sum(pos_at*(2*cum_neg_below + neg_at)) keeps tie credit exactly "
+    "representable in integers. auc_bp is the basis-point integer "
+    "division (guarded for degenerate single-class inputs).",
+)
+def q_classifier_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+    from debezium_server_spark.operators.text import LANG_MARKERS
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        F.size(F.filter(_tokens(F.col("text")),
+                        lambda t: t.isin(*LANG_MARKERS["en"]))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("pos").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_at"),
+    )
+    w = g.withColumn(
+        "cneg",
+        F.coalesce(
+            F.sum("neg_at").over(
+                Window.orderBy("score")
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)),
+    )
+    num2 = F.sum(F.col("pos_at") * (2 * F.col("cneg") + F.col("neg_at")))
+    return w.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        num2.cast("long").alias("auc_num2"),
+        F.expr(
+            "CAST(sum(pos_at * (2 * cneg + neg_at)) * 10000"
+            " div greatest(2 * sum(pos_at) * sum(neg_at), 1) AS BIGINT)"
+        ).alias("auc_bp"),
+    )
+
+
+@register(
+    "cohens_kappa_langid",
+    f"""
+    WITH sc AS (SELECT lang AS truth,
+            {_EN_SCORE} AS se,
+            len(list_filter({_TOKS}, x -> x IN ('le','la','et','les','des','un'))) AS sf,
+            len(list_filter({_TOKS}, x -> x IN ('el','la','de','los','que','un'))) AS ss,
+            len(list_filter({_TOKS}, x -> x IN ('der','die','und','das','ein','nicht'))) AS sd
+        FROM documents),
+    p AS (SELECT truth,
+            CASE WHEN greatest(se, sf, ss, sd) = 0 THEN 'unknown'
+                 WHEN se = greatest(se, sf, ss, sd) THEN 'en'
+                 WHEN sf = greatest(se, sf, ss, sd) THEN 'fr'
+                 WHEN ss = greatest(se, sf, ss, sd) THEN 'es'
+                 ELSE 'de' END AS pred
+          FROM sc),
+    ct AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY truth, pred),
+    tot AS (SELECT sum(n) AS n_total,
+                   sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS n_agree
+            FROM ct),
+    rm AS (SELECT truth AS cls, sum(n) AS rn FROM ct GROUP BY truth),
+    cm AS (SELECT pred AS cls, sum(n) AS cn FROM ct GROUP BY pred),
+    e AS (SELECT coalesce(sum(rm.rn * cm.cn), 0) AS src
+          FROM rm JOIN cm ON rm.cls = cm.cls)
+    SELECT CAST(n_total AS BIGINT) AS n_docs,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_agree * 10000 // n_total AS BIGINT) AS observed_agree_bp,
+           CAST(src * 10000 // (n_total * n_total) AS BIGINT)
+             AS expected_agree_bp,
+           CAST((n_total * n_agree - src) * 10000
+                // greatest(n_total * n_total - src, 1) AS BIGINT) AS kappa_bp
+    FROM tot CROSS JOIN e
+    """,
+    "Cohen's kappa between the stopword-vote language classifier and "
+    "the ground-truth lang label — chance-corrected agreement, the "
+    "metric that exposes a classifier that merely predicts the "
+    "majority class (plain accuracy can't). Fully integer: kappa = "
+    "(N*agree - SUM(row_marg*col_marg)) / (N^2 - SUM(row_marg*"
+    "col_marg)) cross-multiplied into basis points; both engines "
+    "truncate identically on negative dividends. Shape: ONE corpus "
+    "scan into a |classes|^2 contingency frame; margins and the "
+    "expected-agreement term are joins over that bounded frame — "
+    "everything after the first groupBy is dimension-table-sized. "
+    "Exact-int64 validity bound: N*N*10000 < 2^63 (N <= ~9.6e8 "
+    "docs); past that, margins must be pre-normalized to bp.",
+)
+def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+    from debezium_server_spark.operators.text import pred_lang
+
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("truth"), _tokens(F.col("text")).alias("__toks")
+    ).select("truth", pred_lang(F.col("__toks")).alias("pred"))
+    ct = p.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = ct.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n"))
+              .otherwise(0)).alias("n_agree"),
+    )
+    rm = ct.groupBy(F.col("truth").alias("cls")).agg(F.sum("n").alias("rn"))
+    cm = ct.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("cn"))
+    e = (rm.join(cm, "cls")
+           .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+                .alias("src")))
+    return tot.crossJoin(e).select(
+        F.col("n_total").cast("long").alias("n_docs"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.expr("CAST(n_agree * 10000 div n_total AS BIGINT)")
+         .alias("observed_agree_bp"),
+        F.expr("CAST(src * 10000 div (n_total * n_total) AS BIGINT)")
+         .alias("expected_agree_bp"),
+        F.expr("CAST((n_total * n_agree - src) * 10000"
+               " div greatest(n_total * n_total - src, 1) AS BIGINT)")
+         .alias("kappa_bp"),
+    )
+
+
+@register(
+    "seasonal_naive_forecast",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+               FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_days_eval,
+           CAST(sum(abs(a.c - f.c)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(a.c - f.c)) * 100 // count(*) AS BIGINT) AS mae_x100,
+           CAST(sum(abs(a.c - f.c)) * 10000 // sum(a.c) AS BIGINT) AS wape_bp
+    FROM d a JOIN d f
+      ON f.event_type = a.event_type AND f.day = a.day - 7
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+    "Seasonal-naive forecast error — THE baseline every demand/load "
+    "forecasting system must beat (M-competition convention): predict "
+    "today's count with the count from 7 days ago, score MAE (x100 "
+    "integer) and WAPE (weighted absolute percentage error in basis "
+    "points — the integer-exact alternative to MAPE, which explodes "
+    "on near-zero days). Shape: one groupBy to daily counts (map-side "
+    "combinable), then a self EQUI join on (type, day-7) over the "
+    "already-aggregated |types|x|days| frame — the join input is "
+    "dimension-sized regardless of event volume; days missing either "
+    "side are excluded by the inner join (documented evaluation "
+    "window, identical in both engines).",
+)
+def q_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    a, f_ = d.alias("a"), d.alias("f")
+    j = a.join(
+        f_,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.date_sub(F.col("a.day"), 7)))
+    err = F.abs(F.col("a.c") - F.col("f.c"))
+    return (
+        j.groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_days_eval"),
+              F.sum(err).cast("long").alias("sum_abs_err"),
+              F.expr("CAST(sum(abs(a.c - f.c)) * 100 div count(*) AS BIGINT)")
+               .alias("mae_x100"),
+              F.expr("CAST(sum(abs(a.c - f.c)) * 10000 div sum(a.c) AS BIGINT)")
+               .alias("wape_bp"))
+         .orderBy("event_type")
+    )
+
+
+@register(
+    "ngram_novelty_score",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform({_SHINGLES},
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))))
+                  AS s
+                FROM documents),
+    dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS n_unique
+            FROM sh JOIN dfreq ON sh.s = dfreq.s
+            GROUP BY sh.doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           CAST(n_unique * 10000 // n_shingles AS BIGINT) AS novelty_bp
+    FROM per ORDER BY doc_id
+    """,
+    "Per-document n-gram novelty: the fraction (bp) of a doc's "
+    "distinct word-3-gram shingles that appear NOWHERE else in the "
+    "corpus — the inverse of the contamination/boilerplate signal "
+    "(high novelty = original content worth keeping; near-zero "
+    "novelty = template/copy even when no single partner doc "
+    "crosses a pairwise dedup threshold, which pairwise Jaccard "
+    "misses by construction). Shape: the inverted-index pattern — "
+    "explode to (doc, 60-bit shingle hash) rows, ONE groupBy for "
+    "corpus document frequency, ONE equi join back, ONE groupBy per "
+    "doc; work is linear in total shingles, join keys are longs, "
+    "never arrays. Docs with <3 tokens have no shingles and drop "
+    "out (identical in both engines).",
+)
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens as _tokens)
+
+    docs = load(spark, sf_dir, "documents")
+    # project tokens ONCE (HOF lambdas are interpreted — an inline
+    # tokens() expression would re-tokenize per shingle) and drop <3
+    # token docs structurally: token_shingles' whole-text fallback for
+    # short docs would otherwise diverge from the oracle's empty range.
+    t = (docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+             .filter(F.size("__toks") >= 3))
+    sh_hashed = F.array_distinct(
+        F.transform(
+            token_shingles(F.col("__toks"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                       .cast("long")))
+    exploded = t.select("doc_id", F.explode(sh_hashed).alias("s"))
+    dfreq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"))
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_unique").cast("long").alias("n_unique"),
+                F.expr("CAST(n_unique * 10000 div n_shingles AS BIGINT)")
+                 .alias("novelty_bp"))
+        .orderBy("doc_id")
+    )
+
+
+def _km_assign(src_v: str, src_c: str, keep_q: bool) -> str:
+    """One unrolled Lloyd assignment round for the kmeans oracle:
+    argmin over the bounded centroid frame, ties to the lower cell id
+    (exactly Spark's min(struct(d2, cell, ...)) ordering)."""
+    cols = "vec_id, q, cell" if keep_q else "vec_id, cell, d2"
+    d2 = ("list_aggregate(list_transform(range(1, 65), "
+          f"i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i])), 'sum')")
+    return f"""(
+      SELECT {cols} FROM (
+        SELECT v.vec_id, v.q, c.cell, CAST({d2} AS BIGINT) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.cell) AS rn
+        FROM {src_v} v CROSS JOIN {src_c} c) WHERE rn = 1)"""
+
+
+def _km_update(src_a: str) -> str:
+    """One unrolled centroid update: per-dimension integer mean."""
+    return f"""(
+      SELECT cell, list(s ORDER BY i) AS c FROM (
+        SELECT cell, i, CAST(sum(q[i]) // count(*) AS BIGINT) AS s
+        FROM {src_a}, range(1, 65) t(i) GROUP BY cell, i)
+      GROUP BY cell)"""
+
+
+@register(
+    "kmeans_integer_lloyd",
+    f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS c FROM v
+                        WHERE vec_id < 8),
+    a1 AS MATERIALIZED {_km_assign('v', 'c0', keep_q=True)},
+    c1 AS MATERIALIZED {_km_update('a1')},
+    a2 AS MATERIALIZED {_km_assign('v', 'c1', keep_q=True)},
+    c2 AS MATERIALIZED {_km_update('a2')},
+    fin AS MATERIALIZED {_km_assign('v', 'c2', keep_q=False)}
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d2) AS BIGINT) AS inertia
+    FROM fin GROUP BY cell ORDER BY cell
+    """,
+    "Two fixed Lloyd rounds of k-means (k=8) run ENTIRELY in-engine "
+    "and integer-exact — the iterative-ML-on-Spark pattern with a "
+    "bit-for-bit SQL oracle: vectors quantized to round(x*1e6) longs, "
+    "assignment = argmin integer squared L2 (ties to lower cell id), "
+    "update = per-dimension sum-div-count integer mean; reports the "
+    "final per-cell membership and inertia. Complements "
+    "kmeans_centroids (float avg, driver round-trip per round — IVF "
+    "training) with a zero-collect, zero-action variant whose rounds "
+    "unroll into ONE plan. Shape per round: centroid side is k rows "
+    "bounded by construction (init carries a structural limit(8) on "
+    "top of the vec_id<8 filter), broadcast into the crossJoin, so "
+    "assignment is a partition-parallel map; the update is ONE "
+    "groupBy producing 64 map-side-combinable per-dim sums (no "
+    "posexplode — the shuffle is k rows x dim columns, not n x dim "
+    "rows). Oracle unrolls rounds as MATERIALIZED CTEs (the "
+    "graph_kcore lesson: DuckDB inlines plain CTEs and re-evaluates "
+    "the pipeline 2^rounds times).",
+)
+def q_kmeans_integer_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import kmeans_lloyd_integer
+
+    return kmeans_lloyd_integer(
+        load(spark, sf_dir, "embeddings"), k=8, rounds=2, dim=64)
+
+
+# Two-sided geometric (discrete Laplace) mechanism, epsilon = 1
+# (alpha = e^-1), truncated at |k| <= 9 with the tail mass folded into
+# the extremes: inverse-CDF thresholds on u ~ Uniform[0, 1e6), floored
+# to exact integers so both engines draw identical noise.
+_DP_THRESHOLDS: tuple[tuple[int, int], ...] = (
+    (-9, 90), (-8, 245), (-7, 666), (-6, 1812), (-5, 4925), (-4, 13389),
+    (-3, 36397), (-2, 98938), (-1, 268941), (0, 731058), (1, 901061),
+    (2, 963602), (3, 986610), (4, 995074), (5, 998187), (6, 999333),
+    (7, 999754), (8, 999909),
+)
+_DP_CASE_SQL = ("CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in _DP_THRESHOLDS) + " ELSE 9 END")
+
+
+@register(
+    "dp_noisy_event_counts",
+    f"""
+    WITH c AS (SELECT event_type, count(*) AS true_count
+               FROM events GROUP BY event_type),
+    n AS (SELECT event_type, true_count,
+                 CAST(concat('0x', substr(md5('dp:' || event_type), 1, 15))
+                      AS BIGINT) % 1000000 AS u
+          FROM c),
+    z AS (SELECT event_type, true_count, {_DP_CASE_SQL} AS noise FROM n)
+    SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(greatest(true_count + noise, 0) AS BIGINT) AS noisy_count
+    FROM z ORDER BY event_type
+    """,
+    "Differentially-private count release via the two-sided GEOMETRIC "
+    "mechanism (the discrete analog of Laplace and the standard for "
+    "integer counts — Ghosh-Roughgarden-Sundararajan's universally "
+    "optimal mechanism), epsilon=1: noise ~ P(k) proportional to "
+    "e^-|k|, drawn by inverse CDF over u = md5-uniform mod 1e6 at "
+    "exact precomputed integer thresholds (truncated at +/-9, tail "
+    "folded into the extremes) — deterministic, so the oracle draws "
+    "bit-identical noise; avoids ln() entirely (cross-engine libm "
+    "is NOT bit-stable; integer threshold tables are). Post-"
+    "processing clamps at 0. true_count rides alongside as the "
+    "calibration audit column (a production release drops it). "
+    "Shape: one map-side-combinable count, then O(|event types|) "
+    "rows of pure per-row expressions.",
+)
+def q_dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))
+                                  .cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1000000)
+    # nest the when-chain from the largest threshold inward so the
+    # outermost (first-evaluated) branch is the smallest threshold —
+    # matching SQL CASE's first-match-wins order exactly
+    noise = F.lit(9)
+    for k, t in _DP_THRESHOLDS[::-1]:
+        noise = F.when(u < t, F.lit(k)).otherwise(noise)
+    return c.select(
+        "event_type",
+        F.col("true_count").cast("long").alias("true_count"),
+        noise.cast("long").alias("noise"),
+        F.greatest(F.col("true_count") + noise, F.lit(0))
+         .cast("long").alias("noisy_count"),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Round-3 block 4: statistical testing & evaluation — ROC curve,
+# chi-squared independence, two-proportion A/B gate, Spearman rank
+# correlation, per-class F1, Theil-Sen robust trend.
+# =====================================================================
+
+
+@register(
+    "roc_curve_points",
+    f"""
+    WITH s AS (SELECT {_EN_SCORE} AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+               FROM documents),
+    g AS (SELECT score, sum(pos) AS pos_at,
+                 count(*) - sum(pos) AS neg_at
+          FROM s GROUP BY score),
+    c AS (SELECT score,
+                 sum(pos_at) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+                 sum(neg_at) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp,
+                 sum(pos_at) OVER () AS np, sum(neg_at) OVER () AS nn
+          FROM g)
+    SELECT CAST(score AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+           CAST(tp * 10000 // greatest(np, 1) AS BIGINT) AS tpr_bp,
+           CAST(fp * 10000 // greatest(nn, 1) AS BIGINT) AS fpr_bp,
+           CAST(tp * 10000 // greatest(np, 1)
+                - fp * 10000 // greatest(nn, 1) AS BIGINT) AS youden_bp
+    FROM c ORDER BY threshold
+    """,
+    "The full ROC curve behind classifier_auc_ranksum's scalar: one "
+    "operating point per distinct score threshold (predict positive "
+    "when score >= t), TPR/FPR/Youden-J in exact basis points via "
+    "DESC-cumulative sums over the per-score frame — the curve an "
+    "operator reads to PICK the threshold, where AUC only ranks "
+    "classifiers. Same scale shape as the AUC entry: one map-side-"
+    "combinable groupBy(score), then windows over a frame bounded by "
+    "the score DOMAIN (max stopword count per doc), not the corpus — "
+    "the single-partition window is benign at any SF.",
+)
+def q_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+    from debezium_server_spark.operators.text import LANG_MARKERS
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        F.size(F.filter(_tokens(F.col("text")),
+                        lambda t: t.isin(*LANG_MARKERS["en"]))).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("pos").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("neg_at"),
+    )
+    wcum = (Window.orderBy(F.col("score").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    c = (g.withColumn("tp", F.sum("pos_at").over(wcum))
+          .withColumn("fp", F.sum("neg_at").over(wcum))
+          .withColumn("np", F.sum("pos_at").over(wall))
+          .withColumn("nn", F.sum("neg_at").over(wall)))
+    tpr = F.expr("tp * 10000 div greatest(np, 1)")
+    fpr = F.expr("fp * 10000 div greatest(nn, 1)")
+    return c.select(
+        F.col("score").cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("n_tp"),
+        F.col("fp").cast("long").alias("n_fp"),
+        tpr.cast("long").alias("tpr_bp"),
+        fpr.cast("long").alias("fpr_bp"),
+        (tpr - fpr).cast("long").alias("youden_bp"),
+    ).orderBy("threshold")
+
+
+@register(
+    "chi_squared_independence",
+    """
+    WITH o AS (SELECT (CAST(date_diff('day', DATE '2024-01-01',
+                                      CAST(ts AS DATE)) AS BIGINT) % 7)
+                        AS dow,
+                      event_type, count(*) AS obs
+               FROM events GROUP BY 1, 2),
+    grid AS (SELECT d.dow, t.event_type
+             FROM (SELECT DISTINCT dow FROM o) d
+             CROSS JOIN (SELECT DISTINCT event_type FROM o) t),
+    fill AS (SELECT grid.dow, grid.event_type,
+                    coalesce(o.obs, 0) AS obs
+             FROM grid LEFT JOIN o
+               ON o.dow = grid.dow AND o.event_type = grid.event_type),
+    m AS (SELECT dow, event_type, obs,
+                 sum(obs) OVER (PARTITION BY dow) AS rtot,
+                 sum(obs) OVER (PARTITION BY event_type) AS ctot,
+                 sum(obs) OVER () AS n
+          FROM fill),
+    cell AS (SELECT obs * 100 - rtot * ctot * 100 // n AS dev_x100,
+                    rtot * ctot * 100 // n AS e_x100, n
+             FROM m)
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           CAST((SELECT (count(DISTINCT dow) - 1)
+                        * (count(DISTINCT event_type) - 1) FROM o)
+                AS BIGINT) AS df,
+           CAST(sum(dev_x100 * dev_x100 // greatest(e_x100, 1))
+                AS BIGINT) AS chi2_x100
+    FROM cell
+    """,
+    "Pearson chi-squared test of independence between event type and "
+    "day-of-week — the canonical 'is activity mix stable across the "
+    "week' gate. Fully integer: expected counts quantized at 1/100 "
+    "(E_x100 = R*C*100 div N), per-cell contribution "
+    "dev_x100^2 div E_x100 = (O-E)^2 * 100 / E, summed to chi2_x100; "
+    "structural-zero cells are restored by a bounded dims-grid cross "
+    "join (dropping them biases the statistic down). dow is days-"
+    "since-known-Monday mod 7 (engines disagree on dayofweek "
+    "numbering; integer arithmetic doesn't). Shape: ONE corpus scan "
+    "to the |dow|x|types| contingency frame; the grid crossJoin and "
+    "every window run over that <=7x|types| bounded frame. Int64-"
+    "exact while N <= ~3e8 events per cell-deviation (dev_x100 "
+    "<= 100N, squared < 2^63); beyond that pre-scale the "
+    "quantization.",
+)
+def q_chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    o = (ev.select(
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             .cast("long") % 7).alias("dow"),
+            "event_type")
+         .groupBy("dow", "event_type").agg(F.count(F.lit(1)).alias("obs")))
+    dows = o.select("dow").distinct()
+    types = o.select("event_type").distinct()
+    grid = dows.crossJoin(F.broadcast(types))
+    fill = (grid.join(o, ["dow", "event_type"], "left")
+                .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0))))
+    m = (fill
+         .withColumn("rtot", F.sum("obs").over(Window.partitionBy("dow")))
+         .withColumn("ctot",
+                     F.sum("obs").over(Window.partitionBy("event_type")))
+         .withColumn("n", F.sum("obs").over(Window.partitionBy())))
+    cell = m.select(
+        F.expr("obs * 100 - rtot * ctot * 100 div n").alias("dev_x100"),
+        F.expr("rtot * ctot * 100 div n").alias("e_x100"),
+        "n", "dow", "event_type")
+    df_term = (o.agg(
+        ((F.countDistinct("dow") - 1)
+         * (F.countDistinct("event_type") - 1)).alias("df")))
+    agg = cell.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.expr("dev_x100 * dev_x100 div greatest(e_x100, 1)"))
+         .cast("long").alias("chi2_x100"))
+    return agg.crossJoin(F.broadcast(df_term)).select(
+        "n_events", F.col("df").cast("long").alias("df"), "chi2_x100")
+
+
+@register(
+    "two_proportion_ab_test",
+    """
+    WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS conv
+               FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    a AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_a,
+                 sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                 sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_b
+          FROM u),
+    z AS (SELECT *,
+                 (c_a * n_b - c_b * n_a) * 10000
+                   // greatest(n_a * n_b, 1) AS lift_bp,
+                 (c_a + c_b) * 10000
+                   // greatest(n_a + n_b, 1) AS pbar_bp
+          FROM a)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           CAST(lift_bp AS BIGINT) AS lift_bp,
+           CAST(lift_bp * lift_bp * n_a * n_b * 100
+                // greatest((n_a + n_b) * pbar_bp * (10000 - pbar_bp), 1)
+                AS BIGINT) AS z2_x100,
+           lift_bp * lift_bp * n_a * n_b * 100
+             // greatest((n_a + n_b) * pbar_bp * (10000 - pbar_bp), 1)
+             > 384 AS significant
+    FROM z
+    """,
+    "Two-proportion A/B conversion gate: deterministic arms by "
+    "user_id parity, per-user conversion = any 'purchase' event, and "
+    "the pooled two-proportion z-test squared to stay in integers — "
+    "z^2 = (p1-p2)^2 n1 n2 / (pbar(1-pbar) N), computed as lift_bp^2 "
+    "* n1 * n2 * 100 div (N * pbar_bp * (10000-pbar_bp)) so no sqrt "
+    "and no floats cross an engine boundary; alpha=0.05 two-sided "
+    "alert at z^2 > 3.84 (z2_x100 > 384). The experimentation-"
+    "platform primitive. Shape: one groupBy(user_id) (map-side "
+    "combinable max), one 4-way conditional aggregate to a single "
+    "row; everything after the first shuffle is one row. Int64-exact "
+    "while n1*n2*1e10 < 2^63 (~3e4 users per arm); past that, "
+    "pre-divide the bp quantization.",
+)
+def q_two_proportion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    u = (ev.filter(F.col("user_id").isNotNull())
+           .groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("conv"))
+           .withColumn("arm", F.col("user_id") % 2))
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+         .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+         .alias("c_b"),
+    )
+    z = a.withColumn(
+        "lift_bp",
+        F.expr("(c_a * n_b - c_b * n_a) * 10000 div greatest(n_a * n_b, 1)"),
+    ).withColumn(
+        "pbar_bp",
+        F.expr("(c_a + c_b) * 10000 div greatest(n_a + n_b, 1)"))
+    z2 = F.expr(
+        "lift_bp * lift_bp * n_a * n_b * 100"
+        " div greatest((n_a + n_b) * pbar_bp * (10000 - pbar_bp), 1)")
+    return z.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.col("lift_bp").cast("long").alias("lift_bp"),
+        z2.cast("long").alias("z2_x100"),
+        (z2 > 384).alias("significant"),
+    )
+
+
+@register(
+    "spearman_rank_correlation",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars AS x, len({_TOKS}) AS y
+               FROM documents),
+    gx AS (SELECT x, count(*) AS cnt FROM d GROUP BY x),
+    rx AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+           FROM gx),
+    gy AS (SELECT y, count(*) AS cnt FROM d GROUP BY y),
+    ry AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+           FROM gy),
+    j AS (SELECT rx.r2 - ry.r2 AS dd
+          FROM d JOIN rx ON d.x = rx.x JOIN ry ON d.y = ry.y),
+    t AS (SELECT count(*) AS n, sum(dd * dd) AS s4 FROM j)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(s4 AS BIGINT) AS sum_d2_x4,
+           CAST((4 * (n * n * n - n) - 6 * s4) * 10000
+                // greatest(4 * (n * n * n - n), 1) AS BIGINT)
+             AS spearman_x10000
+    FROM t
+    """,
+    "Spearman rank correlation between doc length (n_chars) and "
+    "token count, integer-exact end to end: MIDRANKS doubled to stay "
+    "integral (a tie group after a rows has doubled midrank "
+    "2a+cnt+1), the displacement identity rho = 1 - 6*sum(d^2)/"
+    "(n^3-n) carried as (4D - 6*sum((2d)^2)) * 10000 div 4D. The "
+    "classical identity is exact under distinct ranks and is the "
+    "standard midrank spec under ties (documented; the full tie-"
+    "corrected Pearson-on-ranks variant needs a sqrt no integer "
+    "oracle can replay). Scale shape: ranks are NOT a corpus-wide "
+    "window — each is a cumulative sum over the per-VALUE frame "
+    "(bounded by the value domain, the ks_source_drift argument) "
+    "joined back by value; two hash joins, one aggregate. "
+    "Int64-exact to n ~ 5e4 docs (4n^3*1e4 < 2^63); shard-and-"
+    "combine or rescale beyond.",
+)
+def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(_tokens(F.col("text"))).alias("y"))
+
+    def ranks(col: str):
+        g = d.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        wb = (Window.orderBy(col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        return g.select(
+            col,
+            (2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+             + F.col("cnt") + 1).alias(f"r2_{col}"))
+
+    j = (d.join(ranks("x"), "x").join(ranks("y"), "y")
+          .select((F.col("r2_x") - F.col("r2_y")).alias("dd")))
+    t = j.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("dd") * F.col("dd")).alias("s4"))
+    return t.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s4").cast("long").alias("sum_d2_x4"),
+        F.expr("CAST((4 * (n * n * n - n) - 6 * s4) * 10000"
+               " div greatest(4 * (n * n * n - n), 1) AS BIGINT)")
+         .alias("spearman_x10000"),
+    )
+
+
+@register(
+    "classifier_f1_per_class",
+    f"""
+    WITH sc AS (SELECT lang AS truth,
+            {_EN_SCORE} AS se,
+            len(list_filter({_TOKS}, x -> x IN ('le','la','et','les','des','un'))) AS sf,
+            len(list_filter({_TOKS}, x -> x IN ('el','la','de','los','que','un'))) AS ss,
+            len(list_filter({_TOKS}, x -> x IN ('der','die','und','das','ein','nicht'))) AS sd
+        FROM documents),
+    p AS (SELECT truth,
+            CASE WHEN greatest(se, sf, ss, sd) = 0 THEN 'unknown'
+                 WHEN se = greatest(se, sf, ss, sd) THEN 'en'
+                 WHEN sf = greatest(se, sf, ss, sd) THEN 'fr'
+                 WHEN ss = greatest(se, sf, ss, sd) THEN 'es'
+                 ELSE 'de' END AS pred
+          FROM sc),
+    ct AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY truth, pred),
+    r AS (SELECT truth AS cls, sum(n) AS row_tot FROM ct GROUP BY truth),
+    c AS (SELECT pred AS cls, sum(n) AS col_tot FROM ct GROUP BY pred),
+    tp AS (SELECT truth AS cls, n AS tp FROM ct WHERE truth = pred)
+    SELECT r.cls AS cls,
+           CAST(coalesce(tp.tp, 0) AS BIGINT) AS n_tp,
+           CAST(r.row_tot AS BIGINT) AS n_truth,
+           CAST(coalesce(c.col_tot, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(tp.tp, 0) * 10000
+                // greatest(coalesce(c.col_tot, 0), 1) AS BIGINT)
+             AS precision_bp,
+           CAST(coalesce(tp.tp, 0) * 10000 // r.row_tot AS BIGINT)
+             AS recall_bp,
+           CAST(2 * coalesce(tp.tp, 0) * 10000
+                // greatest(r.row_tot + coalesce(c.col_tot, 0), 1)
+                AS BIGINT) AS f1_bp
+    FROM r LEFT JOIN c ON c.cls = r.cls LEFT JOIN tp ON tp.cls = r.cls
+    ORDER BY cls
+    """,
+    "Per-class precision / recall / F1 for the stopword-vote language "
+    "classifier — the per-class view cohens_kappa_langid's single "
+    "scalar summarizes away (a classifier can carry a good kappa "
+    "while silently never predicting a minority class; its zero "
+    "per-class F1 is the alarm). F1 stays integer-exact via the "
+    "identity F1 = 2TP / (truth_total + pred_total) — no harmonic "
+    "mean of two already-truncated ratios. One row per TRUE class; "
+    "prediction-only pseudo-classes ('unknown') appear in the "
+    "denominators, not as rows. Shape: one corpus scan to the "
+    "|classes|^2 contingency frame; marginals and the three LEFT "
+    "JOINs are dimension-table-sized.",
+)
+def q_classifier_f1_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+    from debezium_server_spark.operators.text import pred_lang
+
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("truth"), _tokens(F.col("text")).alias("__toks")
+    ).select("truth", pred_lang(F.col("__toks")).alias("pred"))
+    ct = p.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    r = ct.groupBy(F.col("truth").alias("cls")).agg(
+        F.sum("n").alias("row_tot"))
+    c = ct.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("col_tot"))
+    tp = (ct.filter(F.col("truth") == F.col("pred"))
+            .select(F.col("truth").alias("cls"), F.col("n").alias("tp")))
+    j = (r.join(c, "cls", "left").join(tp, "cls", "left")
+          .withColumn("tp", F.coalesce(F.col("tp"), F.lit(0)))
+          .withColumn("col_tot", F.coalesce(F.col("col_tot"), F.lit(0))))
+    return j.select(
+        "cls",
+        F.col("tp").cast("long").alias("n_tp"),
+        F.col("row_tot").cast("long").alias("n_truth"),
+        F.col("col_tot").cast("long").alias("n_pred"),
+        F.expr("CAST(tp * 10000 div greatest(col_tot, 1) AS BIGINT)")
+         .alias("precision_bp"),
+        F.expr("CAST(tp * 10000 div row_tot AS BIGINT)").alias("recall_bp"),
+        F.expr("CAST(2 * tp * 10000 div greatest(row_tot + col_tot, 1)"
+               " AS BIGINT)").alias("f1_bp"),
+    ).orderBy("cls")
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH d AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    p AS (SELECT (b.c - a.c) * 10000 // (b.day - a.day) AS slope
+          FROM d a JOIN d b ON b.day > a.day),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+                 count(*) OVER () AS m
+          FROM p)
+    SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(min(slope) AS BIGINT) AS slope_min_x10000,
+           CAST(max(CASE WHEN rn = (m + 1) // 2 THEN slope END) AS BIGINT)
+             AS theil_sen_x10000,
+           CAST(max(slope) AS BIGINT) AS slope_max_x10000
+    FROM r
+    """,
+    "Theil-Sen robust trend of daily event volume: the median of all "
+    "pairwise day-slopes — the estimator that shrugs off the outlier "
+    "days that wreck OLS (regression_quantity_price's least-squares "
+    "companion, 29.3%-breakdown-point edition). Slopes in integer "
+    "x10000 units/day; the median is the lower order statistic "
+    "(deterministic under ties — equal slope VALUES make the pick "
+    "value-unique by construction). Shape: the pairwise join runs "
+    "over the POST-AGGREGATION daily frame — |days| rows, bounded by "
+    "the date span (a year = 365 rows, ~66k pairs), never the event "
+    "volume; the one corpus-scale operation is the map-side-"
+    "combinable daily count.",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = (ev.select(
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             .cast("long")).alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).alias("c")))
+    a, b = d.alias("a"), d.alias("b")
+    p = (a.join(b, F.col("b.day") > F.col("a.day"))
+          .select(F.expr("(b.c - a.c) * 10000 div (b.day - a.day)")
+                  .alias("slope")))
+    r = (p.withColumn("rn", F.row_number().over(Window.orderBy("slope")))
+          .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy())))
+    return r.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.min("slope").cast("long").alias("slope_min_x10000"),
+        F.max(F.when(F.col("rn") == F.expr("(m + 1) div 2"),
+                     F.col("slope"))).cast("long").alias("theil_sen_x10000"),
+        F.max("slope").cast("long").alias("slope_max_x10000"),
+    )
+
+
+# =====================================================================
+# Round-3 block 5: time-series & corpus statistics — autocorrelation,
+# Fano burstiness, Zipf rank-frequency, Welch t², revenue
+# concentration, type-token ratio.
+# =====================================================================
+
+
+@register(
+    "lag_autocorrelation",
+    """
+    WITH d AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    t AS (SELECT count(*) AS n, sum(c) AS s FROM d),
+    v AS (SELECT day, n * c - s AS dev FROM d CROSS JOIN t),
+    den AS (SELECT sum(dev * dev) AS d2 FROM v),
+    p1 AS (SELECT 1 AS lag, count(*) AS n_pairs,
+                  sum(a.dev * b.dev) AS num
+           FROM v a JOIN v b ON b.day = a.day + 1),
+    p7 AS (SELECT 7 AS lag, count(*) AS n_pairs,
+                  sum(a.dev * b.dev) AS num
+           FROM v a JOIN v b ON b.day = a.day + 7),
+    p AS (SELECT * FROM p1 UNION ALL SELECT * FROM p7)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(num * 10000 // greatest(d2, 1) AS BIGINT) AS acf_bp
+    FROM p CROSS JOIN den ORDER BY lag
+    """,
+    "Autocorrelation of daily event volume at lags 1 and 7 — the "
+    "day-over-day persistence and weekly-seasonality diagnostics that "
+    "justify (or kill) seasonal_naive_forecast's day-7 predictor. "
+    "Integer-exact: deviations scaled by n (dev = n*c - S, so no "
+    "fractional mean), numerator summed over observed day pairs at "
+    "each lag (missing days drop their pairs — documented), "
+    "denominator the full sum of squared scaled deviations, ratio in "
+    "basis points. Shape: ONE corpus scan to the |days| daily frame; "
+    "lag pairing is an equi self-join and the totals are one-row "
+    "attaches on that bounded frame. Int64-exact while n_days * "
+    "(n_days*max_daily)^2 * 1e4 < 2^63 (~1e6 events/day over a "
+    "month); pre-scale the deviations past that.",
+)
+def q_lag_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # the bounded daily frame feeds FIVE consumers (totals, denominator,
+    # both sides of two lag joins) — checkpoint it once so the corpus
+    # scan+agg doesn't replay per consumer (the multi-consumer
+    # checkpoint rule from SCALE.md; |days| rows, trivially cheap)
+    d = (ev.select(
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             .cast("long")).alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+         .localCheckpoint(eager=False))
+    t = d.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    v = (d.crossJoin(F.broadcast(t))
+          .select("day", (F.col("n") * F.col("c") - F.col("s"))
+                  .alias("dev"))
+          .localCheckpoint(eager=False))
+    den = v.agg(F.sum(F.col("dev") * F.col("dev")).alias("d2"))
+    parts = []
+    for lag in (1, 7):
+        a, b = v.alias("a"), v.alias("b")
+        parts.append(
+            a.join(b, F.col("b.day") == F.col("a.day") + lag)
+             .agg(F.lit(lag).cast("long").alias("lag"),
+                  F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                  F.sum(F.col("a.dev") * F.col("b.dev")).alias("num")))
+    p = parts[0].unionAll(parts[1])
+    return (p.crossJoin(F.broadcast(den))
+             .select("lag", "n_pairs",
+                     F.expr("CAST(num * 10000 div greatest(d2, 1) AS BIGINT)")
+                      .alias("acf_bp"))
+             .orderBy("lag"))
+
+
+@register(
+    "burstiness_fano",
+    """
+    WITH d AS (SELECT event_type,
+                      CAST(date_diff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST((count(*) * sum(c * c) - sum(c) * sum(c)) * 100
+                // greatest(count(*) * sum(c), 1) AS BIGINT) AS fano_x100
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    "Fano factor (variance-to-mean ratio, x100) of daily counts per "
+    "event type — the burstiness diagnostic: ~100 for Poisson "
+    "arrivals, >>100 for clustered/bursty traffic (incident storms), "
+    "<<100 for throttled/quota-shaped flows. Exact-integer population "
+    "variance via the n*sum(c^2) - S^2 identity over the per-(type, "
+    "day) frame — F = var/mean = (n*sum(c^2) - S^2) / (n*S). Shape: "
+    "two nested map-side-combinable aggregations, output bounded at "
+    "|event types| rows; no joins, no windows.",
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = (ev.select(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             .cast("long")).alias("day"))
+         .groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c")))
+    return (d.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                  F.sum("c").cast("long").alias("n_events"),
+                  F.expr("CAST((count(*) * sum(c * c) - sum(c) * sum(c))"
+                         " * 100 div greatest(count(*) * sum(c), 1)"
+                         " AS BIGINT)").alias("fano_x100"))
+             .orderBy("event_type"))
+
+
+@register(
+    "zipf_rank_frequency",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM f)
+    SELECT CAST(a.r AS BIGINT) AS rank,
+           CAST(a.c AS BIGINT) AS freq,
+           CAST(b.c AS BIGINT) AS freq_at_2x_rank,
+           CAST(b.c * 10000 // a.c AS BIGINT) AS ratio_bp
+    FROM rk a JOIN rk b ON b.r = 2 * a.r
+    WHERE a.r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    ORDER BY rank
+    """,
+    "Zipf rank-frequency audit of the corpus vocabulary: token "
+    "frequency at each power-of-two rank r and the halving ratio "
+    "freq(2r)/freq(r) in basis points — for Zipfian text the ratio "
+    "hovers near 2^-s*10000 (~5000 at s=1); a flat ratio exposes "
+    "synthetic/templated text, a cliff exposes a truncated "
+    "vocabulary. No logs, no floats: log-spaced ORDER STATISTICS "
+    "stand in for the log-log regression slope. Shape: one "
+    "groupBy(token) (map-side combinable, vocabulary-sized per "
+    "Heaps' law), then a distributed top-k (orderBy.limit(2048) "
+    "compiles to TakeOrderedAndProject — no full sort) and "
+    "windows/self-joins over that fixed 2048-row frame; ranks "
+    "missing a 2x partner (tiny vocabularies) drop out identically "
+    "in both engines (the oracle's full-vocab row_number agrees "
+    "with the top-k frame on every surviving rank).",
+)
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    f = (docs.select(F.explode(_tokens(F.col("text"))).alias("t"))
+             .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    top = f.orderBy(F.col("c").desc(), "t").limit(2048)
+    rk = top.select(
+        "c", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "t")).alias("r"))
+    a, b = rk.alias("a"), rk.alias("b")
+    return (a.join(b, F.col("b.r") == 2 * F.col("a.r"))
+             .filter(F.col("a.r").isin(1, 2, 4, 8, 16, 32, 64, 128,
+                                       256, 512, 1024))
+             .select(F.col("a.r").cast("long").alias("rank"),
+                     F.col("a.c").cast("long").alias("freq"),
+                     F.col("b.c").cast("long").alias("freq_at_2x_rank"),
+                     F.expr("CAST(b.c * 10000 div a.c AS BIGINT)")
+                      .alias("ratio_bp"))
+             .orderBy("rank"))
+
+
+@register(
+    "welch_t_squared",
+    """
+    WITH s AS (SELECT o_orderstatus AS g,
+                      CAST(round(o_totalprice) AS BIGINT) AS x
+               FROM orders WHERE o_orderstatus IN ('O', 'F')),
+    m AS (SELECT g, count(*) AS n, sum(x) // count(*) AS mean_d FROM s
+          GROUP BY g),
+    v AS (SELECT s.g, m.n, m.mean_d,
+                 sum((x - mean_d) * (x - mean_d)) AS ss
+          FROM s JOIN m ON m.g = s.g GROUP BY s.g, m.n, m.mean_d),
+    w AS (SELECT max(CASE WHEN g = 'O' THEN n END) AS n1,
+                 max(CASE WHEN g = 'O' THEN mean_d END) AS m1,
+                 max(CASE WHEN g = 'O' THEN ss END) AS ss1,
+                 max(CASE WHEN g = 'F' THEN n END) AS n2,
+                 max(CASE WHEN g = 'F' THEN mean_d END) AS m2,
+                 max(CASE WHEN g = 'F' THEN ss END) AS ss2
+          FROM v)
+    SELECT CAST(n1 AS BIGINT) AS n_open, CAST(m1 AS BIGINT) AS mean_open_d,
+           CAST(n2 AS BIGINT) AS n_filled,
+           CAST(m2 AS BIGINT) AS mean_filled_d,
+           CAST((m1 - m2) * (m1 - m2) * 100
+                // greatest(ss1 // (n1 * (n1 - 1))
+                            + ss2 // (n2 * (n2 - 1)), 1) AS BIGINT)
+             AS t2_x100,
+           (m1 - m2) * (m1 - m2) * 100
+             // greatest(ss1 // (n1 * (n1 - 1))
+                         + ss2 // (n2 * (n2 - 1)), 1) > 384
+             AS significant
+    FROM w
+    """,
+    "Welch's unequal-variance t-test (squared, so it stays integer) "
+    "comparing mean order value between open ('O') and filled ('F') "
+    "orders: t^2 = (m1-m2)^2 / (s1^2/n1 + s2^2/n2), with "
+    "dollar-quantized values, integer group means, and the TWO-PASS "
+    "sum-of-squared-deviations (join the 2-row means frame back, "
+    "aggregate (x-m)^2) — the n*sum(x^2)-S^2 one-pass identity "
+    "overflows int64 near 1e6 rows at dollar scale; centered "
+    "deviations keep every intermediate under ~2^45 at SF100. "
+    "Large-n alert at t^2 > 3.84 (alpha=0.05). Shape: two map-side-"
+    "combinable aggregates over orders plus one broadcast-eligible "
+    "join against the 2-row means frame; the final pivot is one row.",
+)
+def q_welch_t_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    s = (orders.filter(F.col("o_orderstatus").isin("O", "F"))
+               .select(F.col("o_orderstatus").alias("g"),
+                       F.round("o_totalprice").cast("long").alias("x")))
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(x) div count(*)").alias("mean_d"))
+    v = (s.join(m, "g")
+          .groupBy("g", "n", "mean_d")
+          .agg(F.sum((F.col("x") - F.col("mean_d"))
+                     * (F.col("x") - F.col("mean_d"))).alias("ss")))
+    w = v.agg(
+        F.max(F.when(F.col("g") == "O", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == "O", F.col("mean_d"))).alias("m1"),
+        F.max(F.when(F.col("g") == "O", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("g") == "F", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == "F", F.col("mean_d"))).alias("m2"),
+        F.max(F.when(F.col("g") == "F", F.col("ss"))).alias("ss2"))
+    t2 = F.expr(
+        "(m1 - m2) * (m1 - m2) * 100"
+        " div greatest(ss1 div (n1 * (n1 - 1))"
+        "              + ss2 div (n2 * (n2 - 1)), 1)")
+    return w.select(
+        F.col("n1").cast("long").alias("n_open"),
+        F.col("m1").cast("long").alias("mean_open_d"),
+        F.col("n2").cast("long").alias("n_filled"),
+        F.col("m2").cast("long").alias("mean_filled_d"),
+        t2.cast("long").alias("t2_x100"),
+        (t2 > 384).alias("significant"),
+    )
+
+
+@register(
+    "revenue_concentration_topk",
+    """
+    WITH r AS (SELECT o_custkey,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    tot AS (SELECT sum(cents) AS t, count(*) AS n_cust FROM r),
+    rk AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+           FROM r),
+    e AS (SELECT k, sum(cents) AS top_cents
+          FROM rk CROSS JOIN (VALUES (1), (10), (100)) ks(k)
+          WHERE rn <= k GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(top_cents AS BIGINT) AS top_revenue_cents,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           CAST(top_cents * 10000 // t AS BIGINT) AS share_bp
+    FROM e CROSS JOIN tot ORDER BY k
+    """,
+    "Revenue concentration ('whale curve'): the share of total "
+    "revenue carried by the top 1 / 10 / 100 customers, in basis "
+    "points — the revenue_gini companion every account team actually "
+    "reads (Gini says HOW concentrated; this says WHO). Scale shape: "
+    "per-customer revenue is one map-side-combinable groupBy; the "
+    "top-100 frame comes from orderBy.limit(100) which compiles to a "
+    "distributed TakeOrderedAndProject (per-partition heaps, no "
+    "global sort); ranking and the k-expansion run over that fixed "
+    "100-row frame (k replicated per row — no join), and the grand "
+    "total is a one-row attach. Deterministic custkey tiebreak on "
+    "equal revenues.",
+)
+def q_revenue_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    r = (orders.filter(F.col("o_custkey").isNotNull())
+               .groupBy("o_custkey")
+               .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("long")).alias("cents")))
+    tot = r.agg(F.sum("cents").alias("t"),
+                F.count(F.lit(1)).alias("n_cust"))
+    top = r.orderBy(F.col("cents").desc(), "o_custkey").limit(100)
+    rk = top.select(
+        "cents",
+        F.row_number().over(
+            Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("rn"))
+    e = (rk.withColumn("k", F.explode(F.array(F.lit(1), F.lit(10),
+                                              F.lit(100))))
+           .filter(F.col("rn") <= F.col("k"))
+           .groupBy("k").agg(F.sum("cents").alias("top_cents")))
+    return (e.crossJoin(F.broadcast(tot))
+             .select(F.col("k").cast("long").alias("k"),
+                     F.col("top_cents").cast("long")
+                      .alias("top_revenue_cents"),
+                     F.col("n_cust").cast("long").alias("n_customers"),
+                     F.expr("CAST(top_cents * 10000 div t AS BIGINT)")
+                      .alias("share_bp"))
+             .orderBy("k"))
+
+
+@register(
+    "source_type_token_ratio",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT t) * 10000 // count(*) AS BIGINT) AS ttr_bp
+    FROM tok GROUP BY source ORDER BY source
+    """,
+    "Type-token ratio per source (distinct tokens / total tokens, "
+    "bp) — the corpus-linguistics lexical-diversity staple: "
+    "boilerplate-heavy or templated sources score low, natural prose "
+    "high; the cheapest per-source quality prior next to "
+    "ngram_novelty_score's per-document one. Shape: explode to "
+    "(source, token), one COUNT DISTINCT aggregation — Spark "
+    "executes it as the standard two-phase expand/partial-agg plan, "
+    "map-side combinable, output bounded at |sources| rows.",
+)
+def q_source_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("t"))
+    return (tok.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.countDistinct("t").cast("long").alias("n_types"),
+                    F.expr("CAST(count(DISTINCT t) * 10000 div count(*)"
+                           " AS BIGINT)").alias("ttr_bp"))
+               .orderBy("source"))

@@ -122,6 +122,30 @@ WHITELIST: set[str] = {
     # data volume) and the |sources|^2 matrix IS the requested output,
     # so the quadratic join is the output size, not an accident
     "source_centroid_similarity",
+    # Lloyd assignment: BNLJ against the broadcast k=8 centroid frame —
+    # init carries a structural limit(8), later rounds are Aggregate
+    # roots over `cell` (≤k groups); k-bounded work per row, identical
+    # shape to embedding_ann_ivf's centroid BNLJ
+    "kmeans_integer_lloyd",
+    # attaches the one-row expected-agreement scalar to the one-row
+    # totals frame — both sides single-row Aggregate roots
+    "cohens_kappa_langid",
+    # contingency dims-grid restore: crossJoin of the DISTINCT dow
+    # frame (≤7 rows) with the DISTINCT event-type frame (enum-sized)
+    # — both Aggregate-rooted value domains, never data-proportional;
+    # plus the one-row df scalar attach
+    "chi_squared_independence",
+    # pairwise-slope join runs over the POST-AGGREGATION daily-count
+    # frame: |days| rows bounded by the date span (365/yr), not event
+    # volume — the quadratic is in the bounded time dimension
+    "theil_sen_trend",
+    # two one-row attaches (day-count totals, squared-deviation
+    # denominator) onto the bounded daily frame — single-row Aggregate
+    # roots; the lag pairing itself is an equi self-join
+    "lag_autocorrelation",
+    # one-row grand-total attach onto the 3-row top-k share frame —
+    # single-row Aggregate root
+    "revenue_concentration_topk",
 }
 
 
