@@ -25,7 +25,7 @@ FLAGSHIP = "q5_local_supplier_volume"
 #: The driver's correctness run checks the FIRST 50 entries of
 #: `queries()` in iteration order. Catalog-insertion order would put the
 #: oldest (safest) 50 in that window, leaving the riskiest surface —
-#: the 19 stateful-streaming replays, the applyInPandas escape hatch,
+#: the 20 stateful-streaming replays, the applyInPandas escape hatch,
 #: the PQ/recall evals, PPJoin, ExactSubstr removal, the iterative graph
 #: ops — observed only by the stricter local `tools/oracle_check.py`
 #: sweeps. This curated prefix puts the highest-risk entries (plus a few
@@ -58,6 +58,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_cep_negation",
     "stream_cep_value_gate",
     "stream_cep_abandoned",
+    "stream_hopping_counts",
     # the one applyInPandas escape hatch (two-sided saturating fold)
     "clamped_running_balance",
     # ANN / embedding quantization + the recall-eval harnesses
@@ -75,7 +76,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winnowing_overlap_audit",
     "dedup_minhash_apply",
     "dedup_cc_clusters",
-    "dedup_incremental",
     # iterative / recursive: unrolled-round oracles
     "graph_pagerank",
     "graph_bfs_layers",

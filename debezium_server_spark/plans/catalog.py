@@ -12373,3 +12373,137 @@ def q_source_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(count(DISTINCT t) * 10000 div count(*)"
                            " AS BIGINT)").alias("ttr_bp"))
                .orderBy("source"))
+
+
+# =====================================================================
+# Round-3 block 6: hopping-window streaming replay + Mann-Kendall
+# trend test.
+# =====================================================================
+
+
+@register(
+    "stream_hopping_counts",
+    """
+    WITH x AS (
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR * off AS ws,
+             event_type
+      FROM events CROSS JOIN (VALUES (0), (1)) offs(off)
+    ),
+    w AS (SELECT ws, event_type, count(*) AS n_events
+          FROM x GROUP BY 1, 2)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events
+    FROM w
+    WHERE ws + INTERVAL 2 HOUR <= (SELECT max(ts) - INTERVAL 24 HOUR
+                                   FROM events)
+    ORDER BY window_start, event_type
+    """,
+    "HOPPING (sliding) event-time windows through the true streaming "
+    "replay — the window type the tumbling/session entries don't "
+    "cover: 2-hour windows every 1 hour, so each event lands in "
+    "exactly window/slide = 2 overlapping windows and per-key state "
+    "multiplies by the same bounded factor (watermark still frees "
+    "each window once passed — mandatory at 100 TB). Append mode "
+    "emits each window exactly once when the watermark conclusively "
+    "passes its end; the oracle replays the window-assignment "
+    "expansion (each event to its two slide-aligned starts) and the "
+    "sealed-window filter ws + 2h <= max(ts) - 24h, the exact "
+    "emission boundary stream_hourly_counts pinned. Batch twin: "
+    "events_sliding_window.",
+)
+def q_stream_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import windowed_event_counts
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    out = replay_stream(
+        spark, ev,
+        lambda s: windowed_event_counts(
+            s, window="2 hours", watermark="24 hours",
+            extra_keys=("event_type",), slide="1 hour"),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+        F.col("n_events"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH d AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS day,
+                      count(*) AS c
+               FROM events GROUP BY 1),
+    s AS (SELECT sum(CASE WHEN b.c > a.c THEN 1
+                          WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+          FROM d a JOIN d b ON b.day > a.day),
+    n AS (SELECT count(*) AS n FROM d),
+    t AS (SELECT coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS tie18
+          FROM (SELECT count(*) AS tc FROM d GROUP BY c HAVING count(*) > 1)),
+    v AS (SELECT n.n, s.s_stat,
+                 n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS var18
+          FROM n CROSS JOIN s CROSS JOIN t)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(var18 AS BIGINT) AS var_s_x18,
+           CAST(CASE WHEN abs(s_stat) <= 1 OR var18 = 0 THEN 0
+                     ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 100
+                          // var18 END AS BIGINT) AS z2_x100,
+           CASE WHEN s_stat > 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                     * 18 * 100 > 384 * var18 THEN 'increasing'
+                WHEN s_stat < 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1)
+                     * 18 * 100 > 384 * var18 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM v
+    """,
+    "Mann-Kendall trend TEST on daily event volume — the "
+    "significance companion to theil_sen_trend's slope estimate "
+    "(the pairing every hydrology/monitoring stack ships): S = sum "
+    "of pairwise count signs, tie-corrected variance kept as the "
+    "integer var18 = n(n-1)(2n+5) - SUM t(t-1)(2t+5) (the /18 folded "
+    "into the z^2 cross-multiplication), continuity-corrected "
+    "z^2*100 = (|S|-1)^2*18*100 div var18, alpha=0.05 call at z^2 > "
+    "3.84 with the direction from sign(S). No sqrt, no floats. "
+    "Shape: identical to theil_sen_trend — pairwise over the "
+    "POST-AGGREGATION daily frame (bounded by date span), tie groups "
+    "from one more tiny aggregate, three one-row attaches.",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    d = (ev.select(
+            (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+             .cast("long")).alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+         .localCheckpoint(eager=False))
+    a, b = d.alias("a"), d.alias("b")
+    s = (a.join(b, F.col("b.day") > F.col("a.day"))
+          .agg(F.sum(F.when(F.col("b.c") > F.col("a.c"), 1)
+                      .when(F.col("b.c") < F.col("a.c"), -1)
+                      .otherwise(0)).alias("s_stat")))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    t = (d.groupBy("c").agg(F.count(F.lit(1)).alias("tc"))
+          .filter(F.col("tc") > 1)
+          .agg(F.coalesce(F.sum(F.col("tc") * (F.col("tc") - 1)
+                                * (2 * F.col("tc") + 5)), F.lit(0))
+               .alias("tie18")))
+    v = (n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(t))
+          .withColumn("var18",
+                      F.expr("n * (n - 1) * (2 * n + 5) - tie18")))
+    z2 = F.expr(
+        "CASE WHEN abs(s_stat) <= 1 OR var18 = 0 THEN 0"
+        " ELSE (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 100"
+        " div var18 END")
+    sig = F.expr("(abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 * 100"
+                 " > 384 * var18")
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var_s_x18"),
+        z2.cast("long").alias("z2_x100"),
+        F.when((F.col("s_stat") > 0) & sig, "increasing")
+         .when((F.col("s_stat") < 0) & sig, "decreasing")
+         .otherwise("none").alias("trend"),
+    )

@@ -198,14 +198,20 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     extra_keys: tuple[str, ...] = (),
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with late-data bounds: events
-    older than `watermark` behind the max seen event time are dropped and
-    their windows finalized (state bounded — mandatory at 100 TB: without
-    the watermark, window state grows forever)."""
+    """Event-time windowed counts with late-data bounds: events older
+    than `watermark` behind the max seen event time are dropped and
+    their windows finalized (state bounded — mandatory at 100 TB:
+    without the watermark, window state grows forever). With `slide`
+    set shorter than `window` the windows HOP (overlap): each event is
+    assigned to window/slide windows and state per key multiplies by
+    the same factor — still watermark-bounded."""
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), *extra_keys)
+        .groupBy(win.alias("win"), *extra_keys)
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("win.start").alias("window_start"),

@@ -297,3 +297,27 @@ def test_source_ttr_hand_computed(spark, sf_dir):
         .collect()[0]
     assert (r["source"], r["n_tokens"], r["n_types"]) == ("s", 24, 20)
     assert r["ttr_bp"] == 20 * 10000 // 24
+
+
+def test_mann_kendall_hand_computed(spark, sf_dir):
+    # daily {60:3, 61:3, 67:6, 68:1}: pair signs 0,+1,-1,+1,-1,-1 ->
+    # S=-1; var18 = 4*3*13 - 2*1*9 = 138; |S|<=1 -> z2=0, no trend.
+    r = CATALOG["mann_kendall_trend"].spark_fn(spark, sf_dir).collect()[0]
+    assert (r["n_days"], r["s_stat"]) == (4, -1)
+    assert r["var_s_x18"] == 138
+    assert r["z2_x100"] == 0
+    assert r["trend"] == "none"
+
+
+def test_stream_hopping_hand_computed(spark, sf_dir):
+    # watermark seals ws + 2h <= max_ts - 24h = 2024-03-08 08:00: only
+    # the day-0/day-1 events emit, each into its two hopping windows.
+    rows = [(r["window_start"], r["event_type"], r["n_events"])
+            for r in CATALOG["stream_hopping_counts"]
+            .spark_fn(spark, sf_dir).collect()]
+    assert rows == [
+        ("2024-03-01 09:00:00", "A", 2), ("2024-03-01 09:00:00", "B", 1),
+        ("2024-03-01 10:00:00", "A", 2), ("2024-03-01 10:00:00", "B", 1),
+        ("2024-03-02 09:00:00", "purchase", 3),
+        ("2024-03-02 10:00:00", "purchase", 3),
+    ]

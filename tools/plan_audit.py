@@ -146,6 +146,10 @@ WHITELIST: set[str] = {
     # one-row grand-total attach onto the 3-row top-k share frame —
     # single-row Aggregate root
     "revenue_concentration_topk",
+    # pairwise-sign join over the bounded daily frame (theil_sen's
+    # argument) plus three one-row scalar attaches (S, n, tie term) —
+    # all single-row Aggregate roots
+    "mann_kendall_trend",
 }
 
 

@@ -73,6 +73,16 @@ QUERIES = [
     "sessionize",
     "user_peak_event",
     "bpe_pair_counts",
+    # round-3 block 2-6 additions worth a measured slope: the unrolled
+    # iterative Lloyd rounds, the recursive encode fold, the x101
+    # bootstrap fan-out, the inverted-index novelty join, and the
+    # value-domain-window rank correlation
+    "kmeans_integer_lloyd",
+    "bpe_encode_corpus",
+    "poisson_bootstrap_ci",
+    "ngram_novelty_score",
+    "spearman_rank_correlation",
+    "dq_expectations",
 ]
 
 
