@@ -630,11 +630,16 @@ def assign_cells(
                            F.expr(f"count(*) div {int(target_cell_rows)}")),
                 F.lit(int(max_cells)),
             ).cast("long").alias("__nc"))
+        # lazy-checkpoint the (≤max_cells)-row centroid frame: consumers
+        # self-join on the assignment, and without the cut the
+        # count-agg + crossJoin subtree replays once PER SIDE
+        # (measured: semdedup 12 → 19 exchanges)
         cents = (
             v.crossJoin(F.broadcast(nc))
             .filter(F.col("vid") < F.col("__nc"))
             .limit(int(max_cells))
             .select(F.col("vid").alias("cell_id"), F.col("vec").alias("cvec"))
+            .localCheckpoint(eager=False)
         )
     d2 = F.aggregate(
         F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),

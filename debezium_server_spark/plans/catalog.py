@@ -12517,3 +12517,243 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when((F.col("s_stat") < 0) & sig, "decreasing")
          .otherwise("none").alias("trend"),
     )
+
+
+_AHASH_BIT_SQL = (
+    "CASE WHEN substr(md5(substring(text, s * seg + 1, seg)), 1, 1)"
+    " >= '8' THEN 1::BIGINT << s ELSE 0 END"
+)
+
+
+@register(
+    "media_ahash_dedup",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             list_aggregate(list_transform(range(0, 60),
+                 s -> {_AHASH_BIT_SQL}), 'sum') AS ahash
+      FROM (SELECT doc_id, text,
+                   greatest((length(text) + 59) // 60, 1) AS seg
+            FROM documents WHERE length(text) > 0)),
+    bands AS (SELECT media_id, ahash, b,
+                     (ahash >> (15 * b)) & 32767 AS bv
+              FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+    cand AS (SELECT DISTINCT a.media_id AS media_a, a.ahash AS ha,
+                    b.media_id AS media_b, b.ahash AS hb
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    ORDER BY media_a, media_b
+    """,
+    "Perceptual-hash near-dup detection for opaque MEDIA blobs (the "
+    "aHash/blockhash pattern, content treated as bytes — the "
+    "media_chunk_dedup convention): the blob is cut into 60 "
+    "equal-width segments, each contributes one bit (top nibble of "
+    "its md5 — a deterministic per-segment content sign), packed "
+    "into a 60-bit integer fingerprint; near-identical media differ "
+    "in the few bits whose segments changed. Search is banded "
+    "hamming (the simhash scheme): 4 x 15-bit bands, candidates = "
+    "equal-band equi-join (any pair with hamming <= 6 shares >= 1 "
+    "exact band by pigeonhole over 4 bands — candidate screen is "
+    "COMPLETE for the verify threshold), verify = bit_count(xor) "
+    "on two longs. No decode dependency, engine-exact (md5 + "
+    "integer ops only). Shape: one scan to 60 md5s/blob, the join "
+    "carries (band, 15-bit value) keys; blobs shorter than 60 bytes "
+    "share empty-tail segment bits and can inflate one bucket, "
+    "bounded by the short-blob count (~2% of fixtures), and every "
+    "candidate still passes the exact verify.",
+)
+def q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0)
+            .select(F.col("doc_id").alias("media_id"), "text",
+                    F.expr("greatest((length(text) + 59) div 60, 1)")
+                     .cast("long").alias("seg")))
+    # 60 explicit bit expressions (codegen-friendly; a HOF lambda would
+    # re-evaluate substring/md5 interpreted per element)
+    bit_cols = []
+    for s in range(60):
+        seg_text = F.expr(f"substring(text, {s} * seg + 1, seg)")
+        bit_cols.append(
+            F.when(F.substring(F.md5(seg_text.cast("binary")), 1, 1) >= "8",
+                   F.lit(1 << s).cast("long")).otherwise(F.lit(0).cast("long")))
+    h = docs.select(
+        "media_id",
+        sum(bit_cols[1:], start=bit_cols[0]).alias("ahash"))
+    bands = h.select(
+        "media_id", "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(ahash, 15 * b) & 32767"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+             .select(F.col("a.media_id").alias("media_a"),
+                     F.col("a.ahash").alias("ha"),
+                     F.col("b.media_id").alias("media_b"),
+                     F.col("b.ahash").alias("hb"))
+             .distinct())
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (cand.filter(ham <= 6)
+                .select("media_a", "media_b",
+                        ham.cast("long").alias("hamming"))
+                .orderBy("media_a", "media_b"))
+
+
+# =====================================================================
+# Round-3 block 8: experimentation & survival analysis — CUPED
+# variance reduction, Nelson-Aalen churn hazard.
+# =====================================================================
+
+
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+               AS pre,
+             sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+               AS post
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    m AS (SELECT count(*) AS n, sum(pre) // count(*) AS mpre,
+                 sum(post) // count(*) AS mpost
+          FROM u),
+    c AS (SELECT n,
+                 sum((pre - mpre) * (post - mpost)) AS cov_n,
+                 sum((pre - mpre) * (pre - mpre)) AS varpre_n,
+                 sum((post - mpost) * (post - mpost)) AS varpost_n
+          FROM u CROSS JOIN m GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(cov_n * 10000 // greatest(varpre_n, 1) AS BIGINT)
+             AS theta_x10000,
+           CAST((cov_n * 10000 // greatest(varpre_n, 1)) * cov_n
+                // greatest(varpost_n, 1) AS BIGINT)
+             AS var_reduction_bp
+    FROM c
+    """,
+    "CUPED variance reduction (Deng et al. WSDM'13) — the "
+    "experimentation-platform technique that shrinks A/B metric "
+    "variance using a pre-experiment covariate: theta = cov(pre, "
+    "post)/var(pre) with per-user pre = first-half-month activity and "
+    "post = second-half, and the guaranteed variance reduction rho^2 "
+    "= cov^2/(var_pre*var_post) in basis points — the number that "
+    "says how much smaller the experiment can be. Integer-exact "
+    "two-pass: integer means (documented quantization), centered "
+    "products (the one-pass identity overflows int64 — the Welch "
+    "lesson), rho^2 factored as (theta_x10000 * cov) div var_post so "
+    "no intermediate squares cov. Shape: one groupBy(user), one-row "
+    "mean attach, one aggregate; everything after the first shuffle "
+    "is one row.",
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    u = (ev.filter(F.col("user_id").isNotNull())
+           .groupBy("user_id")
+           .agg(F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+                .alias("pre"),
+                F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+                .alias("post")))
+    m = u.agg(F.count(F.lit(1)).alias("n"),
+              F.expr("sum(pre) div count(*)").alias("mpre"),
+              F.expr("sum(post) div count(*)").alias("mpost"))
+    c = (u.crossJoin(F.broadcast(m))
+          .groupBy("n")
+          .agg(F.sum((F.col("pre") - F.col("mpre"))
+                     * (F.col("post") - F.col("mpost"))).alias("cov_n"),
+               F.sum((F.col("pre") - F.col("mpre"))
+                     * (F.col("pre") - F.col("mpre"))).alias("varpre_n"),
+               F.sum((F.col("post") - F.col("mpost"))
+                     * (F.col("post") - F.col("mpost"))).alias("varpost_n")))
+    theta = F.expr("cov_n * 10000 div greatest(varpre_n, 1)")
+    return c.select(
+        F.col("n").cast("long").alias("n_users"),
+        theta.cast("long").alias("theta_x10000"),
+        F.expr("(cov_n * 10000 div greatest(varpre_n, 1)) * cov_n"
+               " div greatest(varpost_n, 1)")
+         .cast("long").alias("var_reduction_bp"),
+    )
+
+
+@register(
+    "nelson_aalen_recurrence",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE user_id IS NOT NULL),
+    mx AS (SELECT max(ts) AS data_end FROM events),
+    durs AS (
+      SELECT CASE WHEN next_ts IS NOT NULL
+                  THEN (epoch_us(next_ts) - epoch_us(ts)) // 3600000000
+                  ELSE (epoch_us(data_end) - epoch_us(ts)) // 3600000000
+             END AS gap_h,
+             CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM e CROSS JOIN mx),
+    g AS (SELECT gap_h, count(*) AS n_at, sum(observed) AS d
+          FROM durs GROUP BY gap_h),
+    r AS (SELECT gap_h, d,
+                 sum(n_at) OVER (ORDER BY gap_h DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+          FROM g)
+    SELECT CAST(gap_h AS BIGINT) AS gap_hours,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(d * 10000 // n_risk AS BIGINT) AS hazard_bp,
+           CAST(sum(d * 10000 // n_risk) OVER (ORDER BY gap_h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_hazard_bp
+    FROM r WHERE d > 0 ORDER BY gap_hours
+    """,
+    "Nelson-Aalen cumulative hazard of event RECURRENCE — survival "
+    "analysis on time-to-next-event: durations are per-user "
+    "inter-event gaps in whole hours (integer epoch-us div, no "
+    "engine hour-boundary semantics), each user's final open gap "
+    "(last event to data end) enters RIGHT-CENSORED — in every risk "
+    "set it outlasts, never as an event; dropping it is the classic "
+    "recurrence-rate overestimate. Nelson-Aalen (the additive "
+    "sibling of Kaplan-Meier, whose PRODUCT of fractions no integer "
+    "oracle can replay): hazard d(t)/n(t) with n(t) a DESC-"
+    "cumulative sum, cumulative hazard the running sum, both in "
+    "basis points with per-term truncation identical in both "
+    "engines. Shape: one lead() pass partitioned by user (thousands "
+    "of partitions — parallel), one-row data-end attach, then every "
+    "window runs over the |distinct gap-hours| frame — bounded by "
+    "the time span, not event volume.",
+)
+def q_nelson_aalen_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (ev.filter(F.col("user_id").isNotNull())
+           .select("user_id", "ts", F.lead("ts").over(w).alias("next_ts")))
+    mx = ev.agg(F.max("ts").alias("data_end"))
+    durs = (e.crossJoin(F.broadcast(mx))
+             .select(
+                 F.when(F.col("next_ts").isNotNull(),
+                        F.expr("(unix_micros(next_ts) - unix_micros(ts))"
+                               " div 3600000000"))
+                  .otherwise(F.expr("(unix_micros(data_end)"
+                                    " - unix_micros(ts)) div 3600000000"))
+                  .alias("gap_h"),
+                 F.when(F.col("next_ts").isNotNull(), 1).otherwise(0)
+                  .alias("observed")))
+    g = durs.groupBy("gap_h").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("observed").alias("d"))
+    wdesc = (Window.orderBy(F.col("gap_h").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = g.withColumn("n_risk", F.sum("n_at").over(wdesc))
+    wasc = (Window.orderBy("gap_h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hz = F.expr("d * 10000 div n_risk")
+    return (r.filter(F.col("d") > 0)
+             .select(F.col("gap_h").cast("long").alias("gap_hours"),
+                     F.col("n_risk").cast("long").alias("n_risk"),
+                     F.col("d").cast("long").alias("n_events"),
+                     hz.cast("long").alias("hazard_bp"),
+                     F.sum(hz).over(wasc).cast("long")
+                      .alias("cum_hazard_bp"))
+             .orderBy("gap_hours"))

@@ -321,3 +321,101 @@ def test_stream_hopping_hand_computed(spark, sf_dir):
         ("2024-03-02 09:00:00", "purchase", 3),
         ("2024-03-02 10:00:00", "purchase", 3),
     ]
+
+
+def _ahash(text: str) -> int:
+    seg = max((len(text) + 59) // 60, 1)
+    h = 0
+    for s in range(60):
+        part = text[s * seg:(s + 1) * seg]
+        if int(hashlib.md5(part.encode()).hexdigest()[0], 16) >= 8:
+            h |= 1 << s
+    return h
+
+
+def test_media_ahash_matches_independent_replication(spark, sf_dir):
+    # replicate fingerprint, banding, and verify entirely in Python
+    # and demand the identical pair set.
+    docs = {1: "the cat sat on mat", 2: "the of and in",
+            3: "le chat et la", 4: "xyzzy blorp qux", 5: "el que los",
+            6: "the cat sat", 7: "hi there"}
+    hashes = {i: _ahash(t) for i, t in docs.items()}
+    expect = set()
+    for a in docs:
+        for b in docs:
+            if a < b:
+                shares_band = any(
+                    (hashes[a] >> (15 * k)) & 32767
+                    == (hashes[b] >> (15 * k)) & 32767 for k in range(4))
+                ham = bin(hashes[a] ^ hashes[b]).count("1")
+                if shares_band and ham <= 6:
+                    expect.add((a, b, ham))
+    got = {(r["media_a"], r["media_b"], r["hamming"]) for r in
+           CATALOG["media_ahash_dedup"].spark_fn(spark, sf_dir).collect()}
+    assert got == expect
+
+
+@pytest.fixture(scope="module")
+def sf_dir2(tmp_path_factory):
+    """Second fixture with a half-month pre/post split and varied
+    inter-event gaps (the shared fixture is all-pre and all-dense)."""
+    d = tmp_path_factory.mktemp("mini_sf2")
+    rows = [
+        # (user, day, hour)
+        (1, 5, 10), (1, 10, 10), (1, 20, 10),
+        (2, 3, 10), (2, 18, 10), (2, 20, 10), (2, 25, 10),
+        (3, 2, 10), (3, 6, 10), (3, 12, 10), (3, 19, 10), (3, 28, 10),
+    ]
+    pd.DataFrame({
+        "event_id": range(1, len(rows) + 1),
+        "ts": pd.Series([pd.Timestamp(2024, 1, day, hour)
+                         for _, day, hour in rows])
+        .astype("datetime64[us]"),
+        "user_id": [u for u, _, _ in rows],
+        "event_type": ["A"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    }).to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_cuped_hand_computed(spark, sf_dir2):
+    # pre (day<=15): u1=2, u2=1, u3=3; post: u1=1, u2=3, u3=2.
+    # means 2/2; devs pre {0,-1,1}, post {-1,1,0}: cov=-1, var=2/2.
+    r = CATALOG["cuped_variance_reduction"].spark_fn(spark, sf_dir2) \
+        .collect()[0]
+    assert r["n_users"] == 3
+    assert r["theta_x10000"] == -5000
+    assert r["var_reduction_bp"] == 2500  # rho^2 = 1/4
+
+
+def test_nelson_aalen_replicated(spark, sf_dir2):
+    # full Python replication: per-user gap hours + censored last gap.
+    events = {1: [(5, 10), (10, 10), (20, 10)],
+              2: [(3, 10), (18, 10), (20, 10), (25, 10)],
+              3: [(2, 10), (6, 10), (12, 10), (19, 10), (28, 10)]}
+    end = max(pd.Timestamp(2024, 1, d, h) for ts in events.values()
+              for d, h in ts)
+    durs = []
+    for ts in events.values():
+        stamps = [pd.Timestamp(2024, 1, d, h) for d, h in ts]
+        for a, b in zip(stamps, stamps[1:]):
+            durs.append((int((b - a).total_seconds() // 3600), 1))
+        durs.append((int((end - stamps[-1]).total_seconds() // 3600), 0))
+    from collections import Counter
+    at = Counter(g for g, _ in durs)
+    ev_at = Counter(g for g, o in durs if o)
+    expect = []
+    cum = 0
+    for g in sorted(at):
+        n_risk = sum(c for gg, c in at.items() if gg >= g)
+        d = ev_at.get(g, 0)
+        if d > 0:
+            hz = d * 10000 // n_risk
+            cum += hz
+            expect.append((g, n_risk, d, hz, cum))
+    got = [(r["gap_hours"], r["n_risk"], r["n_events"], r["hazard_bp"],
+            r["cum_hazard_bp"]) for r in
+           CATALOG["nelson_aalen_recurrence"].spark_fn(spark, sf_dir2)
+           .collect()]
+    assert got == expect

@@ -150,6 +150,12 @@ WHITELIST: set[str] = {
     # argument) plus three one-row scalar attaches (S, n, tie term) —
     # all single-row Aggregate roots
     "mann_kendall_trend",
+    # one-row integer-means attach onto the per-user frame — single-row
+    # Aggregate root (the Welch two-pass pattern)
+    "cuped_variance_reduction",
+    # one-row data-end attach onto the per-user event frame —
+    # single-row Aggregate root
+    "nelson_aalen_recurrence",
 }
 
 
