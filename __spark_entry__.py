@@ -78,12 +78,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cc_clusters",
     # iterative / recursive: unrolled-round oracles
     "graph_pagerank",
-    "graph_bfs_layers",
+    "batch_perceptron_train",
     "hierarchy_rollup",
     # trained-model + holdout evals (split determinism on both engines)
-    "bpe_pair_counts",
     "nb_holdout_confusion",
-    "markov_holdout_accuracy",
+    # newest-risk round-3 additions: banded-hamming media dedup and
+    # right-censored survival windows (bpe_pair_counts and
+    # markov_holdout_accuracy rotate out — long green since round 2,
+    # still covered by the local three-SF sweeps)
+    "media_ahash_dedup",
+    "nelson_aalen_recurrence",
     # exact-analytics entries with the trickiest numeric contracts
     "quantile_cont_prices",
     "ewma_user_daily",

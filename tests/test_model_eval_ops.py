@@ -419,3 +419,25 @@ def test_nelson_aalen_replicated(spark, sf_dir2):
            CATALOG["nelson_aalen_recurrence"].spark_fn(spark, sf_dir2)
            .collect()]
     assert got == expect
+
+
+def test_batch_perceptron_replicated(spark, sf_dir):
+    # replicate quantization + two batch updates + final scoring in
+    # plain Python over the 16-vector fixture (labels all 0 -> y=-1).
+    vecs = {i: [float(i) * 0.1 + j * 0.01 for j in range(64)]
+            for i in range(16)}
+    q = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    y = {i: -1 for i in range(16)}
+    w = [sum(y[i] * q[i][d] for i in q) for d in range(64)]   # round 1
+    mis = [i for i in q
+           if y[i] * sum(q[i][d] * w[d] for d in range(64)) <= 0]
+    w2 = [w[d] + sum(y[i] * q[i][d] for i in mis) for d in range(64)]
+    mistakes = sum(
+        1 for i in q
+        if y[i] * sum(q[i][d] * w2[d] for d in range(64)) <= 0)
+    r = CATALOG["batch_perceptron_train"].spark_fn(spark, sf_dir) \
+        .collect()[0]
+    assert r["n_vectors"] == 16
+    assert r["n_mistakes"] == mistakes
+    assert r["accuracy_bp"] == (16 - mistakes) * 10000 // 16
+    assert r["w_l1"] == sum(abs(x) for x in w2)

@@ -156,6 +156,10 @@ WHITELIST: set[str] = {
     # one-row data-end attach onto the per-user event frame —
     # single-row Aggregate root
     "nelson_aalen_recurrence",
+    # scoring joins against ONE-ROW weight frames (the w1/w2/u2
+    # aggregates) — every build side is a single-row Aggregate root;
+    # the corpus never reshuffles
+    "batch_perceptron_train",
 }
 
 
