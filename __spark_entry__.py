@@ -106,7 +106,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 
 def _ordered() -> list[str]:
-    rest = [n for n in CATALOG if n not in set(DRIVER_WINDOW)]
+    window = set(DRIVER_WINDOW)
+    rest = [n for n in CATALOG if n not in window]
     return [*DRIVER_WINDOW, *rest]
 
 

@@ -27,6 +27,10 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def token_shingles(toks: Column, k: int) -> Column:
     """k-token shingles: ['a','b','c','d'],k=3 → ['a b c','b c d'].
+    Documents with fewer than k tokens yield an EMPTY array — the same
+    empty-range semantics every DuckDB oracle's shingle macro has
+    (range(1, len-k+2) is empty for len < k). The old whole-text
+    fallback silently diverged engine from oracle on short docs.
 
     Built with `zip_with` over shifted slices rather than
     `transform(sequence, i -> get(toks, i+j))`: higher-order lambdas run
@@ -46,7 +50,7 @@ def token_shingles(toks: Column, k: int) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.when(n >= k, F.slice(shingled, 1, n - k + 1)).otherwise(
-        F.array(F.concat_ws(" ", toks))
+        F.array().cast("array<string>")
     )
 
 

@@ -283,7 +283,18 @@ def kcore(
     """k-core decomposition by `rounds` fixed peel rounds: repeatedly
     drop nodes with degree < k among the survivors; what remains after
     convergence is the maximal subgraph where every node has >= k
-    in-core neighbors. On a near-dup pair graph the 2-core separates
+    in-core neighbors. CONTRACT — this is the ROUNDS-BOUNDED residue,
+    not unconditionally the k-core: the result equals the true k-core
+    with exact in-core degrees exactly when peeling converges within
+    `rounds` (clique-like near-dup families converge in 1-2 rounds; a
+    path of length L needs L/2 rounds). When `rounds` is too small the
+    output is a documented over-approximation: nodes whose degree
+    within the final ROUND's subgraph is >= k, with that degree — the
+    final filter is a half-step, so a returned node adjacent to a
+    just-filtered one carries a degree that counts that edge
+    (tests/test_graph.py pins this on a 20-path). Size `rounds`
+    to >= graph diameter / 2 for exact cores. On a near-dup pair
+    graph the 2-core separates
     DENSELY duplicated template/boilerplate families from incidental
     pairwise matches (a chain is in no 2-core; a clique family is) —
     the corpus-curation signal CC alone cannot give, since CC merges a

@@ -316,7 +316,7 @@ def unigram_logprob(
     )
     scored = vocab.crossJoin(F.broadcast(total)).select("token", logp)
     return (
-        tok.join(F.broadcast(scored), "token")
+        tok.join(scored, "token")  # vocab-keyed: AQE decides broadcast by size
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -346,7 +346,7 @@ def tfidf_top_terms(
         .alias("idf_u"),
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(  # vocab-keyed: AQE decides
         F.col(id_col), "term", (F.col("tf") * F.col("idf_u")).alias("score")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
@@ -392,8 +392,8 @@ def bigram_pmi(
     joined = (
         bc.withColumn("tok_x", parts.getItem(0))
         .withColumn("tok_y", parts.getItem(1))
-        .join(F.broadcast(ux), "tok_x")
-        .join(F.broadcast(uy), "tok_y")
+        .join(ux, "tok_x")  # vocab-keyed: AQE decides
+        .join(uy, "tok_y")
         .crossJoin(F.broadcast(totals))
     )
     pmi = F.floor(
@@ -473,7 +473,7 @@ def bm25_rank(
         )
     ).cast("bigint")
     scored = (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf, "term")  # vocab-keyed: AQE decides
         .join(dl, id_col)
         .select(F.col(id_col), contrib.alias("contrib"))
         .groupBy(id_col)
@@ -683,8 +683,8 @@ def bigram_interp_logprob(
         F.sum("_len").cast("long").alias("t_uni")
     )
     scored = (
-        bc.join(F.broadcast(ctx), "tok_x")
-        .join(F.broadcast(uni), "tok_y")
+        bc.join(ctx, "tok_x")  # vocab-keyed: AQE decides
+        .join(uni, "tok_y")
         .crossJoin(F.broadcast(totals))
         .select(
             "bigram",

@@ -2499,7 +2499,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.expr("tf * 10000 div docfreq").cast("long")
     win = Window.partitionBy("tok").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        tf.join(F.broadcast(df_), "tok")
+        tf.join(df_, "tok")  # vocab-keyed: AQE decides broadcast by size
         .withColumn("score", score)
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= 10)
@@ -10747,6 +10747,11 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.select("doc_id", "lang",
                    F.size("bpe_tokens").alias("n_bpe"),
                    n_words.alias("n_words"))
+        # zero-word (whitespace-only) docs have no row in the oracle's
+        # word join and must not count toward n_docs; the filter also
+        # makes sum(n_words) >= 1 per group, so the division is safe
+        # under ANSI mode
+        .filter(F.col("n_words") > 0)
         .groupBy("lang")
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
@@ -12240,12 +12245,12 @@ def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n2 AS BIGINT) AS n_filled,
            CAST(m2 AS BIGINT) AS mean_filled_d,
            CAST((m1 - m2) * (m1 - m2) * 100
-                // greatest(ss1 // (n1 * (n1 - 1))
-                            + ss2 // (n2 * (n2 - 1)), 1) AS BIGINT)
-             AS t2_x100,
+                // greatest(ss1 // greatest(n1 * (n1 - 1), 1)
+                            + ss2 // greatest(n2 * (n2 - 1), 1), 1)
+                AS BIGINT) AS t2_x100,
            (m1 - m2) * (m1 - m2) * 100
-             // greatest(ss1 // (n1 * (n1 - 1))
-                         + ss2 // (n2 * (n2 - 1)), 1) > 384
+             // greatest(ss1 // greatest(n1 * (n1 - 1), 1)
+                         + ss2 // greatest(n2 * (n2 - 1), 1), 1) > 384
              AS significant
     FROM w
     """,
@@ -12280,10 +12285,12 @@ def q_welch_t_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("g") == "F", F.col("n"))).alias("n2"),
         F.max(F.when(F.col("g") == "F", F.col("mean_d"))).alias("m2"),
         F.max(F.when(F.col("g") == "F", F.col("ss"))).alias("ss2"))
+    # inner divisors guarded too: a single-row group makes n*(n-1)=0
+    # and ANSI mode raises DIVIDE_BY_ZERO (the poisson_bootstrap lesson)
     t2 = F.expr(
         "(m1 - m2) * (m1 - m2) * 100"
-        " div greatest(ss1 div (n1 * (n1 - 1))"
-        "              + ss2 div (n2 * (n2 - 1)), 1)")
+        " div greatest(ss1 div greatest(n1 * (n1 - 1), 1)"
+        "              + ss2 div greatest(n2 * (n2 - 1), 1), 1)")
     return w.select(
         F.col("n1").cast("long").alias("n_open"),
         F.col("m1").cast("long").alias("mean_open_d"),
@@ -12536,15 +12543,15 @@ _AHASH_BIT_SQL = (
                    greatest((length(text) + 59) // 60, 1) AS seg
             FROM documents WHERE length(text) > 0)),
     bands AS (SELECT media_id, ahash, b,
-                     (ahash >> (15 * b)) & 32767 AS bv
-              FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+                     (ahash >> (10 * b)) & 1023 AS bv
+              FROM h CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5)) t(b)),
     cand AS (SELECT DISTINCT a.media_id AS media_a, a.ahash AS ha,
                     b.media_id AS media_b, b.ahash AS hb
              FROM bands a JOIN bands b
                ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id)
     SELECT media_a, media_b,
            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 5
     ORDER BY media_a, media_b
     """,
     "Perceptual-hash near-dup detection for opaque MEDIA blobs (the "
@@ -12554,10 +12561,11 @@ _AHASH_BIT_SQL = (
     "its md5 — a deterministic per-segment content sign), packed "
     "into a 60-bit integer fingerprint; near-identical media differ "
     "in the few bits whose segments changed. Search is banded "
-    "hamming (the simhash scheme): 4 x 15-bit bands, candidates = "
-    "equal-band equi-join (any pair with hamming <= 6 shares >= 1 "
-    "exact band by pigeonhole over 4 bands — candidate screen is "
-    "COMPLETE for the verify threshold), verify = bit_count(xor) "
+    "hamming (the simhash scheme): 6 x 10-bit bands, candidates = "
+    "equal-band equi-join (any pair with hamming <= 5 leaves at "
+    "least one of the 6 bands untouched by pigeonhole — the "
+    "candidate screen is COMPLETE for the verify threshold; 4 bands "
+    "would only cover hamming <= 3), verify = bit_count(xor) "
     "on two longs. No decode dependency, engine-exact (md5 + "
     "integer ops only). Shape: one scan to 60 md5s/blob, the join "
     "carries (band, 15-bit value) keys; blobs shorter than 60 bytes "
@@ -12584,8 +12592,8 @@ def q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(bit_cols[1:], start=bit_cols[0]).alias("ahash"))
     bands = h.select(
         "media_id", "ahash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
-    ).withColumn("bv", F.expr("shiftright(ahash, 15 * b) & 32767"))
+        F.explode(F.array(*[F.lit(b) for b in range(6)])).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(ahash, 10 * b) & 1023"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
                    & (F.col("a.bv") == F.col("b.bv"))
@@ -12596,7 +12604,7 @@ def q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.ahash").alias("hb"))
              .distinct())
     ham = F.expr("bit_count(ha ^ hb)")
-    return (cand.filter(ham <= 6)
+    return (cand.filter(ham <= 5)
                 .select("media_a", "media_b",
                         ham.cast("long").alias("hamming"))
                 .orderBy("media_a", "media_b"))

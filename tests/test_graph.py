@@ -154,3 +154,23 @@ def test_kcore_two_components(spark):
     tri = [(10, 11), (11, 12), (10, 12)]
     got = _kcore(spark, clique + tri, k=3)
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_rounds_bounded_contract(spark):
+    """Pin the documented rounds-bounded semantics on a 20-node path:
+    too-few rounds return the documented over-approximation; enough
+    rounds return the true (empty) 2-core."""
+    from debezium_server_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(19)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in path] + [(b, a) for a, b in path],
+        "src long, dst long")
+    # 6 rounds peel 12 endpoints: an 8-node path [6..13] remains; the
+    # final half-step filter keeps its 6 interior nodes with degree 2
+    # measured in the round-6 subgraph (documented approximation).
+    got = {r["node"]: r["degree"] for r in
+           kcore(edges, k=2, rounds=6).collect()}
+    assert got == {i: 2 for i in range(7, 13)}
+    # a path's true 2-core is empty; 10 rounds reach the fixpoint
+    assert kcore(edges, k=2, rounds=10).count() == 0

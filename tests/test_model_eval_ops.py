@@ -345,11 +345,17 @@ def test_media_ahash_matches_independent_replication(spark, sf_dir):
         for b in docs:
             if a < b:
                 shares_band = any(
-                    (hashes[a] >> (15 * k)) & 32767
-                    == (hashes[b] >> (15 * k)) & 32767 for k in range(4))
+                    (hashes[a] >> (10 * k)) & 1023
+                    == (hashes[b] >> (10 * k)) & 1023 for k in range(6))
                 ham = bin(hashes[a] ^ hashes[b]).count("1")
-                if shares_band and ham <= 6:
+                if shares_band and ham <= 5:
                     expect.add((a, b, ham))
+    # 6 bands over hamming<=5: pigeonhole leaves a band untouched, so
+    # the banded screen is COMPLETE — the set must equal the brute set
+    brute = {(a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+             for a in docs for b in docs if a < b
+             and bin(hashes[a] ^ hashes[b]).count("1") <= 5}
+    assert expect == brute
     got = {(r["media_a"], r["media_b"], r["hamming"]) for r in
            CATALOG["media_ahash_dedup"].spark_fn(spark, sf_dir).collect()}
     assert got == expect

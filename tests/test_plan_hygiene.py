@@ -54,10 +54,19 @@ def test_broadcast_hint_rule_fires(spark):
     bad = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     assert broadcast_hint_violations(bad) == ["customer"]
 
-    agg = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
-    ok_agg = orders.join(
-        F.broadcast(agg), orders.o_orderstatus == agg.c_mktsegment)
-    assert broadcast_hint_violations(ok_agg) == []
+    # a KEYED aggregate is NOT unconditionally bounding (its cardinality
+    # is the group count — SF-proportional when the key is, e.g.
+    # groupBy(c_custkey)); the hardened rule flags it and bounded-domain
+    # cases go through BROADCAST_HINT_WHITELIST with an argument
+    keyed = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    flagged_keyed = orders.join(
+        F.broadcast(keyed), orders.o_orderstatus == keyed.c_mktsegment)
+    assert broadcast_hint_violations(flagged_keyed) == ["customer"]
+
+    # an UNGROUPED aggregate is one row — bounded by construction
+    scalar = cust.agg(F.count("*").alias("n"))
+    ok_scalar = orders.crossJoin(F.broadcast(scalar))
+    assert broadcast_hint_violations(ok_scalar) == []
 
     capped = cust.filter(F.col("c_custkey") < 10).limit(10)
     ok_cap = orders.join(

@@ -174,9 +174,14 @@ SF_PROPORTIONAL = (
 )
 #: Logical operators that decouple output cardinality from input scale:
 #: anything below one of these in a hint's subtree is bounded by the
-#: aggregation's group count / the limit, not by the scan (centroid
-#: tables, one-row totals, per-dimension stats are all Aggregate roots).
-CARDINALITY_BOUNDING = ("Aggregate", "GlobalLimit", "Limit")
+#: limit / the aggregation. Limits are unconditionally bounding. An
+#: Aggregate is bounding only when UNGROUPED (one output row): a keyed
+#: aggregate's cardinality is its group count, and a grouping key drawn
+#: from an SF-proportional column (e.g. groupBy(doc_id).count()) grows
+#: with the data — exactly the OOM class this rule exists to catch, so
+#: keyed aggregates under a hint need a BROADCAST_HINT_WHITELIST entry
+#: arguing the key domain is bounded.
+CARDINALITY_BOUNDING = ("GlobalLimit", "Limit")
 
 #: Entries allowed to broadcast-hint a frame derived from an
 #: SF-proportional scan WITHOUT an Aggregate/Limit bound — each with a
@@ -190,6 +195,21 @@ BROADCAST_HINT_WHITELIST: set[str] = {
     # and the group domain is the 5-value priority enum — bounded at
     # any SF, but by a window-filter invariant no structural node shows.
     "mad_outliers",
+    # Keyed aggregates whose GROUPING DOMAIN is bounded (the hardened
+    # rule prunes only ungrouped aggregates; these carry an argument):
+    # per-type mean/std — event_type is a 5-value enum
+    "zscore_outliers",
+    # per-(dow, hour) baseline — domain <= 7 x 24 = 168 rows
+    "events_hourly_anomaly",
+    # CMS sketch frame keyed (j, bucket) — fixed 4 x 1024 cells
+    "heavy_hitters_cms",
+    # bloom bit-array keyed by word_idx — fixed filter width
+    "bloom_prefilter_join",
+    # DISTINCT dow (<=7) x DISTINCT event_type (enum) dims grid + the
+    # one-row df scalar
+    "chi_squared_independence",
+    # per-source sampling rates — source is a ~20-value enum
+    "corpus_token_budget_mix",
 }
 
 
@@ -210,6 +230,8 @@ def broadcast_hint_violations(df) -> list[str]:
         name = node.getClass().getSimpleName()
         if name in CARDINALITY_BOUNDING:
             return
+        if name == "Aggregate" and node.groupingExpressions().isEmpty():
+            return  # ungrouped aggregate: one row, bounded
         if name == "LogicalRelation":
             try:
                 path = node.relation().location().rootPaths().apply(0).toString()
