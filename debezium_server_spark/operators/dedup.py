@@ -16,6 +16,8 @@ operator has a DuckDB-oracle SQL twin in plans/oracles.py.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -407,6 +409,13 @@ def connected_components(
     to sum-checked rounds up to `max_iter`. Common case: 2 actions
     total, independent of round count — previously 1 barrier + 1
     collect per round.
+
+    Bounded contract (same honesty as graph.kcore): if the label sum is
+    STILL decreasing after the doubling phase plus `max_iter`
+    verification rounds — reachable only on pathological graphs deeper
+    than 2^rounds + max_iter — the last frame is returned and a
+    `RuntimeWarning` is emitted so callers see the non-fixpoint instead
+    of silently consuming under-merged components.
     """
     a, b = F.col(src).alias("u"), F.col(dst).alias("v")
     # Materialize the edge list ONCE: `pairs` usually carries an
@@ -470,6 +479,14 @@ def connected_components(
         if cur_sum == prev_sum:
             return labels
         labels, prev_sum = labels_next, cur_sum
+    warnings.warn(
+        f"connected_components: label sum still decreasing after "
+        f"{rounds} doubling + {max_iter} verification rounds — returned "
+        f"labels may be unconverged (graph deeper than 2^rounds + "
+        f"max_iter); raise `rounds`/`max_iter`",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return labels
 
 

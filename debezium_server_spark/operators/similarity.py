@@ -854,11 +854,13 @@ def rrf_fuse(
             for name in rankings
         ],
     )
+    # TopK via orderBy().limit() (distributed TakeOrderedAndProject),
+    # THEN rank the ≤top_n-row frame — makes the O(N x k) boundedness
+    # structural so plan_audit's global-window rule can verify it
+    # instead of trusting the prose above.
+    topk = agg.orderBy(F.desc("rrf_u"), F.asc(id_col)).limit(top_n)
     w = Window.orderBy(F.desc("rrf_u"), F.asc(id_col))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def kmeans_lloyd_integer(

@@ -479,10 +479,16 @@ def bm25_rank(
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("bm25_u"))
     )
+    # Global TopK as orderBy().limit() — compiles to the distributed
+    # TakeOrderedAndProject (per-partition heaps, driver merge of top_n
+    # rows), then the rank window runs over the ≤top_n-row frame. The
+    # previous row_number-then-filter shape put an UNPARTITIONED window
+    # over the corpus-proportional scored frame — one task holds every
+    # scored doc at 100× (caught by plan_audit's global-window rule).
+    topk = scored.orderBy(F.desc("bm25_u"), F.asc(id_col)).limit(top_n)
     w = Window.orderBy(F.desc("bm25_u"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "rank", "bm25_u")
     )
 

@@ -6073,9 +6073,12 @@ def q_join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     k = od.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n"))
-    w_all = Window.orderBy("key").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-    t = k.select("key", "n", F.sum("n").over(w_all).alias("total"))
+    # total as a ONE-ROW ungrouped aggregate attached by broadcast
+    # crossJoin — the previous sum-over-all window collapsed the
+    # data-proportional per-key frame onto one task (caught by
+    # plan_audit's global-window rule)
+    total = k.agg(F.sum("n").alias("total"))
+    t = k.crossJoin(F.broadcast(total))
     return (
         t.orderBy(F.col("n").desc(), "key").limit(20)
         .select(
@@ -11591,15 +11594,19 @@ _DP_CASE_SQL = ("CASE " + " ".join(
            CAST(greatest(true_count + noise, 0) AS BIGINT) AS noisy_count
     FROM z ORDER BY event_type
     """,
-    "Differentially-private count release via the two-sided GEOMETRIC "
-    "mechanism (the discrete analog of Laplace and the standard for "
-    "integer counts — Ghosh-Roughgarden-Sundararajan's universally "
-    "optimal mechanism), epsilon=1: noise ~ P(k) proportional to "
-    "e^-|k|, drawn by inverse CDF over u = md5-uniform mod 1e6 at "
-    "exact precomputed integer thresholds (truncated at +/-9, tail "
-    "folded into the extremes) — deterministic, so the oracle draws "
-    "bit-identical noise; avoids ln() entirely (cross-engine libm "
-    "is NOT bit-stable; integer threshold tables are). Post-"
+    "Deterministic replay of the two-sided GEOMETRIC mechanism's "
+    "SHAPE (the discrete analog of Laplace, standard for integer "
+    "counts — Ghosh-Roughgarden-Sundararajan): noise ~ P(k) "
+    "proportional to e^-|k| at the epsilon=1 decay rate, drawn by "
+    "inverse CDF over u = md5-uniform mod 1e6 at exact precomputed "
+    "integer thresholds (truncated at +/-9, tail folded into the "
+    "extremes). NO PRIVACY GUARANTEE: the 'noise' is a deterministic "
+    "public function of the group key alone, so anyone can recompute "
+    "and subtract it (a deterministic mechanism has unbounded "
+    "epsilon) — determinism is what makes the oracle draw "
+    "bit-identical values; a production release swaps the md5 seed "
+    "for a real RNG and keeps every threshold. Avoids ln() entirely "
+    "(cross-engine libm is NOT bit-stable; integer tables are). Post-"
     "processing clamps at 0. true_count rides alongside as the "
     "calibration audit column (a production release drops it). "
     "Shape: one map-side-combinable count, then O(|event types|) "
@@ -12568,7 +12575,7 @@ _AHASH_BIT_SQL = (
     "would only cover hamming <= 3), verify = bit_count(xor) "
     "on two longs. No decode dependency, engine-exact (md5 + "
     "integer ops only). Shape: one scan to 60 md5s/blob, the join "
-    "carries (band, 15-bit value) keys; blobs shorter than 60 bytes "
+    "carries (band, 10-bit value) keys; blobs shorter than 60 bytes "
     "share empty-tail segment bits and can inflate one bucket, "
     "bounded by the short-blob count (~2% of fixtures), and every "
     "candidate still passes the exact verify.",

@@ -160,6 +160,10 @@ WHITELIST: set[str] = {
     # aggregates) — every build side is a single-row Aggregate root;
     # the corpus never reshuffles
     "batch_perceptron_train",
+    # one-row grand-total frame (sum of per-key counts = |orders|)
+    # broadcast onto the per-key frequency table — single-row build
+    # side by construction (replaced the global-window total)
+    "join_skew_stats",
 }
 
 
@@ -212,6 +216,68 @@ BROADCAST_HINT_WHITELIST: set[str] = {
     "corpus_token_budget_mix",
 }
 
+#: Entries allowed an UNPARTITIONED window over a frame that is not
+#: structurally bounded (no Limit / ungrouped-Aggregate root below it) —
+#: each with a written VALUE-DOMAIN argument for why the frame stays
+#: single-task-sized at any SF. The rule's mechanical hunt found three
+#: genuine offenders, all FIXED rather than whitelisted: bm25_rank and
+#: rrf_fuse ranked via an unpartitioned row_number over corpus-
+#: proportional scored frames (now TakeOrdered limit-then-rank), and
+#: join_skew_stats attached its grand total via a sum-over-all window
+#: on the per-key frame (now a one-row broadcast crossJoin). Everything
+#: below is a window over a KEYED aggregate whose grouping key is a
+#: bounded value domain, not a data-proportional id.
+GLOBAL_WINDOW_WHITELIST: set[str] = {
+    # global merge-rank over the per-(symbol-pair) count frame — pair
+    # domain is the token-bigram vocabulary (Heaps-bounded, ~10^4–10^6
+    # at web scale), and BPE's argmax semantics NEED a total order over
+    # it; the frame is orders of magnitude smaller than the corpus
+    "bpe_pair_counts",
+    # same BPE merge-rank window inside the train phase of the
+    # train+encode composition
+    "bpe_encode_corpus",
+    # cumulative/total windows over the 64-row equi-width bin frame and
+    # the per-distinct-cents exact-quantile frame — bin count is fixed,
+    # cents is the price value domain (~10^5 distinct), both
+    # corpus-independent; eval-only audit entry
+    "quantile_sketch_audit",
+    # windows over the per-source aggregate frame — source is a
+    # ~20-value enum
+    "source_drift_audit",
+    # windows over the per-(event_type, bucket) frame — 5-value enum x
+    # fixed 10-bucket histogram
+    "psi_drift_gate",
+    # cumulative-CDF + argmax windows over the per-distinct-n_chars
+    # frame — n_chars is the document-length value domain (bounded by
+    # max doc length, corpus-independent); argument in the entry
+    # description ("windows over the |distinct lengths|-row frame")
+    "ks_source_drift",
+    # running-min window over the per-DAY aggregate frame — bounded by
+    # the date span (365 rows/yr), not event volume
+    "pareto_frontier",
+    # cumulative rank-sum window over the per-distinct-SCORE frame —
+    # score is an integer value domain (the midrank construction
+    # exists precisely to avoid a corpus-wide rank window)
+    "classifier_auc_ranksum",
+    # cumulative TP/FP windows over the per-distinct-threshold frame —
+    # same integer score domain as classifier_auc_ranksum
+    "roc_curve_points",
+    # row/col/grand-total windows over the dow x event_type contingency
+    # grid — <= 7 x enum cells (same argument as its broadcast-hint
+    # whitelist entry)
+    "chi_squared_independence",
+    # cumulative midrank windows over per-distinct-VALUE frames (the
+    # doubled-midrank construction) — value domains on both variables
+    "spearman_rank_correlation",
+    # median-of-slopes rank window over the pairwise-slope frame of the
+    # per-DAY aggregate — |days|^2 pairs, bounded by the date span
+    "theil_sen_trend",
+    # cumulative risk-set/event windows over the per-distinct-gap-hour
+    # frame — gap hours is a bounded value domain (entry description
+    # carries the argument)
+    "nelson_aalen_recurrence",
+}
+
 
 def broadcast_hint_violations(df) -> list[str]:
     """Return the SF-proportional tables scanned under an explicit
@@ -228,10 +294,20 @@ def broadcast_hint_violations(df) -> list[str]:
 
     def scan(node):
         name = node.getClass().getSimpleName()
-        if name in CARDINALITY_BOUNDING:
+        bounding = name in CARDINALITY_BOUNDING or (
+            name == "Aggregate" and node.groupingExpressions().isEmpty()
+        )
+        if bounding:
+            # This hint's frame is bounded here — but a NESTED broadcast
+            # hint sitting below the bound is an independent broadcast
+            # whose own subtree may be unbounded (e.g.
+            # broadcast(x.join(broadcast(customer)).agg(...))): resume
+            # the outer walk on the children so it is audited on its own
+            # merits rather than silently pruned (round-3 advisor gap).
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
             return
-        if name == "Aggregate" and node.groupingExpressions().isEmpty():
-            return  # ungrouped aggregate: one row, bounded
         if name == "LogicalRelation":
             try:
                 path = node.relation().location().rootPaths().apply(0).toString()
@@ -258,6 +334,58 @@ def broadcast_hint_violations(df) -> list[str]:
     return sorted(set(hits))
 
 
+def global_window_violations(df) -> list[str]:
+    """Return SF-proportional tables scanned under a window function
+    with NO partition spec and no cardinality bound in between.
+
+    An unpartitioned window collapses its whole input onto ONE task
+    (single-partition WindowExec) — fine over a frame already bounded by
+    an aggregation or limit, fatal over a data-proportional frame at
+    100×. Mechanical form of the prose rule the round-3 verdict asked
+    for: walk the ANALYZED plan; for every ``Window`` node whose
+    partitionSpec is empty, descend pruning at Limit and UNGROUPED
+    Aggregate (one row — bounded). A KEYED aggregate's cardinality is
+    its group count, which only a value-domain argument can bound, so
+    keyed-aggregate-rooted frames need a GLOBAL_WINDOW_WHITELIST entry
+    with that argument — the same treatment broadcast hints got."""
+    hits: list[str] = []
+
+    def scan(node):
+        name = node.getClass().getSimpleName()
+        bounding = name in CARDINALITY_BOUNDING or (
+            name == "Aggregate" and node.groupingExpressions().isEmpty()
+        )
+        if bounding:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            return
+        if name == "LogicalRelation":
+            try:
+                path = node.relation().location().rootPaths().apply(0).toString()
+            except Exception:
+                path = ""
+            for t in SF_PROPORTIONAL:
+                if f"/{t}.parquet" in path:
+                    hits.append(t)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            scan(ch.apply(i))
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            scan(node)
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return sorted(set(hits))
+
+
 def physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -274,6 +402,8 @@ def audit(spark, sf_dir: str) -> dict:
         full_scans = len(re.findall(r"PushedFilters: \[\]", plan))
         hinted = ([] if name in BROADCAST_HINT_WHITELIST
                   else broadcast_hint_violations(df))
+        gwin = ([] if name in GLOBAL_WINDOW_WHITELIST
+                else global_window_violations(df))
         result["queries"][name] = {
             "exchanges": n_exchange,
             "unfiltered_scans": full_scans,
@@ -283,6 +413,9 @@ def audit(spark, sf_dir: str) -> dict:
         if hinted:
             result["violations"].append(
                 {"query": name, "sf_broadcast_hints": hinted})
+        if gwin:
+            result["violations"].append(
+                {"query": name, "unbounded_global_windows": gwin})
     return result
 
 
