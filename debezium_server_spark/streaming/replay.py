@@ -42,7 +42,16 @@ def replay_stream(
     watermark conclusively passes; trailing windows deterministically
     stay open and are excluded from the output.
     """
-    work = tempfile.mkdtemp(prefix="spark_graft_replay_")
+    # Replay fixture + checkpoint are throwaway per-call state on the
+    # hot path (21 catalog replays per bench run, each writing a
+    # multi-file fixture, 5 offset/commit log entries, and per-partition
+    # state deltas): put them on tmpfs when the host has one. Override
+    # with SPARK_GRAFT_REPLAY_TMP; falls back to the default tempdir.
+    tmp_root = os.environ.get(
+        "SPARK_GRAFT_REPLAY_TMP",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_replay_", dir=tmp_root)
     src = os.path.join(work, "src")
     if batch_col is not None:
         # Caller-pinned micro-batches: one file per ascending batch_col
@@ -107,8 +116,22 @@ def replay_stream(
     # batch. 8 cuts the fixed cost ~4x; results are partition-invariant
     # (every entry re-sorts, the driver compares sorted). The session
     # value is restored after the query captures its own copy at start.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    #
+    # minBatchesToRetain: the default 100 keeps every delta/offset file
+    # of a <=5-batch replay — 2 is enough to commit the final batch and
+    # skips the retention bookkeeping. maintenanceInterval: background
+    # state-store snapshot/cleanup threads are pure overhead for a
+    # query that lives ~2 s. Both are replay-only settings (set/restore
+    # around query start, captured per-query like shuffle_partitions);
+    # long-running production pipelines keep the session defaults.
+    _replay_confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.streaming.minBatchesToRetain": "2",
+        "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+    }
+    prev = {k: spark.conf.get(k, None) for k in _replay_confs}
+    for k, v in _replay_confs.items():
+        spark.conf.set(k, v)
     try:
         q = (
             transform(stream)
@@ -120,7 +143,11 @@ def replay_stream(
             .start()
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     if not q.awaitTermination(300):
         # a hung state-store batch would otherwise surface as a
         # partially-populated memory table masquerading as a completed
@@ -130,4 +157,10 @@ def replay_stream(
             f"streaming replay {name!r} still running after 300s; "
             "aborted to avoid returning a partial memory table"
         )
+    # The memory sink holds the result in executor memory; the fixture
+    # files and checkpoint are dead weight now — delete them so repeated
+    # replays don't accumulate (matters on the tmpfs default).
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)
