@@ -12868,3 +12868,259 @@ def q_batch_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                             " div n_vectors AS BIGINT)")
                       .alias("accuracy_bp"),
                      "w_l1"))
+
+
+# ---------------------------------------------------------------------
+# Round-4 flagship: the reference's job description (capture → transform
+# → sink) fused with the LLM-data brief, end to end in ONE entry.
+# ---------------------------------------------------------------------
+
+#: Quality-gate keep condition as a SQL expression over a `text` column
+#: — the exact integer-logit formula of operators/text.py
+#: quality_classifier (same fragment the corpus_data_card oracle
+#: inlines; hoisted so the CDC composition below can apply it to the
+#: MATERIALIZED state rather than the raw table).
+_QUALITY_KEEP_SQL = f"""CAST(2 * floor(CAST(list_aggregate(list_transform({_TOKS},
+                x -> length(x)), 'sum') AS DOUBLE)
+            / CAST(len({_TOKS}) AS DOUBLE) * 1e4)
+        + 10 * floor(CAST(len(list_filter({_TOKS},
+                x -> x IN ('the','a','of','and','in','to')))
+                AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) * 1e4)
+        + 12 * floor(CAST(length(regexp_replace(text,
+                '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) * 1e4)
+        - 40 * (length(text) - length(regexp_replace(text,
+                '[\\.,;:!\\?]', '', 'g')))
+        + 2 * least(len({_TOKS}), 400)
+        - 70000 AS BIGINT) >= 0"""
+
+
+@register(
+    "stream_cdc_corpus_card",
+    f"""
+    WITH state AS MATERIALIZED (
+      SELECT doc_id, source, lang,
+             CASE WHEN doc_id % 5 = 0 THEN 'updated ' || text ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 11 <> 0
+    ),
+    q AS MATERIALIZED (SELECT doc_id, {_QUALITY_KEEP_SQL} AS keep FROM state),
+    qp AS (SELECT doc_id FROM q WHERE keep),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform({_SHINGLES},
+                 x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                      % 2147483647) AS s
+      FROM state WHERE doc_id IN (SELECT doc_id FROM qp)),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, 12),
+                 j -> list_aggregate(list_transform(s,
+                     x -> ((1103515245*(j+1)) % 2147483647 * x
+                           + (12345*(j+1)) % 2147483647) % 2147483647),
+                     'min')) AS m
+      FROM sh),
+    bands AS MATERIALIZED (
+      SELECT doc_id, b AS band_id,
+             md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+      FROM sig, unnest(range(0, 4)) AS u(b)),
+    b0 AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    f0 AS (SELECT band_id, band_hash, min(doc_id) AS keep_id
+           FROM b0 GROUP BY band_id, band_hash),
+    clash0 AS (SELECT DISTINCT b0.doc_id
+               FROM b0 JOIN f0 ON b0.band_id = f0.band_id
+                              AND b0.band_hash = f0.band_hash
+               WHERE b0.doc_id <> f0.keep_id),
+    s0 AS (SELECT doc_id FROM qp WHERE doc_id % 2 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM clash0)),
+    idx AS (SELECT DISTINCT band_id, band_hash
+            FROM bands WHERE doc_id IN (SELECT doc_id FROM s0)),
+    dup1 AS (SELECT DISTINCT b.doc_id
+             FROM bands b JOIN idx ON b.band_id = idx.band_id
+                                  AND b.band_hash = idx.band_hash
+             WHERE b.doc_id % 2 = 1),
+    rem1 AS (SELECT doc_id FROM qp WHERE doc_id % 2 = 1
+             AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+    b1 AS (SELECT bands.* FROM bands
+           WHERE doc_id IN (SELECT doc_id FROM rem1)),
+    f1 AS (SELECT band_id, band_hash, min(doc_id) AS keep_id
+           FROM b1 GROUP BY band_id, band_hash),
+    clash1 AS (SELECT DISTINCT b1.doc_id
+               FROM b1 JOIN f1 ON b1.band_id = f1.band_id
+                              AND b1.band_hash = f1.band_hash
+               WHERE b1.doc_id <> f1.keep_id),
+    s1 AS (SELECT doc_id FROM rem1
+           WHERE doc_id NOT IN (SELECT doc_id FROM clash1)),
+    corpus AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1)
+    SELECT st.source,
+           CAST(count(*) AS BIGINT) AS n_state,
+           CAST(sum(CASE WHEN q.keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_quality_drop,
+           CAST(sum(CASE WHEN q.keep AND c.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_drop,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corpus,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT) AS kept_bp,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL
+                    THEN len(string_split_regex(lower(st.text), '\\s+'))
+                    ELSE 0 END) AS BIGINT) AS corpus_tokens
+    FROM state st
+    JOIN q ON st.doc_id = q.doc_id
+    LEFT JOIN corpus c ON st.doc_id = c.doc_id
+    GROUP BY st.source ORDER BY st.source
+    """,
+    "END-TO-END FLAGSHIP — the reference's whole job description "
+    "(capture -> transform -> sink; DebeziumServer.java's "
+    "source->consumer wiring) fused with the LLM-corpus brief, in one "
+    "driver-checkable entry. Phase 1, CDC: a deterministic changelog "
+    "derived from `documents` (op=r snapshot of every doc at lsn 1; "
+    "op=u rewrites text for doc_id%5=0 at lsn 2; op=d tombstones "
+    "doc_id%11=0 at lsn 3) runs through the REAL machinery — "
+    "snapshot_then_stream (snapshot batch -> marker -> lsn-filtered "
+    "stream tail, streaming/handoff.py) into ParquetUpsertSink "
+    "(per-key max_by(lsn) reduce, epoch-seq merge, hash-bucketed "
+    "versioned commits) — materializing latest-wins state with "
+    "deletes applied. Phase 2, curation: the state feeds "
+    "CorpusIngestSink in two deterministic increments (even doc_ids "
+    "then odd — epoch 1 dedups against the PERSISTED band index "
+    "epoch 0 appended, history never re-hashed): integer-logit "
+    "quality gate, then incremental MinHash band dedup, then "
+    "in-batch band clash keep-min. Phase 3: the data card over the "
+    "final corpus — per source: state rows, quality drops, dup "
+    "drops, corpus rows, keep rate bp, corpus token count. The "
+    "oracle replays ALL THREE phases in SQL (latest-wins CASE + "
+    "delete filter; the minhash macro; two-epoch index evolution as "
+    "chained CTEs). The card is collected (|sources| rows) and "
+    "returned as a local frame so the temp workdir can be reclaimed "
+    "eagerly. 100 TB shape: every stage is the proven scale path of "
+    "its family entry — snapshot is a fully parallel batch job, the "
+    "stream tail is increment-proportional, upsert rewrites only "
+    "touched buckets, ingest hashes only increments, the card is one "
+    "fused scan + a |sources|-row aggregate.",
+)
+def q_stream_cdc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from debezium_server_spark.operators.text import quality_classifier
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+    from debezium_server_spark.sinks.corpus_sink import CorpusIngestSink
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+    from debezium_server_spark.streaming.handoff import snapshot_then_stream
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text")
+
+    def env(df: DataFrame, op: str, lsn: int) -> DataFrame:
+        # F.when(lit(False)) yields a NULL of the SAME struct type for
+        # deletes, keeping one schema across snapshot/update/delete files
+        after = F.struct(
+            F.col("doc_id"), F.col("source"), F.col("lang"), F.col("text"))
+        if op == "d":
+            after = F.when(F.lit(False), after)
+        return df.select(
+            F.lit("corpus.docs").alias("destination"),
+            F.struct(F.col("doc_id")).alias("key"),
+            F.struct(
+                F.lit(op).alias("op"),
+                after.alias("after"),
+                F.struct(F.lit(lsn).cast("long").alias("lsn")).alias("source"),
+                F.lit(lsn).cast("long").alias("ts_ms"),
+            ).alias("value"),
+        )
+
+    snapshot = env(docs, "r", 1)
+    updates = env(
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat(F.lit("updated "), F.col("text"))),
+        "u", 2)
+    deletes = env(docs.filter(F.col("doc_id") % 11 == 0), "d", 3)
+
+    tmp_root = ("/dev/shm" if os.path.isdir("/dev/shm") else None)
+    work = tempfile.mkdtemp(prefix="cdc_corpus_", dir=tmp_root)
+    try:
+        src = os.path.join(work, "stream")
+        os.makedirs(src)
+        # two pinned stream files: updates before deletes (replay.py's
+        # mtime discipline) — per-key lsn ordering also resolves any
+        # within-batch coalescing identically, so the final state is
+        # batch-split-invariant
+        for i, frame in enumerate((updates, deletes)):
+            part_dir = os.path.join(work, f"b{i}")
+            frame.coalesce(1).write.parquet(part_dir)
+            part = next(f for f in os.listdir(part_dir)
+                        if f.startswith("part-") and f.endswith(".parquet"))
+            shutil.move(os.path.join(part_dir, part),
+                        os.path.join(src, f"part-{i:05d}.parquet"))
+            shutil.rmtree(part_dir)
+        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+        base = int(os.path.getmtime(os.path.join(src, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i, base + i))
+
+        stream = (spark.readStream.schema(snapshot.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = ParquetUpsertSink(
+            root_path=os.path.join(work, "state"), key_fields=("doc_id",))
+        query = snapshot_then_stream(
+            snapshot, stream, sink,
+            checkpoint_location=os.path.join(work, "ckpt"))
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("stream_cdc_corpus_card: CDC stream phase "
+                               "still running after 300s")
+        state = sink.read_table(spark, "corpus.docs").select(
+            "doc_id", "source", "lang", "text").localCheckpoint(eager=True)
+
+        ingest = CorpusIngestSink(root_path=os.path.join(work, "corpus"))
+        for epoch, inc in enumerate((
+            state.filter(F.col("doc_id") % 2 == 0),
+            state.filter(F.col("doc_id") % 2 == 1),
+        )):
+            ingest.handle(
+                inc.select(F.struct(
+                    F.struct(F.col("doc_id"), F.col("text")).alias("after")
+                ).alias("value")),
+                epoch,
+            )
+        corpus_ids = ingest.read_corpus(spark).select("doc_id").withColumn(
+            "inc", F.lit(True))
+
+        gate = quality_classifier(state).select("doc_id", "keep")
+        j = (state.join(gate, "doc_id")
+             .join(corpus_ids, "doc_id", "left")
+             .select(
+                 "source", "keep",
+                 F.coalesce(F.col("inc"), F.lit(False)).alias("inc"),
+                 F.size(_tk(F.col("text"))).cast("long").alias("n_tokens")))
+        card = (
+            j.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_state"),
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long")
+                 .alias("n_quality_drop"),
+                F.sum(F.when(F.col("keep") & ~F.col("inc"), 1).otherwise(0))
+                 .cast("long").alias("n_dup_drop"),
+                F.sum(F.when(F.col("inc"), 1).otherwise(0)).cast("long")
+                 .alias("n_corpus"),
+                F.sum(F.when(F.col("inc"), F.col("n_tokens")).otherwise(0))
+                 .cast("long").alias("corpus_tokens"),
+            )
+            .select(
+                "source", "n_state", "n_quality_drop", "n_dup_drop",
+                "n_corpus",
+                F.expr("n_corpus * 10000 div n_state").cast("long")
+                 .alias("kept_bp"),
+                "corpus_tokens",
+            )
+            .orderBy("source")
+        )
+        # |sources|-row result: collect and rebuild as a local frame so
+        # the workdir (state + corpus parquet on tmpfs) can be deleted
+        # NOW instead of leaking until process exit
+        rows = card.collect()
+        return spark.createDataFrame(rows, card.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

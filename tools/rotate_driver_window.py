@@ -60,6 +60,13 @@ CANARIES = (
     "q1_pricing_summary",      # TPC-H agg/decimal discipline
 )
 
+#: Entries ADDED in the current round — scheduled into the window ahead
+#: of the older never-observed backlog (newest code = least soak time,
+#: the round-2/3 window-curation principle). Update per round.
+NEW_THIS_ROUND = (
+    "stream_cdc_corpus_card",
+)
+
 
 def observed_rounds() -> dict[str, int]:
     """name -> latest round with a green driver row (from committed
@@ -87,6 +94,8 @@ def compute_window(round_no: int) -> dict:
         raise SystemExit(f"canaries not in catalog: {missing}")
 
     window: list[str] = list(CANARIES)
+    window += [n for n in NEW_THIS_ROUND
+               if n in CATALOG and n not in set(window)]
     pool = [n for n in CATALOG if n not in set(window)]
     # debutantes first (never observed), then least-recently-observed;
     # catalog order inside each class keeps the schedule deterministic
