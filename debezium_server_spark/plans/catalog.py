@@ -13124,3 +13124,272 @@ def q_stream_cdc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, card.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "ivf_index_upsert",
+    f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cell, q AS c FROM v
+              WHERE vec_id < 32 AND vec_id % 2 = 0),
+    a AS (SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_aggregate(list_transform(range(1, 65),
+                       i -> (v.q[i] - cents.c[i]) * (v.q[i] - cents.c[i])),
+                       'sum'), cents.cell) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_existing,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN vec_id % 2 = 1 THEN vec_id ELSE 0 END)
+               AS BIGINT) AS new_id_sum
+    FROM a GROUP BY cell ORDER BY cell
+    """,
+    "Incremental IVF index maintenance — the ANN twin of "
+    "dedup_incremental's persisted-band-index pattern (round-3 "
+    "verdict #5): the inverted file's centroids are PERSISTED (here "
+    "the deterministic 16 even-id seed vectors, quantized to "
+    "round(x*1e6) longs — refreshable via ivf_centroid_refresh "
+    "without touching this plan), the existing corpus (even ids) "
+    "already holds its cell assignments, and the INCREMENT (odd ids) "
+    "is assigned by one broadcast-argmin pass — integer squared L2, "
+    "ties to the lower cell id. Output is the maintained inverted "
+    "file's per-cell bookkeeping: existing/new/total counts plus the "
+    "increment id-sum (the upsert write-set checksum a reader "
+    "validates against the index manifest). 100 TB shape: the "
+    "centroid frame is k rows broadcast (structural limit), "
+    "assignment cost per maintenance run is ONE map-parallel pass "
+    "proportional to the INCREMENT — history is never re-assigned "
+    "(the in-entry even-half assignment stands in for reading the "
+    "persisted index, exactly dedup_incremental's convention); the "
+    "cell stats are one k-row map-side-combinable aggregate.",
+)
+def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1_000_000).cast("long")).alias("q"),
+    )
+    cents = (q.filter((F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0))
+             .limit(16)  # structural bound for the broadcast build side
+             .select(F.col("vec_id").alias("cell"), F.col("q").alias("c")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    is_new = (F.col("vec_id") % 2 == 1)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.sum(F.when(~is_new, 1).otherwise(0)).cast("long")
+             .alias("n_existing"),
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(is_new, F.col("vec_id")).otherwise(0)).cast("long")
+             .alias("new_id_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "ivf_centroid_refresh",
+    f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS c FROM v
+                        WHERE vec_id < 32 AND vec_id % 2 = 0),
+    a AS MATERIALIZED (SELECT vec_id, q, cell FROM (
+        SELECT v.vec_id, v.q, c0.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_aggregate(list_transform(range(1, 65),
+                       i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
+                       'sum'), c0.cell) AS rn
+        FROM v CROSS JOIN c0) WHERE rn = 1),
+    r AS (SELECT cell, i,
+                 CAST(sum(q[i]) // count(*) AS BIGINT) AS newm,
+                 count(*) AS n
+          FROM a, range(1, 65) t(i) GROUP BY cell, i)
+    SELECT CAST(r.cell AS BIGINT) AS cell,
+           CAST(min(r.n) AS BIGINT) AS n_vectors,
+           CAST(sum((c0.c[r.i] - r.newm) * (c0.c[r.i] - r.newm)) AS BIGINT)
+               AS drift_sq
+    FROM r JOIN c0 ON r.cell = c0.cell
+    GROUP BY r.cell ORDER BY r.cell
+    """,
+    "The PERIODIC-REFRESH half of incremental IVF maintenance "
+    "(ivf_index_upsert absorbs increments cheaply; this is the "
+    "scheduled rebalance run when drift accumulates): re-derive each "
+    "cell's centroid as the per-dimension integer mean of its members "
+    "(sum div count over round(x*1e6) longs — the kmeans_integer_"
+    "lloyd update step) and report per-cell DRIFT: the integer "
+    "squared L2 between the persisted centroid and its refreshed "
+    "position, plus membership. A maintenance scheduler thresholds "
+    "drift_sq to decide which cells re-train; members of un-drifted "
+    "cells keep their assignments. Shape: one broadcast-argmin "
+    "assignment pass + ONE groupBy producing 64 map-side-combinable "
+    "per-dim sums (no posexplode: shuffle is k rows x 64 columns), "
+    "then a 16-row join against the persisted centroid frame — the "
+    "heavy stages are identical to the proven Lloyd round, the drift "
+    "arithmetic touches k rows.",
+)
+def q_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1_000_000).cast("long")).alias("q"),
+    )
+    cents = (q.filter((F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0))
+             .limit(16)
+             .select(F.col("vec_id").alias("cell"), F.col("q").alias("c")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__d2", "cell", "q")).alias("m"))
+        .select(F.col("m.cell").alias("cell"), F.col("m.q").alias("q"))
+    )
+    sums = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        *[F.sum(F.col("q").getItem(i)).alias(f"s{i}") for i in range(64)],
+    )
+    old = cents.select("cell", *[F.col("c").getItem(i).alias(f"o{i}")
+                                 for i in range(64)])
+    drift = sum(
+        [(F.col(f"o{i}") - F.expr(f"s{i} div n_vectors"))
+         * (F.col(f"o{i}") - F.expr(f"s{i} div n_vectors"))
+         for i in range(1, 64)],
+        start=(F.col("o0") - F.expr("s0 div n_vectors"))
+        * (F.col("o0") - F.expr("s0 div n_vectors")),
+    )
+    return (
+        sums.join(F.broadcast(old), "cell")
+        .select("cell", "n_vectors", drift.cast("long").alias("drift_sq"))
+        .orderBy("cell")
+    )
+
+
+#: Greedy LPT bin-pack as a recursive CTE: per-source token sums sorted
+#: (tokens DESC, source ASC), each step assigns the next source to the
+#: currently-lightest shard (list_min over the running loads list, ties
+#: to the lowest shard id via list_position's first-match semantics) —
+#: replays operators/sharding.py greedy_lpt step for step.
+_LPT_STEPS_SQL = f"""
+    src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS t,
+             ROW_NUMBER() OVER (ORDER BY sum(len({_TOKS})) DESC, source)
+                 AS rn
+      FROM documents GROUP BY source),
+    steps AS (
+      SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS source,
+             CAST(NULL AS BIGINT) AS shard_id,
+             [CAST(0 AS BIGINT), 0, 0, 0] AS loads
+      UNION ALL
+      SELECT s.rn, s.source,
+             CAST(list_position(st.loads, list_min(st.loads)) - 1
+                  AS BIGINT) AS shard_id,
+             list_transform(range(1, 5),
+                 i -> CASE WHEN i = list_position(st.loads,
+                                                  list_min(st.loads))
+                           THEN st.loads[i] + s.t ELSE st.loads[i] END)
+                 AS loads
+      FROM steps st JOIN src s ON s.rn = st.rn + 1)"""
+
+
+@register(
+    "corpus_shard_assignment",
+    f"""
+    WITH RECURSIVE {_LPT_STEPS_SQL}
+    SELECT s.source, s.n_docs, s.t AS source_tokens, st.shard_id
+    FROM steps st JOIN src s ON st.rn = s.rn
+    ORDER BY s.source
+    """,
+    "Deterministic training-shard assignment — the last mile between "
+    "the curation catalog and a trainer (epoch reproducibility needs "
+    "shard membership to be a PURE FUNCTION of the data): per-source "
+    "token sums greedy-LPT bin-packed into 4 shards (sort sources by "
+    "tokens desc/source asc, place each on the currently-lightest "
+    "shard, ties to the lowest shard id — max load <= avg + max "
+    "single source, the classical LPT bound); docs inherit their "
+    "source's shard so shards stay source-coherent for mixture "
+    "tooling. Shape: ONE map-side-combinable per-source aggregate "
+    "over the corpus; the greedy itself runs over the bounded "
+    "|sources|-row control frame (collected driver-side, the sink "
+    "destination-routing convention). Oracle replays the greedy as a "
+    "recursive CTE carrying the running shard-loads list. "
+    "operators/sharding.py (write_training_shards materializes the "
+    "partitioned parquet + manifest half).",
+)
+def q_corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sharding import shard_plan
+
+    return (
+        shard_plan(load(spark, sf_dir, "documents"), n_shards=4)
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    WITH RECURSIVE {_LPT_STEPS_SQL},
+    m AS (SELECT st.shard_id, count(*) AS n_sources,
+                 sum(s.n_docs) AS n_docs, sum(s.t) AS shard_tokens
+          FROM steps st JOIN src s ON st.rn = s.rn
+          GROUP BY st.shard_id),
+    tot AS (SELECT sum(shard_tokens) AS total FROM m)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(shard_tokens AS BIGINT) AS shard_tokens,
+           CAST(shard_tokens * 4 * 10000 // total AS BIGINT)
+               AS load_vs_ideal_bp
+    FROM m, tot ORDER BY shard_id
+    """,
+    "The committed shard MANIFEST a trainer pins: per shard — source "
+    "count, doc count, token budget, and load as basis points of the "
+    "ideal (total/4; 10000 = perfectly balanced). The balance "
+    "audit for corpus_shard_assignment's LPT pack, aggregated from "
+    "the same per-source frame + recursive-CTE replay; Spark side is "
+    "the plan frame's 4-row rollup with a one-row total attach.",
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sharding import shard_plan
+
+    plan = shard_plan(load(spark, sf_dir, "documents"), n_shards=4)
+    m = plan.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("source_tokens").cast("long").alias("shard_tokens"),
+    )
+    tot = m.agg(F.sum("shard_tokens").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "shard_id", "n_sources", "n_docs", "shard_tokens",
+            F.expr("shard_tokens * 4 * 10000 div total").cast("long")
+             .alias("load_vs_ideal_bp"),
+        )
+        .orderBy("shard_id")
+    )

@@ -65,6 +65,10 @@ CANARIES = (
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
     "stream_cdc_corpus_card",
+    "ivf_index_upsert",
+    "ivf_centroid_refresh",
+    "corpus_shard_assignment",
+    "corpus_shard_manifest",
 )
 
 
