@@ -583,6 +583,28 @@ _SHINGLES = (
     f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
 )
 
+#: The sh -> sig -> bands MinHash CTE chain over `documents` (k=3
+#: shingles, 12 affine universal hashes, 4 bands — the exact hash
+#: family of operators/dedup.py minhash_bands/minhash_lsh_pairs).
+#: Hoisted from seven verbatim copies (round-3 self-review backlog #5)
+#: so a hash-family change cannot silently desynchronize one oracle;
+#: the CDC flagship inlines a filtered/MATERIALIZED variant.
+_MINHASH_CTES = """sh AS (SELECT doc_id,
+                  list_transform(""" + _SHINGLES + """,
+                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+                           % 2147483647) AS s
+                FROM documents),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 12),
+                       j -> list_aggregate(list_transform(s,
+                           x -> ((1103515245*(j+1)) % 2147483647 * x
+                                 + (12345*(j+1)) % 2147483647) % 2147483647),
+                           'min')) AS m
+            FROM sh),
+    bands AS (SELECT doc_id, b AS band_id,
+                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
+              FROM sig, unnest(range(0, 4)) AS u(b))"""
+
 @register(
     "dedup_exact",
     """
@@ -599,21 +621,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b))
+    WITH {_MINHASH_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -629,21 +637,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_apply",
     f"""
-    WITH RECURSIVE sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH RECURSIVE {_MINHASH_CTES},
     pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -2902,21 +2896,7 @@ def q_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cc_clusters",
     f"""
-    WITH RECURSIVE sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH RECURSIVE {_MINHASH_CTES},
     pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -5005,21 +4985,7 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental",
     f"""
-    WITH sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH {_MINHASH_CTES},
     idx AS (SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 2 = 0),
     dup AS (SELECT DISTINCT i.doc_id
             FROM bands i JOIN idx ON i.band_id = idx.band_id
@@ -10049,21 +10015,7 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled peel rounds over the LSH pair graph — same fixed
     trajectory the Spark operator executes (the pagerank convention)."""
     sql = f"""
-    WITH sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH {_MINHASH_CTES},
     pr AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -10251,21 +10203,7 @@ def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_best_apply",
     f"""
-    WITH RECURSIVE sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH RECURSIVE {_MINHASH_CTES},
     pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -10324,21 +10262,7 @@ def q_dedup_keep_best_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_error_audit",
     f"""
-    WITH sh AS (SELECT doc_id,
-                  list_transform({_SHINGLES},
-                      x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
-                           % 2147483647) AS s
-                FROM documents),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 12),
-                       j -> list_aggregate(list_transform(s,
-                           x -> ((1103515245*(j+1)) % 2147483647 * x
-                                 + (12345*(j+1)) % 2147483647) % 2147483647),
-                           'min')) AS m
-            FROM sh),
-    bands AS (SELECT doc_id, b AS band_id,
-                     md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
-              FROM sig, unnest(range(0, 4)) AS u(b)),
+    WITH {_MINHASH_CTES},
     pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM bands a JOIN bands b
              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -13393,3 +13317,256 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Round-4 block 2: retrieval ranking eval, in-engine sequential
+# forecasting, chained stateful streaming aggregation.
+# ---------------------------------------------------------------------
+
+import math as _math
+
+#: Integer NDCG position weights: floor(1e9 / log2(rank+1)) for ranks
+#: 1..10, computed ONCE here in Python and rendered as literals into
+#: BOTH the Spark expression and the SQL oracle — the _DP_THRESHOLDS
+#: trick: cross-engine libm log2 never runs inside either engine, so
+#: DCG sums are exact integer arithmetic everywhere.
+_NDCG_W = tuple(int(1_000_000_000 / _math.log2(r + 1)) for r in range(1, 11))
+_NDCG_PREFIX = tuple(
+    sum(_NDCG_W[: i + 1]) for i in range(len(_NDCG_W)))
+_NDCG_W_CASE = ("CASE rank " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)) + " ELSE 0 END")
+_IDCG_CASE = ("CASE n_rel WHEN 0 THEN 0 " + " ".join(
+    f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_PREFIX)) + " END")
+
+
+@register(
+    "retrieval_mrr_ndcg_eval",
+    f"""
+    WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                            FROM embeddings),
+    ts AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_DOT.format(a='q.e', b='c.e')} /
+                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+           FROM v q JOIN v c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 5),
+    truth AS (SELECT query_id, neighbor_id
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM ts)
+              WHERE rank <= 10),
+    cents AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 16),
+    assigned AS (SELECT vec_id, cell_id AS cell FROM (
+        SELECT v.vec_id, cents.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_aggregate(list_transform(range(1, 65),
+                       i -> (v.e[i] - ce[i]) * (v.e[i] - ce[i])), 'sum'),
+                   cell_id) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cell, v.e FROM assigned a
+           JOIN v ON a.vec_id = v.vec_id),
+    ps AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_DOT.format(a='q.e', b='c.e')} /
+                  ({_NORM.format(v='q.e')} * {_NORM.format(v='c.e')}) AS sim
+           FROM av q JOIN av c ON q.cell = c.cell AND c.vec_id != q.vec_id
+           WHERE q.vec_id < 5),
+    pred AS (SELECT query_id, neighbor_id, rank
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank FROM ps)
+             WHERE rank <= 10),
+    j AS (SELECT p.query_id, p.rank,
+                 CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM pred p LEFT JOIN truth t
+            ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id),
+    g AS (SELECT query_id,
+                 CAST(sum(rel) AS BIGINT) AS n_rel,
+                 CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)
+                      AS BIGINT) AS first_rel_rank,
+                 CAST(sum(CASE WHEN rel = 1 THEN {_NDCG_W_CASE}
+                          ELSE 0 END) AS BIGINT) AS dcg_u
+          FROM j GROUP BY query_id)
+    SELECT query_id, n_rel, first_rel_rank,
+           CAST(CASE WHEN first_rel_rank = 0 THEN 0
+                ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_u,
+           CAST(CASE WHEN n_rel = 0 THEN 0
+                ELSE dcg_u * 10000 // ({_IDCG_CASE}) END AS BIGINT)
+               AS ndcg_bp
+    FROM g ORDER BY query_id
+    """,
+    "Retrieval-quality eval the way RAG pipelines report it — "
+    "MRR and NDCG@10 of the IVF approximate ranking against the "
+    "exact cosine top-10 ground truth, per probe query (5 probes): "
+    "binary relevance = membership in the exact top-10, reciprocal "
+    "rank as 1e6 div first-relevant-rank, and DCG with "
+    "floor(1e9/log2(rank+1)) position weights precomputed in Python "
+    "and rendered as integer literals into BOTH engines (the "
+    "dp_noisy_event_counts threshold-table trick — libm log2 never "
+    "runs in-engine, so every metric is exact integer arithmetic; "
+    "IDCG is the prefix-sum CASE over n_rel). Complements "
+    "ann_recall_eval (set overlap) with the POSITION-AWARE metrics "
+    "an ANN config is actually judged by. Shape: both rankers are "
+    "the proven probe-bounded patterns (broadcast 5-query "
+    "crossJoin; k-centroid BNLJ assignment) — eval-only, "
+    "whitelisted with the same arguments.",
+)
+def q_retrieval_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5).limit(5), k=10
+    ).select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+    pred = ivf_ann_topk(
+        emb, k=10, n_cells=16, query_filter="query_id < 5"
+    ).select("query_id", "neighbor_id", "rank")
+    j = pred.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel"))
+    g = j.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.coalesce(F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0))
+         .cast("long").alias("first_rel_rank"),
+        F.sum(F.when(F.col("rel") == 1, F.expr(_NDCG_W_CASE)).otherwise(0))
+         .cast("long").alias("dcg_u"),
+    )
+    return g.select(
+        "query_id", "n_rel", "first_rel_rank",
+        F.expr("CASE WHEN first_rel_rank = 0 THEN 0 "
+               "ELSE 1000000 div first_rel_rank END").cast("long")
+         .alias("rr_u"),
+        F.expr(f"CASE WHEN n_rel = 0 THEN 0 "
+               f"ELSE dcg_u * 10000 div ({_IDCG_CASE}) END").cast("long")
+         .alias("ndcg_bp"),
+    ).orderBy("query_id")
+
+
+@register(
+    "holt_linear_forecast",
+    """
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    o AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+    h AS (
+      SELECT CAST(1 AS BIGINT) AS rn, CAST(y * 1000 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT h.rn + 1,
+             CAST((o.y * 1000 + h.l + h.b) // 2 AS BIGINT),
+             CAST((((o.y * 1000 + h.l + h.b) // 2) - h.l + h.b) // 2
+                  AS BIGINT),
+             CAST(h.sae + abs(o.y * 1000 - h.l - h.b) AS BIGINT)
+      FROM h JOIN o ON o.rn = h.rn + 1),
+    fin AS (SELECT * FROM h ORDER BY rn DESC LIMIT 1)
+    SELECT rn AS n_days, l AS level_u, b AS trend_u,
+           CAST(l + 7 * b AS BIGINT) AS forecast_7_u,
+           CAST(CASE WHEN rn <= 1 THEN 0 ELSE sae // (rn - 1) END
+                AS BIGINT) AS mae_u
+    FROM fin
+    """,
+    "Holt's linear (double-exponential) trend forecast over daily "
+    "event counts, alpha=beta=1/2 in EXACT integer milli-units: "
+    "level_t = (y_t*1000 + level + trend) div 2, trend_t = (level_t "
+    "- level + trend) div 2, one-step-ahead absolute errors "
+    "accumulated into MAE — an inherently SEQUENTIAL recurrence that "
+    "Spark still runs fully in-engine: the bounded daily frame "
+    "(|days| rows — value domain, corpus-independent) is "
+    "collect_list'd into ONE array and folded with the aggregate() "
+    "higher-order function (single row, zero driver actions, zero "
+    "UDFs); the oracle replays the identical fold as a recursive "
+    "CTE. div-by-2 truncation matches across engines (both truncate "
+    "toward zero — verified on negatives, the trend CAN go "
+    "negative). The third sequential-fold family member next to the "
+    "recursive-CTE BPE encode and the MMR greedy. Forecast_7 = "
+    "level + 7*trend, the trainer-capacity-planning number.",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y"))
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("a"))
+    fold = """
+    aggregate(
+      a,
+      named_struct('rn', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+                   'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+      (acc, x) -> CASE WHEN acc.rn = 0 THEN named_struct(
+          'rn', CAST(1 AS BIGINT), 'l', x.y * 1000,
+          'b', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT))
+        ELSE named_struct(
+          'rn', acc.rn + 1,
+          'l', (x.y * 1000 + acc.l + acc.b) div 2,
+          'b', (((x.y * 1000 + acc.l + acc.b) div 2) - acc.l + acc.b)
+               div 2,
+          'sae', acc.sae + abs(x.y * 1000 - acc.l - acc.b)) END,
+      acc -> acc)
+    """
+    return arr.select(F.expr(fold).alias("h")).select(
+        F.col("h.rn").alias("n_days"),
+        F.col("h.l").alias("level_u"),
+        F.col("h.b").alias("trend_u"),
+        (F.col("h.l") + 7 * F.col("h.b")).cast("long").alias("forecast_7_u"),
+        F.expr("CASE WHEN h.rn <= 1 THEN CAST(0 AS BIGINT) "
+               "ELSE h.sae div (h.rn - 1) END").alias("mae_u"),
+    )
+
+
+@register(
+    "stream_hourly_daily_rollup",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT date_trunc('day', hs) AS ds,
+             count(*) AS n_hour_slices,
+             sum(n) AS n_events
+      FROM h GROUP BY 1)
+    SELECT strftime(ds, '%Y-%m-%d') AS day_start,
+           CAST(n_hour_slices AS BIGINT) AS n_hour_slices,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM d
+    WHERE ds + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 24 HOUR
+                                  FROM events)
+    ORDER BY day_start
+    """,
+    "CHAINED stateful streaming aggregation — two windowed aggregates "
+    "in ONE streaming query (the Spark 3.4+ chained-time-window "
+    "surface): watermarked hourly (window, event_type) counts feed a "
+    "second stateful aggregate that rolls them into daily totals + "
+    "hour-slice counts, window-over-window. Append mode means the "
+    "daily aggregate only ever sees SEALED hourly rows, and itself "
+    "emits a day exactly once when the watermark passes day end — so "
+    "state at BOTH levels is watermark-bounded (level 1 holds open "
+    "hours x types, level 2 open days; the 100 TB multi-grain rollup "
+    "shape without re-reading the source, batch twin "
+    "time_rollup_multigrain). Oracle = the double GROUP BY with the "
+    "day-level sealed-emission filter (a sealed day implies every "
+    "hour inside it sealed — day_end >= hour_end, so one filter "
+    "replays both emission gates). 21st replay family.",
+)
+def q_stream_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+
+    def xf(s):
+        hourly = (
+            s.withWatermark("ts", "24 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            hourly.groupBy(F.window(F.col("window"), "1 day"))
+            .agg(F.count(F.lit(1)).alias("n_hour_slices"),
+                 F.sum("n").alias("n_events"))
+            .select(F.col("window.start").alias("day_start"),
+                    "n_hour_slices", "n_events")
+        )
+
+    out = replay_stream(spark, ev, xf)
+    return out.select(
+        F.date_format("day_start", "yyyy-MM-dd").alias("day_start"),
+        F.col("n_hour_slices").cast("long").alias("n_hour_slices"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("day_start")

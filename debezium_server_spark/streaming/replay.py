@@ -21,6 +21,14 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Metrics of the most recent replay_stream call (wall-clock-free
+#: state-store observables pulled from the query's progress events):
+#: {"n_batches": int, "peak_state_rows": int, "state_bytes": int}.
+#: A module-level mailbox rather than a changed return type so the 20+
+#: catalog replay entries keep their (spark, sf_dir) -> DataFrame
+#: contract; the scaling harness reads it right after each call.
+LAST_REPLAY_METRICS: dict = {}
+
 
 def replay_stream(
     spark: SparkSession,
@@ -157,6 +165,22 @@ def replay_stream(
             f"streaming replay {name!r} still running after 300s; "
             "aborted to avoid returning a partial memory table"
         )
+    try:
+        progress = q.recentProgress
+        LAST_REPLAY_METRICS.clear()
+        LAST_REPLAY_METRICS.update({
+            "n_batches": len(progress),
+            "peak_state_rows": max(
+                (so["numRowsTotal"] for p in progress
+                 for so in p.get("stateOperators", [])), default=0),
+            "state_bytes": max(
+                (int(so.get("customMetrics", {})
+                     .get("stateOnCurrentVersionSizeBytes", 0))
+                 for p in progress
+                 for so in p.get("stateOperators", [])), default=0),
+        })
+    except Exception:  # metrics are best-effort observability
+        LAST_REPLAY_METRICS.clear()
     # The memory sink holds the result in executor memory; the fixture
     # files and checkpoint are dead weight now — delete them so repeated
     # replays don't accumulate (matters on the tmpfs default).

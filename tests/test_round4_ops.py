@@ -1,0 +1,98 @@
+"""Round-4 operator tests: Holt fold replication, NDCG/MRR invariants,
+chained streaming rollup conservation, incremental-IVF bookkeeping."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from debezium_server_spark.plans.catalog import CATALOG, load, load_events
+
+
+def _holt_python(ys):
+    """Pure-Python replication of the integer Holt fold (alpha=beta=1/2,
+    milli-units, trunc-toward-zero div — int() after float / would be
+    wrong for negatives, so use int division helper)."""
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+    l = ys[0] * 1000
+    b = 0
+    sae = 0
+    for y in ys[1:]:
+        e = abs(y * 1000 - l - b)
+        nl = tdiv(y * 1000 + l + b, 2)
+        b = tdiv(nl - l + b, 2)
+        l = nl
+        sae += e
+    return l, b, sae
+
+
+def test_holt_matches_python_replication(spark, sf_dir):
+    daily = (load_events(spark, sf_dir)
+             .groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y"))
+             .orderBy("day").collect())
+    ys = [r["y"] for r in daily]
+    l, b, sae = _holt_python(ys)
+    row = CATALOG["holt_linear_forecast"].spark_fn(spark, sf_dir).collect()[0]
+    assert row["n_days"] == len(ys)
+    assert row["level_u"] == l
+    assert row["trend_u"] == b
+    assert row["forecast_7_u"] == l + 7 * b
+    assert row["mae_u"] == sae // (len(ys) - 1)
+
+
+def test_ndcg_weights_and_invariants(spark, sf_dir):
+    from debezium_server_spark.plans.catalog import _NDCG_PREFIX, _NDCG_W
+
+    # the committed weight table IS floor(1e9/log2(r+1))
+    for r, w in enumerate(_NDCG_W, start=1):
+        assert w == int(1_000_000_000 / math.log2(r + 1))
+    assert list(_NDCG_PREFIX) == [sum(_NDCG_W[:i + 1])
+                                  for i in range(len(_NDCG_W))]
+
+    rows = CATALOG["retrieval_mrr_ndcg_eval"].spark_fn(
+        spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_rel"] <= 10
+        assert 0 <= r["ndcg_bp"] <= 10000
+        if r["n_rel"] == 0:
+            assert r["rr_u"] == 0 and r["first_rel_rank"] == 0
+        else:
+            assert r["rr_u"] == 1_000_000 // r["first_rel_rank"]
+        # a perfect prefix (first_rel_rank=1 and all 10 relevant)
+        # must score exactly 10000
+        if r["n_rel"] == 10:
+            assert r["first_rel_rank"] == 1
+            assert r["ndcg_bp"] == 10000
+
+
+def test_stream_hourly_daily_rollup_conservation(spark, sf_dir):
+    out = CATALOG["stream_hourly_daily_rollup"].spark_fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    ev = load_events(spark, sf_dir)
+    # each sealed day's totals equal the batch day count; hour slices
+    # bounded by 24 x |event types|
+    n_types = ev.select("event_type").distinct().count()
+    batch = {r["d"]: r["n"] for r in
+             ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"))
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in rows:
+        assert r["n_events"] == batch[r["day_start"]]
+        assert 1 <= r["n_hour_slices"] <= 24 * n_types
+
+
+def test_ivf_upsert_bookkeeping(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = CATALOG["ivf_index_upsert"].spark_fn(spark, sf_dir).collect()
+    assert sum(r["n_total"] for r in rows) == n
+    for r in rows:
+        assert r["n_existing"] + r["n_new"] == r["n_total"]
+    # every odd id is in exactly one cell: checksum of checksums
+    odd_sum = sum(r["new_id_sum"] for r in rows)
+    expected = emb.filter(F.col("vec_id") % 2 == 1).agg(
+        F.sum("vec_id")).collect()[0][0]
+    assert odd_sum == expected

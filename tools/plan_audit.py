@@ -164,6 +164,20 @@ WHITELIST: set[str] = {
     # broadcast onto the per-key frequency table — single-row build
     # side by construction (replaced the global-window total)
     "join_skew_stats",
+    # MRR/NDCG eval composes embedding_topk's bounded 5-probe broadcast
+    # crossJoin (exact ground truth) with embedding_ann_ivf's k=16
+    # centroid BNLJ (cell assignment) — both sides bounded, eval-only,
+    # the exact arguments of ann_recall_eval
+    "retrieval_mrr_ndcg_eval",
+    # incremental-IVF maintenance: BNLJ against the persisted centroid
+    # frame — 16 rows with a structural limit(16), k-bounded work per
+    # row, the kmeans_integer_lloyd centroid argument
+    "ivf_index_upsert",
+    "ivf_centroid_refresh",
+    # one-row grand-total attach onto the 4-row shard rollup — both
+    # sides bounded by construction (single-row Aggregate root x
+    # n_shards rows)
+    "corpus_shard_manifest",
 }
 
 

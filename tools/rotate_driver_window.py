@@ -69,6 +69,9 @@ NEW_THIS_ROUND = (
     "ivf_centroid_refresh",
     "corpus_shard_assignment",
     "corpus_shard_manifest",
+    "retrieval_mrr_ndcg_eval",
+    "holt_linear_forecast",
+    "stream_hourly_daily_rollup",
 )
 
 
