@@ -84,6 +84,36 @@ def test_stream_hourly_daily_rollup_conservation(spark, sf_dir):
         assert 1 <= r["n_hour_slices"] <= 24 * n_types
 
 
+def test_power_iteration_matches_numpy_replication(spark, sf_dir):
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    X = np.array([r["q"] for r in emb.select(
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q")
+    ).collect()], dtype=object)  # object: exact Python ints, no overflow
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = [1000] * 64
+    for _ in range(2):
+        w = [sum(int(X[n][i]) * v[i] for i in range(64))
+             for n in range(len(X))]
+        u = [sum(int(X[n][j]) * w[n] for n in range(len(X)))
+             for j in range(64)]
+        m = max(abs(x) for x in u)
+        v = [tdiv(x * 1000, m) for x in u]
+
+    rows = CATALOG["embedding_power_iteration"].spark_fn(
+        spark, sf_dir).collect()
+    got = {r["dim"]: r["component_u"] for r in rows}
+    assert got == {i: v[i] for i in range(64)}
+    # direction is normalized: max |component| is exactly 1000
+    assert max(abs(c) for c in got.values()) == 1000
+
+
 def test_ivf_upsert_bookkeeping(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()

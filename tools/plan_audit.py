@@ -178,6 +178,10 @@ WHITELIST: set[str] = {
     # sides bounded by construction (single-row Aggregate root x
     # n_shards rows)
     "corpus_shard_manifest",
+    # power iteration: the corpus crossJoins the ONE-ROW direction
+    # frame (an ungrouped 64-column aggregate) each round — single-row
+    # build side, the batch_perceptron_train argument
+    "embedding_power_iteration",
 }
 
 

@@ -72,6 +72,7 @@ NEW_THIS_ROUND = (
     "retrieval_mrr_ndcg_eval",
     "holt_linear_forecast",
     "stream_hourly_daily_rollup",
+    "embedding_power_iteration",
 )
 
 
