@@ -13668,3 +13668,117 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("long").alias("dim"),
         F.expr("u * 1000 div m").cast("long").alias("component_u"),
     ).orderBy("dim")
+
+
+@register(
+    "conformal_langid_coverage",
+    f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(len(list_filter({_TOKS},
+                      x -> x IN ('the','a','of','and','in','to')))
+                  - greatest(
+                      len(list_filter({_TOKS},
+                          x -> x IN ('le','la','et','les','des','un'))),
+                      len(list_filter({_TOKS},
+                          x -> x IN ('el','la','de','los','que','un'))),
+                      len(list_filter({_TOKS},
+                          x -> x IN ('der','die','und','das','ein','nicht'))))
+                  AS BIGINT) AS m
+      FROM documents),
+    cal AS (SELECT CASE WHEN lang = 'en' THEN -m ELSE m END AS a
+            FROM s WHERE doc_id % 2 = 0),
+    n AS (SELECT count(*) AS n_cal,
+                 (9 * (count(*) + 1) + 9) // 10 AS k FROM cal),
+    cc AS (SELECT a, count(*) AS c FROM cal GROUP BY a),
+    cum AS (SELECT a, sum(c) OVER (ORDER BY a
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM cc),
+    q AS (SELECT min(a) AS q FROM cum, n WHERE cum >= least(k, n_cal)),
+    test AS (
+      SELECT CASE WHEN lang = 'en' THEN (-m <= q) ELSE (m <= q) END
+                 AS covered,
+             CAST(CASE WHEN -m <= q THEN 1 ELSE 0 END
+                + CASE WHEN m <= q THEN 1 ELSE 0 END AS BIGINT) AS set_size
+      FROM s, q WHERE doc_id % 2 = 1)
+    SELECT CAST(n.n_cal AS BIGINT) AS n_cal,
+           CAST(n.k AS BIGINT) AS k,
+           CAST(q.q AS BIGINT) AS q_u,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS coverage_bp,
+           CAST(sum(set_size) * 100 // count(*) AS BIGINT)
+               AS avg_set_size_centi
+    FROM test, n, q GROUP BY n.n_cal, n.k, q.q
+    """,
+    "SPLIT-CONFORMAL prediction audit over the stopword-vote language "
+    "scorer — the distribution-free coverage guarantee a production "
+    "classifier gate actually needs (Vovk; Angelopoulos-Bates): "
+    "nonconformity = -margin for the true class (margin m = en-score "
+    "minus best competitor, exact integers), the calibration half "
+    "(even doc_ids) yields the ceil(0.9*(n+1))-th order-statistic "
+    "threshold q, and the test half (odd) reports empirical coverage "
+    "(marginal guarantee >= 90% up to discretization) and average "
+    "prediction-set size (the efficiency cost: sets containing BOTH "
+    "classes where the scorer is uncertain). The quantile is computed "
+    "the scale-safe way: grouped counts per DISTINCT margin value "
+    "(bounded value domain — stopword counts, not corpus size) + one "
+    "cumulative window over that bounded frame, never a "
+    "corpus-proportional rank window; q and n_cal attach as one-row "
+    "broadcasts. Integer ceil via (9x+9) div 10.",
+)
+def q_conformal_langid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.text import LANG_MARKERS, _marker_hits
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tk(F.col("text"))
+    m = (
+        _marker_hits(toks, LANG_MARKERS["en"]).cast("long")
+        - F.greatest(*[
+            _marker_hits(toks, LANG_MARKERS[lg]).cast("long")
+            for lg in ("fr", "es", "de")
+        ])
+    )
+    s = docs.select("doc_id", "lang", m.alias("m"))
+    cal = s.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(F.col("lang") == "en", -F.col("m"))
+        .otherwise(F.col("m")).alias("a"))
+    n = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) div 10").alias("k"))
+    cc = cal.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cc.select("a", F.sum("c").over(wcum).alias("cum"))
+    q = (cum.crossJoin(F.broadcast(n))
+         .filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
+         .agg(F.min("a").alias("q")))
+    test = (
+        s.filter(F.col("doc_id") % 2 == 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.when(F.col("lang") == "en", -F.col("m") <= F.col("q"))
+            .otherwise(F.col("m") <= F.col("q")).alias("covered"),
+            (F.when(-F.col("m") <= F.col("q"), 1).otherwise(0)
+             + F.when(F.col("m") <= F.col("q"), 1).otherwise(0))
+            .cast("long").alias("set_size"),
+        )
+    )
+    agg = test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("covered"), 1).otherwise(0)).alias("ncov"),
+        F.sum("set_size").alias("ssz"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(q))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k"),
+            F.col("q").cast("long").alias("q_u"),
+            "n_test",
+            F.expr("ncov * 10000 div n_test").cast("long")
+             .alias("coverage_bp"),
+            F.expr("ssz * 100 div n_test").cast("long")
+             .alias("avg_set_size_centi"),
+        )
+    )

@@ -114,6 +114,21 @@ def test_power_iteration_matches_numpy_replication(spark, sf_dir):
     assert max(abs(c) for c in got.values()) == 1000
 
 
+def test_conformal_coverage_guarantee_shape(spark, sf_dir):
+    row = CATALOG["conformal_langid_coverage"].spark_fn(
+        spark, sf_dir).collect()[0]
+    # split halves partition the corpus
+    n = load(spark, sf_dir, "documents").count()
+    assert row["n_cal"] + row["n_test"] == n
+    # k is the ceil(0.9*(n_cal+1)) order statistic, clamped to n_cal
+    assert row["k"] == (9 * (row["n_cal"] + 1) + 9) // 10
+    # marginal coverage should sit near the 90% target (exact values
+    # are the oracle's job; this pins the guarantee DIRECTION — a
+    # broken threshold collapses coverage toward the base rate)
+    assert 8000 <= row["coverage_bp"] <= 10000
+    assert 100 <= row["avg_set_size_centi"] <= 200
+
+
 def test_ivf_upsert_bookkeeping(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()

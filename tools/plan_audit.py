@@ -182,6 +182,10 @@ WHITELIST: set[str] = {
     # frame (an ungrouped 64-column aggregate) each round — single-row
     # build side, the batch_perceptron_train argument
     "embedding_power_iteration",
+    # split-conformal audit: three one-row attaches (n_cal/k frame, the
+    # quantile threshold q, the final stats join) — every build side a
+    # single-row Aggregate root
+    "conformal_langid_coverage",
 }
 
 
@@ -294,6 +298,11 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # frame — gap hours is a bounded value domain (entry description
     # carries the argument)
     "nelson_aalen_recurrence",
+    # cumulative count window over the per-DISTINCT-margin calibration
+    # frame — margins are integer stopword-count differences (bounded
+    # value domain, not corpus size); the classifier_auc_ranksum
+    # midrank argument
+    "conformal_langid_coverage",
 }
 
 

@@ -73,6 +73,7 @@ NEW_THIS_ROUND = (
     "holt_linear_forecast",
     "stream_hourly_daily_rollup",
     "embedding_power_iteration",
+    "conformal_langid_coverage",
 )
 
 
