@@ -13782,3 +13782,160 @@ def q_conformal_langid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_set_size_centi"),
         )
     )
+
+
+#: md5-bucket split expression (the corpus_train_val_test rule — 90/5/5
+#: by stable doc key) as a reusable SQL fragment.
+_SPLIT_SQL = """CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                       || 'split'), 1, 15)) AS BIGINT)
+                     % 10000 < 500 THEN 'test'
+                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                       || 'split'), 1, 15)) AS BIGINT)
+                     % 10000 < 1000 THEN 'val'
+                ELSE 'train' END"""
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    lab AS (SELECT CASE WHEN x.split = y.split THEN 'within_' || x.split
+                        ELSE 'leak_' || least(x.split, y.split) || '_'
+                             || greatest(x.split, y.split) END AS pair_class
+            FROM pairs JOIN sp x ON pairs.da = x.doc_id
+                       JOIN sp y ON pairs.db = y.doc_id)
+    SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY pair_class ORDER BY pair_class
+    """,
+    "Cross-split LEAKAGE audit — the check every eval pipeline needs "
+    "before trusting held-out numbers (Lee et al. 'Deduplicating "
+    "Training Data Makes Language Models Better'; the GPT-3 appendix "
+    "failure): MinHash-LSH near-dup candidate pairs classified by the "
+    "deterministic 90/5/5 md5-bucket split of their endpoints — "
+    "within_train/within_val/within_test are benign internal "
+    "duplication, every leak_* row is a near-duplicate STRADDLING a "
+    "split boundary (train copy of a test doc = contaminated eval). "
+    "Random splits leak every near-dup cluster in expectation "
+    "(1 - sum p_i^2 of each cross pair); the production fix is "
+    "cluster-level splitting via dedup_cc_clusters before "
+    "assignment. Shape: the proven banded candidate join (pairs ∝ "
+    "true near-dups) + two hash joins against the zero-shuffle split "
+    "projection + a |classes|-row aggregate.",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import minhash_lsh_pairs
+    from debezium_server_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sp = train_val_test_split(docs, "doc_id", val_bp=500, test_bp=500).select(
+        "doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    lab = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            F.when(F.col("sa") == F.col("sb"),
+                   F.concat(F.lit("within_"), F.col("sa")))
+            .otherwise(F.concat(F.lit("leak_"),
+                                F.least("sa", "sb"), F.lit("_"),
+                                F.greatest("sa", "sb")))
+            .alias("pair_class"))
+    )
+    return (lab.groupBy("pair_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .orderBy("pair_class"))
+
+
+@register(
+    "dedup_impact_report",
+    f"""
+    WITH {_MINHASH_CTES},
+    t AS MATERIALIZED (SELECT doc_id, source,
+                              CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                              md5(text) AS h
+                       FROM documents),
+    s1 AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY h
+                        ORDER BY doc_id) AS rn FROM t) WHERE rn = 1),
+    b1 AS (SELECT bands.* FROM bands
+           WHERE doc_id IN (SELECT doc_id FROM s1)),
+    f1 AS (SELECT band_id, band_hash, min(doc_id) AS keep_id
+           FROM b1 GROUP BY band_id, band_hash),
+    clash AS (SELECT DISTINCT b1.doc_id
+              FROM b1 JOIN f1 ON b1.band_id = f1.band_id
+                             AND b1.band_hash = f1.band_hash
+              WHERE b1.doc_id <> f1.keep_id),
+    s2 AS (SELECT doc_id FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM clash))
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_raw,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN n_toks ELSE 0 END)
+               AS BIGINT) AS tokens_after_exact,
+           CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN n_toks ELSE 0 END)
+               AS BIGINT) AS tokens_after_near,
+           CAST((sum(n_toks) - sum(CASE WHEN n.doc_id IS NOT NULL
+                                   THEN n_toks ELSE 0 END)) * 10000
+                // sum(n_toks) AS BIGINT) AS saved_bp
+    FROM t LEFT JOIN s1 e ON t.doc_id = e.doc_id
+           LEFT JOIN s2 n ON t.doc_id = n.doc_id
+    GROUP BY t.source ORDER BY t.source
+    """,
+    "Dedup IMPACT report — the before/after accounting a curation "
+    "run ships to justify its compute: per source, raw token count, "
+    "tokens surviving exact dedup (keep-min per md5, corpus-wide), "
+    "and tokens surviving the subsequent near-dup band pass "
+    "(keep-min per band clash among exact survivors — the "
+    "corpus-ingest rule), with basis-point savings. The chain order "
+    "matters and is pinned: exact first (cheap, removes the mass), "
+    "banded near-dup on survivors only (candidates shrink with the "
+    "corpus). Shape: one scan for hashes+tokens, the proven banded "
+    "self-join restricted to exact survivors, two membership joins, "
+    "|sources|-row aggregate.",
+)
+def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.dedup import minhash_bands
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long")
+        .alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    s1 = (t.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 1).select("doc_id"))
+    b1 = minhash_bands(docs).join(s1, "doc_id")
+    f1 = b1.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("keep_id"))
+    clash = (b1.join(f1, ["band_id", "band_hash"])
+             .filter(F.col("doc_id") != F.col("keep_id"))
+             .select("doc_id").distinct())
+    s2 = s1.join(clash, "doc_id", "left_anti")
+    j = (t.join(s1.withColumn("e", F.lit(1)), "doc_id", "left")
+          .join(s2.withColumn("nr", F.lit(1)), "doc_id", "left"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tokens_raw"),
+            F.sum(F.when(F.col("e").isNotNull(), F.col("n_toks"))
+                  .otherwise(0)).cast("long").alias("tokens_after_exact"),
+            F.sum(F.when(F.col("nr").isNotNull(), F.col("n_toks"))
+                  .otherwise(0)).cast("long").alias("tokens_after_near"),
+        )
+        .select(
+            "source", "n_docs", "tokens_raw", "tokens_after_exact",
+            "tokens_after_near",
+            F.expr("(tokens_raw - tokens_after_near) * 10000 "
+                   "div tokens_raw").cast("long").alias("saved_bp"),
+        )
+        .orderBy("source")
+    )

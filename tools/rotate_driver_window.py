@@ -74,6 +74,8 @@ NEW_THIS_ROUND = (
     "stream_hourly_daily_rollup",
     "embedding_power_iteration",
     "conformal_langid_coverage",
+    "split_leakage_audit",
+    "dedup_impact_report",
 )
 
 
