@@ -126,7 +126,8 @@ def _window() -> tuple[str, ...]:
 
 def _ordered() -> list[str]:
     window = _window()
-    rest = [n for n in CATALOG if n not in set(window)]
+    in_window = set(window)
+    rest = [n for n in CATALOG if n not in in_window]
     return [*window, *rest]
 
 

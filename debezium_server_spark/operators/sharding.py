@@ -61,8 +61,14 @@ def shard_plan(
     shard_id). The per-source token sums are ONE map-side-combinable
     aggregate over the corpus; the greedy runs driver-side over the
     bounded |sources|-row control frame."""
+    # NULL sources collapse into an explicit '__null__' key: without
+    # this, the writer's equi-join silently DROPS unlabeled docs
+    # (NULL = NULL never matches) and greedy_lpt's sort crashes on a
+    # NULL weight — a silent training-data loss (round-4 review
+    # finding). The sentinel keeps the completeness claim exact.
     sums = (
-        df.select(F.col(source_col).alias("source"),
+        df.select(F.coalesce(F.col(source_col), F.lit("__null__"))
+                  .alias("source"),
                   F.size(tokens(F.col(text_col))).cast("long").alias("t"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -97,7 +103,8 @@ def write_training_shards(
                            "shard_id")
     (
         df.join(F.broadcast(plan_map),
-                df[source_col] == F.col("__shard_source"))
+                F.coalesce(df[source_col], F.lit("__null__"))
+                == F.col("__shard_source"))
         .drop("__shard_source")
         .write.mode("overwrite").partitionBy("shard_id")
         .parquet(os.path.join(root_path, "shards"))

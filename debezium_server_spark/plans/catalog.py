@@ -13050,22 +13050,62 @@ def q_stream_cdc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@register(
-    "ivf_index_upsert",
-    f"""
-    WITH v AS MATERIALIZED (
+def _ivf_assign_sql(cols: str) -> str:
+    """v -> c0 -> a CTE chain shared by the incremental-IVF entries:
+    round(x*1e6)-quantized vectors, the 16 even-seed PERSISTED
+    centroids, and the integer-argmin assignment (ties to the lower
+    cell) keeping `cols`. Hoisted so a change to the centroid rule /
+    quantization scale / tie-break cannot desynchronize one of the two
+    consuming oracles (the _MINHASH_CTES lesson, round-4 review)."""
+    return f"""v AS MATERIALIZED (
       SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                  x -> CAST(round(x * 1000000) AS BIGINT)) AS q
       FROM embeddings),
-    cents AS (SELECT vec_id AS cell, q AS c FROM v
-              WHERE vec_id < 32 AND vec_id % 2 = 0),
-    a AS (SELECT vec_id, cell FROM (
-        SELECT v.vec_id, cents.cell,
+    c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS c FROM v
+                        WHERE vec_id < 32 AND vec_id % 2 = 0),
+    a AS MATERIALIZED (SELECT {cols} FROM (
+        SELECT v.vec_id, v.q, c0.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                    ORDER BY list_aggregate(list_transform(range(1, 65),
-                       i -> (v.q[i] - cents.c[i]) * (v.q[i] - cents.c[i])),
-                       'sum'), cents.cell) AS rn
-        FROM v CROSS JOIN cents) WHERE rn = 1)
+                       i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
+                       'sum'), c0.cell) AS rn
+        FROM v CROSS JOIN c0) WHERE rn = 1)"""
+
+
+def _ivf_quantized_assign(spark: SparkSession, sf_dir: str,
+                          keep_q: bool = False):
+    """Spark twin of `_ivf_assign_sql`: returns (cents, assigned) —
+    the 16-row persisted-centroid frame (structural limit) and the
+    broadcast integer-argmin assignment of every vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1_000_000).cast("long")).alias("q"),
+    )
+    cents = (q.filter((F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0))
+             .limit(16)  # structural bound for the broadcast build side
+             .select(F.col("vec_id").alias("cell"), F.col("q").alias("c")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    payload = ["__d2", "cell", "q"] if keep_q else ["__d2", "cell"]
+    out_cols = (["vec_id", F.col("m.cell").alias("cell"),
+                 F.col("m.q").alias("q")] if keep_q
+                else ["vec_id", F.col("m.cell").alias("cell")])
+    return cents, (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d2", d2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(*payload)).alias("m"))
+        .select(*out_cols)
+    )
+
+
+@register(
+    "ivf_index_upsert",
+    f"""
+    WITH {_ivf_assign_sql("vec_id, cell")}
     SELECT CAST(cell AS BIGINT) AS cell,
            CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_existing,
@@ -13096,25 +13136,7 @@ def q_stream_cdc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell stats are one k-row map-side-combinable aggregate.",
 )
 def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"),
-                    lambda x: F.round(x * 1_000_000).cast("long")).alias("q"),
-    )
-    cents = (q.filter((F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0))
-             .limit(16)  # structural bound for the broadcast build side
-             .select(F.col("vec_id").alias("cell"), F.col("q").alias("c")))
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", d2)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("__d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
+    _, assigned = _ivf_quantized_assign(spark, sf_dir)
     is_new = (F.col("vec_id") % 2 == 1)
     return (
         assigned.groupBy("cell")
@@ -13133,19 +13155,7 @@ def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_centroid_refresh",
     f"""
-    WITH v AS MATERIALIZED (
-      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> CAST(round(x * 1000000) AS BIGINT)) AS q
-      FROM embeddings),
-    c0 AS MATERIALIZED (SELECT vec_id AS cell, q AS c FROM v
-                        WHERE vec_id < 32 AND vec_id % 2 = 0),
-    a AS MATERIALIZED (SELECT vec_id, q, cell FROM (
-        SELECT v.vec_id, v.q, c0.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                   ORDER BY list_aggregate(list_transform(range(1, 65),
-                       i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
-                       'sum'), c0.cell) AS rn
-        FROM v CROSS JOIN c0) WHERE rn = 1),
+    WITH {_ivf_assign_sql("vec_id, q, cell")},
     r AS (SELECT cell, i,
                  CAST(sum(q[i]) // count(*) AS BIGINT) AS newm,
                  count(*) AS n
@@ -13174,25 +13184,8 @@ def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic touches k rows.",
 )
 def q_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.transform(F.col("embedding").cast("array<double>"),
-                    lambda x: F.round(x * 1_000_000).cast("long")).alias("q"),
-    )
-    cents = (q.filter((F.col("vec_id") < 32) & (F.col("vec_id") % 2 == 0))
-             .limit(16)
-             .select(F.col("vec_id").alias("cell"), F.col("q").alias("c")))
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    assigned = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("__d2", d2)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("__d2", "cell", "q")).alias("m"))
-        .select(F.col("m.cell").alias("cell"), F.col("m.q").alias("q"))
-    )
+    cents, assigned = _ivf_quantized_assign(spark, sf_dir, keep_q=True)
+    assigned = assigned.select("cell", "q")
     sums = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         *[F.sum(F.col("q").getItem(i)).alias(f"s{i}") for i in range(64)],
@@ -13220,11 +13213,12 @@ def q_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: replays operators/sharding.py greedy_lpt step for step.
 _LPT_STEPS_SQL = f"""
     src AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      SELECT coalesce(source, '__null__') AS source,
+             CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len({_TOKS})) AS BIGINT) AS t,
-             ROW_NUMBER() OVER (ORDER BY sum(len({_TOKS})) DESC, source)
-                 AS rn
-      FROM documents GROUP BY source),
+             ROW_NUMBER() OVER (ORDER BY sum(len({_TOKS})) DESC,
+                                coalesce(source, '__null__')) AS rn
+      FROM documents GROUP BY coalesce(source, '__null__')),
     steps AS (
       SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS source,
              CAST(NULL AS BIGINT) AS shard_id,
@@ -13750,12 +13744,21 @@ def q_conformal_langid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = cal.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
     cum = cc.select("a", F.sum("c").over(wcum).alias("cum"))
+    # ONE one-row frame carrying (q, n_cal, k): the threshold agg also
+    # maxes the constant columns through, and the lazy localCheckpoint
+    # cuts lineage so its TWO consumers (test scoring + final attach)
+    # compute the calibration subtree once instead of re-executing it
+    # per crossJoin (was 19 exchanges; the multi-consumer-checkpoint
+    # convention)
     q = (cum.crossJoin(F.broadcast(n))
          .filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
-         .agg(F.min("a").alias("q")))
+         .agg(F.min("a").alias("q"),
+              F.max("n_cal").alias("n_cal"),
+              F.max("k").alias("k"))
+         .localCheckpoint(eager=False))
     test = (
         s.filter(F.col("doc_id") % 2 == 1)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q.select("q")))
         .select(
             F.when(F.col("lang") == "en", -F.col("m") <= F.col("q"))
             .otherwise(F.col("m") <= F.col("q")).alias("covered"),
@@ -13770,7 +13773,7 @@ def q_conformal_langid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("set_size").alias("ssz"),
     )
     return (
-        agg.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(q))
+        agg.crossJoin(F.broadcast(q))
         .select(
             F.col("n_cal").cast("long").alias("n_cal"),
             F.col("k").cast("long").alias("k"),
@@ -13902,11 +13905,12 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.dedup import minhash_bands
 
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source",
-        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("long")
-        .alias("n_toks"),
+        F.size(_tk(F.col("text"))).cast("long").alias("n_toks"),
         F.md5("text").alias("h"),
     )
     w = Window.partitionBy("h").orderBy("doc_id")

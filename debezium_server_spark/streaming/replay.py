@@ -60,6 +60,32 @@ def replay_stream(
         "/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
     work = tempfile.mkdtemp(prefix="spark_graft_replay_", dir=tmp_root)
+    # finally-scoped cleanup: the memory sink owns the result rows, so
+    # the fixture + checkpoint are deletable on EVERY exit — success,
+    # timeout, or a transform()/start() failure. Without the finally, a
+    # failing replay leaks a parquet fixture + state deltas into the
+    # RAM-backed tmpfs default (round-4 review finding).
+    try:
+        return _replay_in_workdir(
+            spark, df, transform, ts_col, n_batches, output_mode,
+            shuffle_partitions, batch_col, work)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _replay_in_workdir(
+    spark: SparkSession,
+    df: DataFrame,
+    transform,
+    ts_col: str,
+    n_batches: int,
+    output_mode: str,
+    shuffle_partitions: int,
+    batch_col: str | None,
+    work: str,
+) -> DataFrame:
     src = os.path.join(work, "src")
     if batch_col is not None:
         # Caller-pinned micro-batches: one file per ascending batch_col
@@ -181,10 +207,4 @@ def replay_stream(
         })
     except Exception:  # metrics are best-effort observability
         LAST_REPLAY_METRICS.clear()
-    # The memory sink holds the result in executor memory; the fixture
-    # files and checkpoint are dead weight now — delete them so repeated
-    # replays don't accumulate (matters on the tmpfs default).
-    import shutil
-
-    shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)

@@ -25,7 +25,15 @@ COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             "embedding_matryoshka_recall",
             # composes the LSH candidate pipeline + the 12-column
             # signature joins + the exact candidate-confined verify
-            "minhash_error_audit"}
+            "minhash_error_audit",
+            # composes the exact cosine top-10 ground-truth pipeline
+            # with the full IVF ranking pipeline before the per-query
+            # metric aggregate (the ann_recall_eval shape)
+            "retrieval_mrr_ndcg_eval",
+            # composes exact keep-min-per-md5 dedup with the full
+            # banded minhash pipeline on survivors + two membership
+            # joins back to the source rollup
+            "dedup_impact_report"}
 
 
 def test_exchange_budgets(spark):

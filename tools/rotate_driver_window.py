@@ -114,9 +114,18 @@ def compute_window(round_no: int) -> dict:
     window.extend(pool[: WINDOW_SIZE - len(window)])
 
     never_before = [n for n in window if n not in seen]
-    # projected first-observation round for every remaining entry
-    remaining = [n for n in pool[WINDOW_SIZE - len(CANARIES):] if n not in seen]
-    per_round = WINDOW_SIZE - len(CANARIES)
+    # projected first-observation round for every never-observed entry
+    # OUTSIDE this round's window (the previous pool-slice form silently
+    # dropped the entries displaced by NEW_THIS_ROUND — round-4 review
+    # finding). Throughput estimate per future round: canaries are
+    # fixed and future rounds will prioritize their own new entries —
+    # use this round's NEW count as the estimate of that drain, so the
+    # projection errs late rather than early.
+    in_window = set(window)
+    remaining = [n for n in CATALOG
+                 if n not in in_window and n not in seen]
+    remaining.sort(key=lambda n: order[n])
+    per_round = max(WINDOW_SIZE - len(CANARIES) - len(NEW_THIS_ROUND), 1)
     schedule = {
         n: round_no + 1 + (i // per_round) for i, n in enumerate(remaining)
     }
