@@ -13787,15 +13787,22 @@ def q_conformal_langid_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case(key: str) -> str:
+    """md5-bucket split CASE (the corpus_train_val_test rule — 90/5/5 by
+    a stable key) parameterized on the key expression, so doc-level and
+    cluster-level splitting share ONE rule definition: a bucketing change
+    cannot desynchronize the leakage audit from its fix entry."""
+    b = (f"CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)\n"
+         f"                                       || 'split'), 1, 15)) AS BIGINT)\n"
+         f"                     % 10000")
+    return (f"CASE WHEN {b} < 500 THEN 'test'\n"
+            f"                WHEN {b} < 1000 THEN 'val'\n"
+            f"                ELSE 'train' END")
+
+
 #: md5-bucket split expression (the corpus_train_val_test rule — 90/5/5
 #: by stable doc key) as a reusable SQL fragment.
-_SPLIT_SQL = """CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
-                                       || 'split'), 1, 15)) AS BIGINT)
-                     % 10000 < 500 THEN 'test'
-                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
-                                       || 'split'), 1, 15)) AS BIGINT)
-                     % 10000 < 1000 THEN 'val'
-                ELSE 'train' END"""
+_SPLIT_SQL = _split_case("doc_id")
 
 
 @register(
@@ -13942,4 +13949,182 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "div tokens_raw").cast("long").alias("saved_bp"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "cluster_split_assignment",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+    reach AS (SELECT u, v FROM e UNION SELECT u, u FROM e
+              UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+    t AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    s AS (SELECT cluster, {_split_case("cluster")} AS split,
+                 count(*) AS n_docs, sum(n_toks) AS n_toks
+          FROM t GROUP BY 1, 2),
+    g AS (SELECT split, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM s GROUP BY split),
+    tot AS (SELECT sum(n_tokens) AS tt FROM g)
+    SELECT split, n_clusters, n_docs, n_tokens,
+           CAST(n_tokens * 10000 // tt AS BIGINT) AS token_share_bp
+    FROM g CROSS JOIN tot ORDER BY split
+    """,
+    "CLUSTER-level train/val/test assignment — the production FIX for "
+    "the contamination split_leakage_audit quantifies (Lee et al.: a "
+    "random doc-level split leaks every near-dup cluster in "
+    "expectation): every doc inherits its TRUE connected-component "
+    "label (singletons are their own cluster), and the 90/5/5 "
+    "md5-bucket rule is applied to the CLUSTER key, so a near-dup "
+    "pair can never straddle a split boundary — leakage is zero BY "
+    "CONSTRUCTION, not by audit. Same _split_case rule as the "
+    "doc-level entries (one definition, parameterized key). Output "
+    "is the per-split accounting a curation run records: cluster / "
+    "doc / token counts and token share in bp (shares drift from "
+    "90/5/5 exactly as much as cluster mass is skewed — the price "
+    "of leak-proofness). Shape: banded candidate pairs (∝ true "
+    "near-dups) + log-round pointer-doubling CC + one hash join + "
+    "3-row aggregate; the one-row token total attaches by broadcast "
+    "crossJoin.",
+)
+def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+    from debezium_server_spark.operators.dedup import connected_components
+    from debezium_server_spark.operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component")
+    t = (docs.select(
+            "doc_id",
+            F.size(_tk(F.col("text"))).cast("long").alias("n_toks"))
+         .join(cc, "doc_id", "left")
+         .select(F.coalesce("component", "doc_id").alias("cluster"),
+                 "n_toks"))
+    per_cluster = t.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_toks"))
+    g = (train_val_test_split(per_cluster, "cluster",
+                              val_bp=500, test_bp=500)
+         .groupBy("split")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+              F.sum("n_docs").cast("long").alias("n_docs"),
+              F.sum("n_toks").cast("long").alias("n_tokens")))
+    tot = g.agg(F.sum("n_tokens").alias("tt"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("split", "n_clusters", "n_docs", "n_tokens",
+                F.expr("n_tokens * 10000 div tt").cast("long")
+                 .alias("token_share_bp"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "ivm_join_delta_maintenance",
+    """
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderkey % 20 = 0 AS is_delta
+               FROM orders),
+    base AS (SELECT c.c_mktsegment AS segment,
+                    CAST(count(*) AS BIGINT) AS n_base,
+                    CAST(sum(cents) AS BIGINT) AS cents_base
+             FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+             WHERE NOT is_delta GROUP BY 1),
+    delta AS (SELECT c.c_mktsegment AS segment,
+                     CAST(count(*) AS BIGINT) AS n_delta,
+                     CAST(sum(cents) AS BIGINT) AS cents_delta
+              FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE is_delta GROUP BY 1),
+    full_r AS (SELECT c.c_mktsegment AS segment,
+                      CAST(count(*) AS BIGINT) AS n_full,
+                      CAST(sum(cents) AS BIGINT) AS cents_full
+               FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1),
+    incr AS (SELECT coalesce(b.segment, d.segment) AS segment,
+                    coalesce(n_base, 0) AS n_base,
+                    coalesce(n_delta, 0) AS n_delta,
+                    coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_incr,
+                    coalesce(cents_base, 0) + coalesce(cents_delta, 0)
+                        AS cents_incr
+             FROM base b FULL OUTER JOIN delta d ON b.segment = d.segment)
+    SELECT i.segment, i.n_base, i.n_delta,
+           CAST(i.n_incr AS BIGINT) AS n_incremental,
+           f.n_full AS n_recomputed,
+           CAST(i.cents_incr AS BIGINT) AS cents_incremental,
+           f.cents_full AS cents_recomputed,
+           i.n_incr = f.n_full AND i.cents_incr = f.cents_full
+               AS ivm_matches
+    FROM incr i JOIN full_r f ON i.segment = f.segment
+    ORDER BY i.segment
+    """,
+    "Incremental view maintenance for a JOIN view — the delta-join "
+    "rule V(R ∪ ΔR ⋈ S) = V(R ⋈ S) + V(ΔR ⋈ S) that makes a 100 TB "
+    "materialized join affordable to keep fresh: the maintenance "
+    "path joins ONLY the delta (orders with orderkey%20=0, ~5%) "
+    "against the dimension and merges per-group sums into the "
+    "standing view (full outer on group key handles groups born in "
+    "the delta), never rescanning history. The entry is "
+    "self-auditing: the incremental result is compared against a "
+    "full recompute per segment and ships the boolean — the "
+    "regression test every IVM deployment runs on a sample. "
+    "Revenue kept in exact integer cents (round(x*100)), so "
+    "incremental-vs-full equality is exact, not float-blurred. "
+    "Complements ivm_partial_rollup_merge (aggregate-merge rule) "
+    "with the join-delta rule. Shape: three key-joins (delta side "
+    "∝ |Δ|) + |segments|-row merges.",
+)
+def q_ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 20 == 0).alias("is_delta"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"))
+    j = orders.join(cust, "o_custkey")
+    base = (j.filter(~F.col("is_delta")).groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_base"),
+                 F.sum("cents").cast("long").alias("cents_base")))
+    delta = (j.filter(F.col("is_delta")).groupBy("segment")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_delta"),
+                  F.sum("cents").cast("long").alias("cents_delta")))
+    full_r = (j.groupBy("segment")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_full"),
+                   F.sum("cents").cast("long").alias("cents_full")))
+    incr = (base.join(delta, "segment", "full_outer")
+            .select(
+                "segment",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_delta", F.lit(0)).cast("long")
+                 .alias("n_delta"),
+                (F.coalesce("n_base", F.lit(0))
+                 + F.coalesce("n_delta", F.lit(0))).cast("long")
+                 .alias("n_incremental"),
+                (F.coalesce("cents_base", F.lit(0))
+                 + F.coalesce("cents_delta", F.lit(0))).cast("long")
+                 .alias("cents_incremental")))
+    return (
+        incr.join(full_r, "segment")
+        .select(
+            "segment", "n_base", "n_delta", "n_incremental",
+            F.col("n_full").alias("n_recomputed"),
+            "cents_incremental",
+            F.col("cents_full").alias("cents_recomputed"),
+            ((F.col("n_incremental") == F.col("n_full"))
+             & (F.col("cents_incremental") == F.col("cents_full")))
+            .alias("ivm_matches"))
+        .orderBy("segment")
     )

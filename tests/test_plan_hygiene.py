@@ -33,7 +33,11 @@ COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             # composes exact keep-min-per-md5 dedup with the full
             # banded minhash pipeline on survivors + two membership
             # joins back to the source rollup
-            "dedup_impact_report"}
+            "dedup_impact_report",
+            # composes the full banded-candidate pipeline + the
+            # log-round pointer-doubling CC + the split/token rollup
+            # (the dedup_impact_report shape with CC instead of bands)
+            "cluster_split_assignment"}
 
 
 def test_exchange_budgets(spark):

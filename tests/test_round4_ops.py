@@ -141,3 +141,56 @@ def test_ivf_upsert_bookkeeping(spark, sf_dir):
     expected = emb.filter(F.col("vec_id") % 2 == 1).agg(
         F.sum("vec_id")).collect()[0][0]
     assert odd_sum == expected
+
+
+def test_cluster_split_is_leak_proof(spark, sf_dir):
+    """The property the entry exists for: derive each doc's split from
+    its CLUSTER key and assert no near-dup candidate pair straddles a
+    split boundary — zero by construction, not by luck."""
+    from debezium_server_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    from debezium_server_spark.operators.sampling import (
+        train_val_test_split)
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component")
+    assign = (docs.select("doc_id").join(cc, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("component", "doc_id").alias("cluster")))
+    sp = train_val_test_split(assign, "cluster", val_bp=500, test_bp=500)
+    a = sp.select(F.col("doc_id").alias("doc_a"),
+                  F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"),
+                  F.col("split").alias("sb"))
+    leaks = (pairs.join(a, "doc_a").join(b, "doc_b")
+             .filter(F.col("sa") != F.col("sb")).count())
+    assert leaks == 0
+
+    rows = CATALOG["cluster_split_assignment"].spark_fn(
+        spark, sf_dir).collect()
+    # the per-split accounting partitions the corpus exactly
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    total_bp = sum(r["token_share_bp"] for r in rows)
+    assert 9997 <= total_bp <= 10000  # floor-div rounding only
+    # train dominates under the 90/5/5 rule
+    by_split = {r["split"]: r for r in rows}
+    assert by_split["train"]["n_docs"] > by_split["val"]["n_docs"]
+    assert by_split["train"]["n_docs"] > by_split["test"]["n_docs"]
+
+
+def test_ivm_join_delta_matches_full_recompute(spark, sf_dir):
+    rows = CATALOG["ivm_join_delta_maintenance"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows, "no segments"
+    for r in rows:
+        # the self-audit boolean AND the raw numbers it derives from
+        assert r["ivm_matches"]
+        assert r["n_base"] + r["n_delta"] == r["n_incremental"]
+        assert r["n_incremental"] == r["n_recomputed"]
+        assert r["cents_incremental"] == r["cents_recomputed"]
+    # the delta partition is ~5% (orderkey % 20), sanity-check the mix
+    n_delta = sum(r["n_delta"] for r in rows)
+    n_all = sum(r["n_incremental"] for r in rows)
+    assert 0 < n_delta < n_all // 10

@@ -117,6 +117,10 @@ WHITELIST: set[str] = {
     # onto the 9-row observed-digit table — both sides bounded by
     # construction (digits 1..9), never grows with data
     "benford_price_audit",
+    # one-row corpus-token-total frame broadcast onto the 3-row
+    # per-split aggregate (token_share_bp denominator) — single-row
+    # build side by construction
+    "cluster_split_assignment",
     # pairwise cosine over the POST-AGGREGATION centroid frame: both
     # sides are |sources| rows (20 here — dimension cardinality, not
     # data volume) and the |sources|^2 matrix IS the requested output,
