@@ -14030,6 +14030,205 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_shingle_cosine_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents),
+    dfr AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, sh.g,
+                 CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 100)
+                     AS BIGINT) AS wt
+          FROM sh JOIN dfr ON sh.g = dfr.g CROSS JOIN n),
+    nrm AS (SELECT doc_id, sum(wt * wt) AS nrm FROM w GROUP BY doc_id),
+    rare AS (SELECT g FROM dfr WHERE df BETWEEN 2 AND 6),
+    posts AS (SELECT doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM posts a JOIN posts b
+               ON a.g = b.g AND a.doc_id < b.doc_id),
+    dots AS (SELECT c.doc_a, c.doc_b, sum(wa.wt * wb.wt) AS dot
+             FROM cand c JOIN w wa ON wa.doc_id = c.doc_a
+                         JOIN w wb ON wb.doc_id = c.doc_b
+                                  AND wb.g = wa.g
+             GROUP BY c.doc_a, c.doc_b)
+    SELECT d.doc_a, d.doc_b,
+           CAST(floor(d.dot / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm)
+                      * 10000) AS BIGINT) AS cos_bp
+    FROM dots d JOIN nrm na ON na.doc_id = d.doc_a
+                JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND d.dot / sqrt(CAST(na.nrm AS DOUBLE) * nb.nrm) * 10000 >= 1000
+    ORDER BY cos_bp DESC, doc_a, doc_b
+    """,
+    "TF-IDF cosine similarity JOIN over shingle sets — the weighted "
+    "complement to dedup_ngram_jaccard's unweighted overlap: terms "
+    "are distinct 3-token shingles, weights the floor-quantized "
+    "integer centi-idf floor(ln(N/df)*100) (binary tf; the psi_drift "
+    "ln precedent — ONE quantized libm call per distinct shingle, "
+    "all downstream arithmetic exact integers), cosine evaluated "
+    "EXACTLY but only on candidate pairs sharing at least one RARE "
+    "shingle (2 <= df <= 6) — the posting-list candidate rule: "
+    "candidate count is bounded by sum df^2 over rare shingles "
+    "(<= 36 per shingle), never corpus-quadratic, and near-dups "
+    "share rare shingles by construction (a shingle shared only by "
+    "copies has df = copy count). df > 6 shingles contribute to the "
+    "exact cosine of candidates but never GENERATE candidates — the "
+    "common-term pruning every sparse-similarity engine ships "
+    "(cf. PPJoin's prefix rule, which bounds by ordered-prefix "
+    "overlap instead). The final cos_bp uses one IEEE sqrt on "
+    "sub-2^53 integers — correctly rounded, engine-exact. Shape: "
+    "two grouped aggs (df, norms) + rare-posting self-join + "
+    "candidate-confined weight joins; one one-row N attach.",
+)
+def q_tfidf_shingle_cosine_pairs(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens)
+
+    docs = load(spark, sf_dir, "documents")
+    # sh feeds THREE consumers (df counts, weights, rare postings) and w
+    # feeds three more (norms, both sides of the candidate-confined dot
+    # join) — lazy localCheckpoints cut the lineage so the tokenize/
+    # explode pipeline and the weight join run once, not per consumer
+    # (the multi-consumer-checkpoint convention; was 45 exchanges).
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            token_shingles(tokens(F.col("text")), 3))).alias("g")
+    ).localCheckpoint(eager=False)
+    dfr = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (sh.join(dfr, "g").crossJoin(F.broadcast(n))
+         .select("doc_id", "g",
+                 F.floor(F.log(F.col("n_docs").cast("double")
+                               / F.col("df")) * 100)
+                 .cast("long").alias("wt"))
+         .localCheckpoint(eager=False))
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("nrm"))
+    rare = dfr.filter((F.col("df") >= 2) & (F.col("df") <= 6)).select("g")
+    posts = sh.join(rare, "g")
+    pa = posts.select(F.col("doc_id").alias("doc_a"), "g")
+    pb = posts.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (pa.join(pb, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    wa = w.select(F.col("doc_id").alias("doc_a"), "g",
+                  F.col("wt").alias("wt_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "g",
+                  F.col("wt").alias("wt_b"))
+    dots = (cand.join(wa, "doc_a").join(wb, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wt_a") * F.col("wt_b")).alias("dot")))
+    na = nrm.select(F.col("doc_id").alias("doc_a"),
+                    F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"),
+                    F.col("nrm").alias("nb"))
+    cos = (F.col("dot")
+           / F.sqrt(F.col("na").cast("double") * F.col("nb")) * 10000)
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0) & (cos >= 1000))
+        .select("doc_a", "doc_b",
+                F.floor(cos).cast("long").alias("cos_bp"))
+        .orderBy(F.desc("cos_bp"), "doc_a", "doc_b")
+    )
+
+
+@register(
+    "ips_offpolicy_eval",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, ts,
+                      user_id % 8 AS bucket
+               FROM events),
+    pur AS (SELECT user_id, ts AS p_ts FROM events
+            WHERE event_type = 'purchase'),
+    r AS (SELECT e.event_id, e.bucket, e.event_type,
+                 max(CASE WHEN pur.p_ts IS NOT NULL THEN 1 ELSE 0 END)
+                     AS reward
+          FROM e LEFT JOIN pur
+            ON pur.user_id = e.user_id
+           AND pur.p_ts > e.ts AND pur.p_ts <= e.ts + INTERVAL 1 HOUR
+          GROUP BY e.event_id, e.bucket, e.event_type),
+    counts AS (SELECT bucket, event_type,
+                      count(*) AS n_xa, sum(reward) AS conv_xa
+               FROM r GROUP BY bucket, event_type),
+    tgt AS (SELECT bucket, event_type AS target_action, n_xa, conv_xa
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY bucket
+                      ORDER BY n_xa DESC, event_type) AS rn
+                  FROM counts) WHERE rn = 1),
+    tot AS (SELECT bucket, count(*) AS n_logged, sum(reward) AS conv
+            FROM r GROUP BY bucket)
+    SELECT t.bucket, g.target_action,
+           CAST(t.n_logged AS BIGINT) AS n_logged,
+           CAST(t.conv * 10000 // t.n_logged AS BIGINT) AS v_logged_bp,
+           CAST(g.n_xa AS BIGINT) AS n_matched,
+           CAST(g.conv_xa * 10000 // g.n_xa AS BIGINT) AS v_ips_bp
+    FROM tot t JOIN tgt g ON t.bucket = g.bucket
+    ORDER BY t.bucket
+    """,
+    "Off-policy evaluation with inverse-propensity scoring — the "
+    "counterfactual question every logged-interaction dataset gets "
+    "asked before an A/B test (Horvitz-Thompson / bandit OPE): "
+    "reward = conversion (a purchase by the same user within 1h, "
+    "one bounded interval join), context = user bucket, logged "
+    "propensities are empirical p(a|x) = n_xa/n_x, and the target "
+    "policy is the per-bucket argmax action (deterministic "
+    "lexicographic tie-break). With empirical propensities the IPS "
+    "sum (1/n_x) * sum 1{a=pi(x)} r/p(a|x) cross-multiplies to the "
+    "EXACT integer conv_matched*10000 div n_matched — no floats, no "
+    "variance-from-estimation hidden: the row also ships n_matched "
+    "so a reader sees the effective sample size that governs the "
+    "estimate's variance (the known failure mode of IPS under "
+    "small-propensity actions). v_logged_bp is the behavior "
+    "policy's realized value for comparison. Shape: one interval "
+    "join (fan bounded by per-user purchase rate within the hour) "
+    "+ three grouped aggs over |buckets x actions| rows.",
+)
+def q_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.col("user_id") % 8).alias("bucket"))
+    pur = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").alias("p_user"),
+                   F.col("ts").alias("p_ts")))
+    r = (ev.join(pur,
+                 (F.col("p_user") == F.col("user_id"))
+                 & (F.col("p_ts") > F.col("ts"))
+                 & (F.col("p_ts") <= F.col("ts")
+                    + F.expr("INTERVAL 1 HOUR")),
+                 "left")
+         .groupBy("event_id", "bucket", "event_type")
+         .agg(F.max(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0))
+              .alias("reward")))
+    counts = r.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_xa"), F.sum("reward").alias("conv_xa"))
+    tgt = (counts.groupBy("bucket")
+           .agg(F.min(F.struct((-F.col("n_xa")).alias("neg"),
+                               F.col("event_type").alias("a"),
+                               F.col("n_xa").alias("n_xa"),
+                               F.col("conv_xa").alias("conv_xa")))
+                .alias("m"))
+           .select("bucket", F.col("m.a").alias("target_action"),
+                   F.col("m.n_xa").alias("n_xa"),
+                   F.col("m.conv_xa").alias("conv_xa")))
+    tot = r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_logged"), F.sum("reward").alias("conv"))
+    return (
+        tot.join(tgt, "bucket")
+        .select(
+            "bucket", "target_action",
+            F.col("n_logged").cast("long").alias("n_logged"),
+            F.expr("conv * 10000 div n_logged").cast("long")
+             .alias("v_logged_bp"),
+            F.col("n_xa").cast("long").alias("n_matched"),
+            F.expr("conv_xa * 10000 div n_xa").cast("long")
+             .alias("v_ips_bp"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "ivm_join_delta_maintenance",
     """
     WITH o AS (SELECT o_custkey, o_orderkey,

@@ -37,7 +37,11 @@ COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             # composes the full banded-candidate pipeline + the
             # log-round pointer-doubling CC + the split/token rollup
             # (the dedup_impact_report shape with CC instead of bands)
-            "cluster_split_assignment"}
+            "cluster_split_assignment",
+            # composes the rare-shingle candidate pipeline with the
+            # exact candidate-confined idf-cosine verify (the
+            # minhash_error_audit candidates+verify shape)
+            "tfidf_shingle_cosine_pairs"}
 
 
 def test_exchange_budgets(spark):

@@ -194,3 +194,55 @@ def test_ivm_join_delta_matches_full_recompute(spark, sf_dir):
     n_delta = sum(r["n_delta"] for r in rows)
     n_all = sum(r["n_incremental"] for r in rows)
     assert 0 < n_delta < n_all // 10
+
+
+def test_tfidf_cosine_python_replication(spark, sf_dir):
+    """Recompute the top returned pair's idf-cosine exactly in Python
+    (floor-quantized centi-idf, binary tf) — pins weighting, norm, and
+    the floor(x*10000) quantization."""
+    rows = CATALOG["tfidf_shingle_cosine_pairs"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows, "no candidate pairs returned"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 1000 <= r["cos_bp"] <= 10000
+
+    docs = {d["doc_id"]: d["text"]
+            for d in load(spark, sf_dir, "documents").collect()}
+
+    def shingle_set(text):
+        toks = [t for t in text.lower().split()]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in docs.items()}
+    dfc = {}
+    for s in sets.values():
+        for g in s:
+            dfc[g] = dfc.get(g, 0) + 1
+    n = len(docs)
+    wt = {g: math.floor(math.log(n / d) * 100) for g, d in dfc.items()}
+    top = rows[0]
+    a, b = sets[top["doc_a"]], sets[top["doc_b"]]
+    dot = sum(wt[g] * wt[g] for g in a & b)
+    na = sum(wt[g] * wt[g] for g in a)
+    nb = sum(wt[g] * wt[g] for g in b)
+    assert top["cos_bp"] == math.floor(
+        dot / math.sqrt(float(na) * nb) * 10000)
+
+
+def test_ips_target_is_modal_action(spark, sf_dir):
+    rows = CATALOG["ips_offpolicy_eval"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    ev = (load_events(spark, sf_dir)
+          .select((F.col("user_id") % 8).alias("bucket"), "event_type")
+          .groupBy("bucket", "event_type")
+          .agg(F.count(F.lit(1)).alias("n")).collect())
+    by_bucket = {}
+    for r in ev:
+        by_bucket.setdefault(r["bucket"], []).append(
+            (-r["n"], r["event_type"]))
+    for row in rows:
+        assert 0 <= row["v_logged_bp"] <= 10000
+        assert 0 <= row["v_ips_bp"] <= 10000
+        assert 0 < row["n_matched"] <= row["n_logged"]
+        assert row["target_action"] == min(by_bucket[row["bucket"]])[1]

@@ -121,6 +121,10 @@ WHITELIST: set[str] = {
     # per-split aggregate (token_share_bp denominator) — single-row
     # build side by construction
     "cluster_split_assignment",
+    # one-row n_docs frame broadcast onto the posting frame for the
+    # idf denominator — single-row build side by construction (same
+    # shape as tfidf_doc_keywords' corpus-scalar attach)
+    "tfidf_shingle_cosine_pairs",
     # pairwise cosine over the POST-AGGREGATION centroid frame: both
     # sides are |sources| rows (20 here — dimension cardinality, not
     # data volume) and the |sources|^2 matrix IS the requested output,
