@@ -14030,6 +14030,163 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_drift_monitor_tv",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    sealed AS (SELECT * FROM w
+               WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts)
+                                              - INTERVAL 24 HOUR
+                                              FROM events)),
+    ref AS (SELECT event_type, count(*) AS b FROM events
+            WHERE date_part('day', ts) <= 5 GROUP BY 1),
+    reft AS (SELECT sum(b) AS tb FROM ref),
+    refbp AS (SELECT event_type, b * 10000 // tb AS b_bp
+              FROM ref CROSS JOIN reft),
+    ta AS (SELECT ws, sum(n) AS ta FROM sealed GROUP BY ws),
+    grid AS (SELECT ta.ws, ta.ta, r.event_type, r.b_bp
+             FROM ta CROSS JOIN refbp r),
+    j AS (SELECT g.ws, g.ta, g.b_bp, coalesce(s.n, 0) AS a
+          FROM grid g LEFT JOIN sealed s
+            ON s.ws = g.ws AND s.event_type = g.event_type)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(ta AS BIGINT) AS n_events,
+           CAST(sum(abs(a * 10000 // ta - b_bp)) // 2 AS BIGINT) AS tv_bp,
+           sum(abs(a * 10000 // ta - b_bp)) // 2 > 2500 AS drift_alert
+    FROM j GROUP BY ws, ta ORDER BY window_start
+    """,
+    "Streaming DRIFT MONITOR — per sealed hourly window, the total-"
+    "variation distance (in bp) between the window's event-type mix "
+    "and a static first-5-days reference distribution, with an alert "
+    "bool at tv_bp > 2500. TV = (1/2) sum |p - q| instead of PSI "
+    "deliberately: hourly windows routinely have ZERO-count types "
+    "and PSI's (p-q)ln(p/q) is infinite at p=0 (psi_drift_gate can "
+    "assume all types present in month-halves; a per-window monitor "
+    "cannot), while TV is bounded [0,10000], integer-exact "
+    "(a*10000 div ta - b_bp, no libm at all), and the standard "
+    "alerting metric when bins can be empty. The stateful shape is "
+    "the proven watermarked hourly tumbling aggregate (state = "
+    "windows-in-flight, density-independent — measured slope ~0); "
+    "the monitor itself is a STATELESS downstream map over emitted "
+    "windows: a 5-row broadcast reference grid restore (missing "
+    "types count |0 - q|), one grouped TV sum. Oracle replays the "
+    "sealed-window emission rule + the same integer TV.",
+)
+def q_stream_drift_monitor_tv(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import (
+        windowed_event_counts)
+
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    sealed = replay_stream(
+        spark, ev,
+        lambda s: windowed_event_counts(
+            s, window="1 hour", watermark="24 hours",
+            extra_keys=("event_type",)),
+    ).select("window_start", "event_type",
+             F.col("n_events").alias("n"))
+    ref = (ev.filter(F.dayofmonth("ts") <= 5)
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("b")))
+    reft = ref.agg(F.sum("b").alias("tb"))
+    refbp = (ref.crossJoin(F.broadcast(reft))
+             .select("event_type",
+                     F.expr("b * 10000 div tb").alias("b_bp")))
+    ta = sealed.groupBy("window_start").agg(F.sum("n").alias("ta"))
+    # grid and sealed share lineage (ta derives from sealed) — rename
+    # the probe side's columns (fresh expr ids) so the left join
+    # resolves despite the self-join-shaped duplicate attributes
+    s2 = sealed.select(F.col("window_start").alias("s_ws"),
+                       F.col("event_type").alias("s_et"),
+                       F.col("n").alias("s_n"))
+    grid = ta.crossJoin(F.broadcast(refbp))
+    j = (grid.join(s2, (F.col("window_start") == F.col("s_ws"))
+                   & (F.col("event_type") == F.col("s_et")), "left")
+         .select("window_start", "ta",
+                 F.abs(F.expr("coalesce(s_n, 0) * 10000 div ta")
+                       - F.col("b_bp")).alias("d")))
+    return (
+        j.groupBy("window_start", "ta")
+        .agg(F.expr("sum(d) div 2").cast("long").alias("tv_bp"))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            F.col("ta").cast("long").alias("n_events"),
+            "tv_bp",
+            (F.col("tv_bp") > 2500).alias("drift_alert"))
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "epoch_shuffle_order",
+    """
+    WITH ep AS (SELECT * FROM (VALUES (0), (1), (2)) e(epoch)),
+    k AS (SELECT epoch, doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                      || ':' || CAST(epoch AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS key
+          FROM documents CROSS JOIN ep),
+    top AS (SELECT epoch, doc_id, rnk FROM (
+              SELECT epoch, doc_id,
+                     row_number() OVER (PARTITION BY epoch
+                                        ORDER BY key, doc_id) AS rnk
+              FROM k) WHERE rnk <= 10),
+    chk AS (SELECT epoch, sum(key % 65537) AS epoch_checksum
+            FROM k GROUP BY epoch)
+    SELECT t.epoch, CAST(t.rnk AS BIGINT) AS rnk, t.doc_id,
+           CAST(c.epoch_checksum AS BIGINT) AS epoch_checksum
+    FROM top t JOIN chk c ON t.epoch = c.epoch
+    ORDER BY t.epoch, t.rnk
+    """,
+    "Epoch-reproducible corpus shuffle — the data-order half of the "
+    "determinism contract corpus_shard_assignment starts (a trainer "
+    "must be able to resume mid-epoch and replay EXACTLY the same "
+    "order): each epoch's permutation key is the 60-bit "
+    "md5(doc_id:epoch) — a pure row expression riding the scan, no "
+    "state, no RNG, epochs decorrelated by the salt. The entry "
+    "ships the auditable artifact: each epoch's first-10 order "
+    "(computed as a per-epoch sort+limit — TakeOrdered, never a "
+    "corpus-wide rank window; the bm25 limit-then-rank rule) and a "
+    "permutation-key checksum sum(key mod 65537) over the full "
+    "corpus (order-free, so one map-side-combinable aggregate "
+    "verifies the epoch's key function without materializing the "
+    "order). Shape: 3 bounded TakeOrdered branches + one grouped "
+    "checksum agg + a 3-row broadcast attach.",
+)
+def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def keyed(e: int) -> DataFrame:
+        h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{e}")))
+        return docs.select(
+            F.lit(e).alias("epoch"), "doc_id",
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+             .alias("key"))
+
+    frames = [keyed(e) for e in range(3)]
+    allk = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    tops = []
+    for e, fr in enumerate(frames):
+        t = fr.orderBy("key", "doc_id").limit(10)
+        wr = Window.orderBy("key", "doc_id")
+        tops.append(t.select("epoch", "doc_id",
+                             F.row_number().over(wr).alias("rnk")))
+    top = tops[0].unionByName(tops[1]).unionByName(tops[2])
+    chk = allk.groupBy("epoch").agg(
+        F.sum(F.col("key") % 65537).alias("epoch_checksum"))
+    return (
+        top.join(F.broadcast(chk), "epoch")
+        .select("epoch", F.col("rnk").cast("long").alias("rnk"), "doc_id",
+                F.col("epoch_checksum").cast("long")
+                 .alias("epoch_checksum"))
+        .orderBy("epoch", "rnk")
+    )
+
+
+@register(
     "tfidf_shingle_cosine_pairs",
     f"""
     WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents),

@@ -246,3 +246,66 @@ def test_ips_target_is_modal_action(spark, sf_dir):
         assert 0 <= row["v_ips_bp"] <= 10000
         assert 0 < row["n_matched"] <= row["n_logged"]
         assert row["target_action"] == min(by_bucket[row["bucket"]])[1]
+
+
+def test_stream_drift_monitor_python_replication(spark, sf_dir):
+    """Recompute one window's integer TV distance from the raw events
+    — pins the bp quantization, the grid restore (missing types count
+    |0 - q|), and the sealed-emission boundary."""
+    import datetime
+
+    rows = CATALOG["stream_drift_monitor_tv"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    ev = load_events(spark, sf_dir).select("ts", "event_type").collect()
+    max_ts = max(r["ts"] for r in ev)
+    # every emitted window is conclusively sealed
+    for r in rows:
+        ws = datetime.datetime.strptime(r["window_start"],
+                                        "%Y-%m-%d %H:%M:%S")
+        assert ws + datetime.timedelta(hours=25) <= max_ts
+        assert 0 <= r["tv_bp"] <= 10000
+        assert r["drift_alert"] == (r["tv_bp"] > 2500)
+    # replicate the busiest window
+    target = max(rows, key=lambda r: r["n_events"])
+    ws = datetime.datetime.strptime(target["window_start"],
+                                    "%Y-%m-%d %H:%M:%S")
+    ref, win = {}, {}
+    for r in ev:
+        if r["ts"].day <= 5:
+            ref[r["event_type"]] = ref.get(r["event_type"], 0) + 1
+        if ws <= r["ts"] < ws + datetime.timedelta(hours=1):
+            win[r["event_type"]] = win.get(r["event_type"], 0) + 1
+    tb = sum(ref.values())
+    ta = sum(win.values())
+    assert ta == target["n_events"]
+    tv = sum(abs(win.get(t, 0) * 10000 // ta - b * 10000 // tb)
+             for t, b in ref.items()) // 2
+    assert tv == target["tv_bp"]
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark, sf_dir):
+    import hashlib
+
+    rows = CATALOG["epoch_shuffle_order"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 30  # 3 epochs x top-10
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append((r["rnk"], r["doc_id"]))
+    orders = {e: [d for _, d in sorted(v)] for e, v in by_epoch.items()}
+    # epochs are decorrelated: the salted key gives different orders
+    assert orders[0] != orders[1] and orders[1] != orders[2]
+    # replicate epoch 1 exactly from raw doc ids (reproducibility: the
+    # permutation is a pure function of (doc_id, epoch))
+    ids = [r["doc_id"]
+           for r in load(spark, sf_dir, "documents").select("doc_id")
+           .collect()]
+
+    def key(doc_id, epoch):
+        h = hashlib.md5(f"{doc_id}:{epoch}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    expect = [d for _, d in sorted((key(d, 1), d) for d in ids)[:10]]
+    assert orders[1] == expect
+    chk = {r["epoch"]: r["epoch_checksum"] for r in rows}
+    assert chk[2] == sum(key(d, 2) % 65537 for d in ids)

@@ -125,6 +125,10 @@ WHITELIST: set[str] = {
     # idf denominator — single-row build side by construction (same
     # shape as tfidf_doc_keywords' corpus-scalar attach)
     "tfidf_shingle_cosine_pairs",
+    # 5-row (event-type enum) reference-distribution frame crossJoined
+    # onto the per-window totals for the dims-grid restore — build
+    # side bounded by the type enum, never grows with data
+    "stream_drift_monitor_tv",
     # pairwise cosine over the POST-AGGREGATION centroid frame: both
     # sides are |sources| rows (20 here — dimension cardinality, not
     # data volume) and the |sources|^2 matrix IS the requested output,
@@ -244,6 +248,13 @@ BROADCAST_HINT_WHITELIST: set[str] = {
     "chi_squared_independence",
     # per-source sampling rates — source is a ~20-value enum
     "corpus_token_budget_mix",
+    # static reference distribution keyed by event_type — a 5-value
+    # enum (plus the one-row total the rule already allows); the
+    # window side of the monitor is never broadcast
+    "stream_drift_monitor_tv",
+    # per-epoch permutation-key checksum — epoch is the literal
+    # 3-value (0,1,2) frame, bounded by construction
+    "epoch_shuffle_order",
 }
 
 #: Entries allowed an UNPARTITIONED window over a frame that is not
