@@ -14030,6 +14030,148 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance_verify",
+    f"""
+    WITH {_MINHASH_CTES},
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+    j AS (SELECT p.doc_a, p.doc_b, da.text AS ta, db.text AS tb
+          FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+                       JOIN documents db ON p.doc_b = db.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist,
+           CAST(levenshtein(ta, tb) * 10000
+                // greatest(len(ta), len(tb)) AS BIGINT) AS norm_bp,
+           levenshtein(ta, tb) * 10000
+               // greatest(len(ta), len(tb)) <= 500 AS near_identical
+    FROM j ORDER BY doc_a, doc_b
+    """,
+    "Exact character-level edit distance over the LSH candidate "
+    "pairs — the VERIFY stage pipelines run when Jaccard-style "
+    "set overlap is too blind to local edits (a doc with one "
+    "paragraph rewritten keeps high shingle overlap but large edit "
+    "distance; a doc with every 10th word swapped keeps small edit "
+    "distance but shredded shingles): Levenshtein runs JVM-side in "
+    "whole-stage codegen (built-in levenshtein in BOTH engines — "
+    "well-defined integer, engine-exact), and the O(len_a*len_b) DP "
+    "per pair is affordable precisely BECAUSE it is confined to "
+    "banded candidates (pairs ∝ true near-dups, never corpus²) — "
+    "the same candidates-then-exact-verify contract as "
+    "minhash_error_audit. norm_bp = dist*10000 div max(len): <= 500 "
+    "(5% of the longer doc) classifies near-identical. Shape: the "
+    "proven banded self-join + two hash joins to fetch texts + a "
+    "per-row codegen expression.",
+)
+def q_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        pairs.join(da, "doc_a").join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            F.expr("levenshtein(ta, tb) * 10000"
+                   " div greatest(length(ta), length(tb))")
+            .cast("long").alias("norm_bp"))
+        .withColumn("near_identical", F.col("norm_bp") <= 500)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "gdpr_purge_audit",
+    """
+    WITH s AS (SELECT 'customer' AS tbl,
+                      sum(CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(c_custkey AS VARCHAR)
+                                     || 'gdpr'), 1, 15)) AS BIGINT)
+                          % 10000 < 100 THEN 1 ELSE 0 END) AS n_purged,
+                      count(*) AS n_total
+               FROM customer
+               UNION ALL
+               SELECT 'orders',
+                      sum(CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(o_custkey AS VARCHAR)
+                                     || 'gdpr'), 1, 15)) AS BIGINT)
+                          % 10000 < 100 THEN 1 ELSE 0 END),
+                      count(*)
+               FROM orders
+               UNION ALL
+               SELECT 'lineitem',
+                      sum(CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(o.o_custkey AS VARCHAR)
+                                     || 'gdpr'), 1, 15)) AS BIGINT)
+                          % 10000 < 100 THEN 1 ELSE 0 END),
+                      count(*)
+               FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+               UNION ALL
+               SELECT 'events',
+                      sum(CASE WHEN CAST(concat('0x',
+                          substr(md5(CAST(user_id AS VARCHAR)
+                                     || 'gdpr'), 1, 15)) AS BIGINT)
+                          % 10000 < 100 THEN 1 ELSE 0 END),
+                      count(*)
+               FROM events)
+    SELECT tbl, CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_purged * 10000 // n_total AS BIGINT) AS share_bp
+    FROM s ORDER BY tbl
+    """,
+    "Right-to-be-forgotten PURGE audit — the impact accounting a "
+    "CDC-fed platform runs before executing a GDPR erasure batch "
+    "(deletes then flow through the pipeline as Debezium 'd' "
+    "envelopes + tombstones; DebeziumEngine's delete/tombstone "
+    "contract is the transport): data subjects are a deterministic "
+    "1% md5-bucket of customers (the hash_sample rule, so the audit "
+    "is reproducible), and the cascade counts rows to purge in "
+    "every table reachable from the subject key — customer and "
+    "orders by direct key expression (ZERO joins: subject "
+    "membership is a pure function of the FK riding the scan), "
+    "lineitem via its single orders join (no custkey on lineitem), "
+    "events by user key. Per table: purge count, total, share_bp. "
+    "Shape: three scan-fused conditional aggregates + one key join; "
+    "each branch is one map-side-combinable row.",
+)
+def q_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.operators.sampling import sample_bucket
+
+    def is_subject(key):
+        return sample_bucket(key, "gdpr") < 100
+
+    def branch(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.sum(F.when(is_subject(key), 1).otherwise(0))
+             .cast("long").alias("n_purged"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        ).select("tbl", "n_purged", "n_total")
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = (load(spark, sf_dir, "lineitem").select("l_orderkey")
+          .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                              "o_custkey"), "l_orderkey"))
+    ev = load_events(spark, sf_dir)
+    out = (branch("customer", cust, F.col("c_custkey"))
+           .unionByName(branch("orders", orders, F.col("o_custkey")))
+           .unionByName(branch("lineitem", li, F.col("o_custkey")))
+           .unionByName(branch("events", ev, F.col("user_id"))))
+    return out.select(
+        "tbl", "n_purged", "n_total",
+        F.expr("n_purged * 10000 div n_total").cast("long")
+         .alias("share_bp")).orderBy("tbl")
+
+
+@register(
     "stream_drift_monitor_tv",
     """
     WITH w AS (

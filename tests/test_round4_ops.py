@@ -309,3 +309,51 @@ def test_epoch_shuffle_reproducible_and_decorrelated(spark, sf_dir):
     assert orders[1] == expect
     chk = {r["epoch"]: r["epoch_checksum"] for r in rows}
     assert chk[2] == sum(key(d, 2) % 65537 for d in ids)
+
+
+def test_edit_distance_verify_python_replication(spark, sf_dir):
+    """Pin Spark levenshtein == Python DP on the closest pair, plus the
+    normalization/classification rule."""
+    rows = CATALOG["dedup_edit_distance_verify"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows, "no candidate pairs"
+    for r in rows:
+        assert r["near_identical"] == (r["norm_bp"] <= 500)
+    best = min(rows, key=lambda r: r["norm_bp"])
+    docs = {d["doc_id"]: d["text"] for d in load(
+        spark, sf_dir, "documents").filter(
+        F.col("doc_id").isin([best["doc_a"], best["doc_b"]])).collect()}
+    a, b = docs[best["doc_a"]], docs[best["doc_b"]]
+
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    assert best["edit_dist"] == prev[-1]
+    assert best["norm_bp"] == prev[-1] * 10000 // max(len(a), len(b))
+
+
+def test_gdpr_purge_cascade_consistency(spark, sf_dir):
+    rows = {r["tbl"]: r for r in
+            CATALOG["gdpr_purge_audit"].spark_fn(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    # totals match the raw tables
+    assert rows["customer"]["n_total"] == load(
+        spark, sf_dir, "customer").count()
+    assert rows["lineitem"]["n_total"] == load(
+        spark, sf_dir, "lineitem").count()
+    # the subject share is ~1% by construction; purged counts can be 0
+    # at tiny SF but never exceed the 1%-bucket upper tail
+    for r in rows.values():
+        assert 0 <= r["n_purged"] <= r["n_total"]
+        assert r["share_bp"] == r["n_purged"] * 10000 // r["n_total"]
+    # cascade monotonicity: purging a customer purges ALL their orders —
+    # replicate the orders count from the subject rule
+    from debezium_server_spark.operators.sampling import sample_bucket
+    n_ord = (load(spark, sf_dir, "orders")
+             .filter(sample_bucket(F.col("o_custkey"), "gdpr") < 100)
+             .count())
+    assert rows["orders"]["n_purged"] == n_ord
