@@ -605,6 +605,33 @@ _MINHASH_CTES = """sh AS (SELECT doc_id,
                      md5(m[b*3+1] || '|' || m[b*3+2] || '|' || m[b*3+3]) AS band_hash
               FROM sig, unnest(range(0, 4)) AS u(b))"""
 
+#: The f -> q quality-logit CTE chain (the exact feature quantization
+#: and weights of operators/text.py quality_classifier), hoisted for
+#: its two consumers — the inference entry and preference-pair mining —
+#: so a weight/feature change cannot desynchronize one oracle (the
+#: _MINHASH_CTES lesson).
+_QUALITY_CTES = f"""f AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS sum_len,
+             len(list_filter({_TOKS},
+                 x -> x IN ('the','a','of','and','in','to'))) AS stop_hits,
+             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+               AS punct,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(2 * floor(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
+                + 10 * floor(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
+                + 12 * floor(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e4)
+                - 40 * punct
+                + 2 * least(n_tokens, 400)
+                - 70000 AS BIGINT) AS logit_u
+      FROM f)"""
+
+
 @register(
     "dedup_exact",
     """
@@ -4458,26 +4485,7 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_classifier",
     f"""
-    WITH f AS (
-      SELECT doc_id,
-             len({_TOKS}) AS n_tokens,
-             length(text) AS n_chars,
-             list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum') AS sum_len,
-             len(list_filter({_TOKS},
-                 x -> x IN ('the','a','of','and','in','to'))) AS stop_hits,
-             length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
-               AS punct,
-             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
-      FROM documents),
-    q AS (
-      SELECT doc_id,
-             CAST(2 * floor(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
-                + 10 * floor(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e4)
-                + 12 * floor(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 1e4)
-                - 40 * punct
-                + 2 * least(n_tokens, 400)
-                - 70000 AS BIGINT) AS logit_u
-      FROM f)
+    WITH {_QUALITY_CTES}
     SELECT doc_id, logit_u, logit_u >= 0 AS keep
     FROM q
     """,
@@ -14026,6 +14034,120 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_tokens * 10000 div tt").cast("long")
                  .alias("token_share_bp"))
         .orderBy("split")
+    )
+
+
+@register(
+    "preference_pair_mining",
+    f"""
+    WITH {_QUALITY_CTES},
+    d AS (SELECT q.doc_id, q.logit_u, documents.source
+          FROM q JOIN documents USING (doc_id)),
+    ch AS (SELECT source, doc_id AS chosen_id, logit_u AS lc FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY logit_u DESC, doc_id) AS rn FROM d)
+           WHERE rn = 1),
+    rj AS (SELECT source, doc_id AS rejected_id, logit_u AS lr FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY logit_u ASC, doc_id) AS rn FROM d)
+           WHERE rn = 1)
+    SELECT ch.source, chosen_id, rejected_id,
+           CAST(lc - lr AS BIGINT) AS margin_u
+    FROM ch JOIN rj ON ch.source = rj.source
+    WHERE lc - lr > 0
+    ORDER BY ch.source
+    """,
+    "Preference-pair construction — the reward-model data-prep step "
+    "of an RLHF pipeline, run over a scored corpus instead of human "
+    "labels (the 'weak supervision from a quality scorer' recipe): "
+    "per source group, chosen = the argmax-quality doc, rejected = "
+    "the argmin, margin = logit difference in exact micro-units "
+    "(the quality_classifier integer logit — ONE shared CTE "
+    "definition for both oracles, so a weight change cannot "
+    "desynchronize them). Groups whose members all tie (margin 0) "
+    "emit nothing — a pair needs a strict preference; ties break "
+    "deterministically to the smaller doc_id. Spark side is two "
+    "min(struct) aggregates (no window at all — argmax via struct "
+    "ordering), so the pass is two map-side-combinable aggregations "
+    "over the scored scan plus a |sources|-row join.",
+)
+def q_preference_pair_mining(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    from debezium_server_spark.operators.text import quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    scored = (quality_classifier(docs)
+              .join(docs.select("doc_id", "source"), "doc_id"))
+    ch = (scored.groupBy("source")
+          .agg(F.min(F.struct((-F.col("logit_u")).alias("neg"),
+                              F.col("doc_id"))).alias("m"))
+          .select("source", F.col("m.doc_id").alias("chosen_id"),
+                  (-F.col("m.neg")).alias("lc")))
+    rj = (scored.groupBy("source")
+          .agg(F.min(F.struct(F.col("logit_u").alias("l"),
+                              F.col("doc_id"))).alias("m"))
+          .select("source", F.col("m.doc_id").alias("rejected_id"),
+                  F.col("m.l").alias("lr")))
+    return (
+        ch.join(rj, "source")
+        .filter(F.col("lc") - F.col("lr") > 0)
+        .select("source", "chosen_id", "rejected_id",
+                (F.col("lc") - F.col("lr")).cast("long")
+                .alias("margin_u"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "rate_limit_audit",
+    """
+    WITH u AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec
+               FROM events),
+    c AS (SELECT user_id, sec,
+                 count(*) OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS cnt
+          FROM u),
+    p AS (SELECT user_id, max(cnt) AS peak_60m FROM c GROUP BY user_id),
+    fp AS (SELECT c.user_id, min(c.sec) AS first_sec
+           FROM c JOIN p ON c.user_id = p.user_id AND c.cnt = p.peak_60m
+           GROUP BY c.user_id)
+    SELECT p.user_id, CAST(peak_60m AS BIGINT) AS peak_60m,
+           CAST(first_sec AS BIGINT) AS first_peak_epoch,
+           peak_60m > 10 AS flagged
+    FROM p JOIN fp ON p.user_id = fp.user_id
+    ORDER BY p.user_id
+    """,
+    "Sliding-window rate-limit audit — the abuse/runaway-producer "
+    "check an event-ingest platform runs offline to tune its online "
+    "limiter: per user, the PEAK number of events in ANY trailing "
+    "60-minute window (exact, not bucketed — a value-based RANGE "
+    "frame over event-time seconds, so the window slides per event, "
+    "catching bursts that straddle hour boundaries where a tumbling "
+    "count shows half the rate), when that peak first occurred, and "
+    "a flag at > 10/h. The window is PARTITIONED by user — state per "
+    "task is one user's trail, never corpus-wide — and the peak "
+    "extraction is a grouped max, so output is |users| rows. Spark "
+    "side extracts peak + first-occurrence in ONE aggregate via "
+    "struct ordering (max(cnt), then min sec among peak rows).",
+)
+def q_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    u = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3599, 0))
+    c = u.withColumn("cnt", F.count(F.lit(1)).over(w))
+    agg = (c.groupBy("user_id")
+           .agg(F.max(F.struct(F.col("cnt"),
+                               (-F.col("sec")).alias("ns"))).alias("m")))
+    return (
+        agg.select(
+            "user_id",
+            F.col("m.cnt").cast("long").alias("peak_60m"),
+            (-F.col("m.ns")).cast("long").alias("first_peak_epoch"),
+            (F.col("m.cnt") > 10).alias("flagged"))
+        .orderBy("user_id")
     )
 
 

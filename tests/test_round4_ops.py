@@ -357,3 +357,51 @@ def test_gdpr_purge_cascade_consistency(spark, sf_dir):
              .filter(sample_bucket(F.col("o_custkey"), "gdpr") < 100)
              .count())
     assert rows["orders"]["n_purged"] == n_ord
+
+
+def test_preference_pairs_are_strict_extremes(spark, sf_dir):
+    from debezium_server_spark.operators.text import quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    scored = {r["doc_id"]: r["logit_u"]
+              for r in quality_classifier(docs).collect()}
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    rows = CATALOG["preference_pair_mining"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    by_source = {}
+    for d, s in src.items():
+        by_source.setdefault(s, []).append(d)
+    for r in rows:
+        group = by_source[r["source"]]
+        # chosen/rejected are the deterministic argmax/argmin
+        assert r["chosen_id"] == min(
+            group, key=lambda d: (-scored[d], d))
+        assert r["rejected_id"] == min(
+            group, key=lambda d: (scored[d], d))
+        assert r["margin_u"] == (scored[r["chosen_id"]]
+                                 - scored[r["rejected_id"]])
+        assert r["margin_u"] > 0
+        assert r["chosen_id"] != r["rejected_id"]
+
+
+def test_rate_limit_peak_python_replication(spark, sf_dir):
+    rows = CATALOG["rate_limit_audit"].spark_fn(spark, sf_dir).collect()
+    ev = (load_events(spark, sf_dir)
+          .select("user_id", F.expr("unix_micros(ts) div 1000000")
+                  .alias("sec")).collect())
+    secs_by_user = {}
+    for r in ev:
+        secs_by_user.setdefault(r["user_id"], []).append(r["sec"])
+    assert len(rows) == len(secs_by_user)
+    target = max(rows, key=lambda r: r["peak_60m"])
+    secs = sorted(secs_by_user[target["user_id"]])
+    best, first = 0, None
+    for s in secs:
+        cnt = sum(1 for x in secs if s - 3599 <= x <= s)
+        if cnt > best:
+            best, first = cnt, s
+    assert target["peak_60m"] == best
+    assert target["first_peak_epoch"] == first
+    assert target["flagged"] == (best > 10)
