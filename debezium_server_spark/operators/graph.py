@@ -333,3 +333,53 @@ def kcore(
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a FIXED
+    round count: labels start as node ids; each round every node takes
+    the MODE of its neighbors' labels, ties broken to the smallest
+    label — fully deterministic, unlike the classic randomized-order
+    LPA (Raghavan et al. 2007), which is the price of an oracle-
+    replayable trajectory. CONTRACT — this is the ROUNDS-BOUNDED
+    labeling (the kcore convention): synchronous LPA has no general
+    convergence guarantee (bipartite structures can 2-cycle), so the
+    result is defined as "labels after exactly `rounds` synchronous
+    updates", which the unrolled SQL oracle replays CTE for CTE.
+    Communities differ from connected components: a long chain joins
+    ONE component but fragments into local communities, and two cliques
+    sharing a single bridge edge keep distinct labels — the granularity
+    curation wants when CC over-merges template families.
+
+    `edges` must be UNDIRECTED-complete (both (u,v) and (v,u) rows).
+    Returns (node, community) for every node with at least one edge.
+
+    Scale shape per round: one join (edges x label frame, equi-keyed on
+    the neighbor id) + one (node, label) count aggregate + one argmax
+    via min(struct(-count, label)) — all map-side-combinable, no
+    windows; lazy localCheckpoints cut lineage so the unrolled loop
+    stays action-free (one job).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
+        .localCheckpoint(eager=False)
+    labels = (e.select(F.col("u").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("lab"))
+              .localCheckpoint(eager=False))
+    for _ in range(max(rounds, 1)):
+        nbr = (e.join(labels.select(F.col("node").alias("v"), "lab"), "v")
+               .groupBy("u", "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (
+            nbr.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("lab"))).alias("m"))
+            .select(F.col("u").alias("node"), F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

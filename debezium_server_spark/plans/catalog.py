@@ -14038,6 +14038,142 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_label_propagation",
+    f"""
+    WITH {_MINHASH_CTES},
+    pr AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+    e AS MATERIALIZED (SELECT a AS u, b AS v FROM pr
+                       UNION SELECT b, a FROM pr),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM e),
+    c1 AS (SELECT e.u AS node, l.lab, count(*) AS c
+           FROM e JOIN l0 l ON e.v = l.node GROUP BY 1, 2),
+    l1 AS MATERIALIZED (SELECT node, lab FROM (
+           SELECT node, lab, row_number() OVER (PARTITION BY node
+               ORDER BY c DESC, lab) AS rn FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.u AS node, l.lab, count(*) AS c
+           FROM e JOIN l1 l ON e.v = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, lab FROM (
+           SELECT node, lab, row_number() OVER (PARTITION BY node
+               ORDER BY c DESC, lab) AS rn FROM c2) WHERE rn = 1)
+    SELECT node AS doc_id, lab AS community FROM l2 ORDER BY doc_id
+    """,
+    "Community detection by SYNCHRONOUS label propagation (2 fixed "
+    "rounds, mode-of-neighbors update, ties to the smallest label — "
+    "the deterministic variant of Raghavan et al.'s LPA, which is "
+    "what makes the trajectory oracle-replayable) over the near-dup "
+    "pair graph. Communities are the granularity CC cannot give: a "
+    "chain joins ONE component but fragments into local communities, "
+    "and two clique families sharing a bridge edge keep distinct "
+    "labels — the signal curation needs when CC over-merges template "
+    "families through incidental links. ROUNDS-BOUNDED contract "
+    "(the kcore convention): sync LPA can 2-cycle on bipartite "
+    "structure, so the result is DEFINED as labels after exactly 2 "
+    "updates, replayed CTE-for-CTE by the unrolled oracle. Per "
+    "round: one equi-join + one (node,label) count + one "
+    "min(struct(-c, lab)) argmax — map-side-combinable, no windows; "
+    "fifth member of the iterative-graph family (CC doubling, "
+    "pagerank, BFS, peel, mode-propagation).",
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    from debezium_server_spark.operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst")))
+    return (label_propagation(edges, rounds=2)
+            .select(F.col("node").alias("doc_id"), "community")
+            .orderBy("doc_id"))
+
+
+@register(
+    "late_arrival_audit",
+    """
+    WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      epoch_us(ts)
+                      + (CAST(concat('0x', substr(md5(CAST(event_id
+                             AS VARCHAR) || 'delay'), 1, 15)) AS BIGINT)
+                         % 7200) * 1000000 AS arr
+               FROM events),
+    w AS (SELECT us,
+                 max(us) OVER (PARTITION BY user_id
+                     ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS seen
+          FROM o),
+    lat AS (SELECT CASE
+              WHEN seen IS NULL OR seen <= us THEN 'a_on_time'
+              WHEN seen - us < 60000000 THEN 'b_late_lt_1m'
+              WHEN seen - us < 3600000000 THEN 'c_late_lt_1h'
+              WHEN seen - us < 86400000000 THEN 'd_late_lt_24h'
+              ELSE 'e_late_ge_24h' END AS bucket
+            FROM w),
+    g AS (SELECT bucket, count(*) AS n FROM lat GROUP BY bucket),
+    t AS (SELECT sum(n) AS tot FROM g)
+    SELECT bucket, CAST(n AS BIGINT) AS n_events,
+           CAST(n * 10000 // tot AS BIGINT) AS share_bp
+    FROM g CROSS JOIN t ORDER BY bucket
+    """,
+    "Event-time LATENESS distribution — the watermark-TUNING audit "
+    "run before committing a streaming job's delay budget (the "
+    "watermark trades state size against dropped events; this "
+    "histogram IS that trade-off made visible): arrival time is "
+    "event time plus a deterministic md5-keyed network delay of up "
+    "to 2h (the fixture's storage order is already time-sorted, so "
+    "an UNMODELED arrival order would make every event on-time and "
+    "the audit vacuous — the jitter is the standard out-of-order "
+    "simulation, reproducible across engines); an event's lateness "
+    "is how far its event time lags the per-user running max "
+    "already ARRIVED, bucketed at the candidate watermark "
+    "boundaries 1m/1h/24h. share_bp of the d/e buckets is exactly "
+    "the data a 1h/24h watermark would drop. The running max is a "
+    "PARTITIONED window (one user's trail per task, the "
+    "rate_limit_audit shape) — scale-safe; the rollup is a 5-row "
+    "aggregate + one-row total attach. Exact integer micro-second "
+    "arithmetic end to end.",
+)
+def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # raw 60-bit md5 value % 7200, NOT sample_bucket (whose %10000 then
+    # %7200 double-modulo would diverge from the oracle's direct %7200)
+    delay = (F.conv(F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"),
+                       F.lit("delay"))), 1, 15), 16, 10)
+        .cast("long") % 7200)
+    o = ev.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") + delay * 1_000_000).alias("arr"))
+    w = Window.partitionBy("user_id").orderBy("arr", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    lat = o.select(
+        (F.max("us").over(w)).alias("seen"), "us"
+    ).select(
+        F.when(F.col("seen").isNull() | (F.col("seen") <= F.col("us")),
+               "a_on_time")
+        .when(F.col("seen") - F.col("us") < 60_000_000, "b_late_lt_1m")
+        .when(F.col("seen") - F.col("us") < 3_600_000_000,
+              "c_late_lt_1h")
+        .when(F.col("seen") - F.col("us") < 86_400_000_000,
+              "d_late_lt_24h")
+        .otherwise("e_late_ge_24h").alias("bucket"))
+    g = lat.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select("bucket", F.col("n").cast("long").alias("n_events"),
+                F.expr("n * 10000 div tot").cast("long")
+                 .alias("share_bp"))
+        .orderBy("bucket")
+    )
+
+
+@register(
     "preference_pair_mining",
     f"""
     WITH {_QUALITY_CTES},

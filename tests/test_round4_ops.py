@@ -405,3 +405,76 @@ def test_rate_limit_peak_python_replication(spark, sf_dir):
     assert target["peak_60m"] == best
     assert target["first_peak_epoch"] == first
     assert target["flagged"] == (best > 10)
+
+
+def test_label_propagation_python_replication(spark, sf_dir):
+    """Replay 2 synchronous mode-label rounds in pure Python over the
+    LSH pair graph — pins the tie-break, the synchronous (not
+    in-place) update, and the rounds-bounded contract."""
+    from debezium_server_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(2):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for u in nbrs:
+                cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = nxt
+    rows = CATALOG["graph_label_propagation"].spark_fn(
+        spark, sf_dir).collect()
+    got = {r["doc_id"]: r["community"] for r in rows}
+    assert got == labels
+    # communities refine (or equal) connected components: two docs in
+    # different components never share a community label... the
+    # converse (same component, different community) is the point
+    from debezium_server_spark.operators.dedup import connected_components
+    comp = {r["node"]: r["component"] for r in connected_components(
+        minhash_lsh_pairs(docs)).collect()}
+    by_community = {}
+    for v, lab in got.items():
+        by_community.setdefault(lab, set()).add(comp[v])
+    for lab, comps in by_community.items():
+        assert len(comps) == 1, "a community spans two CC components"
+
+
+def test_late_arrival_buckets_python_replication(spark, sf_dir):
+    import hashlib
+
+    rows = {r["bucket"]: r for r in
+            CATALOG["late_arrival_audit"].spark_fn(spark, sf_dir)
+            .collect()}
+    ev = (load_events(spark, sf_dir)
+          .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+          .collect())
+    per_user = {}
+    for r in ev:
+        d = int(hashlib.md5(f"{r['event_id']}delay".encode())
+                .hexdigest()[:15], 16) % 7200
+        per_user.setdefault(r["user_id"], []).append(
+            (r["us"] + d * 1_000_000, r["event_id"], r["us"]))
+    cnt = {}
+    for evs in per_user.values():
+        seen = None
+        for _, _, us in sorted(evs):
+            if seen is None or seen <= us:
+                b = "a_on_time"
+            elif seen - us < 60_000_000:
+                b = "b_late_lt_1m"
+            elif seen - us < 3_600_000_000:
+                b = "c_late_lt_1h"
+            elif seen - us < 86_400_000_000:
+                b = "d_late_lt_24h"
+            else:
+                b = "e_late_ge_24h"
+            cnt[b] = cnt.get(b, 0) + 1
+            seen = us if seen is None else max(seen, us)
+    assert {b: r["n_events"] for b, r in rows.items()} == cnt

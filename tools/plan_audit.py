@@ -129,6 +129,9 @@ WHITELIST: set[str] = {
     # onto the per-window totals for the dims-grid restore — build
     # side bounded by the type enum, never grows with data
     "stream_drift_monitor_tv",
+    # one-row grand-total frame broadcast onto the 5-row lateness-
+    # bucket aggregate (share_bp denominator) — single-row build side
+    "late_arrival_audit",
     # pairwise cosine over the POST-AGGREGATION centroid frame: both
     # sides are |sources| rows (20 here — dimension cardinality, not
     # data volume) and the |sources|^2 matrix IS the requested output,
