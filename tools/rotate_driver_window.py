@@ -76,6 +76,18 @@ NEW_THIS_ROUND = (
     "conformal_langid_coverage",
     "split_leakage_audit",
     "dedup_impact_report",
+    "cluster_split_assignment",
+    "ivm_join_delta_maintenance",
+    "tfidf_shingle_cosine_pairs",
+    "ips_offpolicy_eval",
+    "stream_drift_monitor_tv",
+    "epoch_shuffle_order",
+    "dedup_edit_distance_verify",
+    "gdpr_purge_audit",
+    "preference_pair_mining",
+    "rate_limit_audit",
+    "graph_label_propagation",
+    "late_arrival_audit",
 )
 
 

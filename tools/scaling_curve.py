@@ -83,6 +83,18 @@ QUERIES = [
     "ngram_novelty_score",
     "spearman_rank_correlation",
     "dq_expectations",
+    # round-4 block-2 additions worth a measured slope: the CC-derived
+    # cluster split (banded pairs + pointer doubling + rollup), the
+    # rare-shingle candidate cosine join, the candidate-confined
+    # Levenshtein verify, two unrolled LPA rounds, the per-user RANGE
+    # frame, the reward interval join, and the lateness running max
+    "cluster_split_assignment",
+    "tfidf_shingle_cosine_pairs",
+    "dedup_edit_distance_verify",
+    "graph_label_propagation",
+    "rate_limit_audit",
+    "ips_offpolicy_eval",
+    "late_arrival_audit",
 ]
 
 
