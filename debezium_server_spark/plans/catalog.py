@@ -14330,15 +14330,18 @@ def q_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str
                      F.col("text").alias("ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"),
                      F.col("text").alias("tb"))
-    lev = F.levenshtein("ta", "tb")
+    # ONE levenshtein evaluation per pair: the DP is the whole cost of
+    # this entry, so edit_dist materializes once and norm_bp derives
+    # from the column (two textually-different expressions defeated
+    # codegen subexpression elimination — measured ~2x).
     return (
         pairs.join(da, "doc_a").join(db, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            lev.cast("long").alias("edit_dist"),
-            F.expr("levenshtein(ta, tb) * 10000"
-                   " div greatest(length(ta), length(tb))")
-            .cast("long").alias("norm_bp"))
+        .select("doc_a", "doc_b",
+                F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+                F.greatest(F.length("ta"), F.length("tb")).alias("mx"))
+        .select("doc_a", "doc_b", "edit_dist",
+                F.expr("edit_dist * 10000 div mx").cast("long")
+                .alias("norm_bp"))
         .withColumn("near_identical", F.col("norm_bp") <= 500)
         .orderBy("doc_a", "doc_b")
     )
