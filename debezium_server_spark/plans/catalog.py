@@ -14037,6 +14037,148 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxsim_sql() -> str:
+    """Σ_i max_j (q_i · d_j) over 4 sub-vectors of 16 dims each — the
+    late-interaction MaxSim score in exact integers, generated so the
+    16 dot products stay literal SQL (no engine loop constructs)."""
+    def dot(i: int, j: int) -> str:
+        return (f"list_aggregate(list_transform(range(1, 17), "
+                f"t -> q.v[{16 * i} + t] * c.v[{16 * j} + t]), 'sum')")
+    return " + ".join(
+        "greatest(" + ", ".join(dot(i, j) for j in range(4)) + ")"
+        for i in range(4))
+
+
+@register(
+    "multivector_maxsim_topk",
+    f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS v
+               FROM embeddings),
+    s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_maxsim_sql()} AS maxsim
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 3)
+    SELECT query_id, neighbor_id, rank, CAST(maxsim AS BIGINT) AS maxsim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY maxsim DESC, neighbor_id) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+    "Late-interaction retrieval (ColBERT-style MaxSim, Khattab & "
+    "Zaharia 2020) — the family between single-vector cosine and "
+    "full cross-attention: each doc is a BAG of 4 sub-vectors (the "
+    "64-dim embedding sliced into 4x16 — standing in for per-token "
+    "vectors), and score(q,d) = sum over query sub-vectors of the "
+    "MAX dot against any doc sub-vector, so a doc scores high if "
+    "EVERY query aspect finds some matching region (single-vector "
+    "cosine averages aspects away; this is why late interaction "
+    "wins on multi-topic docs). round(x*1000) integer quantization "
+    "makes all 16 dots + 4 maxes + the sum engine-exact. Brute "
+    "force over a 3-probe broadcast (the embedding_topk whitelist "
+    "shape — the corpus side is scanned once, probes bounded); the "
+    "production scale path is IVF-bucketing the sub-vectors "
+    "(ivf_index_upsert) before MaxSim, exactly how ColBERT deploys "
+    "with an ANN first stage.",
+)
+def q_multivector_maxsim_topk(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("long")).alias("v"))
+    probes = (qz.filter(F.col("vec_id") < 3).limit(3)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qv")))
+
+    def dot(i: int, j: int):
+        return F.aggregate(
+            F.zip_with(F.slice("qv", 16 * i + 1, 16),
+                       F.slice("cv", 16 * j + 1, 16),
+                       lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    maxsim = sum(
+        (F.greatest(*[dot(i, j) for j in range(4)]) for i in range(4)),
+        start=F.lit(0).cast("long"))
+    scored = (
+        qz.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", maxsim.alias("maxsim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("maxsim").cast("long").alias("maxsim")))
+
+
+@register(
+    "stream_windowed_distinct_users",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           TRUE AS within_tol
+    FROM w
+    WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 24 HOUR
+                                   FROM events)
+    ORDER BY window_start
+    """,
+    "Streaming APPROXIMATE distinct count — the aggregate exact "
+    "COUNT(DISTINCT) cannot be in a streaming query (it needs the "
+    "full value set per window; Spark rejects it in append mode), "
+    "so the production shape is HLL-sketch approx_count_distinct "
+    "inside the watermarked window: mergeable sketch state, bytes "
+    "per window O(sketch), density-independent. The driver-checked "
+    "contract is the hll_daily_users banding trick: sketch "
+    "estimates are engine-specific, so the hash-compared columns "
+    "are the exact per-window count (computed batch-side on the "
+    "SAME sealed windows) and within_tol = |est-exact|/exact <= 5% "
+    "(HLL's default rsd; exact in sparse mode at these per-window "
+    "cardinalities) — TRUE on both sides, so a sketch regression "
+    "breaks the value hash. rsd=0.01 (HLL++ stays in its EXACT "
+    "sparse representation at per-window cardinalities; the default "
+    "0.05 measured >5% error on occasional windows). 24th streaming "
+    "entry; state shape = windows-in-flight, like the tumbling "
+    "counts family.",
+)
+def q_stream_windowed_distinct_users(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+
+    ev = load_events(spark, sf_dir).select("ts", "user_id")
+
+    def transform(s: DataFrame) -> DataFrame:
+        return (s.withWatermark("ts", "24 hours")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.approx_count_distinct("user_id", rsd=0.01)
+                     .alias("est"))
+                .select(F.col("window.start").alias("window_start"),
+                        "est"))
+
+    sealed = replay_stream(spark, ev, transform)
+    exact = (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (
+        sealed.join(exact, "window_start")
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (F.abs(F.col("est") - F.col("exact_users")) * 100
+             <= F.col("exact_users") * 5).alias("within_tol"))
+        .orderBy("window_start")
+    )
+
+
 @register(
     "graph_label_propagation",
     f"""

@@ -478,3 +478,48 @@ def test_late_arrival_buckets_python_replication(spark, sf_dir):
             cnt[b] = cnt.get(b, 0) + 1
             seen = us if seen is None else max(seen, us)
     assert {b: r["n_events"] for b, r in rows.items()} == cnt
+
+
+def test_maxsim_python_replication(spark, sf_dir):
+    """Replicate the full MaxSim top-5 of probe 0 in pure Python —
+    pins the 4x16 slicing, the integer quantization, the per-aspect
+    max, and the rank tie-break."""
+    rows = [r for r in CATALOG["multivector_maxsim_topk"].spark_fn(
+        spark, sf_dir).collect() if r["query_id"] == 0]
+    assert len(rows) == 5
+    emb = {r["vec_id"]: [round(x * 1000) for x in r["embedding"]]
+           for r in load(spark, sf_dir, "embeddings").collect()}
+
+    def maxsim(q, d):
+        return sum(
+            max(sum(q[16 * i + t] * d[16 * j + t] for t in range(16))
+                for j in range(4))
+            for i in range(4))
+
+    q = emb[0]
+    scored = sorted(((maxsim(q, d), -v) for v, d in emb.items() if v != 0),
+                    reverse=True)[:5]
+    expect = [(s, -nv) for s, nv in scored]
+    got = [(r["maxsim"], r["neighbor_id"])
+           for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == expect
+    # MaxSim dominates the single-vector dot of the same decomposition:
+    # sum_i q_i . d_i <= sum_i max_j q_i . d_j
+    for r in rows:
+        d = emb[r["neighbor_id"]]
+        flat = sum(q[t] * d[t] for t in range(64))
+        assert r["maxsim"] >= flat
+
+
+def test_stream_windowed_distinct_matches_batch(spark, sf_dir):
+    rows = CATALOG["stream_windowed_distinct_users"].spark_fn(
+        spark, sf_dir).collect()
+    assert rows
+    assert all(r["within_tol"] for r in rows)
+    # sealed-window set identical to the batch tumbling aggregate's
+    ev = load_events(spark, sf_dir)
+    exact = {r["ws"].strftime("%Y-%m-%d %H:%M:%S"): r["n"]
+             for r in ev.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in rows:
+        assert exact[r["window_start"]] == r["exact_users"]

@@ -63,6 +63,10 @@ WHITELIST: set[str] = {
     # (identical bounded pattern to embedding_topk); the MMR stage
     # itself is candidates², never corpus-quadratic
     "embedding_mmr_topk",
+    # MaxSim late interaction: the same bounded probe crossJoin as
+    # embedding_topk (3 probes, structural limit) — the corpus side is
+    # scanned once, 16 integer dots per (probe, doc)
+    "multivector_maxsim_topk",
     # composed IVF→MMR: same k-centroid broadcast BNLJ as
     # embedding_ann_ivf (16 rows) for cell assignment
     "embedding_ann_mmr",
