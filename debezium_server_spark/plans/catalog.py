@@ -14037,6 +14037,70 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    versions AS (
+      SELECT user_id, event_type AS state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM versions WHERE valid_to IS NOT NULL
+    ORDER BY user_id, valid_from, state
+    """,
+    "STREAMING SCD Type-2 builder — the 25th streaming entry and the "
+    "most CDC-native stateful family: a Debezium-style keyed change "
+    "stream folded into dimension history IN-STREAM, each closed "
+    "version emitted the moment the change that closes it is "
+    "processed. State per key is ONE (current value, valid_from) "
+    "pair — constant, not history-proportional: emitted versions are "
+    "final and never revisited, which is what makes streaming SCD2 "
+    "affordable on an unbounded feed (the batch twin scd2_user_state "
+    "re-windows ALL history every run). Correctness contract: exact "
+    "under per-key event-time order across batches (the replay "
+    "harness's time-range batching guarantees it; the "
+    "exactly_once_dedup convention); a late event that lands inside "
+    "an already-closed interval needs a batch backfill — append "
+    "semantics make that trade explicit. The OPEN version per key is "
+    "never emitted (not final until the stream ends), so the oracle "
+    "is the batch SCD2 with its is_current rows removed. No-op "
+    "updates (equal consecutive values) close nothing on either "
+    "side.",
+)
+def q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.streaming.replay import replay_stream
+    from debezium_server_spark.streaming.stateful import scd2_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id")
+    out = replay_stream(
+        spark, ev,
+        lambda s: scd2_stream(s, "user_id", "event_type"),
+    )
+    return (
+        out.select(
+            F.col("key").alias("user_id"),
+            "state",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+             .alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+             .alias("valid_to"))
+        .orderBy("user_id", "valid_from", "state")
+    )
+
+
 def _maxsim_sql() -> str:
     """Σ_i max_j (q_i · d_j) over 4 sub-vectors of 16 dims each — the
     late-interaction MaxSim score in exact integers, generated so the

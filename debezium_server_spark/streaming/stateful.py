@@ -608,3 +608,77 @@ def _duration_seconds(text: str) -> int:
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
     return int(n) * mult
+
+
+def scd2_stream(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming SCD Type-2 builder — the dimension-history operator a
+    CDC feed materializes (a Debezium upsert stream becoming a
+    time-travel table): per key, fold the change stream into validity
+    intervals and emit each CLOSED version the moment the change that
+    closes it is processed. State per key is ONE (current value,
+    valid_from) pair — constant, not history-proportional: emitted
+    versions are final and never revisited, which is what makes SCD2
+    maintenance affordable on an unbounded stream.
+
+    Ordering contract (the exactly_once_dedup/CEP convention): closed
+    rows are exact when keys see their events in event-time order
+    ACROSS batches — guaranteed by time-range replay batching (equal
+    order values never straddle a range split); WITHIN a batch rows are
+    sorted by (ts, id) here. A late event arriving after its key's
+    interval closed would belong inside history — that correction
+    requires a batch backfill (the scd2_user_state twin), not stream
+    state; the operator's append semantics make the trade explicit.
+
+    Consecutive equal values do NOT close an interval (SCD2 ignores
+    no-op updates). The OPEN (current) version per key is never
+    emitted: under append output it is not final until the stream ends.
+    Output: (key, state, valid_from, valid_to).
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cur", T.StringType()),
+        T.StructField("since_us", T.LongType()),
+    ])
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="stable")
+        cur, since_us = state.get if state.exists else (None, None)
+        out: list[tuple] = []
+        for _, row in batch.iterrows():
+            v = row[value_col]
+            t_us = int(row[ts_col].value // 1_000)  # pandas ns -> us
+            if cur is None:
+                cur, since_us = v, t_us
+            elif v != cur:
+                out.append((key[0], cur,
+                            pd.to_datetime(since_us, unit="us"),
+                            pd.to_datetime(t_us, unit="us")))
+                cur, since_us = v, t_us
+        state.update((cur, since_us))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "state", "valid_from", "valid_to"])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -523,3 +523,29 @@ def test_stream_windowed_distinct_matches_batch(spark, sf_dir):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for r in rows:
         assert exact[r["window_start"]] == r["exact_users"]
+
+
+def test_stream_scd2_state_is_constant_and_closed_only(spark, sf_dir):
+    """The streaming SCD2 contract: every emitted version is CLOSED
+    (valid_to set, and a later version exists opening at that instant
+    or the key's open version lives past it), versions per key tile
+    without overlap, and re-running the replay is deterministic."""
+    rows = CATALOG["stream_scd2_history"].spark_fn(spark, sf_dir).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        assert r["valid_to"] is not None and r["valid_from"] < r["valid_to"]
+        by_key.setdefault(r["user_id"], []).append(
+            (r["valid_from"], r["valid_to"], r["state"]))
+    for _, vs in by_key.items():
+        vs.sort()
+        for (f1, t1, s1), (f2, t2, s2) in zip(vs, vs[1:]):
+            assert t1 <= f2  # intervals tile, never overlap
+            assert s1 != s2 or t1 < f2  # a no-op close would be a bug
+    # batch replication: closed versions == batch SCD2 minus is_current
+    batch = CATALOG["scd2_user_state"].spark_fn(spark, sf_dir).collect()
+    expect = sorted((r["user_id"], r["valid_from"], r["valid_to"],
+                     r["state"]) for r in batch if not r["is_current"])
+    got = sorted((r["user_id"], r["valid_from"], r["valid_to"], r["state"])
+                 for r in rows)
+    assert got == expect
