@@ -14536,12 +14536,17 @@ def q_dedup_edit_distance_verify(spark: SparkSession, sf_dir: str
                      F.col("text").alias("ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"),
                      F.col("text").alias("tb"))
-    # ONE levenshtein evaluation per pair: the DP is the whole cost of
-    # this entry, so edit_dist materializes once and norm_bp derives
-    # from the column (two textually-different expressions defeated
-    # codegen subexpression elimination — measured ~2x).
+    # The O(len^2) DP is this entry's entire cost, and the candidate
+    # frame is BYTE-small (thousands of rows), so AQE coalesces the
+    # join output to ONE partition and the DP runs single-core
+    # (measured 7.3 s at sf0.1). Repartitioning the pair-text frame
+    # costs one tiny shuffle and buys full-width DP parallelism — the
+    # same cheap-rows/expensive-expression rationale as load()'s
+    # heavy-table repartition. edit_dist also materializes once, with
+    # norm_bp derived from the column, so each pair runs the DP once.
     return (
         pairs.join(da, "doc_a").join(db, "doc_b")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_a", "doc_b",
                 F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
                 F.greatest(F.length("ta"), F.length("tb")).alias("mx"))

@@ -88,6 +88,9 @@ NEW_THIS_ROUND = (
     "rate_limit_audit",
     "graph_label_propagation",
     "late_arrival_audit",
+    "multivector_maxsim_topk",
+    "stream_windowed_distinct_users",
+    "stream_scd2_history",
 )
 
 
