@@ -13073,6 +13073,9 @@ def _ivf_assign_sql(cols: str) -> str:
                         WHERE vec_id < 32 AND vec_id % 2 = 0),
     a AS MATERIALIZED (SELECT {cols} FROM (
         SELECT v.vec_id, v.q, c0.cell,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
+                   'sum') AS d2,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                    ORDER BY list_aggregate(list_transform(range(1, 65),
                        i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
@@ -13101,6 +13104,7 @@ def _ivf_quantized_assign(spark: SparkSession, sf_dir: str,
     out_cols = (["vec_id", F.col("m.cell").alias("cell"),
                  F.col("m.q").alias("q")] if keep_q
                 else ["vec_id", F.col("m.cell").alias("cell")])
+    out_cols.append(F.col("m.__d2").alias("d2"))
     return cents, (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__d2", d2)
@@ -14034,6 +14038,148 @@ def q_cluster_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("n_tokens * 10000 div tt").cast("long")
                  .alias("token_share_bp"))
         .orderBy("split")
+    )
+
+
+@register(
+    "embedding_outlier_audit",
+    f"""
+    WITH {_ivf_assign_sql("vec_id, cell, d2")},
+    k AS (SELECT cell, d2 // 1000000 AS d2k FROM a),
+    m AS (SELECT cell, count(*) AS n, sum(d2k) AS s, max(d2k) AS mx
+          FROM k GROUP BY cell)
+    SELECT m.cell, CAST(n AS BIGINT) AS n_vectors,
+           CAST(s // n AS BIGINT) AS mean_d2k,
+           CAST(mx * 100 // greatest(s // n, 1) AS BIGINT)
+               AS max_ratio_pct,
+           CAST((SELECT count(*) FROM k
+                 WHERE k.cell = m.cell
+                   AND k.d2k > 4 * greatest(m.s // m.n, 1)) AS BIGINT)
+               AS n_outliers
+    FROM m ORDER BY m.cell
+    """,
+    "Embedding-quality OUTLIER audit — the QA pass an embedding "
+    "pipeline runs before trusting a batch (a truncated/garbage/"
+    "wrong-model vector lands far from every centroid): each vector's "
+    "integer squared-L2 distance to its assigned IVF centroid (the "
+    "SHARED _ivf_assign_sql macro — one definition with the "
+    "upsert/refresh entries), scaled to d2k = d2 div 1e6, and per "
+    "cell: count, mean distance, max/mean ratio (pct), and the count "
+    "exceeding 4x the cell mean — the cheap ratio rule production QA "
+    "uses for a first cut (a z-score variant needs 128-bit "
+    "accumulators for sum of d2k^2; the ratio rule is exact in "
+    "plain BIGINT at any SF). Everything after the assignment is "
+    "one 16-row aggregate + a membership recount — the audit costs "
+    "one broadcast-argmin pass, same as serving.",
+)
+def q_embedding_outlier_audit(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    _, assigned = _ivf_quantized_assign(spark, sf_dir)
+    k = assigned.select(
+        "cell", F.expr("d2 div 1000000").alias("d2k")
+    ).localCheckpoint(eager=False)
+    m = k.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d2k").alias("s"),
+        F.max("d2k").alias("mx"))
+    thr = m.select(
+        "cell", "n", "s", "mx",
+        F.greatest(F.expr("s div n"), F.lit(1)).alias("mean1"))
+    out = (k.join(F.broadcast(thr), "cell")
+           .filter(F.col("d2k") > 4 * F.col("mean1"))
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("n_out")))
+    return (
+        thr.join(out, "cell", "left")
+        .select(
+            "cell", F.col("n").cast("long").alias("n_vectors"),
+            F.expr("s div n").cast("long").alias("mean_d2k"),
+            F.expr("mx * 100 div greatest(s div n, 1)").cast("long")
+             .alias("max_ratio_pct"),
+            F.coalesce("n_out", F.lit(0)).cast("long")
+             .alias("n_outliers"))
+        .orderBy("cell")
+    )
+
+
+@register(
+    "curriculum_quality_stages",
+    f"""
+    WITH {_QUALITY_CTES},
+    b AS (SELECT doc_id,
+                 CASE WHEN logit_u >= 0 THEN logit_u // 5000
+                      ELSE -((-logit_u + 4999) // 5000) END AS bucket
+          FROM q),
+    t AS (SELECT d.doc_id, b.bucket,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM documents d JOIN b ON d.doc_id = b.doc_id),
+    h AS (SELECT bucket, count(*) AS c FROM t GROUP BY bucket),
+    cum AS (SELECT bucket,
+                   coalesce(sum(c) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_prev
+            FROM h),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    st AS (SELECT bucket,
+                  CAST(least(4, 1 + (4 * cum_prev) // n_docs) AS BIGINT)
+                      AS stage
+           FROM cum CROSS JOIN n)
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(min(t.bucket) AS BIGINT) AS min_bucket,
+           CAST(max(t.bucket) AS BIGINT) AS max_bucket
+    FROM t JOIN st ON t.bucket = st.bucket
+    GROUP BY stage ORDER BY stage
+    """,
+    "Curriculum staging by quality quartile — the easy-to-hard data "
+    "ordering curriculum-learning recipes feed a trainer (stage 1 = "
+    "highest-confidence-quality quartile first; Bengio et al. 2009 "
+    "applied to corpus quality): the integer quality logit "
+    "(_QUALITY_CTES — third consumer of the shared macro) is bucketed "
+    "to a bounded value domain (floor-div 5000, sign-safe), the "
+    "quartile boundary comes from a cumulative window over the "
+    "BUCKET histogram (never a corpus-proportional rank window — the "
+    "conformal-threshold pattern), and every doc in a bucket shares "
+    "its stage, so assignment is a pure function of the logit "
+    "(epoch-stable, append-consistent). Stage shares drift from 25% "
+    "by at most one bucket's mass — the documented granularity "
+    "price. Output: per stage doc/token counts + bucket range.",
+)
+def q_curriculum_quality_stages(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    from debezium_server_spark.functions.text_functions import tokens as _tk
+    from debezium_server_spark.operators.text import quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select(
+        "doc_id",
+        F.when(F.col("logit_u") >= 0, F.expr("logit_u div 5000"))
+        .otherwise(-F.expr("(-logit_u + 4999) div 5000")).alias("bucket"))
+    t = (docs.select("doc_id",
+                     F.size(_tk(F.col("text"))).cast("long")
+                     .alias("n_toks"))
+         .join(scored, "doc_id")
+         .localCheckpoint(eager=False))
+    h = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = h.select("bucket",
+                   F.coalesce(F.sum("c").over(wcum), F.lit(0))
+                   .alias("cum_prev"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    st = (cum.crossJoin(F.broadcast(n))
+          .select("bucket",
+                  F.least(F.lit(4),
+                          1 + F.expr("(4 * cum_prev) div n_docs"))
+                  .alias("stage")))
+    return (
+        t.join(F.broadcast(st), "bucket")
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_toks").cast("long").alias("n_tokens"),
+             F.min("bucket").cast("long").alias("min_bucket"),
+             F.max("bucket").cast("long").alias("max_bucket"))
+        .orderBy("stage")
     )
 
 

@@ -549,3 +549,36 @@ def test_stream_scd2_state_is_constant_and_closed_only(spark, sf_dir):
     got = sorted((r["user_id"], r["valid_from"], r["valid_to"], r["state"])
                  for r in rows)
     assert got == expect
+
+
+def test_embedding_outlier_audit_invariants(spark, sf_dir):
+    rows = CATALOG["embedding_outlier_audit"].spark_fn(
+        spark, sf_dir).collect()
+    assert len(rows) == 16
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    for r in rows:
+        assert r["max_ratio_pct"] >= 100  # max >= mean always
+        assert 0 <= r["n_outliers"] < r["n_vectors"]
+        # outliers exist only if the max itself crosses the 4x rule
+        if r["max_ratio_pct"] <= 400:
+            assert r["n_outliers"] == 0
+        else:
+            assert r["n_outliers"] >= 1
+
+
+def test_curriculum_stages_partition_and_order(spark, sf_dir):
+    rows = CATALOG["curriculum_quality_stages"].spark_fn(
+        spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    stages = [r["stage"] for r in rows]
+    assert stages == sorted(stages) and len(set(stages)) == len(stages)
+    assert all(1 <= s <= 4 for s in stages)
+    # stages are ordered by quality bucket: ranges never interleave
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_bucket"] < b["min_bucket"]
+    # quartile shape: no stage holds more than 25% + one bucket's mass;
+    # the FIRST stage must hold at least a quarter (it absorbs the
+    # boundary bucket)
+    assert rows[0]["n_docs"] >= n_total // 4

@@ -136,6 +136,10 @@ WHITELIST: set[str] = {
     # one-row grand-total frame broadcast onto the 5-row lateness-
     # bucket aggregate (share_bp denominator) — single-row build side
     "late_arrival_audit",
+    # one-row n_docs frame crossJoined onto the bounded logit-bucket
+    # cumulative frame for the quartile boundary — single-row build
+    # side by construction (the conformal-threshold attach shape)
+    "curriculum_quality_stages",
     # pairwise cosine over the POST-AGGREGATION centroid frame: both
     # sides are |sources| rows (20 here — dimension cardinality, not
     # data volume) and the |sources|^2 matrix IS the requested output,
@@ -281,6 +285,11 @@ GLOBAL_WINDOW_WHITELIST: set[str] = {
     # at web scale), and BPE's argmax semantics NEED a total order over
     # it; the frame is orders of magnitude smaller than the corpus
     "bpe_pair_counts",
+    # cumulative window over the logit-BUCKET histogram (floor-div 5000
+    # of the bounded-by-construction quality logit — a few hundred
+    # distinct values at any SF), never over per-doc rows; the
+    # conformal-threshold pattern
+    "curriculum_quality_stages",
     # same BPE merge-rank window inside the train phase of the
     # train+encode composition
     "bpe_encode_corpus",

@@ -91,6 +91,8 @@ NEW_THIS_ROUND = (
     "multivector_maxsim_topk",
     "stream_windowed_distinct_users",
     "stream_scd2_history",
+    "embedding_outlier_audit",
+    "curriculum_quality_stages",
 )
 
 
