@@ -14114,7 +14114,7 @@ def q_embedding_outlier_audit(spark: SparkSession, sf_dir: str
           FROM documents d JOIN b ON d.doc_id = b.doc_id),
     h AS (SELECT bucket, count(*) AS c FROM t GROUP BY bucket),
     cum AS (SELECT bucket,
-                   coalesce(sum(c) OVER (ORDER BY bucket
+                   coalesce(sum(c) OVER (ORDER BY bucket DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) AS cum_prev
             FROM h),
@@ -14138,12 +14138,15 @@ def q_embedding_outlier_audit(spark: SparkSession, sf_dir: str
     "(_QUALITY_CTES — third consumer of the shared macro) is bucketed "
     "to a bounded value domain (floor-div 5000, sign-safe), the "
     "quartile boundary comes from a cumulative window over the "
-    "BUCKET histogram (never a corpus-proportional rank window — the "
-    "conformal-threshold pattern), and every doc in a bucket shares "
-    "its stage, so assignment is a pure function of the logit "
-    "(epoch-stable, append-consistent). Stage shares drift from 25% "
-    "by at most one bucket's mass — the documented granularity "
-    "price. Output: per stage doc/token counts + bucket range.",
+    "BUCKET histogram in DESCENDING bucket order — highest quality "
+    "accumulates first, so stage 1 IS the top quartile (the ascending "
+    "form inverted the curriculum; round-4 review finding) — never a "
+    "corpus-proportional rank window (the conformal-threshold "
+    "pattern), and every doc in a bucket shares its stage, so "
+    "assignment is a pure function of the logit (epoch-stable, "
+    "append-consistent). Stage shares drift from 25% by at most one "
+    "bucket's mass — the documented granularity price. Output: per "
+    "stage doc/token counts + bucket range.",
 )
 def q_curriculum_quality_stages(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
@@ -14161,7 +14164,7 @@ def q_curriculum_quality_stages(spark: SparkSession, sf_dir: str
          .join(scored, "doc_id")
          .localCheckpoint(eager=False))
     h = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("bucket").rowsBetween(
+    wcum = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, -1)
     cum = h.select("bucket",
                    F.coalesce(F.sum("c").over(wcum), F.lit(0))
@@ -14529,7 +14532,8 @@ def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "preference_pair_mining",
     f"""
     WITH {_QUALITY_CTES},
-    d AS (SELECT q.doc_id, q.logit_u, documents.source
+    d AS (SELECT q.doc_id, q.logit_u,
+                 coalesce(documents.source, '__null__') AS source
           FROM q JOIN documents USING (doc_id)),
     ch AS (SELECT source, doc_id AS chosen_id, logit_u AS lc FROM (
              SELECT *, row_number() OVER (PARTITION BY source
@@ -14564,8 +14568,15 @@ def q_preference_pair_mining(spark: SparkSession, sf_dir: str
     from debezium_server_spark.operators.text import quality_classifier
 
     docs = load(spark, sf_dir, "documents")
+    # NULL sources collapse into '__null__' (the sharding convention):
+    # NULLs survive both groupBys as a group but an equi-join on
+    # source never matches NULL = NULL, so the unlabeled group's pair
+    # would vanish silently at the ch-rj join (round-4 review finding)
     scored = (quality_classifier(docs)
-              .join(docs.select("doc_id", "source"), "doc_id"))
+              .join(docs.select(
+                  "doc_id",
+                  F.coalesce("source", F.lit("__null__")).alias("source")),
+                  "doc_id"))
     ch = (scored.groupBy("source")
           .agg(F.min(F.struct((-F.col("logit_u")).alias("neg"),
                               F.col("doc_id"))).alias("m"))

@@ -124,11 +124,22 @@ def compute_window(round_no: int) -> dict:
     window: list[str] = list(CANARIES)
     window += [n for n in NEW_THIS_ROUND
                if n in CATALOG and n not in set(window)]
+    # HARD 50-slot contract: if canaries + NEW_THIS_ROUND ever exceed
+    # WINDOW_SIZE, a negative slice below would silently append the
+    # whole pool and balloon the manifest past the driver's gate
+    # (round-4 review finding). Truncate NEW overflow explicitly
+    # (newest-listed entries are at the tail and survive next round's
+    # never-observed fill) and assert the invariant at the end.
+    if len(window) > WINDOW_SIZE:
+        print(f"WARNING: canaries+new = {len(window)} > {WINDOW_SIZE}; "
+              f"truncating NEW_THIS_ROUND overflow")
+        window = window[:WINDOW_SIZE]
     pool = [n for n in CATALOG if n not in set(window)]
     # debutantes first (never observed), then least-recently-observed;
     # catalog order inside each class keeps the schedule deterministic
     pool.sort(key=lambda n: (seen.get(n, 0), order[n]))
-    window.extend(pool[: WINDOW_SIZE - len(window)])
+    window.extend(pool[: max(0, WINDOW_SIZE - len(window))])
+    assert len(window) == min(WINDOW_SIZE, len(CATALOG)), len(window)
 
     never_before = [n for n in window if n not in seen]
     # projected first-observation round for every never-observed entry
