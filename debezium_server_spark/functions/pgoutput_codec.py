@@ -1,0 +1,387 @@
+"""Pure-Python codec for PostgreSQL's `pgoutput` logical-replication
+wire format — the byte stream a real Debezium Postgres connector
+consumes (the connector is bundled into the reference distribution at
+`debezium-server-dist/pom.xml:359-389`; its decode layer is what this
+module re-implements from the PUBLIC protocol documentation:
+PostgreSQL "Logical Replication Message Formats", protocol version 1).
+
+Like `avro_codec.py` / `protobuf_codec.py`, this ships BOTH directions:
+a decoder (the product) and an encoder twin (the test instrument). The
+encoder exists so fixtures can be generated offline and the decoder can
+be property-tested round-trip without a running PostgreSQL; golden-byte
+unit tests pin the wire layout independently against hand-assembled
+messages taken straight from the spec, so an encoder bug cannot hide a
+compensating decoder bug.
+
+Message types implemented (protocol v1, the complete data-plane set):
+
+  'B' Begin      — final LSN, commit timestamp (µs since 2000-01-01), xid
+  'M' Message    — transactional flag, LSN, prefix, content bytes
+  'C' Commit     — flags, commit LSN, end LSN, commit timestamp
+  'O' Origin     — commit LSN, origin name
+  'R' Relation   — OID, namespace, name, replica identity, column specs
+  'Y' Type       — OID, namespace, name
+  'I' Insert     — relation OID, 'N' new TupleData
+  'U' Update     — relation OID, optional 'K'/'O' old tuple, 'N' new tuple
+  'D' Delete     — relation OID, 'K' or 'O' old tuple
+  'T' Truncate   — relation count, options, relation OIDs
+
+TupleData columns are tagged 'n' (SQL NULL), 'u' (unchanged TOAST),
+'t' (text representation, length-prefixed) or 'b' (binary, ditto).
+All integers are big-endian; strings are NUL-terminated C strings;
+timestamps count microseconds from 2000-01-01 00:00:00 UTC.
+
+Scale shape: one `decode_message` call per WAL message inside an Arrow
+batch (see `sources/pgoutput_source.py`) — pure `struct` unpacking, no
+per-row Python UDF row transfer, no global state. Relation metadata is
+the only cross-message state and is extracted in a separate bounded
+pass (|tables| rows), never threaded through the data decode.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+# Microseconds between the Unix epoch and the PostgreSQL epoch
+# (2000-01-01 00:00:00 UTC) — public constant from the protocol docs.
+PG_EPOCH_OFFSET_US = 946_684_800 * 1_000_000
+
+# Text-format parsers for the common built-in type OIDs (pg_type.dat is
+# public). Anything unmapped stays a string — lossless, like the
+# reference's fallback-to-string behavior for unknown logical types.
+_BOOL_OID = 16
+PG_TYPE_PARSERS = {
+    16: lambda s: s == "t",                  # bool
+    20: int,                                  # int8
+    21: int,                                  # int2
+    23: int,                                  # int4
+    26: int,                                  # oid
+    700: float,                               # float4
+    701: float,                               # float8
+    25: str,                                  # text
+    1043: str,                                # varchar
+    1042: str,                                # bpchar
+    2950: str,                                # uuid
+    114: str,                                 # json (kept raw)
+    3802: str,                                # jsonb (kept raw)
+    1700: str,                                # numeric (kept exact as text)
+    1114: str,                                # timestamp (wall-clock text)
+    1184: str,                                # timestamptz
+    1082: str,                                # date
+}
+
+PG_TYPE_FORMATTERS = {
+    _BOOL_OID: lambda v: "t" if v else "f",
+}
+
+
+def _fmt_text(type_oid: int, v) -> str:
+    fmt = PG_TYPE_FORMATTERS.get(type_oid)
+    return fmt(v) if fmt else str(v)
+
+
+def parse_text_value(type_oid: int, text: str):
+    parser = PG_TYPE_PARSERS.get(type_oid)
+    return parser(text) if parser else text
+
+
+# ---------------------------------------------------------------- writer
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def byte1(self, ch: str):
+        self.parts.append(ch.encode("ascii"))
+
+    def int8(self, v: int):
+        self.parts.append(_struct.pack(">b", v))
+
+    def int16(self, v: int):
+        self.parts.append(_struct.pack(">h", v))
+
+    def int32(self, v: int):
+        self.parts.append(_struct.pack(">i", v))
+
+    def int64(self, v: int):
+        self.parts.append(_struct.pack(">q", v))
+
+    def cstr(self, s: str):
+        raw = s.encode("utf-8")
+        if b"\x00" in raw:
+            raise ValueError("NUL byte in pgoutput string")
+        self.parts.append(raw + b"\x00")
+
+    def raw(self, b: bytes):
+        self.parts.append(bytes(b))
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _write_tuple(w: _Writer, columns: list[tuple[str, object]]):
+    """columns: list of (tag, value); tag 'n'/'u' take value None,
+    't' takes str, 'b' takes bytes."""
+    w.int16(len(columns))
+    for tag, value in columns:
+        if tag in ("n", "u"):
+            w.byte1(tag)
+        elif tag == "t":
+            raw = str(value).encode("utf-8")
+            w.byte1("t")
+            w.int32(len(raw))
+            w.raw(raw)
+        elif tag == "b":
+            raw = bytes(value)
+            w.byte1("b")
+            w.int32(len(raw))
+            w.raw(raw)
+        else:
+            raise ValueError(f"bad tuple column tag {tag!r}")
+
+
+def encode_message(msg: dict) -> bytes:
+    """Encode one pgoutput message from its dict form (the same dict
+    shape `decode_message` returns)."""
+    kind = msg["type"]
+    w = _Writer()
+    w.byte1(kind)
+    if kind == "B":  # Begin
+        w.int64(msg["final_lsn"])
+        w.int64(msg["commit_ts_us"])
+        w.int32(msg["xid"])
+    elif kind == "M":  # logical decoding Message
+        w.int8(1 if msg.get("transactional") else 0)
+        w.int64(msg["lsn"])
+        w.cstr(msg["prefix"])
+        content = bytes(msg["content"])
+        w.int32(len(content))
+        w.raw(content)
+    elif kind == "C":  # Commit
+        w.int8(msg.get("flags", 0))
+        w.int64(msg["commit_lsn"])
+        w.int64(msg["end_lsn"])
+        w.int64(msg["commit_ts_us"])
+    elif kind == "O":  # Origin
+        w.int64(msg["origin_lsn"])
+        w.cstr(msg["origin_name"])
+    elif kind == "R":  # Relation
+        w.int32(msg["relation_oid"])
+        w.cstr(msg["namespace"])
+        w.cstr(msg["relation_name"])
+        w.byte1(msg.get("replica_identity", "d"))
+        cols = msg["columns"]
+        w.int16(len(cols))
+        for c in cols:
+            w.int8(1 if c.get("key") else 0)
+            w.cstr(c["name"])
+            w.int32(c["type_oid"])
+            w.int32(c.get("type_mod", -1))
+    elif kind == "Y":  # Type
+        w.int32(msg["type_oid"])
+        w.cstr(msg["namespace"])
+        w.cstr(msg["type_name"])
+    elif kind == "I":  # Insert
+        w.int32(msg["relation_oid"])
+        w.byte1("N")
+        _write_tuple(w, msg["new_tuple"])
+    elif kind == "U":  # Update
+        w.int32(msg["relation_oid"])
+        old = msg.get("old_tuple")
+        if old is not None:
+            w.byte1(msg.get("old_tag", "K"))
+            _write_tuple(w, old)
+        w.byte1("N")
+        _write_tuple(w, msg["new_tuple"])
+    elif kind == "D":  # Delete
+        w.int32(msg["relation_oid"])
+        w.byte1(msg.get("old_tag", "K"))
+        _write_tuple(w, msg["old_tuple"])
+    elif kind == "T":  # Truncate
+        oids = msg["relation_oids"]
+        w.int32(len(oids))
+        w.int8(msg.get("options", 0))
+        for oid in oids:
+            w.int32(oid)
+    else:
+        raise ValueError(f"unknown pgoutput message type {kind!r}")
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------- reader
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = bytes(data)
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        out = self.data[self.pos:self.pos + n]
+        if len(out) != n:
+            raise EOFError("truncated pgoutput message")
+        self.pos += n
+        return out
+
+    def byte1(self) -> str:
+        return self.take(1).decode("ascii")
+
+    def int8(self) -> int:
+        return _struct.unpack(">b", self.take(1))[0]
+
+    def int16(self) -> int:
+        return _struct.unpack(">h", self.take(2))[0]
+
+    def int32(self) -> int:
+        return _struct.unpack(">i", self.take(4))[0]
+
+    def int64(self) -> int:
+        return _struct.unpack(">q", self.take(8))[0]
+
+    def cstr(self) -> str:
+        end = self.data.index(b"\x00", self.pos)
+        out = self.data[self.pos:end].decode("utf-8")
+        self.pos = end + 1
+        return out
+
+    def done(self) -> bool:
+        return self.pos == len(self.data)
+
+
+def _read_tuple(r: _Reader) -> list[tuple[str, object]]:
+    n = r.int16()
+    cols: list[tuple[str, object]] = []
+    for _ in range(n):
+        tag = r.byte1()
+        if tag in ("n", "u"):
+            cols.append((tag, None))
+        elif tag == "t":
+            cols.append(("t", r.take(r.int32()).decode("utf-8")))
+        elif tag == "b":
+            cols.append(("b", r.take(r.int32())))
+        else:
+            raise ValueError(f"bad tuple column tag {tag!r}")
+    return cols
+
+
+def decode_message(data: bytes) -> dict:
+    """Decode one pgoutput message to a dict (inverse of
+    `encode_message`). Trailing garbage raises — a message is exactly
+    one WAL record's payload."""
+    r = _Reader(data)
+    kind = r.byte1()
+    if kind == "B":
+        out = {"type": "B", "final_lsn": r.int64(),
+               "commit_ts_us": r.int64(), "xid": r.int32()}
+    elif kind == "M":
+        out = {"type": "M", "transactional": bool(r.int8()),
+               "lsn": r.int64(), "prefix": r.cstr()}
+        out["content"] = r.take(r.int32())
+    elif kind == "C":
+        out = {"type": "C", "flags": r.int8(), "commit_lsn": r.int64(),
+               "end_lsn": r.int64(), "commit_ts_us": r.int64()}
+    elif kind == "O":
+        out = {"type": "O", "origin_lsn": r.int64(),
+               "origin_name": r.cstr()}
+    elif kind == "R":
+        out = {"type": "R", "relation_oid": r.int32(),
+               "namespace": r.cstr(), "relation_name": r.cstr(),
+               "replica_identity": r.byte1()}
+        ncols = r.int16()
+        out["columns"] = [
+            {"key": bool(r.int8()), "name": r.cstr(),
+             "type_oid": r.int32(), "type_mod": r.int32()}
+            for _ in range(ncols)
+        ]
+    elif kind == "Y":
+        out = {"type": "Y", "type_oid": r.int32(),
+               "namespace": r.cstr(), "type_name": r.cstr()}
+    elif kind == "I":
+        out = {"type": "I", "relation_oid": r.int32()}
+        tag = r.byte1()
+        if tag != "N":
+            raise ValueError(f"Insert expects 'N' tuple, got {tag!r}")
+        out["new_tuple"] = _read_tuple(r)
+    elif kind == "U":
+        out = {"type": "U", "relation_oid": r.int32()}
+        tag = r.byte1()
+        if tag in ("K", "O"):
+            out["old_tag"] = tag
+            out["old_tuple"] = _read_tuple(r)
+            tag = r.byte1()
+        if tag != "N":
+            raise ValueError(f"Update expects 'N' tuple, got {tag!r}")
+        out["new_tuple"] = _read_tuple(r)
+    elif kind == "D":
+        out = {"type": "D", "relation_oid": r.int32()}
+        tag = r.byte1()
+        if tag not in ("K", "O"):
+            raise ValueError(f"Delete expects 'K'/'O' tuple, got {tag!r}")
+        out["old_tag"] = tag
+        out["old_tuple"] = _read_tuple(r)
+    elif kind == "T":
+        n = r.int32()
+        out = {"type": "T", "options": r.int8()}
+        out["relation_oids"] = [r.int32() for _ in range(n)]
+    else:
+        raise ValueError(f"unknown pgoutput message type {kind!r}")
+    if not r.done():
+        raise ValueError(
+            f"{len(r.data) - r.pos} trailing bytes after {kind} message")
+    return out
+
+
+# ----------------------------------------------------- typed projection
+
+
+def tuple_to_dict(relation: dict, tup: list[tuple[str, object]],
+                  unchanged_marker=None) -> dict:
+    """Project a TupleData against its Relation metadata into a
+    {column: typed value} dict. 'n' → None, 'u' (unchanged TOAST) →
+    `unchanged_marker`, 't' → parsed per type OID, 'b' → raw bytes."""
+    cols = relation["columns"]
+    if len(tup) != len(cols):
+        raise ValueError(
+            f"tuple arity {len(tup)} != relation arity {len(cols)} "
+            f"for {relation['relation_name']}")
+    out = {}
+    for spec, (tag, value) in zip(cols, tup):
+        if tag == "n":
+            out[spec["name"]] = None
+        elif tag == "u":
+            out[spec["name"]] = unchanged_marker
+        elif tag == "t":
+            out[spec["name"]] = parse_text_value(spec["type_oid"], value)
+        else:  # 'b'
+            out[spec["name"]] = value
+    return out
+
+
+def dict_to_tuple(relation: dict, values: dict,
+                  key_only: bool = False) -> list[tuple[str, object]]:
+    """Encoder-twin helper: {column: value} → TupleData columns in
+    relation order. With `key_only`, non-key columns are emitted as
+    NULL — the shape of a replica-identity-default 'K' old tuple."""
+    cols: list[tuple[str, object]] = []
+    for spec in relation["columns"]:
+        if key_only and not spec.get("key"):
+            cols.append(("n", None))
+            continue
+        v = values.get(spec["name"])
+        if v is None:
+            cols.append(("n", None))
+        elif isinstance(v, (bytes, bytearray)):
+            cols.append(("b", bytes(v)))
+        else:
+            cols.append(("t", _fmt_text(spec["type_oid"], v)))
+    return cols
+
+
+def pg_ts_to_unix_us(commit_ts_us: int) -> int:
+    """pgoutput commit timestamp (µs since 2000-01-01) → Unix µs."""
+    return commit_ts_us + PG_EPOCH_OFFSET_US
+
+
+def unix_us_to_pg_ts(unix_us: int) -> int:
+    return unix_us - PG_EPOCH_OFFSET_US

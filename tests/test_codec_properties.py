@@ -110,3 +110,68 @@ def test_protobuf_round_trip_fuzz(v):
             val = {}
         expected[k] = val
     assert out == expected
+
+
+# ------------------------------------------------------------- pgoutput
+
+from debezium_server_spark.functions import pgoutput_codec  # noqa: E402
+
+# cstrings cannot carry NUL; pgoutput text values can carry anything
+# utf-8 (length-prefixed)
+_cstr = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"), max_size=30)
+_tuple_col = st.one_of(
+    st.tuples(st.just("n"), st.none()),
+    st.tuples(st.just("u"), st.none()),
+    st.tuples(st.just("t"), _text),
+    st.tuples(st.just("b"), st.binary(max_size=40)),
+)
+_tuples = st.lists(_tuple_col, min_size=0, max_size=6)
+_oid = st.integers(min_value=0, max_value=2**31 - 1)
+
+_pg_msgs = st.one_of(
+    st.builds(lambda l, t, x: {"type": "B", "final_lsn": l,
+                               "commit_ts_us": t, "xid": x},
+              _i64, _i64, _oid),
+    st.builds(lambda f, c, e, t: {"type": "C", "flags": f, "commit_lsn": c,
+                                  "end_lsn": e, "commit_ts_us": t},
+              st.integers(0, 1), _i64, _i64, _i64),
+    st.builds(lambda o, n: {"type": "O", "origin_lsn": o, "origin_name": n},
+              _i64, _cstr),
+    st.builds(lambda o, ns, n: {"type": "Y", "type_oid": o, "namespace": ns,
+                                "type_name": n}, _oid, _cstr, _cstr),
+    st.builds(lambda tr, l, p, c: {"type": "M", "transactional": tr,
+                                   "lsn": l, "prefix": p, "content": c},
+              st.booleans(), _i64, _cstr, st.binary(max_size=60)),
+    st.builds(
+        lambda o, ns, n, ri, cols: {
+            "type": "R", "relation_oid": o, "namespace": ns,
+            "relation_name": n, "replica_identity": ri,
+            "columns": [{"key": k, "name": cn, "type_oid": co,
+                         "type_mod": cm} for k, cn, co, cm in cols]},
+        _oid, _cstr, _cstr, st.sampled_from("dnfi"),
+        st.lists(st.tuples(st.booleans(), _cstr, _oid,
+                           st.integers(-1, 2**31 - 1)), max_size=5)),
+    st.builds(lambda o, t: {"type": "I", "relation_oid": o, "new_tuple": t},
+              _oid, _tuples),
+    st.builds(lambda o, t: {"type": "U", "relation_oid": o, "new_tuple": t},
+              _oid, _tuples),
+    st.builds(lambda o, tag, old, new: {"type": "U", "relation_oid": o,
+                                        "old_tag": tag, "old_tuple": old,
+                                        "new_tuple": new},
+              _oid, st.sampled_from("KO"), _tuples, _tuples),
+    st.builds(lambda o, tag, t: {"type": "D", "relation_oid": o,
+                                 "old_tag": tag, "old_tuple": t},
+              _oid, st.sampled_from("KO"), _tuples),
+    st.builds(lambda opts, oids: {"type": "T", "options": opts,
+                                  "relation_oids": oids},
+              st.integers(0, 3), st.lists(_oid, max_size=5)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_pg_msgs)
+def test_pgoutput_round_trip_fuzz(msg):
+    assert pgoutput_codec.decode_message(
+        pgoutput_codec.encode_message(msg)) == msg

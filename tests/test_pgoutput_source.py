@@ -1,0 +1,137 @@
+"""Spark surface of the pgoutput decode: WAL-message frame → envelope
+frame, including multi-table routing, transaction association via the
+Begin-interval band join, op-code direction pins, and the corrupt-
+message quarantine convention."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.pgoutput_codec import (
+    PG_EPOCH_OFFSET_US,
+    encode_message,
+)
+from debezium_server_spark.sources.pgoutput_source import (
+    decode_pgoutput_changelog,
+    extract_relations,
+    load_relation_registry,
+)
+
+REL_A = {
+    "type": "R", "relation_oid": 100, "namespace": "public",
+    "relation_name": "acct", "replica_identity": "d",
+    "columns": [
+        {"key": True, "name": "id", "type_oid": 20, "type_mod": -1},
+        {"key": False, "name": "bal", "type_oid": 20, "type_mod": -1},
+    ],
+}
+REL_B = {
+    "type": "R", "relation_oid": 200, "namespace": "sales",
+    "relation_name": "orders", "replica_identity": "d",
+    "columns": [
+        {"key": True, "name": "oid", "type_oid": 20, "type_mod": -1},
+        {"key": False, "name": "status", "type_oid": 25, "type_mod": -1},
+    ],
+}
+
+
+def _wal(spark, rows):
+    schema = T.StructType([T.StructField("seq", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    return spark.createDataFrame(
+        [(s, bytearray(encode_message(m) if isinstance(m, dict) else m))
+         for s, m in rows], schema)
+
+
+@pytest.fixture(scope="module")
+def decoded(spark):
+    rows = [
+        (1, REL_A),
+        (2, REL_B),
+        # txn 501: insert into acct, update acct — interval [10, 19]
+        (10, {"type": "B", "final_lsn": 19, "commit_ts_us": 1_000_000,
+              "xid": 501}),
+        (11, {"type": "I", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("t", "250")]}),
+        (12, {"type": "U", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("t", "175")]}),
+        (19, {"type": "C", "flags": 0, "commit_lsn": 18, "end_lsn": 19,
+              "commit_ts_us": 1_000_000}),
+        # txn 502: delete from acct (key-only), insert into orders —
+        # interval [4100, 4102]: crosses the 4096 band boundary, so the
+        # Begin must explode to two buckets for the join to find it
+        (4100, {"type": "B", "final_lsn": 4102, "commit_ts_us": 2_000_000,
+                "xid": 502}),
+        (4101, {"type": "D", "relation_oid": 100, "old_tag": "K",
+                "old_tuple": [("t", "1"), ("n", None)]}),
+        (4102, {"type": "I", "relation_oid": 200,
+                "new_tuple": [("t", "9"), ("t", "open")]}),
+        # corrupt record in the middle of the data pass ('I' tag, junk)
+        (5000, b"I\x00\x00"),
+    ]
+    return decode_pgoutput_changelog(_wal(spark, rows)).collect()
+
+
+def test_relation_registry_bounded_extract(spark):
+    msgs = _wal(spark, [(1, REL_A), (2, REL_B)])
+    rels = {r["relation_oid"]: r for r in extract_relations(msgs).collect()}
+    assert rels[100]["relation_name"] == "acct"
+    assert json.loads(rels[200]["columns_json"])[0]["name"] == "oid"
+    reg = load_relation_registry(msgs)
+    assert reg[100]["columns"][1]["name"] == "bal"
+
+
+def test_latest_relation_version_wins(spark):
+    rel_v2 = dict(REL_A, columns=REL_A["columns"]
+                  + [{"key": False, "name": "extra", "type_oid": 25,
+                      "type_mod": -1}])
+    reg = load_relation_registry(_wal(spark, [(1, REL_A), (5, rel_v2)]))
+    assert [c["name"] for c in reg[100]["columns"]] == ["id", "bal", "extra"]
+
+
+def test_op_codes_pinned(decoded):
+    # direction pin: Insert → 'c', Update → 'u', Delete → 'd'
+    # (MilvusChangeConsumer.java:133-146 dispatch)
+    by_seq = {r["seq"]: r for r in decoded}
+    assert by_seq[11]["op"] == "c"
+    assert by_seq[12]["op"] == "u"
+    assert by_seq[4101]["op"] == "d"
+
+
+def test_destinations_route_per_relation(decoded):
+    by_seq = {r["seq"]: r for r in decoded}
+    assert by_seq[11]["destination"] == "public.acct"
+    assert by_seq[4102]["destination"] == "sales.orders"
+
+
+def test_images_typed_and_key_only_delete(decoded):
+    by_seq = {r["seq"]: r for r in decoded}
+    assert json.loads(by_seq[11]["after"]) == {"id": 1, "bal": 250}
+    assert by_seq[11]["before"] is None  # insert: no old image
+    # delete: before carries ONLY the key, after is null
+    assert json.loads(by_seq[4101]["before"]) == {"id": 1, "bal": None}
+    assert by_seq[4101]["after"] is None
+
+
+def test_transaction_association_across_band_boundary(decoded):
+    by_seq = {r["seq"]: r for r in decoded}
+    assert by_seq[11]["xid"] == 501 and by_seq[12]["xid"] == 501
+    # txn 502 spans band buckets 1 and 2 (4096-wide): both rows matched
+    assert by_seq[4101]["xid"] == 502 and by_seq[4102]["xid"] == 502
+    assert by_seq[11]["ts_ms"] == (1_000_000 + PG_EPOCH_OFFSET_US) // 1000
+    assert by_seq[4102]["ts_ms"] == (2_000_000 + PG_EPOCH_OFFSET_US) // 1000
+
+
+def test_corrupt_message_quarantined_not_fatal(decoded):
+    by_seq = {r["seq"]: r for r in decoded}
+    bad = by_seq[5000]
+    assert bad["error"] and bad["destination"] is None
+    # healthy rows unaffected
+    assert sum(1 for r in decoded if r["error"] is None) == 4
+
+
+def test_envelope_row_count(decoded):
+    # 4 data messages + 1 quarantined; B/C/R rows never reach the
+    # envelope frame
+    assert len(decoded) == 5
