@@ -202,8 +202,10 @@ def attach_transactions(data: DataFrame, begins: DataFrame,
     return joined.select(
         data["seq"], "destination", "op", "before", "after", "error",
         F.col("xid"),
-        ((F.col("commit_ts_us") + F.lit(PG_EPOCH_OFFSET_US)) / 1000)
-        .cast("bigint").alias("ts_ms"),
+        # integer div (not double /): epoch-µs sums sit near 2^50 where
+        # float division is exact today but one refactor from not being
+        F.expr(f"(commit_ts_us + {PG_EPOCH_OFFSET_US}L) div 1000")
+        .alias("ts_ms"),
     )
 
 
