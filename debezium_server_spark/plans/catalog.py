@@ -15443,3 +15443,142 @@ def q_pgoutput_tx_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq").alias("last_seq"),
         F.min("ts_ms").alias("ts_ms"),
     )
+
+
+@register(
+    "multivector_maxsim_rerank",
+    f"""
+    WITH {_ivf_assign_sql("vec_id, cell")},
+    mv AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+    pc AS (SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, c0.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_aggregate(list_transform(range(1, 65),
+                       i -> (v.q[i] - c0.c[i]) * (v.q[i] - c0.c[i])),
+                       'sum'), c0.cell) AS rn
+        FROM v CROSS JOIN c0 WHERE v.vec_id < 3) WHERE rn <= 4),
+    cand AS (SELECT pc.query_id, a.vec_id AS neighbor_id
+             FROM pc JOIN a ON a.cell = pc.cell
+             WHERE a.vec_id != pc.query_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      {_maxsim_sql()} AS maxsim
+               FROM cand
+               JOIN mv q ON q.vec_id = cand.query_id
+               JOIN mv c ON c.vec_id = cand.neighbor_id),
+    brute AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_maxsim_sql()} DESC, c.vec_id) AS rk
+        FROM mv q JOIN mv c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 3) WHERE rk <= 5)
+    SELECT r.query_id, r.neighbor_id, r.rank,
+           CAST(r.maxsim AS BIGINT) AS maxsim,
+           (b.neighbor_id IS NOT NULL) AS brute_hit
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY maxsim DESC, neighbor_id) AS rank
+          FROM scored) r
+    LEFT JOIN brute b ON b.query_id = r.query_id
+                     AND b.neighbor_id = r.neighbor_id
+    WHERE r.rank <= 5
+    """,
+    "MaxSim late interaction in its PRODUCTION serving shape (round-4 "
+    "verdict #6): an ANN first stage prunes the corpus, MaxSim reranks "
+    "only the surviving pool — exactly how ColBERT deploys (Khattab & "
+    "Zaharia 2020, §3.6: ANN candidate generation, then late-"
+    "interaction rerank). Stage 1 is the persisted-centroid IVF rule "
+    "(_ivf_assign_sql, shared verbatim with ivf_index_upsert so the "
+    "cell assignment cannot desynchronize): each of the 3 bounded "
+    "probes opens its 4 nearest cells (multiprobe), candidates = "
+    "corpus vectors assigned there — corpus is scored against k=16 "
+    "centroids ONCE, then only ~P/k of it ever reaches the expensive "
+    "16-dot MaxSim. Each row also carries brute_hit — whether the "
+    "reranked neighbor is in the exhaustive-MaxSim top-5 (the recall-"
+    "vs-brute audit row; pool misses show up as FALSE and are part of "
+    "the hash, so a recall regression breaks the driver row). 100 TB "
+    "shape: the rerank cost is pool-proportional, not corpus-"
+    "proportional; the brute audit column is probe-bounded (3 probes) "
+    "and exists BECAUSE this entry is the audited twin of "
+    "multivector_maxsim_topk, not the serving path itself.",
+)
+def q_multivector_maxsim_rerank(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    cents, assigned = _ivf_quantized_assign(spark, sf_dir)
+
+    emb = load(spark, sf_dir, "embeddings")
+    q1e6 = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1_000_000).cast("long"))
+        .alias("q"))
+    mv = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("long")).alias("v"))
+
+    # stage 1: each bounded probe opens its 4 nearest persisted cells
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    probe_rank = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    pc = (q1e6.filter(F.col("vec_id") < 3).limit(3)
+          .select(F.col("vec_id").alias("query_id"), "q")
+          .crossJoin(F.broadcast(cents))
+          .withColumn("_d2", d2)
+          .withColumn("_rn", F.row_number().over(probe_rank))
+          .filter(F.col("_rn") <= 4)
+          .select("query_id", "cell"))
+
+    cand = (assigned.join(F.broadcast(pc), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+
+    def dot(i: int, j: int):
+        return F.aggregate(
+            F.zip_with(F.slice("qv", 16 * i + 1, 16),
+                       F.slice("cv", 16 * j + 1, 16),
+                       lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    maxsim = sum(
+        (F.greatest(*[dot(i, j) for j in range(4)]) for i in range(4)),
+        start=F.lit(0).cast("long"))
+
+    # stage 2: MaxSim only over the pool
+    probes_mv = (mv.filter(F.col("vec_id") < 3).limit(3)
+                 .select(F.col("vec_id").alias("query_id"),
+                         F.col("v").alias("qv")))
+    scored = (
+        cand.join(mv.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("v").alias("cv")), "neighbor_id")
+        .join(F.broadcast(probes_mv), "query_id")
+        .select("query_id", "neighbor_id", maxsim.alias("maxsim")))
+
+    # audit twin: exhaustive MaxSim top-5 (probe-bounded brute pass)
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"),
+                                               "neighbor_id")
+    brute = (
+        mv.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("v").alias("cv"))
+        .crossJoin(F.broadcast(probes_mv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", maxsim.alias("maxsim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("query_id").alias("b_query"),
+                F.col("neighbor_id").alias("b_neighbor")))
+
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .join(brute,
+              (F.col("query_id") == F.col("b_query"))
+              & (F.col("neighbor_id") == F.col("b_neighbor")),
+              "left")
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("maxsim").cast("long").alias("maxsim"),
+                F.col("b_neighbor").isNotNull().alias("brute_hit"))
+    )

@@ -67,6 +67,10 @@ WHITELIST: set[str] = {
     # embedding_topk (3 probes, structural limit) — the corpus side is
     # scanned once, 16 integer dots per (probe, doc)
     "multivector_maxsim_topk",
+    # its ANN-pool rerank twin: k=16-centroid broadcast BNLJ for cell
+    # assignment (embedding_ann_ivf shape) + the same 3-probe bounded
+    # crossJoins for probe-cell selection and the brute audit column
+    "multivector_maxsim_rerank",
     # composed IVF→MMR: same k-centroid broadcast BNLJ as
     # embedding_ann_ivf (16 rows) for cell assignment
     "embedding_ann_mmr",
