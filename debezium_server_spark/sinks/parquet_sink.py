@@ -176,15 +176,26 @@ class ParquetUpsertSink(BaseSink):
 
     def __init__(self, root_path: str, key_fields: tuple[str, ...] = ("id",),
                  order_cols: tuple[str, ...] = ("value.source.lsn", "value.ts_ms"),
-                 n_buckets: int = 16, **kwargs):
+                 n_buckets: int = 16, table_format: str = "versioned",
+                 **kwargs):
         super().__init__(**kwargs)
         self.root_path = root_path
         self.key_fields = key_fields
         self.order_cols = order_cols
         self.n_buckets = n_buckets
+        if table_format not in ("versioned", "delta"):
+            raise ValueError(f"table_format must be versioned|delta, "
+                             f"got {table_format!r}")
+        self.table_format = table_format
 
-    def _table(self, destination: str) -> VersionedParquetTable:
+    def _table(self, destination: str):
         safe = destination.replace("/", "_")
+        if self.table_format == "delta":
+            from debezium_server_spark.sinks.delta_log import DeltaLogTable
+
+            return DeltaLogTable(
+                os.path.join(self.root_path, safe), n_buckets=self.n_buckets
+            )
         return VersionedParquetTable(
             os.path.join(self.root_path, safe), n_buckets=self.n_buckets
         )

@@ -1,0 +1,175 @@
+"""Minimal Delta-protocol writer (sinks/delta_log.py): log structure
+per the public PROTOCOL.md, epoch-idempotent MERGE contract (the
+test_materialize/test_bucketed_sink contract on the swapped storage
+layer), O(touched-bucket) action counts, time travel, vacuum, and the
+put-if-absent concurrency primitive. No delta library exists in this
+container, so validation is schema-level assertion against the
+protocol (round-4 verdict #5's accepted fallback)."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from debezium_server_spark.sinks.delta_log import BUCKET_COL, DeltaLogTable
+from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+from tests.fixtures import DEST, event
+
+
+def _batch(spark, events):
+    from tests.fixtures import customers_changelog_df
+
+    return customers_changelog_df(spark, events)
+
+
+def _sink(tmp_path, n_buckets=8):
+    return ParquetUpsertSink(root_path=str(tmp_path / "state"),
+                             key_fields=("id",), n_buckets=n_buckets,
+                             table_format="delta")
+
+
+def _table(tmp_path, n_buckets=8):
+    return DeltaLogTable(str(tmp_path / "state" / DEST),
+                         n_buckets=n_buckets)
+
+
+def _commits(table):
+    return [table._read_commit(v) for v in table._versions()]
+
+
+def test_upsert_delete_state_matches_versioned_contract(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(i, "c", None, (i, f"n{i}", "x", f"{i}@x.com"), lsn=i)
+        for i in range(1, 9)
+    ]), 0)
+    sink(_batch(spark, [
+        event(1, "u", (1, "n1", "x", "1@x.com"),
+              (1, "n1b", "x", "1@x.com"), lsn=100),
+        event(2, "d", (2, "n2", "x", "2@x.com"), None, lsn=101),
+    ]), 1)
+    rows = {r["id"]: r for r in sink.read_table(spark, DEST).collect()}
+    assert len(rows) == 7 and 2 not in rows
+    assert rows[1]["first_name"] == "n1b"
+
+
+def test_version0_protocol_and_metadata_actions(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1)
+    ]), 0)
+    table = _table(tmp_path)
+    v0 = table._read_commit(0)
+    kinds = [next(iter(a)) for a in v0]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == [BUCKET_COL]
+    # schemaString is Spark/Delta schema JSON and must parse back
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "id" in schema.fieldNames() and BUCKET_COL in schema.fieldNames()
+
+    for a in v0:
+        if "add" in a:
+            add = a["add"]
+            f = os.path.join(table.path, add["path"])
+            assert os.path.isfile(f) and os.path.getsize(f) == add["size"]
+            assert add["dataChange"] is True
+            # partitionValues mirror the directory layout
+            assert add["path"].startswith(
+                f"{BUCKET_COL}={add['partitionValues'][BUCKET_COL]}/")
+
+
+def test_epoch_replay_appends_no_log_version(spark, tmp_path):
+    sink = _sink(tmp_path)
+    b0 = _batch(spark, [event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1)])
+    sink(b0, 0)
+    table = _table(tmp_path)
+    assert table.current_version() == 1 and table.last_epoch() == 0
+    sink(b0, 0)  # at-least-once replay of the committed epoch
+    assert table.current_version() == 1, "replay must be a no-op"
+    assert len(_commits(table)) == 1
+
+
+def test_commit_actions_are_touched_bucket_proportional(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(i, "c", None, (i, f"n{i}", "x", f"{i}@x.com"), lsn=i)
+        for i in range(1, 33)
+    ]), 0)
+    table = _table(tmp_path)
+    v0_adds = [a["add"]["path"] for a in table._read_commit(0) if "add" in a]
+    buckets_v0 = {p.split("/", 1)[0] for p in v0_adds}
+    assert len(buckets_v0) > 2, "seed should span several buckets"
+
+    sink(_batch(spark, [
+        event(1, "u", (1, "n1", "x", "1@x.com"),
+              (1, "n1b", "x", "1@x.com"), lsn=100),
+    ]), 1)
+    v1 = table._read_commit(1)
+    add_buckets = {a["add"]["path"].split("/", 1)[0]
+                   for a in v1 if "add" in a}
+    rm_buckets = {a["remove"]["path"].split("/", 1)[0]
+                  for a in v1 if "remove" in a}
+    # exactly the one touched bucket appears; untouched buckets are
+    # absent from the commit entirely (their files simply stay live)
+    assert len(add_buckets) == 1 and rm_buckets == add_buckets
+    live_buckets = {p.split("/", 1)[0] for p in table._live_files()}
+    assert live_buckets == buckets_v0
+
+
+def test_time_travel_reads_log_prefix(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1)
+    ]), 0)
+    sink(_batch(spark, [
+        event(1, "u", (1, "a", "b", "a@x.com"),
+              (1, "a2", "b", "a@x.com"), lsn=2),
+    ]), 1)
+    assert sink.read_table(spark, DEST).collect()[0]["first_name"] == "a2"
+    old = sink.read_table(spark, DEST, version=1)
+    assert old.collect()[0]["first_name"] == "a"
+
+
+def test_vacuum_deletes_only_dead_files(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(i, "c", None, (i, f"n{i}", "x", f"{i}@x.com"), lsn=i)
+        for i in range(1, 9)
+    ]), 0)
+    sink(_batch(spark, [
+        event(1, "u", (1, "n1", "x", "1@x.com"),
+              (1, "zz", "x", "1@x.com"), lsn=9),
+    ]), 1)
+    table = _table(tmp_path)
+    dead = table.vacuum()
+    assert dead, "the replaced bucket file should be vacuumed"
+    for rel in dead:
+        assert not os.path.exists(os.path.join(table.path, rel))
+    rows = {r["id"]: r["first_name"]
+            for r in sink.read_table(spark, DEST).collect()}
+    assert rows[1] == "zz" and len(rows) == 8
+
+
+def test_concurrent_writer_loses_put_if_absent(spark, tmp_path):
+    import pytest
+
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1)
+    ]), 0)
+    table = _table(tmp_path)
+    state = table.read(spark)  # transaction snapshot: version 1
+    # another writer commits BETWEEN our snapshot read and our commit —
+    # the optimistic-concurrency window the protocol's put-if-absent
+    # log write exists to close
+    with open(table._log_path(1), "w") as f:
+        f.write('{"commitInfo":{"operationParameters":{"epoch":99}}}\n')
+    with pytest.raises(FileExistsError):
+        table.commit(state, epoch_id=1, touched_buckets=None)
