@@ -64,35 +64,11 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    "stream_cdc_corpus_card",
-    "ivf_index_upsert",
-    "ivf_centroid_refresh",
-    "corpus_shard_assignment",
-    "corpus_shard_manifest",
-    "retrieval_mrr_ndcg_eval",
-    "holt_linear_forecast",
-    "stream_hourly_daily_rollup",
-    "embedding_power_iteration",
-    "conformal_langid_coverage",
-    "split_leakage_audit",
-    "dedup_impact_report",
-    "cluster_split_assignment",
-    "ivm_join_delta_maintenance",
-    "tfidf_shingle_cosine_pairs",
-    "ips_offpolicy_eval",
-    "stream_drift_monitor_tv",
-    "epoch_shuffle_order",
-    "dedup_edit_distance_verify",
-    "gdpr_purge_audit",
-    "preference_pair_mining",
-    "rate_limit_audit",
-    "graph_label_propagation",
-    "late_arrival_audit",
-    "multivector_maxsim_topk",
-    "stream_windowed_distinct_users",
-    "stream_scd2_history",
-    "embedding_outlier_audit",
-    "curriculum_quality_stages",
+    # round 5: additions capped at 3 (round-4 verdict #3 — let the
+    # never-observed backlog drain through the window)
+    "pgoutput_changelog_decode",
+    "pgoutput_tx_boundaries",
+    "multivector_maxsim_rerank",
 )
 
 

@@ -58,6 +58,20 @@ QUERIES = [
     # chained two-level stateful aggregation (round-4 addition): state
     # at both levels is windows-in-flight, expected slope ~0
     "stream_hourly_daily_rollup",
+    # round-5 additions (round-4 verdict #7): the two heaviest round-4
+    # replays and the composed flagship
+    # SCD2: constant per-key state (one open version per key) — state
+    # rows ∝ |keys|, which the tiled shards hold constant → slope ~0
+    "stream_scd2_history",
+    # HLL windowed distinct: windows-in-flight sketch state — rows ∝
+    # |windows|, density-independent → slope ~0
+    "stream_windowed_distinct_users",
+    # the end-to-end flagship: its durable "state" is the epoch-
+    # idempotent parquet upsert TABLE + corpus/band-index, not Spark
+    # state-store rows, so peak_state_rows reads 0 here (metrics are
+    # cleared per run — no leakage from prior entries) and WALL is the
+    # signal; table growth itself is covered by the oracle at 3 SFs
+    "stream_cdc_corpus_card",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
@@ -74,6 +88,7 @@ def main() -> int:
         for sf, d in SF_DIRS:
             samples, peak, bytes_ = [], 0, 0
             for _ in range(RUNS):
+                replay.LAST_REPLAY_METRICS.clear()  # no cross-entry leak
                 t0 = time.time()
                 qd.spark_fn(spark, d).write.format("noop").mode(
                     "overwrite").save()
