@@ -15582,3 +15582,84 @@ def q_multivector_maxsim_rerank(spark: SparkSession, sf_dir: str
                 F.col("maxsim").cast("long").alias("maxsim"),
                 F.col("b_neighbor").isNotNull().alias("brute_hit"))
     )
+
+
+@register(
+    "oplog_changelog_decode",
+    """
+    SELECT event_id AS seq,
+           'app.events' AS destination,
+           CASE event_id % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'u'
+                ELSE 'd' END AS op,
+           CASE WHEN event_id % 3 IN (1, 2)
+                THEN CAST(to_json(struct_pack(_id := event_id))
+                          AS VARCHAR)
+           END AS before,
+           CASE WHEN event_id % 3 <> 2 THEN CAST(to_json(struct_pack(
+                  _id := event_id,
+                  user_id := user_id,
+                  event_type := event_type,
+                  value_cents := CAST(floor(value*100) AS BIGINT)))
+                AS VARCHAR)
+           END AS after,
+           CAST(NULL AS VARCHAR) AS patch,
+           (1700000000 + event_id // 10) * 1000 AS ts_ms
+    FROM events
+    """,
+    "MongoDB oplog (BSON) wire-format decode, end-to-end in-engine — "
+    "the document-store sibling of pgoutput_changelog_decode: events → "
+    "encoder-twin BSON oplog entries (insert / replacement-update with "
+    "o2 key doc / delete by event_id mod 3, BSON timestamps at "
+    "1700000000 + block seconds) → product decoder → envelope frame. "
+    "One Arrow-batched pass, no registry or interval join (oplog "
+    "entries are self-contained). The BSON layout is pinned by "
+    "bsonspec.org golden vectors + 300-example fuzz, and the op-"
+    "direction/key-only-delete policies by tests/test_bson_oplog.py. "
+    "Reference anchor: the bundled MongoDB connector (SURVEY.md §2.1) "
+    "and the Milvus op dispatch (MilvusChangeConsumer.java:133-146).",
+)
+def q_oplog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from debezium_server_spark.functions.bson_codec import (
+        BsonTimestamp,
+        encode as bson_encode,
+    )
+    from debezium_server_spark.sources.oplog_source import (
+        decode_oplog_changelog,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for eid, uid, etype, cents in zip(
+                    pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                    pdf["value_cents"]):
+                eid = int(eid)
+                doc = {"_id": eid, "user_id": int(uid),
+                       "event_type": str(etype),
+                       "value_cents": int(cents)}
+                entry = {"ts": BsonTimestamp(1700000000 + eid // 10,
+                                             eid % 10),
+                         "t": 1, "v": 2, "ns": "app.events"}
+                mod = eid % 3
+                if mod == 0:
+                    entry.update(op="i", o=doc)
+                elif mod == 1:
+                    entry.update(op="u", o=doc, o2={"_id": eid})
+                else:
+                    entry.update(op="d", o={"_id": eid})
+                # dict key order: op/o/o2 appended after ns — BSON is
+                # ordered but the decoder reads by name, so layout is
+                # free; keep insertion order deterministic anyway
+                rows.append((eid, bson_encode(entry)))
+            yield pd.DataFrame(rows, columns=["seq", "data"])
+
+    wal = ev.mapInPandas(enc, "seq bigint, data binary")
+    return decode_oplog_changelog(wal).select(
+        "seq", "destination", "op", "before", "after", "patch", "ts_ms")

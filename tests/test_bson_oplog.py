@@ -1,0 +1,185 @@
+"""BSON codec + MongoDB oplog decode: golden vectors straight from
+bsonspec.org, python round-trips, hypothesis fuzz, and the Spark oplog
+envelope stage with op-direction pins and quarantine."""
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.bson_codec import (
+    BsonTimestamp,
+    ObjectId,
+    UtcDatetime,
+    decode,
+    encode,
+)
+from debezium_server_spark.sources.oplog_source import (
+    decode_oplog_changelog,
+    decode_oplog_entry,
+    doc_to_json,
+)
+
+
+# ------------------------------------------------------- golden vectors
+
+
+def test_golden_hello_world_from_bsonspec():
+    # bsonspec.org §Faq example: {"hello": "world"}
+    expect = bytes.fromhex(
+        "16000000" "02" "68656c6c6f00" "06000000" "776f726c6400" "00")
+    assert encode({"hello": "world"}) == expect
+    assert decode(expect) == {"hello": "world"}
+
+
+def test_golden_array_doc_from_bsonspec():
+    # bsonspec.org: {"BSON": ["awesome", 5.05, 1986]}
+    expect = bytes.fromhex(
+        "31000000"                  # document size
+        "04" "42534f4e00"           # array "BSON"
+        "26000000"                  # array-document size
+        "02" "3000" "08000000" "617765736f6d6500"   # "0": "awesome"
+        "01" "3100" "3333333333331440"              # "1": 5.05
+        "10" "3200" "c2070000"                      # "2": 1986
+        "00"                        # end of array document
+        "00")                       # end of document
+    assert encode({"BSON": ["awesome", 5.05, 1986]}) == expect
+    assert decode(expect) == {"BSON": ["awesome", 5.05, 1986]}
+
+
+@pytest.mark.parametrize("doc", [
+    {},
+    {"a": None, "b": True, "c": False},
+    {"i32": 7, "i32min": -(2**31), "i64": 2**31, "neg": -(2**31) - 1},
+    {"f": 2.5, "s": "héllo✓", "b": b"\x00\x01\xff"},
+    {"nested": {"x": [1, {"y": "z"}, None]}},
+    {"_id": ObjectId("5f1d3b4e9c6a4f2a8e000001")},
+    {"ts": BsonTimestamp(1700000000, 3), "at": UtcDatetime(946684800000)},
+])
+def test_round_trip(doc):
+    assert decode(encode(doc)) == doc
+
+
+def test_key_order_preserved():
+    doc = {"z": 1, "a": 2, "m": 3}
+    assert list(decode(encode(doc))) == ["z", "a", "m"]
+
+
+def test_trailing_and_truncated_rejected():
+    raw = encode({"a": 1})
+    with pytest.raises(ValueError, match="trailing"):
+        decode(raw + b"\x00")
+    with pytest.raises((EOFError, ValueError)):
+        decode(raw[:-2])
+
+
+def test_size_mismatch_rejected():
+    raw = bytearray(encode({"a": 1}))
+    raw[0] += 1  # lie about the document size
+    with pytest.raises((ValueError, EOFError)):
+        decode(bytes(raw))
+
+
+# keys: no NUL (cstring); values: arbitrary text
+_key = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=1, max_size=20)
+_scalar = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=30),
+    st.binary(max_size=30),
+    st.builds(UtcDatetime, st.integers(-(2**63), 2**63 - 1)),
+    st.builds(BsonTimestamp, st.integers(0, 2**32 - 1),
+              st.integers(0, 2**32 - 1)),
+)
+_values = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(st.lists(inner, max_size=4),
+                            st.dictionaries(_key, inner, max_size=4)),
+    max_leaves=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.dictionaries(_key, _values, max_size=6))
+def test_bson_round_trip_fuzz(doc):
+    assert decode(encode(doc)) == doc
+
+
+# ------------------------------------------------------------- oplog
+
+
+def _entry(op, ns="app.events", o=None, o2=None, sec=100):
+    e = {"ts": BsonTimestamp(sec, 1), "t": 1, "v": 2, "op": op, "ns": ns}
+    if o is not None:
+        e["o"] = o
+    if o2 is not None:
+        e["o2"] = o2
+    return e
+
+
+def test_oplog_op_direction_pins():
+    # insert → c with after; replacement update → u with after; delete
+    # → d with KEY-ONLY before and null after (completeness pin)
+    ins = decode_oplog_entry(_entry("i", o={"_id": 5, "x": 1}))
+    assert ins[1] == "c" and json.loads(ins[3]) == {"_id": 5, "x": 1}
+    upd = decode_oplog_entry(
+        _entry("u", o={"_id": 5, "x": 2}, o2={"_id": 5}))
+    assert upd[1] == "u" and json.loads(upd[3]) == {"_id": 5, "x": 2}
+    assert json.loads(upd[2]) == {"_id": 5}
+    dele = decode_oplog_entry(_entry("d", o={"_id": 5}))
+    assert dele[1] == "d" and dele[3] is None
+    assert json.loads(dele[2]) == {"_id": 5}
+
+
+def test_oplog_v2_diff_update_becomes_patch():
+    diff = {"u": {"x": 9}}
+    row = decode_oplog_entry(
+        _entry("u", o={"$v": 2, "diff": diff}, o2={"_id": 5}))
+    assert row[1] == "u" and row[3] is None
+    assert json.loads(row[4]) == diff  # patch column
+    assert json.loads(row[2]) == {"_id": 5}
+
+
+def test_oplog_noop_and_command_skipped():
+    assert decode_oplog_entry(_entry("n", o={"msg": "ping"})) is None
+    assert decode_oplog_entry(
+        _entry("c", ns="app.$cmd", o={"create": "events"})) is None
+
+
+def test_oplog_ts_ms_from_bson_timestamp():
+    row = decode_oplog_entry(_entry("i", o={"_id": 1}, sec=1700000000))
+    assert row[5] == 1700000000 * 1000
+
+
+def test_doc_to_json_wrapper_projection():
+    s = doc_to_json({"id": ObjectId("5f1d3b4e9c6a4f2a8e000001"),
+                     "at": UtcDatetime(5), "ts": BsonTimestamp(7, 2),
+                     "blob": b"\x01"})
+    assert json.loads(s) == {"id": "5f1d3b4e9c6a4f2a8e000001", "at": 5,
+                             "ts": {"t": 7, "i": 2}, "blob": "AQ=="}
+
+
+def test_oplog_spark_stage_with_quarantine(spark):
+    schema = T.StructType([T.StructField("seq", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    rows = [
+        (1, bytearray(encode(_entry("i", o={"_id": 1, "x": "a"})))),
+        (2, bytearray(encode(_entry("u", o={"_id": 1, "x": "b"},
+                                    o2={"_id": 1})))),
+        (3, bytearray(encode(_entry("n", o={"msg": "ping"})))),
+        (4, bytearray(encode(_entry("d", o={"_id": 1})))),
+        (5, bytearray(b"\x03\x00\x00")),  # corrupt
+    ]
+    out = {r["seq"]: r for r in decode_oplog_changelog(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert len(out) == 4  # noop never reaches the envelope
+    assert [out[s]["op"] for s in (1, 2, 4)] == ["c", "u", "d"]
+    assert out[1]["destination"] == "app.events"
+    assert out[4]["after"] is None
+    assert out[5]["error"] and out[5]["op"] is None

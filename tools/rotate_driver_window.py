@@ -69,6 +69,7 @@ NEW_THIS_ROUND = (
     "pgoutput_changelog_decode",
     "pgoutput_tx_boundaries",
     "multivector_maxsim_rerank",
+    "oplog_changelog_decode",
 )
 
 
