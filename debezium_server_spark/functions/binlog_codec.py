@@ -1,0 +1,343 @@
+"""Pure-Python codec for the MySQL binary log (binlog v4, ROW format) —
+the wire format the reference's bundled MySQL connector tails
+(SURVEY.md §2.1; `debezium-server-dist/pom.xml` connector set). Built
+from the PUBLIC format documentation (MySQL Internals: "Binary Log
+File Format" / dev.mysql.com replication protocol), with the encoder
+twin + golden-byte + fuzz discipline of `pgoutput_codec.py` /
+`bson_codec.py`.
+
+Events implemented (the ROW-replication data plane):
+
+  FORMAT_DESCRIPTION (0x0f)  binlog version, server version, header len
+  QUERY              (0x02)  used for BEGIN statements
+  TABLE_MAP          (0x13)  table_id → schema/table/column types+meta
+  WRITE_ROWS v2      (0x1e)  inserts: rows of (null bitmap, values)
+  UPDATE_ROWS v2     (0x1f)  updates: (before image, after image) pairs
+  DELETE_ROWS v2     (0x20)  deletes: before images
+  XID                (0x10)  transaction commit marker
+
+Common event header (19 bytes, all little-endian): timestamp(4),
+type(1), server_id(4), event_size(4), log_pos(4), flags(2). Checksums
+are not emitted (binlog_checksum=NONE — a legal, documented server
+configuration) so event payloads end where the size says.
+
+Column types supported: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
+FLOAT/DOUBLE, VARCHAR (1- or 2-byte length by max-length metadata),
+BLOB (metadata-sized length prefix). NULLs ride the per-row null
+bitmap. That is the closure of the engine's envelope frames; exotic
+types (DECIMAL packed, temporal2) stay out of scope and raise.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+MAGIC = b"\xfebin"
+
+# event type codes
+FORMAT_DESCRIPTION_EVENT = 0x0F
+QUERY_EVENT = 0x02
+TABLE_MAP_EVENT = 0x13
+WRITE_ROWS_EVENT_V2 = 0x1E
+UPDATE_ROWS_EVENT_V2 = 0x1F
+DELETE_ROWS_EVENT_V2 = 0x20
+XID_EVENT = 0x10
+
+# MYSQL_TYPE_* codes
+T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
+T_LONGLONG, T_INT24 = 8, 9
+T_VARCHAR, T_BLOB = 15, 252
+
+_INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
+
+
+def _lenenc(n: int) -> bytes:
+    if n < 0xFB:
+        return bytes((n,))
+    if n < 1 << 16:
+        return b"\xfc" + _struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + _struct.pack("<I", n)[:3]
+    return b"\xfe" + _struct.pack("<Q", n)
+
+
+def _read_lenenc(data: bytes, pos: int) -> tuple[int, int]:
+    b = data[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return _struct.unpack("<H", data[pos + 1:pos + 3])[0], pos + 3
+    if b == 0xFD:
+        return (_struct.unpack("<I", data[pos + 1:pos + 4] + b"\x00")[0],
+                pos + 4)
+    if b == 0xFE:
+        return _struct.unpack("<Q", data[pos + 1:pos + 9])[0], pos + 9
+    raise ValueError(f"bad length-encoded integer lead byte 0x{b:02x}")
+
+
+def _bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _read_bitmap(data: bytes, pos: int, n: int) -> tuple[list[bool], int]:
+    nbytes = (n + 7) // 8
+    raw = data[pos:pos + nbytes]
+    if len(raw) != nbytes:
+        raise EOFError("truncated bitmap")
+    return [bool(raw[i // 8] >> (i % 8) & 1) for i in range(n)], pos + nbytes
+
+
+# ---------------------------------------------------------- cell codec
+
+
+def _enc_value(col: dict, v) -> bytes:
+    t = col["type"]
+    if t in _INT_SIZES:
+        size = _INT_SIZES[t]
+        return int(v).to_bytes(size, "little", signed=True)
+    if t == T_FLOAT:
+        return _struct.pack("<f", float(v))
+    if t == T_DOUBLE:
+        return _struct.pack("<d", float(v))
+    if t == T_VARCHAR:
+        raw = str(v).encode("utf-8")
+        if col.get("meta", 0) > 255:
+            return _struct.pack("<H", len(raw)) + raw
+        return bytes((len(raw),)) + raw
+    if t == T_BLOB:
+        raw = bytes(v)
+        nbytes = col.get("meta", 2)
+        return len(raw).to_bytes(nbytes, "little") + raw
+    raise ValueError(f"unsupported column type {t}")
+
+
+def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
+    t = col["type"]
+    if t in _INT_SIZES:
+        size = _INT_SIZES[t]
+        return (int.from_bytes(data[pos:pos + size], "little", signed=True),
+                pos + size)
+    if t == T_FLOAT:
+        return _struct.unpack("<f", data[pos:pos + 4])[0], pos + 4
+    if t == T_DOUBLE:
+        return _struct.unpack("<d", data[pos:pos + 8])[0], pos + 8
+    if t == T_VARCHAR:
+        if col.get("meta", 0) > 255:
+            n = _struct.unpack("<H", data[pos:pos + 2])[0]
+            pos += 2
+        else:
+            n = data[pos]
+            pos += 1
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if t == T_BLOB:
+        nbytes = col.get("meta", 2)
+        n = int.from_bytes(data[pos:pos + nbytes], "little")
+        pos += nbytes
+        return data[pos:pos + n], pos + n
+    raise ValueError(f"unsupported column type {t}")
+
+
+def _enc_row(columns: list[dict], row: list) -> bytes:
+    nulls = _bitmap([v is None for v in row])
+    cells = b"".join(_enc_value(c, v)
+                     for c, v in zip(columns, row) if v is not None)
+    return nulls + cells
+
+
+def _dec_row(columns: list[dict], data: bytes, pos: int) -> tuple[list, int]:
+    nulls, pos = _read_bitmap(data, pos, len(columns))
+    row = []
+    for c, is_null in zip(columns, nulls):
+        if is_null:
+            row.append(None)
+        else:
+            v, pos = _dec_value(c, data, pos)
+            row.append(v)
+    return row, pos
+
+
+# --------------------------------------------------------------- events
+
+
+def _frame(event_type: int, body: bytes, timestamp: int, log_pos: int,
+           server_id: int = 1, flags: int = 0) -> bytes:
+    size = 19 + len(body)
+    return _struct.pack("<IBIIIH", timestamp, event_type, server_id,
+                        size, log_pos, flags) + body
+
+
+def encode_event(ev: dict) -> bytes:
+    """One event dict (the shape `decode_event` returns) → framed
+    bytes (19-byte header + body, no checksum)."""
+    kind = ev["type"]
+    ts = ev.get("timestamp", 0)
+    pos = ev.get("log_pos", 0)
+    if kind == "format_description":
+        body = (_struct.pack("<H", 4)
+                + ev.get("server_version", "8.0.0-spark").encode()
+                .ljust(50, b"\x00")[:50]
+                + _struct.pack("<I", ts) + bytes((19,)))
+        return _frame(FORMAT_DESCRIPTION_EVENT, body, ts, pos)
+    if kind == "query":  # BEGIN
+        schema = ev.get("schema", "").encode("utf-8")
+        query = ev.get("query", "BEGIN").encode("utf-8")
+        body = (_struct.pack("<IIBHH", ev.get("thread_id", 0), 0,
+                             len(schema), 0, 0)
+                + schema + b"\x00" + query)
+        return _frame(QUERY_EVENT, body, ts, pos)
+    if kind == "xid":
+        return _frame(XID_EVENT, _struct.pack("<Q", ev["xid"]), ts, pos)
+    if kind == "table_map":
+        cols = ev["columns"]
+        body = (ev["table_id"].to_bytes(6, "little")
+                + _struct.pack("<H", 0))
+        for name in (ev["schema"], ev["table"]):
+            raw = name.encode("utf-8")
+            body += bytes((len(raw),)) + raw + b"\x00"
+        body += _lenenc(len(cols))
+        body += bytes(c["type"] for c in cols)
+        meta = b""
+        for c in cols:
+            if c["type"] == T_VARCHAR:
+                meta += _struct.pack("<H", c.get("meta", 255))
+            elif c["type"] in (T_FLOAT, T_DOUBLE):
+                meta += bytes((_struct.calcsize(
+                    "<f" if c["type"] == T_FLOAT else "<d"),))
+            elif c["type"] == T_BLOB:
+                meta += bytes((c.get("meta", 2),))
+        body += _lenenc(len(meta)) + meta
+        body += _bitmap([bool(c.get("nullable", True)) for c in cols])
+        return _frame(TABLE_MAP_EVENT, body, ts, pos)
+    if kind in ("write_rows", "update_rows", "delete_rows"):
+        code = {"write_rows": WRITE_ROWS_EVENT_V2,
+                "update_rows": UPDATE_ROWS_EVENT_V2,
+                "delete_rows": DELETE_ROWS_EVENT_V2}[kind]
+        cols = ev["columns"]
+        n = len(cols)
+        body = (ev["table_id"].to_bytes(6, "little")
+                + _struct.pack("<H", 0)
+                + _struct.pack("<H", 2))  # v2 extra-data length (empty)
+        body += _lenenc(n)
+        body += _bitmap([True] * n)  # columns-present (all)
+        if kind == "update_rows":
+            body += _bitmap([True] * n)  # after-image bitmap
+            for before, after in ev["rows"]:
+                body += _enc_row(cols, before) + _enc_row(cols, after)
+        else:
+            for row in ev["rows"]:
+                body += _enc_row(cols, row)
+        return _frame(code, body, ts, pos)
+    raise ValueError(f"unknown binlog event type {kind!r}")
+
+
+def decode_event(data: bytes, columns_of=None) -> dict:
+    """Framed event bytes → dict. ROWS events need the column specs the
+    TABLE_MAP declared: pass `columns_of(table_id) -> list[colspec]`
+    (the registry closure `sources/binlog_source.py` provides)."""
+    if len(data) < 19:
+        raise EOFError("truncated binlog event header")
+    ts, etype, server_id, size, log_pos, flags = _struct.unpack(
+        "<IBIIIH", data[:19])
+    if size != len(data):
+        raise ValueError(f"event size {size} != frame length {len(data)}")
+    body = data[19:]
+    base = {"timestamp": ts, "log_pos": log_pos, "server_id": server_id}
+    if etype == FORMAT_DESCRIPTION_EVENT:
+        version = _struct.unpack("<H", body[:2])[0]
+        return {**base, "type": "format_description",
+                "binlog_version": version,
+                "server_version": body[2:52].rstrip(b"\x00").decode()}
+    if etype == QUERY_EVENT:
+        schema_len = body[8]
+        status_len = _struct.unpack("<H", body[11:13])[0]
+        p = 13 + status_len
+        schema = body[p:p + schema_len].decode("utf-8")
+        p += schema_len + 1
+        return {**base, "type": "query", "schema": schema,
+                "query": body[p:].decode("utf-8")}
+    if etype == XID_EVENT:
+        return {**base, "type": "xid",
+                "xid": _struct.unpack("<Q", body[:8])[0]}
+    if etype == TABLE_MAP_EVENT:
+        table_id = int.from_bytes(body[:6], "little")
+        p = 8
+        names = []
+        for _ in range(2):
+            n = body[p]
+            names.append(body[p + 1:p + 1 + n].decode("utf-8"))
+            p += n + 2  # length byte + name + NUL
+        ncols, p = _read_lenenc(body, p)
+        types = list(body[p:p + ncols])
+        p += ncols
+        meta_len, p = _read_lenenc(body, p)
+        meta_block = body[p:p + meta_len]
+        p += meta_len
+        cols, mp = [], 0
+        for t in types:
+            meta = 0
+            if t == T_VARCHAR:
+                meta = _struct.unpack("<H", meta_block[mp:mp + 2])[0]
+                mp += 2
+            elif t in (T_FLOAT, T_DOUBLE, T_BLOB):
+                meta = meta_block[mp]
+                mp += 1
+            cols.append({"type": t, "meta": meta})
+        nullable, p = _read_bitmap(body, p, ncols)
+        for c, nl in zip(cols, nullable):
+            c["nullable"] = nl
+        return {**base, "type": "table_map", "table_id": table_id,
+                "schema": names[0], "table": names[1], "columns": cols}
+    if etype in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
+                 DELETE_ROWS_EVENT_V2):
+        kind = {WRITE_ROWS_EVENT_V2: "write_rows",
+                UPDATE_ROWS_EVENT_V2: "update_rows",
+                DELETE_ROWS_EVENT_V2: "delete_rows"}[etype]
+        table_id = int.from_bytes(body[:6], "little")
+        extra_len = _struct.unpack("<H", body[8:10])[0]
+        p = 10 + extra_len - 2  # extra-data length includes itself
+        ncols, p = _read_lenenc(body, p)
+        present, p = _read_bitmap(body, p, ncols)
+        if not all(present):
+            raise ValueError("partial column images not supported")
+        if kind == "update_rows":
+            present2, p = _read_bitmap(body, p, ncols)
+            if not all(present2):
+                raise ValueError("partial after-images not supported")
+        if columns_of is None:
+            raise ValueError("ROWS event needs columns_of(table_id)")
+        cols = columns_of(table_id)
+        if len(cols) != ncols:
+            raise ValueError(f"TABLE_MAP arity {len(cols)} != "
+                             f"rows-event arity {ncols}")
+        rows = []
+        while p < len(body):
+            if kind == "update_rows":
+                before, p = _dec_row(cols, body, p)
+                after, p = _dec_row(cols, body, p)
+                rows.append((before, after))
+            else:
+                row, p = _dec_row(cols, body, p)
+                rows.append(row)
+        return {**base, "type": kind, "table_id": table_id, "rows": rows}
+    raise ValueError(f"unsupported binlog event type 0x{etype:02x}")
+
+
+def split_events(stream: bytes) -> list[bytes]:
+    """Split a binlog FILE byte stream (magic + events) into framed
+    event byte strings using each header's event_size."""
+    if not stream.startswith(MAGIC):
+        raise ValueError("missing binlog magic")
+    out, pos = [], len(MAGIC)
+    while pos < len(stream):
+        if pos + 19 > len(stream):
+            raise EOFError("truncated binlog event header")
+        size = _struct.unpack("<I", stream[pos + 9:pos + 13])[0]
+        if size < 19 or pos + size > len(stream):
+            raise EOFError("truncated binlog event body")
+        out.append(stream[pos:pos + size])
+        pos += size
+    return out

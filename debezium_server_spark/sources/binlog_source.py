@@ -1,0 +1,121 @@
+"""MySQL binlog (ROW format) → envelope frame, over
+`functions/binlog_codec.py` — the third real-CDC wire format next to
+`pgoutput_source.py` and `oplog_source.py`.
+
+Same three-pass shape as pgoutput, with one MySQL-specific twist: the
+binlog's TABLE_MAP events carry column TYPES but not column NAMES
+(names live in the server's schema; Debezium reconstructs them from
+its schema-history topic). The decode therefore takes a
+`names: {\"schema.table\": [column names]}` mapping — the schema-history
+hook (`operators/schema_history.py` is the engine's keeper of exactly
+this information).
+
+- Pass 1 (bounded): TABLE_MAP events → distinct table_id → column-spec
+  registry, collected and closed over (|tables|-row control frame).
+- Pass 2 (bulk, Arrow-batched): WRITE/UPDATE/DELETE_ROWS v2 events →
+  one envelope row per ROW IMAGE (a single binlog event may carry many
+  rows — the fan-out happens inside the batch, never via explode of
+  decoded structs). write→c (after only), update→u (full before AND
+  after images — binlog_row_image=FULL, MySQL's default), delete→d
+  (before only). ts_ms comes from each event's own header timestamp —
+  binlog events are self-timestamped, so no Begin-interval join is
+  needed for event time (XID/BEGIN bracketing is exercised at codec
+  level; pgoutput_changelog_decode covers distributed tx association).
+
+Malformed events follow the corrupt-line quarantine convention.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.binlog_codec import (
+    DELETE_ROWS_EVENT_V2,
+    TABLE_MAP_EVENT,
+    UPDATE_ROWS_EVENT_V2,
+    WRITE_ROWS_EVENT_V2,
+    decode_event,
+)
+
+_ENVELOPE_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType()),
+    T.StructField("row_idx", T.LongType()),
+    T.StructField("destination", T.StringType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("before", T.StringType()),
+    T.StructField("after", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+_ROWS_TYPES = (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
+               DELETE_ROWS_EVENT_V2)
+
+
+def _type_filter(codes: tuple[int, ...]):
+    """JVM-side prune on the event-type byte (header offset 4)."""
+    return F.ascii(F.col("data").substr(5, 1).cast("string")).isin(
+        list(codes))
+
+
+def load_table_registry(msgs: DataFrame) -> dict[int, dict]:
+    """Collect the distinct TABLE_MAP declarations (latest per
+    table_id wins — bounded |tables|-row control frame, the pgoutput
+    Relation-registry convention)."""
+    rows = msgs.filter(_type_filter((TABLE_MAP_EVENT,))).select(
+        "seq", "data")
+    reg: dict[int, dict] = {}
+    for r in sorted(rows.collect(), key=lambda r: r["seq"]):
+        ev = decode_event(bytes(r["data"]))
+        reg[ev["table_id"]] = ev
+    return reg
+
+
+def decode_binlog_changelog(msgs: DataFrame,
+                            names: dict[str, list[str]]) -> DataFrame:
+    """`(seq, data)` framed-event frame → envelope frame. `names` maps
+    "schema.table" → ordered column names (schema-history input)."""
+    registry = load_table_registry(msgs)
+
+    def row_json(cols: list[str], row: list) -> str:
+        return json.dumps(dict(zip(cols, row)), separators=(",", ":"))
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for seq, raw in zip(pdf["seq"], pdf["data"]):
+                seq = int(seq)
+                try:
+                    ev = decode_event(
+                        bytes(raw),
+                        columns_of=lambda tid: registry[tid]["columns"])
+                    tmap = registry[ev["table_id"]]
+                    dest = f"{tmap['schema']}.{tmap['table']}"
+                    cols = names[dest]
+                    ts_ms = ev["timestamp"] * 1000
+                    for i, r in enumerate(ev["rows"]):
+                        if ev["type"] == "write_rows":
+                            out.append((seq, i, dest, "c", None,
+                                        row_json(cols, r), ts_ms, None))
+                        elif ev["type"] == "update_rows":
+                            out.append((seq, i, dest, "u",
+                                        row_json(cols, r[0]),
+                                        row_json(cols, r[1]), ts_ms, None))
+                        else:
+                            out.append((seq, i, dest, "d",
+                                        row_json(cols, r), None,
+                                        ts_ms, None))
+                except Exception as exc:
+                    out.append((seq, 0, None, None, None, None, None,
+                                f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(out, columns=[f.name
+                                             for f in _ENVELOPE_SCHEMA])
+
+    return msgs.filter(_type_filter(_ROWS_TYPES)).mapInPandas(
+        go, _ENVELOPE_SCHEMA)

@@ -1,0 +1,194 @@
+"""MySQL binlog codec + Spark decode stage: golden bytes hand-packed
+from the public format docs, round-trips over every event type, file
+splitting, and the envelope stage with op pins, multi-row fan-out,
+full-image updates, and quarantine."""
+
+import json
+import struct
+
+import pytest
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.binlog_codec import (
+    MAGIC,
+    T_BLOB,
+    T_DOUBLE,
+    T_LONG,
+    T_LONGLONG,
+    T_TINY,
+    T_VARCHAR,
+    decode_event,
+    encode_event,
+    split_events,
+)
+from debezium_server_spark.sources.binlog_source import (
+    decode_binlog_changelog,
+    load_table_registry,
+)
+
+COLS = [
+    {"type": T_LONGLONG, "nullable": False},
+    {"type": T_VARCHAR, "meta": 64, "nullable": True},
+    {"type": T_LONG, "nullable": True},
+]
+TMAP = {"type": "table_map", "table_id": 7, "schema": "app",
+        "table": "accounts", "columns": COLS, "timestamp": 100,
+        "log_pos": 400}
+
+
+# ------------------------------------------------------- golden vectors
+
+
+def test_golden_xid_event_bytes():
+    # header: ts(4) type(1)=0x10 server_id(4) size(4)=27 log_pos(4)
+    # flags(2), body: xid as 8-byte LE
+    ev = {"type": "xid", "xid": 777, "timestamp": 100, "log_pos": 500,
+          "server_id": 1}
+    expect = struct.pack("<IBIIIH", 100, 0x10, 1, 27, 500, 0) \
+        + struct.pack("<Q", 777)
+    assert encode_event(ev) == expect
+    out = decode_event(expect)
+    assert out["type"] == "xid" and out["xid"] == 777
+    assert out["timestamp"] == 100 and out["log_pos"] == 500
+
+
+def test_golden_write_rows_layout():
+    # one row (42, "ok", NULL): post-header table_id(6)+flags(2)+
+    # extra_len(2)=2, lenenc ncols=3, present bitmap 0b111, row null
+    # bitmap 0b100, then 42 as 8B LE and "ok" as len-prefixed
+    ev = {"type": "write_rows", "table_id": 7, "columns": COLS,
+          "rows": [[42, "ok", None]], "timestamp": 1, "log_pos": 2}
+    raw = encode_event(ev)
+    body = raw[19:]
+    assert body[:6] == (7).to_bytes(6, "little")
+    assert struct.unpack("<H", body[8:10])[0] == 2  # empty v2 extra
+    assert body[10] == 3 and body[11] == 0b111
+    assert body[12] == 0b100  # third column NULL
+    assert body[13:21] == struct.pack("<q", 42)
+    assert body[21:24] == b"\x02ok"
+    out = decode_event(raw, columns_of=lambda tid: COLS)
+    assert out["rows"] == [[42, "ok", None]]
+
+
+# ---------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize("ev", [
+    {"type": "format_description", "timestamp": 5, "log_pos": 0,
+     "server_version": "8.0.0-spark"},
+    {"type": "query", "schema": "app", "query": "BEGIN",
+     "timestamp": 9, "log_pos": 10},
+    {"type": "xid", "xid": 2**63 - 1, "timestamp": 9, "log_pos": 10},
+    TMAP,
+])
+def test_round_trip_control_events(ev):
+    out = decode_event(encode_event(ev))
+    for k, v in ev.items():
+        if k == "columns":
+            assert [(c["type"], c.get("meta", 0)) for c in out[k]] == \
+                [(c["type"], c.get("meta", 0)) for c in v]
+        else:
+            assert out[k] == v
+
+
+def test_round_trip_rows_all_types():
+    cols = [{"type": T_TINY}, {"type": T_LONG}, {"type": T_LONGLONG},
+            {"type": T_DOUBLE}, {"type": T_VARCHAR, "meta": 300},
+            {"type": T_BLOB, "meta": 2}]
+    rows = [[-5, -(2**31), 2**62, 2.5, "x" * 300, b"\x00\xff"],
+            [None, None, None, None, None, None],
+            [1, 2, 3, -0.5, "héllo✓", b""]]
+    ev = {"type": "write_rows", "table_id": 9, "columns": cols,
+          "rows": rows, "timestamp": 0, "log_pos": 0}
+    out = decode_event(encode_event(ev), columns_of=lambda tid: cols)
+    assert out["rows"] == rows
+
+
+def test_round_trip_update_rows_pairs():
+    rows = [([1, "a", 5], [1, "b", 6]), ([2, None, None], [2, "z", 9])]
+    ev = {"type": "update_rows", "table_id": 7, "columns": COLS,
+          "rows": rows, "timestamp": 0, "log_pos": 0}
+    out = decode_event(encode_event(ev), columns_of=lambda tid: COLS)
+    assert out["rows"] == [(list(a), list(b)) for a, b in rows]
+
+
+def test_split_events_walks_headers():
+    evs = [encode_event({"type": "format_description", "timestamp": 1,
+                         "log_pos": 0}),
+           encode_event(TMAP),
+           encode_event({"type": "xid", "xid": 1, "timestamp": 2,
+                         "log_pos": 3})]
+    stream = MAGIC + b"".join(evs)
+    assert split_events(stream) == evs
+    with pytest.raises(ValueError, match="magic"):
+        split_events(b"nope" + evs[0])
+    with pytest.raises(EOFError):
+        split_events(stream[:-4])
+
+
+def test_size_lie_rejected():
+    raw = bytearray(encode_event({"type": "xid", "xid": 1,
+                                  "timestamp": 0, "log_pos": 0}))
+    raw[9] += 1  # inflate declared event_size
+    with pytest.raises(ValueError, match="size"):
+        decode_event(bytes(raw))
+
+
+# ----------------------------------------------------------- Spark stage
+
+
+NAMES = {"app.accounts": ["id", "name", "balance"]}
+
+
+def _wal(spark, rows):
+    schema = T.StructType([T.StructField("seq", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    return spark.createDataFrame(
+        [(s, bytearray(encode_event(e) if isinstance(e, dict) else e))
+         for s, e in rows], schema)
+
+
+def test_binlog_stage_ops_fanout_and_quarantine(spark):
+    rows = [
+        (1, TMAP),
+        (2, {"type": "query", "schema": "app", "query": "BEGIN",
+             "timestamp": 100, "log_pos": 410}),
+        # one WRITE event carrying TWO rows → two envelope rows
+        (3, {"type": "write_rows", "table_id": 7, "columns": COLS,
+             "rows": [[1, "ann", 250], [2, "bob", None]],
+             "timestamp": 100, "log_pos": 420}),
+        (4, {"type": "update_rows", "table_id": 7, "columns": COLS,
+             "rows": [([1, "ann", 250], [1, "ann", 175])],
+             "timestamp": 101, "log_pos": 430}),
+        (5, {"type": "delete_rows", "table_id": 7, "columns": COLS,
+             "rows": [[2, "bob", None]], "timestamp": 102,
+             "log_pos": 440}),
+        (6, {"type": "xid", "xid": 501, "timestamp": 102,
+             "log_pos": 450}),
+        # corrupt ROWS event (write_rows type byte, junk body)
+        (7, struct.pack("<IBIIIH", 0, 0x1E, 1, 22, 0, 0) + b"\x00" * 3),
+    ]
+    out = decode_binlog_changelog(_wal(spark, rows), NAMES).collect()
+    by = {(r["seq"], r["row_idx"]): r for r in out}
+    # control events never reach the envelope; 4 data rows + 1 error
+    assert len(out) == 5
+    assert by[(3, 0)]["op"] == "c" and by[(3, 1)]["op"] == "c"
+    assert json.loads(by[(3, 1)]["after"]) == \
+        {"id": 2, "name": "bob", "balance": None}
+    # update carries FULL before and after images (binlog_row_image)
+    u = by[(4, 0)]
+    assert u["op"] == "u"
+    assert json.loads(u["before"])["balance"] == 250
+    assert json.loads(u["after"])["balance"] == 175
+    d = by[(5, 0)]
+    assert d["op"] == "d" and d["after"] is None
+    assert json.loads(d["before"]) == {"id": 2, "name": "bob",
+                                       "balance": None}
+    assert by[(3, 0)]["ts_ms"] == 100_000 and d["ts_ms"] == 102_000
+    assert by[(7, 0)]["error"] and by[(7, 0)]["op"] is None
+
+
+def test_binlog_registry_latest_wins(spark):
+    tmap2 = dict(TMAP, columns=COLS + [{"type": T_LONG}], log_pos=900)
+    reg = load_table_registry(_wal(spark, [(1, TMAP), (9, tmap2)]))
+    assert len(reg[7]["columns"]) == 4

@@ -70,6 +70,7 @@ NEW_THIS_ROUND = (
     "pgoutput_tx_boundaries",
     "multivector_maxsim_rerank",
     "oplog_changelog_decode",
+    "binlog_changelog_decode",
 )
 
 
