@@ -64,7 +64,7 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    # round 5: additions capped at 3 (round-4 verdict #3 — let the
+    # round 5: additions capped at 5 (round-4 verdict #3 — let the
     # never-observed backlog drain through the window)
     "pgoutput_changelog_decode",
     "pgoutput_tx_boundaries",
