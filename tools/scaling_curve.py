@@ -95,6 +95,14 @@ QUERIES = [
     "rate_limit_audit",
     "ips_offpolicy_eval",
     "late_arrival_audit",
+    # round-5 additions: the three wire-format decode pipelines (codec
+    # throughput must be linear in events — encode twin + decode +
+    # band join / registry are all increment-proportional) and the
+    # IVF-pooled MaxSim rerank (pool-proportional, not corpus²)
+    "pgoutput_changelog_decode",
+    "oplog_changelog_decode",
+    "binlog_changelog_decode",
+    "multivector_maxsim_rerank",
 ]
 
 
