@@ -61,7 +61,9 @@ QUERIES = [
     # round-5 additions (round-4 verdict #7): the two heaviest round-4
     # replays and the composed flagship
     # SCD2: constant per-key state (one open version per key) — state
-    # rows ∝ |keys|, which the tiled shards hold constant → slope ~0
+    # rows ∝ |keys|, and the tiled shards OFFSET user_id per copy, so
+    # keys grow ×K → designed slope ~1 (keys-in-watermark family);
+    # measured 1.0 ✓
     "stream_scd2_history",
     # HLL windowed distinct: windows-in-flight sketch state — rows ∝
     # |windows|, density-independent → slope ~0
