@@ -41,7 +41,13 @@ COMPOSED = {"dedup_method_agreement", "ann_recall_eval",
             # composes the rare-shingle candidate pipeline with the
             # exact candidate-confined idf-cosine verify (the
             # minhash_error_audit candidates+verify shape)
-            "tfidf_shingle_cosine_pairs"}
+            "tfidf_shingle_cosine_pairs",
+            # composes the full IVF-assignment pipeline (centroids +
+            # broadcast argmin over the corpus) + the pooled MaxSim
+            # rerank + the EXHAUSTIVE brute-force audit pipeline whose
+            # membership becomes the brute_hit column (the
+            # ann_recall_eval method-vs-ground-truth shape)
+            "multivector_maxsim_rerank"}
 
 
 def test_exchange_budgets(spark):
