@@ -17,9 +17,11 @@ Events implemented (the ROW-replication data plane):
   XID                (0x10)  transaction commit marker
 
 Common event header (19 bytes, all little-endian): timestamp(4),
-type(1), server_id(4), event_size(4), log_pos(4), flags(2). Checksums
-are not emitted (binlog_checksum=NONE — a legal, documented server
-configuration) so event payloads end where the size says.
+type(1), server_id(4), event_size(4), log_pos(4), flags(2). Both
+documented checksum modes are supported: binlog_checksum=NONE (bare
+frames) and =CRC32 (`checksum=True`: a CRC32 of header+body appended,
+included in event_size, verified on decode — the modern server
+default).
 
 Column types supported: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
 FLOAT/DOUBLE, VARCHAR (1- or 2-byte length by max-length metadata),
@@ -31,6 +33,7 @@ types (DECIMAL packed, temporal2) stay out of scope and raise.
 from __future__ import annotations
 
 import struct as _struct
+import zlib
 
 MAGIC = b"\xfebin"
 
@@ -164,15 +167,25 @@ def _dec_row(columns: list[dict], data: bytes, pos: int) -> tuple[list, int]:
 
 
 def _frame(event_type: int, body: bytes, timestamp: int, log_pos: int,
-           server_id: int = 1, flags: int = 0) -> bytes:
-    size = 19 + len(body)
-    return _struct.pack("<IBIIIH", timestamp, event_type, server_id,
-                        size, log_pos, flags) + body
+           server_id: int = 1, flags: int = 0,
+           checksum: bool = False) -> bytes:
+    size = 19 + len(body) + (4 if checksum else 0)
+    out = _struct.pack("<IBIIIH", timestamp, event_type, server_id,
+                       size, log_pos, flags) + body
+    if checksum:  # CRC32 of header+body, LE, inside event_size
+        out += _struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
+    return out
 
 
-def encode_event(ev: dict) -> bytes:
+def encode_event(ev: dict, checksum: bool = False) -> bytes:
     """One event dict (the shape `decode_event` returns) → framed
-    bytes (19-byte header + body, no checksum)."""
+    bytes (19-byte header + body; `checksum=True` appends the CRC32
+    footer of binlog_checksum=CRC32, the modern server default)."""
+    if checksum:
+        bare = encode_event(ev, checksum=False)
+        return _frame(bare[4], bare[19:], ev.get("timestamp", 0),
+                      ev.get("log_pos", 0),
+                      server_id=ev.get("server_id", 1), checksum=True)
     kind = ev["type"]
     ts = ev.get("timestamp", 0)
     pos = ev.get("log_pos", 0)
@@ -234,16 +247,28 @@ def encode_event(ev: dict) -> bytes:
     raise ValueError(f"unknown binlog event type {kind!r}")
 
 
-def decode_event(data: bytes, columns_of=None) -> dict:
+def decode_event(data: bytes, columns_of=None,
+                 checksum: bool = False) -> dict:
     """Framed event bytes → dict. ROWS events need the column specs the
     TABLE_MAP declared: pass `columns_of(table_id) -> list[colspec]`
-    (the registry closure `sources/binlog_source.py` provides)."""
+    (the registry closure `sources/binlog_source.py` provides).
+    `checksum=True` verifies and strips the CRC32 footer."""
     if len(data) < 19:
         raise EOFError("truncated binlog event header")
     ts, etype, server_id, size, log_pos, flags = _struct.unpack(
         "<IBIIIH", data[:19])
     if size != len(data):
         raise ValueError(f"event size {size} != frame length {len(data)}")
+    if checksum:
+        if len(data) < 23:
+            raise EOFError("truncated checksummed binlog event")
+        (want,) = _struct.unpack("<I", data[-4:])
+        got = zlib.crc32(data[:-4]) & 0xFFFFFFFF
+        if want != got:
+            raise ValueError(
+                f"binlog CRC32 mismatch: frame {want:#010x} != "
+                f"computed {got:#010x}")
+        data = data[:-4]
     body = data[19:]
     base = {"timestamp": ts, "log_pos": log_pos, "server_id": server_id}
     if etype == FORMAT_DESCRIPTION_EVENT:

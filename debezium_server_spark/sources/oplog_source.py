@@ -22,7 +22,11 @@ Op mapping (the MilvusChangeConsumer.java:133-146 dispatch):
   'd' delete  → d, before = o (the _id document — key-only, Mongo's
                 replica-identity analog)
   'n'/'c' (noop/command) never reach the envelope (heartbeat-skip
-  convention, operators/envelope.py)
+  convention, operators/envelope.py) — EXCEPT the `applyOps` command,
+  MongoDB's multi-document transaction commit: its nested ops unfold
+  into ordinary envelope rows (sub-index in `row_idx`), each inheriting
+  the wrapper's commit timestamp — the same one-commit-many-rows shape
+  as a binlog ROWS event.
 
 Malformed entries follow the corrupt-line quarantine convention.
 """
@@ -48,6 +52,7 @@ _OP_OF = {"i": "c", "u": "u", "d": "d"}
 
 _ENVELOPE_SCHEMA = T.StructType([
     T.StructField("seq", T.LongType()),
+    T.StructField("row_idx", T.LongType()),
     T.StructField("destination", T.StringType()),
     T.StructField("op", T.StringType()),
     T.StructField("before", T.StringType()),
@@ -80,16 +85,20 @@ def doc_to_json(doc: dict) -> str:
     return json.dumps(_jsonable(doc), separators=(",", ":"))
 
 
-def decode_oplog_entry(entry: dict) -> tuple | None:
+def decode_oplog_entry(entry: dict, ts_ms: int | None = None
+                       ) -> tuple | None:
     """One decoded oplog document → (destination, op, before, after,
     patch, ts_ms), or None for entries that never reach the envelope
-    (noops, commands)."""
+    (noops, non-applyOps commands). `ts_ms` overrides the in-entry
+    timestamp for nested applyOps members (which carry none)."""
     op = entry["op"]
     if op not in _OP_OF:
         return None
     ns = entry["ns"]
-    ts = entry["ts"]
-    ts_ms = ts.seconds * 1000 if isinstance(ts, BsonTimestamp) else int(ts)
+    if ts_ms is None:
+        ts = entry["ts"]
+        ts_ms = (ts.seconds * 1000 if isinstance(ts, BsonTimestamp)
+                 else int(ts))
     o = entry.get("o") or {}
     before = after = patch = None
     if op == "i":
@@ -106,6 +115,29 @@ def decode_oplog_entry(entry: dict) -> tuple | None:
     return (ns, _OP_OF[op], before, after, patch, ts_ms)
 
 
+def decode_oplog_rows(entry: dict) -> list[tuple]:
+    """One decoded oplog document → envelope rows. Ordinary i/u/d give
+    one row; an `applyOps` command (multi-document transaction commit)
+    unfolds its nested ops in order, each inheriting the wrapper's
+    commit timestamp. Everything else gives no rows."""
+    if entry["op"] == "c":
+        o = entry.get("o") or {}
+        ops = o.get("applyOps")
+        if isinstance(ops, list):
+            ts = entry["ts"]
+            ts_ms = (ts.seconds * 1000
+                     if isinstance(ts, BsonTimestamp) else int(ts))
+            out = []
+            for nested in ops:
+                row = decode_oplog_entry(nested, ts_ms=ts_ms)
+                if row is not None:
+                    out.append(row)
+            return out
+        return []
+    row = decode_oplog_entry(entry)
+    return [row] if row is not None else []
+
+
 def decode_oplog_changelog(msgs: DataFrame) -> DataFrame:
     """`(seq, data)` BSON oplog frame → envelope frame. One
     Arrow-batched pass; corrupt entries land on `error`."""
@@ -116,12 +148,12 @@ def decode_oplog_changelog(msgs: DataFrame) -> DataFrame:
             for seq, raw in zip(pdf["seq"], pdf["data"]):
                 seq = int(seq)
                 try:
-                    row = decode_oplog_entry(decode(bytes(raw)))
-                    if row is not None:
-                        out.append((seq, *row, None))
+                    for i, row in enumerate(
+                            decode_oplog_rows(decode(bytes(raw)))):
+                        out.append((seq, i, *row, None))
                 except Exception as exc:
-                    out.append((seq, None, None, None, None, None, None,
-                                f"{type(exc).__name__}: {exc}"))
+                    out.append((seq, 0, None, None, None, None, None,
+                                None, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(out, columns=[f.name
                                              for f in _ENVELOPE_SCHEMA])
 

@@ -52,7 +52,9 @@ from debezium_server_spark.functions.pgoutput_codec import (
 )
 
 # op codes per the envelope contract (Envelope.FieldName dispatch at
-# FlussChangeConsumer.java:188-193): Insert → c, Update → u, Delete → d.
+# FlussChangeConsumer.java:188-193): Insert → c, Update → u, Delete → d;
+# Truncate → t (Debezium's truncate event — no row images, one event
+# per affected table; sinks without truncate support skip op='t').
 _OP_OF = {"I": "c", "U": "u", "D": "d"}
 
 _TAG = {k: str(ord(k)) for k in "RBICUDTM"}
@@ -144,6 +146,15 @@ def decode_data_messages(msgs: DataFrame, registry: dict[int, dict]) -> DataFram
                 seq = int(seq)
                 try:
                     m = decode_message(bytes(raw))
+                    if m["type"] == "T":
+                        # one op='t' envelope row per affected table,
+                        # no row images (the Debezium truncate event)
+                        for oid in m["relation_oids"]:
+                            rel = registry[oid]
+                            dest = (f"{rel['namespace']}"
+                                    f".{rel['relation_name']}")
+                            out.append((seq, dest, "t", None, None, None))
+                        continue
                     rel = registry[m["relation_oid"]]
                     dest = f"{rel['namespace']}.{rel['relation_name']}"
                     op = _OP_OF[m["type"]]
@@ -157,7 +168,7 @@ def decode_data_messages(msgs: DataFrame, registry: dict[int, dict]) -> DataFram
                                 f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(out, columns=[f.name for f in _ENVELOPE_SCHEMA])
 
-    return msgs.filter(_tag_filter("IUD")).mapInPandas(go, _ENVELOPE_SCHEMA)
+    return msgs.filter(_tag_filter("IUDT")).mapInPandas(go, _ENVELOPE_SCHEMA)
 
 
 def load_relation_registry(msgs: DataFrame) -> dict[int, dict]:

@@ -192,3 +192,38 @@ def test_binlog_registry_latest_wins(spark):
     tmap2 = dict(TMAP, columns=COLS + [{"type": T_LONG}], log_pos=900)
     reg = load_table_registry(_wal(spark, [(1, TMAP), (9, tmap2)]))
     assert len(reg[7]["columns"]) == 4
+
+
+def test_crc32_checksummed_frames_round_trip_and_verify():
+    import struct as _s
+    import zlib
+
+    ev = {"type": "xid", "xid": 777, "timestamp": 100, "log_pos": 500}
+    framed = encode_event(ev, checksum=True)
+    bare = encode_event(ev)
+    # event_size includes the 4-byte footer; footer is CRC32 of the
+    # rest of the frame (header+body) — the documented CRC32 mode
+    assert len(framed) == len(bare) + 4
+    assert _s.unpack("<I", framed[9:13])[0] == len(framed)
+    assert _s.unpack("<I", framed[-4:])[0] == \
+        zlib.crc32(framed[:-4]) & 0xFFFFFFFF
+    out = decode_event(framed, checksum=True)
+    assert out["xid"] == 777 and out["log_pos"] == 500
+
+    corrupted = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_event(corrupted, checksum=True)
+    # a flipped BODY byte is also caught (not just a damaged footer)
+    body_bad = bytearray(framed)
+    body_bad[20] ^= 0x01
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        decode_event(bytes(body_bad), checksum=True)
+
+
+def test_crc32_rows_event_decodes_after_strip():
+    ev = {"type": "write_rows", "table_id": 7, "columns": COLS,
+          "rows": [[1, "a", 2]], "timestamp": 0, "log_pos": 0}
+    framed = encode_event(ev, checksum=True)
+    out = decode_event(framed, columns_of=lambda tid: COLS,
+                       checksum=True)
+    assert out["rows"] == [[1, "a", 2]]

@@ -183,3 +183,39 @@ def test_oplog_spark_stage_with_quarantine(spark):
     assert out[1]["destination"] == "app.events"
     assert out[4]["after"] is None
     assert out[5]["error"] and out[5]["op"] is None
+
+
+def test_apply_ops_transaction_unfolds():
+    from debezium_server_spark.sources.oplog_source import decode_oplog_rows
+
+    txn = _entry("c", ns="admin.$cmd", sec=1234, o={"applyOps": [
+        {"op": "i", "ns": "app.events", "o": {"_id": 1, "x": "a"}},
+        {"op": "u", "ns": "app.other", "o": {"_id": 2, "x": "b"},
+         "o2": {"_id": 2}},
+        {"op": "d", "ns": "app.events", "o": {"_id": 3}},
+    ]})
+    rows = decode_oplog_rows(txn)
+    assert [(r[0], r[1]) for r in rows] == [
+        ("app.events", "c"), ("app.other", "u"), ("app.events", "d")]
+    # nested ops carry no ts: all inherit the wrapper's commit second
+    assert {r[5] for r in rows} == {1234 * 1000}
+    # a non-applyOps command still never reaches the envelope
+    assert decode_oplog_rows(
+        _entry("c", ns="app.$cmd", o={"create": "events"})) == []
+
+
+def test_apply_ops_through_spark_stage(spark):
+    from debezium_server_spark.sources.oplog_source import (
+        decode_oplog_changelog,
+    )
+
+    txn = _entry("c", ns="admin.$cmd", sec=99, o={"applyOps": [
+        {"op": "i", "ns": "app.events", "o": {"_id": 1}},
+        {"op": "i", "ns": "app.events", "o": {"_id": 2}},
+    ]})
+    schema = T.StructType([T.StructField("seq", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    out = decode_oplog_changelog(spark.createDataFrame(
+        [(7, bytearray(encode(txn)))], schema)).collect()
+    assert [(r["seq"], r["row_idx"], r["op"]) for r in out] == [
+        (7, 0, "c"), (7, 1, "c")]

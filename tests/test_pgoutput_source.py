@@ -135,3 +135,78 @@ def test_envelope_row_count(decoded):
     # 4 data messages + 1 quarantined; B/C/R rows never reach the
     # envelope frame
     assert len(decoded) == 5
+
+
+def test_truncate_routes_one_row_per_table(spark):
+    rows = [
+        (1, REL_A), (2, REL_B),
+        (10, {"type": "B", "final_lsn": 12, "commit_ts_us": 5, "xid": 9}),
+        (11, {"type": "T", "options": 0, "relation_oids": [100, 200]}),
+    ]
+    out = decode_pgoutput_changelog(_wal(spark, rows)).collect()
+    ts = sorted((r["destination"], r["op"]) for r in out)
+    assert ts == [("public.acct", "t"), ("sales.orders", "t")]
+    assert all(r["before"] is None and r["after"] is None for r in out)
+    assert all(r["xid"] == 9 for r in out)  # truncate rides its txn
+
+
+def test_pgoutput_streaming_pipeline_to_upsert_state(spark, tmp_path):
+    """The wire format as a STREAMING source: WAL-message parquet files
+    → decode stage (registry closed over — the streaming shape, since
+    a stream cannot collect) → typed envelope → Pipeline →
+    ParquetUpsertSink → materialized latest-wins state. This is the
+    reference's whole job on one real wire format."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+    from debezium_server_spark.sources.pgoutput_source import (
+        decode_data_messages,
+    )
+    from debezium_server_spark.streaming.pipeline import Pipeline
+
+    msgs = [
+        (1, REL_A),
+        (11, {"type": "I", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("t", "100")]}),
+        (12, {"type": "I", "relation_oid": 100,
+              "new_tuple": [("t", "2"), ("t", "200")]}),
+        (13, {"type": "U", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("t", "150")]}),
+        (14, {"type": "D", "relation_oid": 100, "old_tag": "K",
+              "old_tuple": [("t", "2"), ("n", None)]}),
+    ]
+    batch = _wal(spark, msgs)
+    registry = load_relation_registry(batch)
+
+    src = str(tmp_path / "wal")
+    batch.write.parquet(src)
+    stream = (spark.readStream.schema("seq long, data binary")
+              .parquet(src))
+
+    env = decode_data_messages(stream, registry).filter(
+        "error is null")
+    row_id = F.get_json_object(
+        F.coalesce("after", "before"), "$.id").cast("long")
+    typed = env.select(
+        F.col("destination"),
+        F.struct(row_id.alias("id")).alias("key"),
+        F.struct(
+            F.col("op"),
+            F.when(
+                F.col("after").isNotNull(),
+                F.struct(
+                    F.get_json_object("after", "$.id").cast("long")
+                     .alias("id"),
+                    F.get_json_object("after", "$.bal").cast("long")
+                     .alias("bal"))).alias("after"),
+            F.struct(F.col("seq").alias("lsn")).alias("source"),
+            F.col("seq").alias("ts_ms")).alias("value"))
+
+    sink = ParquetUpsertSink(root_path=str(tmp_path / "state"),
+                             key_fields=("id",))
+    q = Pipeline(typed).start(sink, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(120)
+
+    state = {r["id"]: r["bal"]
+             for r in sink.read_table(spark, "public.acct").collect()}
+    assert state == {1: 150}  # update won, delete removed key 2
