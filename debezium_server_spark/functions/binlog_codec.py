@@ -25,9 +25,14 @@ default).
 
 Column types supported: TINY/SHORT/INT24/LONG/LONGLONG (signed LE),
 FLOAT/DOUBLE, VARCHAR (1- or 2-byte length by max-length metadata),
-BLOB (metadata-sized length prefix). NULLs ride the per-row null
-bitmap. That is the closure of the engine's envelope frames; exotic
-types (DECIMAL packed, temporal2) stay out of scope and raise.
+BLOB (metadata-sized length prefix), DATE (bit-packed 3 bytes),
+NEWDECIMAL (the packed base-10^9 format — groups of 9 digits in 4
+big-endian bytes, partial leading groups in fewer, sign bit XORed
+into the first byte, negative values stored complemented; decoded to
+an EXACT decimal string, never a float), and the -2 temporals
+DATETIME2 / TIMESTAMP2 / TIME2 (bit-packed big-endian with
+metadata-driven fractional-second bytes). NULLs ride the per-row null
+bitmap. Remaining exotica (ENUM/SET/GEOMETRY/JSON binary) raise.
 """
 
 from __future__ import annotations
@@ -49,9 +54,105 @@ XID_EVENT = 0x10
 # MYSQL_TYPE_* codes
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
 T_LONGLONG, T_INT24 = 8, 9
+T_DATE = 10
+T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_NEWDECIMAL = 246
 T_VARCHAR, T_BLOB = 15, 252
 
 _INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
+
+# ------------------------------------------------- NEWDECIMAL packing
+# Base-10^9 groups: 9 decimal digits per 4 big-endian bytes; a partial
+# leading/trailing group uses the fewest bytes that hold it. The first
+# byte's MSB is the sign (1 = non-negative after the XOR) and negative
+# values are stored as the bitwise complement of the positive image.
+
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _dec_digits_to_bytes(digits: str, width: int) -> bytes:
+    """Left-zero-padded digit string → big-endian packed groups."""
+    digits = digits.rjust(width, "0")
+    lead = width % 9
+    out = b""
+    if lead:
+        out += int(digits[:lead] or "0").to_bytes(_DIG2BYTES[lead], "big")
+    for i in range(lead, width, 9):
+        out += int(digits[i:i + 9]).to_bytes(4, "big")
+    return out
+
+
+def _dec_bytes_to_digits(data: bytes, pos: int, width: int) -> tuple[str, int]:
+    lead = width % 9
+    digits = ""
+    if lead:
+        n = _DIG2BYTES[lead]
+        digits += str(int.from_bytes(data[pos:pos + n], "big")).rjust(lead, "0")
+        pos += n
+    for _ in range(width // 9):
+        digits += str(int.from_bytes(data[pos:pos + 4], "big")).rjust(9, "0")
+        pos += 4
+    return digits, pos
+
+
+def encode_newdecimal(value: str, precision: int, scale: int) -> bytes:
+    """Exact decimal string ('-1234567890.1234') → wire bytes."""
+    s = str(value).strip()
+    neg = s.startswith("-")
+    s = s.lstrip("+-")
+    intpart, _, frac = s.partition(".")
+    intpart = (intpart or "0").lstrip("0") or "0"
+    frac = (frac + "0" * scale)[:scale]
+    int_width = precision - scale
+    if len(intpart) > int_width and intpart != "0":
+        raise ValueError(f"{value!r} overflows DECIMAL({precision},{scale})")
+    raw = bytearray(_dec_digits_to_bytes(intpart, int_width)
+                    + _dec_digits_to_bytes(frac, scale)
+                    if scale else _dec_digits_to_bytes(intpart, int_width))
+    if neg:
+        raw = bytearray(b ^ 0xFF for b in raw)
+    raw[0] ^= 0x80  # sign bit: 1 = non-negative
+    return bytes(raw)
+
+
+def decode_newdecimal(data: bytes, pos: int, precision: int,
+                      scale: int) -> tuple[str, int]:
+    int_width = precision - scale
+    size = (_DIG2BYTES[int_width % 9] + 4 * (int_width // 9)
+            + _DIG2BYTES[scale % 9] + 4 * (scale // 9))
+    raw = bytearray(data[pos:pos + size])
+    if len(raw) != size:
+        raise EOFError("truncated NEWDECIMAL")
+    raw[0] ^= 0x80
+    neg = bool(raw[0] & 0x80)
+    if neg:
+        raw = bytearray(b ^ 0xFF for b in raw)
+    intpart, p2 = _dec_bytes_to_digits(bytes(raw), 0, int_width)
+    frac, _ = _dec_bytes_to_digits(bytes(raw), p2, scale)
+    out = (intpart.lstrip("0") or "0") + (("." + frac) if scale else "")
+    return ("-" + out if neg and out != "0" else out), pos + size
+
+
+# ------------------------------------------------- temporal2 packing
+
+
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _enc_frac(micros: int, fsp: int) -> bytes:
+    n = _frac_bytes(fsp)
+    if not n:
+        return b""
+    return (micros // 10 ** (6 - 2 * n)).to_bytes(n, "big")
+
+
+def _dec_frac(data: bytes, pos: int, fsp: int) -> tuple[int, int]:
+    n = _frac_bytes(fsp)
+    if not n:
+        return 0, pos
+    return (int.from_bytes(data[pos:pos + n], "big") * 10 ** (6 - 2 * n),
+            pos + n)
 
 
 def _lenenc(n: int) -> bytes:
@@ -115,6 +216,37 @@ def _enc_value(col: dict, v) -> bytes:
         raw = bytes(v)
         nbytes = col.get("meta", 2)
         return len(raw).to_bytes(nbytes, "little") + raw
+    if t == T_NEWDECIMAL:
+        precision, scale = col["meta"]
+        return encode_newdecimal(str(v), precision, scale)
+    if t == T_DATE:
+        y, m, d = (int(x) for x in str(v).split("-"))
+        return ((y << 9) | (m << 5) | d).to_bytes(3, "little")
+    if t == T_DATETIME2:
+        fsp = col.get("meta", 0)
+        date_s, _, time_s = str(v).partition(" ")
+        y, mo, d = (int(x) for x in date_s.split("-"))
+        hms, _, frac = time_s.partition(".")
+        h, mi, s = (int(x) for x in hms.split(":"))
+        micros = int((frac + "000000")[:6]) if frac else 0
+        packed = ((1 << 39) | ((y * 13 + mo) << 22) | (d << 17)
+                  | (h << 12) | (mi << 6) | s)
+        return packed.to_bytes(5, "big") + _enc_frac(micros, fsp)
+    if t == T_TIMESTAMP2:
+        fsp = col.get("meta", 0)
+        micros = int(v)  # epoch µs, the engine's timestamp currency
+        return (micros // 1_000_000).to_bytes(4, "big") \
+            + _enc_frac(micros % 1_000_000, fsp)
+    if t == T_TIME2:
+        fsp = col.get("meta", 0)
+        sv = str(v)
+        if sv.startswith("-"):
+            raise ValueError("negative TIME2 not supported")
+        hms, _, frac = sv.partition(".")
+        h, mi, s = (int(x) for x in hms.split(":"))
+        micros = int((frac + "000000")[:6]) if frac else 0
+        packed = (1 << 23) | (h << 12) | (mi << 6) | s
+        return packed.to_bytes(3, "big") + _enc_frac(micros, fsp)
     raise ValueError(f"unsupported column type {t}")
 
 
@@ -141,6 +273,43 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
         n = int.from_bytes(data[pos:pos + nbytes], "little")
         pos += nbytes
         return data[pos:pos + n], pos + n
+    if t == T_NEWDECIMAL:
+        precision, scale = col["meta"]
+        return decode_newdecimal(data, pos, precision, scale)
+    if t == T_DATE:
+        packed = int.from_bytes(data[pos:pos + 3], "little")
+        return (f"{packed >> 9:04d}-{(packed >> 5) & 0xF:02d}"
+                f"-{packed & 0x1F:02d}", pos + 3)
+    if t == T_DATETIME2:
+        fsp = col.get("meta", 0)
+        packed = int.from_bytes(data[pos:pos + 5], "big")
+        pos += 5
+        micros, pos = _dec_frac(data, pos, fsp)
+        ym = (packed >> 22) & 0x1FFFF
+        out = (f"{ym // 13:04d}-{ym % 13:02d}-{(packed >> 17) & 0x1F:02d} "
+               f"{(packed >> 12) & 0x1F:02d}:{(packed >> 6) & 0x3F:02d}"
+               f":{packed & 0x3F:02d}")
+        if fsp:
+            out += f".{micros:06d}"[:1 + fsp]  # '.' + fsp digits
+        return out, pos
+    if t == T_TIMESTAMP2:
+        fsp = col.get("meta", 0)
+        sec = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+        micros, pos = _dec_frac(data, pos, fsp)
+        return sec * 1_000_000 + micros, pos
+    if t == T_TIME2:
+        fsp = col.get("meta", 0)
+        packed = int.from_bytes(data[pos:pos + 3], "big")
+        pos += 3
+        if not packed >> 23:
+            raise ValueError("negative TIME2 not supported")
+        micros, pos = _dec_frac(data, pos, fsp)
+        out = (f"{(packed >> 12) & 0x3FF:02d}:{(packed >> 6) & 0x3F:02d}"
+               f":{packed & 0x3F:02d}")
+        if fsp:
+            out += f".{micros:06d}"[:1 + fsp]
+        return out, pos
     raise ValueError(f"unsupported column type {t}")
 
 
@@ -222,6 +391,11 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                     "<f" if c["type"] == T_FLOAT else "<d"),))
             elif c["type"] == T_BLOB:
                 meta += bytes((c.get("meta", 2),))
+            elif c["type"] == T_NEWDECIMAL:
+                precision, scale = c["meta"]
+                meta += bytes((precision, scale))
+            elif c["type"] in (T_TIMESTAMP2, T_DATETIME2, T_TIME2):
+                meta += bytes((c.get("meta", 0),))
         body += _lenenc(len(meta)) + meta
         body += _bitmap([bool(c.get("nullable", True)) for c in cols])
         return _frame(TABLE_MAP_EVENT, body, ts, pos)
@@ -307,9 +481,13 @@ def decode_event(data: bytes, columns_of=None,
             if t == T_VARCHAR:
                 meta = _struct.unpack("<H", meta_block[mp:mp + 2])[0]
                 mp += 2
-            elif t in (T_FLOAT, T_DOUBLE, T_BLOB):
+            elif t in (T_FLOAT, T_DOUBLE, T_BLOB,
+                       T_TIMESTAMP2, T_DATETIME2, T_TIME2):
                 meta = meta_block[mp]
                 mp += 1
+            elif t == T_NEWDECIMAL:
+                meta = (meta_block[mp], meta_block[mp + 1])
+                mp += 2
             cols.append({"type": t, "meta": meta})
         nullable, p = _read_bitmap(body, p, ncols)
         for c, nl in zip(cols, nullable):

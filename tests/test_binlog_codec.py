@@ -227,3 +227,131 @@ def test_crc32_rows_event_decodes_after_strip():
     out = decode_event(framed, columns_of=lambda tid: COLS,
                        checksum=True)
     assert out["rows"] == [[1, "a", 2]]
+
+
+# ----------------------------------- NEWDECIMAL / temporal2 type matrix
+
+from debezium_server_spark.functions.binlog_codec import (  # noqa: E402
+    T_DATE,
+    T_DATETIME2,
+    T_NEWDECIMAL,
+    T_TIME2,
+    T_TIMESTAMP2,
+    decode_newdecimal,
+    encode_newdecimal,
+)
+
+
+def test_newdecimal_golden_vector():
+    # the canonical packed-decimal example: DECIMAL(14,4) of
+    # 1234567890.1234 → 0x81 0D FB 38 D2 04 D2 (leading 1-digit group
+    # "1" in one byte, 9-digit group 234567890 in four, fraction 1234
+    # in two; sign bit set on the first byte)
+    raw = encode_newdecimal("1234567890.1234", 14, 4)
+    assert raw == bytes.fromhex("810dfb38d204d2")
+    val, pos = decode_newdecimal(raw, 0, 14, 4)
+    assert val == "1234567890.1234" and pos == len(raw)
+    # negative: bitwise complement of the positive image
+    neg = encode_newdecimal("-1234567890.1234", 14, 4)
+    assert neg == bytes(b ^ 0xFF for b in raw)
+    assert decode_newdecimal(neg, 0, 14, 4)[0] == "-1234567890.1234"
+
+
+@pytest.mark.parametrize("v,prec,scale", [
+    ("0", 10, 0), ("0.00", 10, 2), ("1", 1, 0), ("-9", 1, 0),
+    ("999999999999999999", 18, 0), ("-0.000001", 20, 6),
+    ("123.45", 5, 2), ("-99999.9999", 9, 4),
+    ("12345678901234567890.123456789", 29, 9),
+])
+def test_newdecimal_round_trip(v, prec, scale):
+    out, _ = decode_newdecimal(encode_newdecimal(v, prec, scale), 0,
+                               prec, scale)
+    canon = v.lstrip("-").lstrip("0") or "0"
+    if canon.startswith("."):
+        canon = "0" + canon
+    sign = "-" if v.startswith("-") and canon.strip("0.") else ""
+    # encoder pads the fraction to `scale`; mirror that
+    if scale:
+        ip, _, fr = canon.partition(".")
+        canon = ip + "." + (fr + "0" * scale)[:scale]
+    assert out == sign + canon
+
+
+def test_newdecimal_overflow_rejected():
+    with pytest.raises(ValueError, match="overflow"):
+        encode_newdecimal("1000", 5, 2)  # 3 int digits max
+
+
+def test_temporal2_golden_datetime_layout():
+    # DATETIME2 packs 1-bit sign | 17-bit year*13+month | 5-bit day |
+    # 5-bit hour | 6-bit minute | 6-bit second, big-endian, then
+    # ceil(fsp/2) fraction bytes
+    col = {"type": T_DATETIME2, "meta": 6}
+    raw = _enc({"type": T_DATETIME2, "meta": 6}, "2024-02-29 23:59:58.123456")
+    packed = int.from_bytes(raw[:5], "big")
+    assert packed >> 39 == 1
+    assert (packed >> 22) & 0x1FFFF == 2024 * 13 + 2
+    assert (packed >> 17) & 0x1F == 29
+    assert (packed >> 12) & 0x1F == 23
+    assert (packed >> 6) & 0x3F == 59
+    assert packed & 0x3F == 58
+    assert int.from_bytes(raw[5:], "big") == 123456
+    assert _dec(col, raw) == "2024-02-29 23:59:58.123456"
+
+
+def _enc(col, v):
+    from debezium_server_spark.functions.binlog_codec import _enc_value
+    return _enc_value(col, v)
+
+
+def _dec(col, raw):
+    from debezium_server_spark.functions.binlog_codec import _dec_value
+    v, pos = _dec_value(col, raw, 0)
+    assert pos == len(raw)
+    return v
+
+
+@pytest.mark.parametrize("col,v", [
+    ({"type": T_DATE}, "2024-12-31"),
+    ({"type": T_DATE}, "1970-01-01"),
+    ({"type": T_DATETIME2, "meta": 0}, "1999-01-02 03:04:05"),
+    ({"type": T_DATETIME2, "meta": 3}, "2031-11-30 00:00:00.999"),
+    ({"type": T_TIMESTAMP2, "meta": 0}, 1700000000_000000),
+    ({"type": T_TIMESTAMP2, "meta": 6}, 1700000000_123456),
+    ({"type": T_TIME2, "meta": 0}, "838:59:59"),
+    ({"type": T_TIME2, "meta": 2}, "00:00:01.25"),
+])
+def test_temporal_round_trips(col, v):
+    assert _dec(col, _enc(col, v)) == v
+
+
+def test_decimal_temporal_rows_event_round_trip():
+    cols = [
+        {"type": T_NEWDECIMAL, "meta": (14, 4), "nullable": True},
+        {"type": T_DATE, "nullable": True},
+        {"type": T_DATETIME2, "meta": 6, "nullable": True},
+        {"type": T_TIMESTAMP2, "meta": 3, "nullable": True},
+        {"type": T_TIME2, "meta": 0, "nullable": True},
+    ]
+    rows = [
+        ["-999999.0001", "2024-02-29", "2024-02-29 12:00:00.000001",
+         1700000000_123000, "13:45:09"],
+        [None, None, None, None, None],
+    ]
+    ev = {"type": "write_rows", "table_id": 3, "columns": cols,
+          "rows": rows, "timestamp": 0, "log_pos": 0}
+    out = decode_event(encode_event(ev), columns_of=lambda tid: cols)
+    assert out["rows"] == rows
+
+
+def test_decimal_temporal_metadata_survives_table_map():
+    cols = [
+        {"type": T_NEWDECIMAL, "meta": (29, 9), "nullable": True},
+        {"type": T_DATETIME2, "meta": 3, "nullable": False},
+        {"type": T_TIME2, "meta": 4, "nullable": True},
+    ]
+    tmap = {"type": "table_map", "table_id": 11, "schema": "s",
+            "table": "t", "columns": cols, "timestamp": 0, "log_pos": 0}
+    out = decode_event(encode_event(tmap))
+    assert [(c["type"], c["meta"]) for c in out["columns"]] == \
+        [(T_NEWDECIMAL, (29, 9)), (T_DATETIME2, 3), (T_TIME2, 4)]

@@ -175,3 +175,30 @@ _pg_msgs = st.one_of(
 def test_pgoutput_round_trip_fuzz(msg):
     assert pgoutput_codec.decode_message(
         pgoutput_codec.encode_message(msg)) == msg
+
+
+# ---------------------------------------------------- binlog NEWDECIMAL
+
+from debezium_server_spark.functions.binlog_codec import (  # noqa: E402
+    decode_newdecimal,
+    encode_newdecimal,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=30), st.data())
+def test_newdecimal_round_trip_fuzz(precision, data):
+    scale = data.draw(st.integers(min_value=0, max_value=precision - 1))
+    int_digits = data.draw(st.integers(
+        min_value=0, max_value=10 ** (precision - scale) - 1))
+    frac_digits = data.draw(st.integers(
+        min_value=0, max_value=(10 ** scale - 1) if scale else 0))
+    neg = data.draw(st.booleans())
+    s = str(int_digits)
+    if scale:
+        s += "." + str(frac_digits).rjust(scale, "0")
+    if neg and (int_digits or frac_digits):
+        s = "-" + s
+    out, pos = decode_newdecimal(
+        encode_newdecimal(s, precision, scale), 0, precision, scale)
+    assert out == s and pos > 0
