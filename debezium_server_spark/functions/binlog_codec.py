@@ -15,6 +15,9 @@ Events implemented (the ROW-replication data plane):
   UPDATE_ROWS v2     (0x1f)  updates: (before image, after image) pairs
   DELETE_ROWS v2     (0x20)  deletes: before images
   XID                (0x10)  transaction commit marker
+  GTID               (0x21)  global transaction id (flags, SID uuid,
+                             GNO) — the offset currency Debezium's
+                             MySQL connector records for resumability
 
 Common event header (19 bytes, all little-endian): timestamp(4),
 type(1), server_id(4), event_size(4), log_pos(4), flags(2). Both
@@ -50,6 +53,7 @@ WRITE_ROWS_EVENT_V2 = 0x1E
 UPDATE_ROWS_EVENT_V2 = 0x1F
 DELETE_ROWS_EVENT_V2 = 0x20
 XID_EVENT = 0x10
+GTID_LOG_EVENT = 0x21
 
 # MYSQL_TYPE_* codes
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -373,6 +377,14 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
         return _frame(QUERY_EVENT, body, ts, pos)
     if kind == "xid":
         return _frame(XID_EVENT, _struct.pack("<Q", ev["xid"]), ts, pos)
+    if kind == "gtid":
+        sid = bytes.fromhex(ev["sid"].replace("-", ""))
+        if len(sid) != 16:
+            raise ValueError(f"GTID SID must be a 16-byte uuid, "
+                             f"got {ev['sid']!r}")
+        body = (bytes((ev.get("commit_flag", 1),)) + sid
+                + _struct.pack("<q", ev["gno"]))
+        return _frame(GTID_LOG_EVENT, body, ts, pos)
     if kind == "table_map":
         cols = ev["columns"]
         body = (ev["table_id"].to_bytes(6, "little")
@@ -461,6 +473,11 @@ def decode_event(data: bytes, columns_of=None,
     if etype == XID_EVENT:
         return {**base, "type": "xid",
                 "xid": _struct.unpack("<Q", body[:8])[0]}
+    if etype == GTID_LOG_EVENT:
+        raw = body[1:17].hex()
+        sid = f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
+        return {**base, "type": "gtid", "commit_flag": body[0],
+                "sid": sid, "gno": _struct.unpack("<q", body[17:25])[0]}
     if etype == TABLE_MAP_EVENT:
         table_id = int.from_bytes(body[:6], "little")
         p = 8

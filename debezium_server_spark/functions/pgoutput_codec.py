@@ -26,6 +26,16 @@ Message types implemented (protocol v1, the complete data-plane set):
   'D' Delete     — relation OID, 'K' or 'O' old tuple
   'T' Truncate   — relation count, options, relation OIDs
 
+plus the protocol-v2 STREAMING set (in-progress large transactions,
+`streaming = on`): 'S' Stream Start (xid, first-segment flag), 'E'
+Stream Stop, 'c' Stream Commit (xid + the Commit fields), 'A' Stream
+Abort (xid, subtransaction xid). Between S and E, data messages carry
+a leading Int32 xid — pass `in_stream=True` to `decode_message` (or
+put `stream_xid` on the dict for the encoder twin). A segment is the
+server's `logical_decoding_work_mem` flush unit;
+`assemble_streamed_transactions` folds one captured chunk's segments
+back into committed per-transaction message lists (aborts discard).
+
 TupleData columns are tagged 'n' (SQL NULL), 'u' (unchanged TOAST),
 't' (text representation, length-prefixed) or 'b' (binary, ditto).
 All integers are big-endian; strings are NUL-terminated C strings;
@@ -143,10 +153,30 @@ def _write_tuple(w: _Writer, columns: list[tuple[str, object]]):
 
 def encode_message(msg: dict) -> bytes:
     """Encode one pgoutput message from its dict form (the same dict
-    shape `decode_message` returns)."""
+    shape `decode_message` returns). A `stream_xid` key on a data
+    message emits the protocol-v2 in-stream xid prefix."""
     kind = msg["type"]
     w = _Writer()
     w.byte1(kind)
+    if kind in "RYIUDTM" and "stream_xid" in msg:
+        w.int32(msg["stream_xid"])
+    if kind == "S":  # Stream Start (v2)
+        w.int32(msg["xid"])
+        w.int8(1 if msg.get("first_segment", True) else 0)
+        return w.getvalue()
+    if kind == "E":  # Stream Stop (v2)
+        return w.getvalue()
+    if kind == "c":  # Stream Commit (v2)
+        w.int32(msg["xid"])
+        w.int8(msg.get("flags", 0))
+        w.int64(msg["commit_lsn"])
+        w.int64(msg["end_lsn"])
+        w.int64(msg["commit_ts_us"])
+        return w.getvalue()
+    if kind == "A":  # Stream Abort (v2)
+        w.int32(msg["xid"])
+        w.int32(msg.get("subxid", msg["xid"]))
+        return w.getvalue()
     if kind == "B":  # Begin
         w.int64(msg["final_lsn"])
         w.int64(msg["commit_ts_us"])
@@ -265,12 +295,38 @@ def _read_tuple(r: _Reader) -> list[tuple[str, object]]:
     return cols
 
 
-def decode_message(data: bytes) -> dict:
+def decode_message(data: bytes, in_stream: bool = False) -> dict:
     """Decode one pgoutput message to a dict (inverse of
     `encode_message`). Trailing garbage raises — a message is exactly
-    one WAL record's payload."""
+    one WAL record's payload. `in_stream=True` reads the protocol-v2
+    Int32 xid prefix data messages carry between Stream Start/Stop."""
     r = _Reader(data)
     kind = r.byte1()
+    stream_xid = None
+    if in_stream and kind in "RYIUDTM":
+        stream_xid = r.int32()
+    if kind == "S":
+        out = {"type": "S", "xid": r.int32(),
+               "first_segment": bool(r.int8())}
+        if not r.done():
+            raise ValueError("trailing bytes after S message")
+        return out
+    if kind == "E":
+        if not r.done():
+            raise ValueError("trailing bytes after E message")
+        return {"type": "E"}
+    if kind == "c":
+        out = {"type": "c", "xid": r.int32(), "flags": r.int8(),
+               "commit_lsn": r.int64(), "end_lsn": r.int64(),
+               "commit_ts_us": r.int64()}
+        if not r.done():
+            raise ValueError("trailing bytes after c message")
+        return out
+    if kind == "A":
+        out = {"type": "A", "xid": r.int32(), "subxid": r.int32()}
+        if not r.done():
+            raise ValueError("trailing bytes after A message")
+        return out
     if kind == "B":
         out = {"type": "B", "final_lsn": r.int64(),
                "commit_ts_us": r.int64(), "xid": r.int32()}
@@ -329,7 +385,66 @@ def decode_message(data: bytes) -> dict:
     if not r.done():
         raise ValueError(
             f"{len(r.data) - r.pos} trailing bytes after {kind} message")
+    if stream_xid is not None:
+        out["stream_xid"] = stream_xid
     return out
+
+
+def assemble_streamed_transactions(raw_messages: list[bytes]
+                                   ) -> dict[int, dict]:
+    """Fold ONE captured WAL chunk's protocol-v2 stream back into
+    whole transactions: interleaved S..E segments accumulate per xid,
+    'c' seals {xid: {"commit": <c msg>, "messages": [data dicts]}},
+    'A' discards. This is a sequential per-chunk operation BY DESIGN —
+    a chunk is the bounded unit a capture task tails (segments are
+    `logical_decoding_work_mem` flushes, and the server interleaves
+    segments, not messages), so the fold runs inside one task per
+    chunk, never as a cluster-wide sort. Committed v1 transactions in
+    the same chunk (B..C) pass through under the Begin's xid."""
+    open_segments: dict[int, list[dict]] = {}
+    current: int | None = None
+    committed: dict[int, dict] = {}
+    v1_xid: int | None = None
+    for raw in raw_messages:
+        kind = bytes(raw)[:1].decode("ascii")
+        if kind == "S":
+            m = decode_message(raw)
+            current = m["xid"]
+            open_segments.setdefault(current, [])
+            continue
+        if kind == "E":
+            decode_message(raw)
+            current = None
+            continue
+        if kind == "c":
+            m = decode_message(raw)
+            committed[m["xid"]] = {
+                "commit": m,
+                "messages": open_segments.pop(m["xid"], [])}
+            continue
+        if kind == "A":
+            m = decode_message(raw)
+            open_segments.pop(m["xid"], None)
+            continue
+        if kind == "B":
+            m = decode_message(raw)
+            v1_xid = m["xid"]
+            open_segments.setdefault(v1_xid, [])
+            continue
+        if kind == "C":
+            m = decode_message(raw)
+            if v1_xid is not None:
+                committed[v1_xid] = {
+                    "commit": m,
+                    "messages": open_segments.pop(v1_xid, [])}
+                v1_xid = None
+            continue
+        m = decode_message(raw, in_stream=current is not None)
+        target = m.get("stream_xid", current if current is not None
+                       else v1_xid)
+        if target is not None:
+            open_segments.setdefault(target, []).append(m)
+    return committed
 
 
 # ----------------------------------------------------- typed projection

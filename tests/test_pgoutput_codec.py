@@ -217,3 +217,117 @@ def test_committed_fixture_decodes_to_golden():
             if k in m:
                 m[k] = [list(c) for c in m[k]]
     assert msgs == golden
+
+
+# ------------------------------- protocol v2: streamed transactions
+
+
+from debezium_server_spark.functions.pgoutput_codec import (  # noqa: E402
+    assemble_streamed_transactions,
+)
+
+
+@pytest.mark.parametrize("msg", [
+    {"type": "S", "xid": 900, "first_segment": True},
+    {"type": "S", "xid": 900, "first_segment": False},
+    {"type": "E"},
+    {"type": "c", "xid": 900, "flags": 0, "commit_lsn": 7,
+     "end_lsn": 9, "commit_ts_us": 123},
+    {"type": "A", "xid": 900, "subxid": 901},
+])
+def test_v2_stream_messages_round_trip(msg):
+    assert decode_message(encode_message(msg)) == msg
+
+
+def test_v2_in_stream_xid_prefix_round_trip():
+    m = {"type": "I", "relation_oid": 16385, "stream_xid": 900,
+         "new_tuple": [("t", "1")]}
+    raw = encode_message(m)
+    # the prefix makes the bytes UNDECODABLE without context — exactly
+    # the v2 ambiguity in_stream= exists for
+    with pytest.raises(Exception):
+        decode_message(raw)
+    assert decode_message(raw, in_stream=True) == m
+
+
+def test_assemble_interleaved_segments_commit_and_abort():
+    def enc(m):
+        return encode_message(m)
+
+    chunk = [
+        # xid 900 segment 1 (two inserts)
+        enc({"type": "S", "xid": 900, "first_segment": True}),
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 900,
+             "new_tuple": [("t", "1")]}),
+        enc({"type": "E"}),
+        # xid 901 segment interleaves
+        enc({"type": "S", "xid": 901, "first_segment": True}),
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 901,
+             "new_tuple": [("t", "2")]}),
+        enc({"type": "E"}),
+        # xid 900 segment 2
+        enc({"type": "S", "xid": 900, "first_segment": False}),
+        enc({"type": "U", "relation_oid": 1, "stream_xid": 900,
+             "new_tuple": [("t", "1b")]}),
+        enc({"type": "E"}),
+        # a plain v1 transaction mixed into the same chunk
+        enc({"type": "B", "final_lsn": 50, "commit_ts_us": 5,
+             "xid": 700}),
+        enc({"type": "I", "relation_oid": 1,
+             "new_tuple": [("t", "7")]}),
+        enc({"type": "C", "flags": 0, "commit_lsn": 49, "end_lsn": 50,
+             "commit_ts_us": 5}),
+        # 900 commits; 901 aborts
+        enc({"type": "c", "xid": 900, "flags": 0, "commit_lsn": 99,
+             "end_lsn": 100, "commit_ts_us": 42}),
+        enc({"type": "A", "xid": 901, "subxid": 901}),
+    ]
+    out = assemble_streamed_transactions(chunk)
+    assert sorted(out) == [700, 900]  # abort discarded
+    assert [m["type"] for m in out[900]["messages"]] == ["I", "U"]
+    assert out[900]["commit"]["commit_ts_us"] == 42
+    assert [m["type"] for m in out[700]["messages"]] == ["I"]
+    assert out[700]["commit"]["commit_ts_us"] == 5
+
+
+# --------------------------------------- replication transport framing
+
+
+def test_replication_transport_frames():
+    from debezium_server_spark.functions.pg_replication_transport import (
+        clock_to_unix_us,
+        decode_frame,
+        encode_keepalive,
+        encode_standby_status,
+        encode_xlogdata,
+        split_copy_stream,
+        xlogdata_to_wal_rows,
+    )
+
+    payload = encode_message({"type": "B", "final_lsn": 9,
+                              "commit_ts_us": 1, "xid": 4})
+    w = encode_xlogdata(100, 200, 555, payload)
+    # spec layout: 'w' + three big-endian Int64s + payload
+    assert w[:1] == b"w" and len(w) == 1 + 24 + len(payload)
+    kind, f = decode_frame(w)
+    assert kind == "w" and f["wal_start"] == 100 and \
+        f["payload"] == payload
+
+    k = encode_keepalive(200, 555, reply_requested=True)
+    assert decode_frame(k) == ("k", {"wal_end": 200, "clock_us": 555,
+                                     "reply_requested": True})
+    r = encode_standby_status(201, 200, 199, 556)
+    assert decode_frame(r)[1]["flushed"] == 200
+
+    blob = b"".join(struct.pack(">i", len(fr)) + fr for fr in (w, k, w))
+    frames = split_copy_stream(blob)
+    assert [kk for kk, _ in frames] == ["w", "k", "w"]
+    rows = xlogdata_to_wal_rows(frames)
+    assert rows == [(100, payload), (100, payload)]
+    assert decode_message(rows[0][1])["xid"] == 4  # layers compose
+    assert clock_to_unix_us(0) == 946_684_800_000_000
+
+    with pytest.raises(ValueError, match="unknown"):
+        decode_frame(b"z123")
+    with pytest.raises(EOFError):
+        split_copy_stream(blob[:-3])
