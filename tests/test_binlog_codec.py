@@ -355,3 +355,17 @@ def test_decimal_temporal_metadata_survives_table_map():
     out = decode_event(encode_event(tmap))
     assert [(c["type"], c["meta"]) for c in out["columns"]] == \
         [(T_NEWDECIMAL, (29, 9)), (T_DATETIME2, 3), (T_TIME2, 4)]
+
+
+def test_gtid_event_round_trip():
+    ev = {"type": "gtid", "commit_flag": 1,
+          "sid": "3e11fa47-71ca-11e1-9e33-c80aa9429562", "gno": 23,
+          "timestamp": 5, "log_pos": 60}
+    raw = encode_event(ev)
+    # body: 1 flag byte + 16 SID bytes + 8-byte LE GNO
+    assert len(raw) == 19 + 25
+    out = decode_event(raw)
+    for k, v in ev.items():
+        assert out[k] == v
+    with pytest.raises(ValueError, match="16-byte"):
+        encode_event(dict(ev, sid="deadbeef"))
