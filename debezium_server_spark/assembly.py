@@ -113,7 +113,68 @@ def build_source(
 
         register_changelog_source(spark)
         return spark.readStream.format("debezium-changelog").option("path", path).load()
+    if stype in ("pgoutput-wal", "oplog-bson", "mysql-binlog"):
+        return _build_wire_source(spark, cfg, stype, path)
     raise ValueError(f"unknown source type {stype!r}")
+
+
+def _build_wire_source(spark: SparkSession, cfg: PipelineConfig,
+                       stype: str, path: str):
+    """Real-CDC wire formats as config-selectable sources: a directory
+    of `(seq bigint, data binary)` parquet (raw WAL messages / oplog
+    BSON / framed binlog events) streams through the matching decoder
+    into the RAW envelope shape (`raw_changelog_stream` convention:
+    key/value stay JSON text, per-destination typing happens
+    downstream). Registries that need cross-message state (pgoutput
+    Relations, binlog TABLE_MAPs) come from a bounded BATCH pre-read
+    of the same directory — a stream cannot collect."""
+    import json as _json
+
+    schema = "seq long, data binary"
+    reader = spark.readStream.schema(schema)
+    mft = cfg.get("debezium.source.max.files.per.trigger")
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", int(mft))
+    stream = reader.parquet(path)
+
+    if stype == "pgoutput-wal":
+        from debezium_server_spark.sources.pgoutput_source import (
+            decode_data_messages,
+            load_relation_registry,
+        )
+
+        registry = load_relation_registry(
+            spark.read.schema(schema).parquet(path))
+        env = decode_data_messages(stream, registry)
+    elif stype == "oplog-bson":
+        from debezium_server_spark.sources.oplog_source import (
+            decode_oplog_changelog,
+        )
+
+        env = decode_oplog_changelog(stream)
+    else:  # mysql-binlog
+        from debezium_server_spark.sources.binlog_source import (
+            decode_binlog_changelog,
+            load_table_registry,
+        )
+
+        names = _json.loads(cfg.require("debezium.source.binlog.names"))
+        registry = load_table_registry(
+            spark.read.schema(schema).parquet(path))
+        env = decode_binlog_changelog(stream, names, registry=registry)
+
+    # raw envelope: images stay JSON text inside the value document
+    # (the multi-table convention); quarantined rows are dropped here —
+    # route them to a dead-letter sink by consuming `env` directly
+    payload = [F.col("op"), F.col("before"), F.col("after"),
+               F.struct(F.col("seq").alias("lsn")).alias("source")]
+    for extra in ("patch", "ts_ms"):  # oplog diff updates carry patch
+        if extra in env.columns:
+            payload.append(F.col(extra))
+    return (env.filter(F.col("error").isNull())
+            .select(F.col("destination"),
+                    F.lit(None).cast("string").alias("key"),
+                    F.to_json(F.struct(*payload)).alias("value")))
 
 
 def build_pipeline(

@@ -78,10 +78,16 @@ def load_table_registry(msgs: DataFrame) -> dict[int, dict]:
 
 
 def decode_binlog_changelog(msgs: DataFrame,
-                            names: dict[str, list[str]]) -> DataFrame:
+                            names: dict[str, list[str]],
+                            registry: dict[int, dict] | None = None
+                            ) -> DataFrame:
     """`(seq, data)` framed-event frame → envelope frame. `names` maps
-    "schema.table" → ordered column names (schema-history input)."""
-    registry = load_table_registry(msgs)
+    "schema.table" → ordered column names (schema-history input).
+    Pass `registry` explicitly when `msgs` is a STREAMING frame (a
+    stream cannot collect its own TABLE_MAPs — load it from a batch
+    pre-read or the schema history, the pgoutput streaming shape)."""
+    if registry is None:
+        registry = load_table_registry(msgs)
 
     def row_json(cols: list[str], row: list) -> str:
         return json.dumps(dict(zip(cols, row)), separators=(",", ":"))

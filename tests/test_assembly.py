@@ -157,3 +157,107 @@ def test_build_pipeline_with_python_datasource(spark, tmp_path):
     stream = build_source(spark, cfg)
     assert stream.isStreaming
     assert set(stream.columns) == {"destination", "key", "value", "headers", "partition"}
+
+
+def _wire_dir(spark, tmp_path, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("seq", T.LongType()),
+                           T.StructField("data", T.BinaryType())])
+    src = str(tmp_path / "wal")
+    spark.createDataFrame([(s, bytearray(b)) for s, b in rows],
+                          schema).write.parquet(src)
+    return src
+
+
+def _drain(spark, stream, tmp_path, name):
+    """availableNow the raw envelope stream into memory rows."""
+    q = (stream.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_build_pgoutput_wal_source(spark, tmp_path):
+    import json
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+    from debezium_server_spark.functions.pgoutput_codec import encode_message
+
+    rel = {"type": "R", "relation_oid": 1, "namespace": "public",
+           "relation_name": "t", "replica_identity": "d",
+           "columns": [{"key": True, "name": "id", "type_oid": 20,
+                        "type_mod": -1}]}
+    src = _wire_dir(spark, tmp_path, [
+        (1, encode_message(rel)),
+        (2, encode_message({"type": "I", "relation_oid": 1,
+                            "new_tuple": [("t", "5")]})),
+        (3, encode_message({"type": "D", "relation_oid": 1,
+                            "old_tag": "K", "old_tuple": [("t", "5")]})),
+    ])
+    cfg = PipelineConfig({"debezium.source.type": "pgoutput-wal",
+                          "debezium.source.path": src})
+    stream = build_source(spark, cfg)
+    assert stream.isStreaming
+    assert stream.columns == ["destination", "key", "value"]
+    rows = _drain(spark, stream, tmp_path, "pg_wire")
+    vals = {json.loads(r["value"])["source"]["lsn"]:
+            json.loads(r["value"]) for r in rows}
+    assert vals[2]["op"] == "c" and json.loads(vals[2]["after"]) == {"id": 5}
+    assert vals[3]["op"] == "d" and "after" not in vals[3]
+    assert all(r["destination"] == "public.t" for r in rows)
+
+
+def test_build_oplog_bson_source(spark, tmp_path):
+    import json
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+    from debezium_server_spark.functions.bson_codec import (
+        BsonTimestamp, encode)
+
+    src = _wire_dir(spark, tmp_path, [
+        (1, encode({"ts": BsonTimestamp(9, 1), "t": 1, "v": 2, "op": "i",
+                    "ns": "db.c", "o": {"_id": 4, "x": "y"}})),
+    ])
+    cfg = PipelineConfig({"debezium.source.type": "oplog-bson",
+                          "debezium.source.path": src})
+    rows = _drain(spark, build_source(spark, cfg), tmp_path, "mongo_wire")
+    v = json.loads(rows[0]["value"])
+    assert rows[0]["destination"] == "db.c" and v["op"] == "c"
+    assert v["ts_ms"] == 9000 and json.loads(v["after"]) == {"_id": 4,
+                                                             "x": "y"}
+
+
+def test_build_mysql_binlog_source(spark, tmp_path):
+    import json
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+    from debezium_server_spark.functions.binlog_codec import (
+        T_LONGLONG, T_VARCHAR, encode_event)
+
+    cols = [{"type": T_LONGLONG, "nullable": False},
+            {"type": T_VARCHAR, "meta": 32, "nullable": True}]
+    src = _wire_dir(spark, tmp_path, [
+        (1, encode_event({"type": "table_map", "table_id": 5,
+                          "schema": "db", "table": "t", "columns": cols,
+                          "timestamp": 7, "log_pos": 1})),
+        (2, encode_event({"type": "write_rows", "table_id": 5,
+                          "columns": cols, "rows": [[1, "a"]],
+                          "timestamp": 7, "log_pos": 2})),
+    ])
+    cfg = PipelineConfig({
+        "debezium.source.type": "mysql-binlog",
+        "debezium.source.path": src,
+        "debezium.source.binlog.names": json.dumps(
+            {"db.t": ["id", "name"]}),
+    })
+    rows = _drain(spark, build_source(spark, cfg), tmp_path, "my_wire")
+    v = json.loads(rows[0]["value"])
+    assert rows[0]["destination"] == "db.t"
+    assert v["op"] == "c" and json.loads(v["after"]) == {"id": 1,
+                                                         "name": "a"}
+    assert v["ts_ms"] == 7000
