@@ -9,9 +9,14 @@ name, ChangeConsumerProducer.java:61-90).
 
 Property surface understood here (the Spark-native subset):
 
-    debezium.source.type              changelog-dir | lines | debezium-changelog
+    debezium.source.type              changelog-dir | lines | debezium-changelog |
+                                      pgoutput-wal | oplog-bson | mysql-binlog
     debezium.source.path              directory for the file source
     debezium.source.max.files.per.trigger   backpressure knob
+    debezium.source.binlog.names      JSON {"schema.table": [column
+                                      names]} (mysql-binlog only — the
+                                      schema-history input; names are
+                                      not on the binlog wire)
     debezium.transforms               ordered list: t1,t2
     debezium.transforms.<n>.type      hoist_field | insert_header |
                                       insert_field | mask_field | filter |
