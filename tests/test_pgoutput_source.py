@@ -210,3 +210,52 @@ def test_pgoutput_streaming_pipeline_to_upsert_state(spark, tmp_path):
     state = {r["id"]: r["bal"]
              for r in sink.read_table(spark, "public.acct").collect()}
     assert state == {1: 150}  # update won, delete removed key 2
+
+
+def test_streamed_chunk_decode_commit_order_and_abort(spark):
+    """Protocol-v2 chunks: interleaved segments reassemble per chunk,
+    only COMMITTED transactions emit (Debezium's buffer-until-commit),
+    in-chunk Relation declarations apply in commit order, and a corrupt
+    chunk quarantines as one all-or-nothing error row."""
+    import struct
+
+    from debezium_server_spark.sources.pgoutput_source import (
+        decode_streamed_chunks,
+    )
+
+    def chunk(msgs):
+        frames = [encode_message(m) for m in msgs]
+        return b"".join(struct.pack(">i", len(f)) + f for f in frames)
+
+    good = chunk([
+        {"type": "S", "xid": 900, "first_segment": True},
+        dict(REL_A, stream_xid=900),  # relation declared IN-stream
+        {"type": "I", "relation_oid": 100, "stream_xid": 900,
+         "new_tuple": [("t", "1"), ("t", "10")]},
+        {"type": "E"},
+        {"type": "S", "xid": 901, "first_segment": True},
+        {"type": "I", "relation_oid": 100, "stream_xid": 901,
+         "new_tuple": [("t", "2"), ("t", "20")]},
+        {"type": "E"},
+        {"type": "S", "xid": 900, "first_segment": False},
+        {"type": "D", "relation_oid": 100, "stream_xid": 900,
+         "old_tag": "K", "old_tuple": [("t", "1"), ("n", None)]},
+        {"type": "E"},
+        {"type": "c", "xid": 900, "flags": 0, "commit_lsn": 99,
+         "end_lsn": 100, "commit_ts_us": 2_000_000},
+        {"type": "A", "xid": 901, "subxid": 901},  # 901 aborts
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x00\x00\x00\x05ab"))],
+        "chunk_id long, blob binary")
+    rows = decode_streamed_chunks(df).collect()
+    ok = sorted((r for r in rows if r["error"] is None),
+                key=lambda r: r["row_idx"])
+    assert [(r["xid"], r["op"]) for r in ok] == [(900, "c"), (900, "d")]
+    assert json.loads(ok[0]["after"]) == {"id": 1, "bal": 10}
+    assert ok[0]["destination"] == "public.acct"
+    assert ok[0]["ts_ms"] == (2_000_000 + PG_EPOCH_OFFSET_US) // 1000
+    # aborted xid 901 emits NOTHING
+    assert not [r for r in rows if r["xid"] == 901]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["chunk_id"] == 2
