@@ -421,14 +421,18 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                 + _struct.pack("<H", 0)
                 + _struct.pack("<H", 2))  # v2 extra-data length (empty)
         body += _lenenc(n)
-        body += _bitmap([True] * n)  # columns-present (all)
+        present = ev.get("present", [True] * n)
+        body += _bitmap(present)  # columns-present bitmap
+        b_cols = [c for c, pr in zip(cols, present) if pr]
         if kind == "update_rows":
-            body += _bitmap([True] * n)  # after-image bitmap
+            present_after = ev.get("present_after", present)
+            body += _bitmap(present_after)  # after-image bitmap
+            a_cols = [c for c, pr in zip(cols, present_after) if pr]
             for before, after in ev["rows"]:
-                body += _enc_row(cols, before) + _enc_row(cols, after)
+                body += _enc_row(b_cols, before) + _enc_row(a_cols, after)
         else:
             for row in ev["rows"]:
-                body += _enc_row(cols, row)
+                body += _enc_row(b_cols, row)
         return _frame(code, body, ts, pos)
     raise ValueError(f"unknown binlog event type {kind!r}")
 
@@ -520,29 +524,38 @@ def decode_event(data: bytes, columns_of=None,
         extra_len = _struct.unpack("<H", body[8:10])[0]
         p = 10 + extra_len - 2  # extra-data length includes itself
         ncols, p = _read_lenenc(body, p)
+        # binlog_row_image=MINIMAL/NOBLOB: the columns-present bitmaps
+        # select which columns each image carries (FULL = all set).
+        # Row values align with the PRESENT column subset; `present`
+        # (and `present_after` for updates) ride the decoded dict so
+        # consumers can map values back to column positions.
         present, p = _read_bitmap(body, p, ncols)
-        if not all(present):
-            raise ValueError("partial column images not supported")
+        present_after = None
         if kind == "update_rows":
-            present2, p = _read_bitmap(body, p, ncols)
-            if not all(present2):
-                raise ValueError("partial after-images not supported")
+            present_after, p = _read_bitmap(body, p, ncols)
         if columns_of is None:
             raise ValueError("ROWS event needs columns_of(table_id)")
         cols = columns_of(table_id)
         if len(cols) != ncols:
             raise ValueError(f"TABLE_MAP arity {len(cols)} != "
                              f"rows-event arity {ncols}")
+        b_cols = [c for c, pr in zip(cols, present) if pr]
+        a_cols = ([c for c, pr in zip(cols, present_after) if pr]
+                  if present_after is not None else b_cols)
         rows = []
         while p < len(body):
             if kind == "update_rows":
-                before, p = _dec_row(cols, body, p)
-                after, p = _dec_row(cols, body, p)
+                before, p = _dec_row(b_cols, body, p)
+                after, p = _dec_row(a_cols, body, p)
                 rows.append((before, after))
             else:
-                row, p = _dec_row(cols, body, p)
+                row, p = _dec_row(b_cols, body, p)
                 rows.append(row)
-        return {**base, "type": kind, "table_id": table_id, "rows": rows}
+        out = {**base, "type": kind, "table_id": table_id, "rows": rows,
+               "present": present}
+        if present_after is not None:
+            out["present_after"] = present_after
+        return out
     raise ValueError(f"unsupported binlog event type 0x{etype:02x}")
 
 

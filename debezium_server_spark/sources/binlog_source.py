@@ -104,18 +104,26 @@ def decode_binlog_changelog(msgs: DataFrame,
                     tmap = registry[ev["table_id"]]
                     dest = f"{tmap['schema']}.{tmap['table']}"
                     cols = names[dest]
+                    # MINIMAL/NOBLOB row images: values align with the
+                    # present-column subset, so project names the same way
+                    present = ev.get("present", [True] * len(cols))
+                    b_names = [n for n, pr in zip(cols, present) if pr]
+                    a_names = [n for n, pr in zip(
+                        cols, ev.get("present_after", present)) if pr]
                     ts_ms = ev["timestamp"] * 1000
                     for i, r in enumerate(ev["rows"]):
                         if ev["type"] == "write_rows":
                             out.append((seq, i, dest, "c", None,
-                                        row_json(cols, r), ts_ms, None))
+                                        row_json(b_names, r), ts_ms,
+                                        None))
                         elif ev["type"] == "update_rows":
                             out.append((seq, i, dest, "u",
-                                        row_json(cols, r[0]),
-                                        row_json(cols, r[1]), ts_ms, None))
+                                        row_json(b_names, r[0]),
+                                        row_json(a_names, r[1]),
+                                        ts_ms, None))
                         else:
                             out.append((seq, i, dest, "d",
-                                        row_json(cols, r), None,
+                                        row_json(b_names, r), None,
                                         ts_ms, None))
                 except Exception as exc:
                     out.append((seq, 0, None, None, None, None, None,

@@ -369,3 +369,33 @@ def test_gtid_event_round_trip():
         assert out[k] == v
     with pytest.raises(ValueError, match="16-byte"):
         encode_event(dict(ev, sid="deadbeef"))
+
+
+def test_minimal_row_images_round_trip_and_stage(spark):
+    """binlog_row_image=MINIMAL: updates carry PK-only before images
+    and PK+changed after images via the columns-present bitmaps; the
+    stage maps values to the present-column names."""
+    # update: before = [id], after = [id, balance]
+    ev = {"type": "update_rows", "table_id": 7, "columns": COLS,
+          "present": [True, False, False],
+          "present_after": [True, False, True],
+          "rows": [([1], [1, 175])], "timestamp": 50, "log_pos": 9}
+    out = decode_event(encode_event(ev), columns_of=lambda tid: COLS)
+    assert out["present"] == [True, False, False]
+    assert out["present_after"] == [True, False, True]
+    assert out["rows"] == [([1], [1, 175])]
+
+    # delete with a key-only image
+    dele = {"type": "delete_rows", "table_id": 7, "columns": COLS,
+            "present": [True, False, False], "rows": [[2]],
+            "timestamp": 51, "log_pos": 10}
+    assert decode_event(encode_event(dele),
+                        columns_of=lambda tid: COLS)["rows"] == [[2]]
+
+    rows = decode_binlog_changelog(
+        _wal(spark, [(1, TMAP), (2, ev), (3, dele)]), NAMES).collect()
+    by = {r["seq"]: r for r in rows}
+    assert json.loads(by[2]["before"]) == {"id": 1}
+    assert json.loads(by[2]["after"]) == {"id": 1, "balance": 175}
+    assert json.loads(by[3]["before"]) == {"id": 2}
+    assert by[3]["after"] is None
