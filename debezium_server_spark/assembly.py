@@ -17,6 +17,9 @@ Property surface understood here (the Spark-native subset):
                                       names]} (mysql-binlog only — the
                                       schema-history input; names are
                                       not on the binlog wire)
+    debezium.source.binlog.checksum   none (default) | crc32 — set to
+                                      crc32 for captures from a
+                                      binlog_checksum=CRC32 server
     debezium.transforms               ordered list: t1,t2
     debezium.transforms.<n>.type      hoist_field | insert_header |
                                       insert_field | mask_field | filter |
@@ -144,13 +147,20 @@ def _build_wire_source(spark: SparkSession, cfg: PipelineConfig,
 
     if stype == "pgoutput-wal":
         from debezium_server_spark.sources.pgoutput_source import (
+            attach_transactions,
             decode_data_messages,
+            extract_begins,
             load_relation_registry,
         )
 
-        registry = load_relation_registry(
-            spark.read.schema(schema).parquet(path))
-        env = decode_data_messages(stream, registry)
+        batch = spark.read.schema(schema).parquet(path)
+        registry = load_relation_registry(batch)
+        # transaction association (xid, commit ts_ms) joins the decoded
+        # stream against the Begin frame from the same batch pre-read —
+        # a stream-batch band join, so pgoutput ships the same ts_ms
+        # contract as the oplog/binlog siblings
+        env = attach_transactions(decode_data_messages(stream, registry),
+                                  extract_begins(batch))
     elif stype == "oplog-bson":
         from debezium_server_spark.sources.oplog_source import (
             decode_oplog_changelog,
@@ -164,16 +174,20 @@ def _build_wire_source(spark: SparkSession, cfg: PipelineConfig,
         )
 
         names = _json.loads(cfg.require("debezium.source.binlog.names"))
+        checksum = (cfg.get("debezium.source.binlog.checksum", "none")
+                    .lower() == "crc32")
         registry = load_table_registry(
-            spark.read.schema(schema).parquet(path))
-        env = decode_binlog_changelog(stream, names, registry=registry)
+            spark.read.schema(schema).parquet(path), checksum=checksum)
+        env = decode_binlog_changelog(stream, names, registry=registry,
+                                      checksum=checksum)
 
     # raw envelope: images stay JSON text inside the value document
     # (the multi-table convention); quarantined rows are dropped here —
     # route them to a dead-letter sink by consuming `env` directly
     payload = [F.col("op"), F.col("before"), F.col("after"),
                F.struct(F.col("seq").alias("lsn")).alias("source")]
-    for extra in ("patch", "ts_ms"):  # oplog diff updates carry patch
+    # oplog diff updates carry patch; pgoutput adds the transaction id
+    for extra in ("patch", "xid", "ts_ms"):
         if extra in env.columns:
             payload.append(F.col(extra))
     return (env.filter(F.col("error").isNull())

@@ -254,29 +254,40 @@ def _enc_value(col: dict, v) -> bytes:
     raise ValueError(f"unsupported column type {t}")
 
 
+def _take(data: bytes, pos: int, n: int) -> bytes:
+    """Short reads raise instead of silently yielding truncated ints —
+    without this, trailing garbage (e.g. an unverified CRC32 footer)
+    parses as a phantom row with fabricated values."""
+    out = data[pos:pos + n]
+    if len(out) != n:
+        raise EOFError(f"truncated value: wanted {n} bytes at {pos}, "
+                       f"had {len(out)}")
+    return out
+
+
 def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
     t = col["type"]
     if t in _INT_SIZES:
         size = _INT_SIZES[t]
-        return (int.from_bytes(data[pos:pos + size], "little", signed=True),
-                pos + size)
+        return (int.from_bytes(_take(data, pos, size), "little",
+                               signed=True), pos + size)
     if t == T_FLOAT:
-        return _struct.unpack("<f", data[pos:pos + 4])[0], pos + 4
+        return _struct.unpack("<f", _take(data, pos, 4))[0], pos + 4
     if t == T_DOUBLE:
-        return _struct.unpack("<d", data[pos:pos + 8])[0], pos + 8
+        return _struct.unpack("<d", _take(data, pos, 8))[0], pos + 8
     if t == T_VARCHAR:
         if col.get("meta", 0) > 255:
-            n = _struct.unpack("<H", data[pos:pos + 2])[0]
+            n = _struct.unpack("<H", _take(data, pos, 2))[0]
             pos += 2
         else:
-            n = data[pos]
+            n = _take(data, pos, 1)[0]
             pos += 1
-        return data[pos:pos + n].decode("utf-8"), pos + n
+        return _take(data, pos, n).decode("utf-8"), pos + n
     if t == T_BLOB:
         nbytes = col.get("meta", 2)
-        n = int.from_bytes(data[pos:pos + nbytes], "little")
+        n = int.from_bytes(_take(data, pos, nbytes), "little")
         pos += nbytes
-        return data[pos:pos + n], pos + n
+        return _take(data, pos, n), pos + n
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return decode_newdecimal(data, pos, precision, scale)

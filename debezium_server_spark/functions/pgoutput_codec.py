@@ -56,6 +56,12 @@ import struct as _struct
 # (2000-01-01 00:00:00 UTC) — public constant from the protocol docs.
 PG_EPOCH_OFFSET_US = 946_684_800 * 1_000_000
 
+#: Placeholder for unchanged TOASTed columns ('u' tuple tag): the WAL
+#: does not ship the value, and projecting it as SQL NULL would let a
+#: downstream upsert overwrite real data with NULL. This is Debezium's
+#: own documented sentinel (unavailable.value.placeholder default).
+UNCHANGED_TOAST_VALUE = "__debezium_unavailable_value"
+
 # Text-format parsers for the common built-in type OIDs (pg_type.dat is
 # public). Anything unmapped stays a string — lossless, like the
 # reference's fallback-to-string behavior for unknown logical types.
@@ -424,7 +430,18 @@ def assemble_streamed_transactions(raw_messages: list[bytes]
             continue
         if kind == "A":
             m = decode_message(raw)
-            open_segments.pop(m["xid"], None)
+            if m["subxid"] == m["xid"]:
+                # toplevel abort: the whole transaction vanishes
+                open_segments.pop(m["xid"], None)
+            else:
+                # SUBTRANSACTION abort (savepoint rollback): discard
+                # only that subxid's messages; the toplevel keeps the
+                # rest and may still commit (protocol: in-stream data
+                # messages carry their own — possibly sub — xid)
+                if m["xid"] in open_segments:
+                    open_segments[m["xid"]] = [
+                        msg for msg in open_segments[m["xid"]]
+                        if msg.get("stream_xid") != m["subxid"]]
             continue
         if kind == "B":
             m = decode_message(raw)
@@ -440,10 +457,13 @@ def assemble_streamed_transactions(raw_messages: list[bytes]
                 v1_xid = None
             continue
         m = decode_message(raw, in_stream=current is not None)
-        target = m.get("stream_xid", current if current is not None
-                       else v1_xid)
-        if target is not None:
-            open_segments.setdefault(target, []).append(m)
+        if current is not None:
+            # file under the TOPLEVEL xid (the segment owner): the
+            # message's own stream_xid may be a subtransaction id,
+            # kept on the dict so a subxid abort can excise it
+            open_segments.setdefault(current, []).append(m)
+        elif v1_xid is not None:
+            open_segments.setdefault(v1_xid, []).append(m)
     return committed
 
 

@@ -155,40 +155,51 @@ class DeltaLogTable:
         delta_version = (self._snapshot_version
                          if self._snapshot_version is not None
                          else self.current_version())
-        staging = os.path.join(self.path, f"_staging_v{delta_version}")
-        shutil.rmtree(staging, ignore_errors=True)
+        # staging dir AND data-file names carry a per-attempt unique
+        # token (the protocol's UUID part-name convention): a LOSING
+        # concurrent writer can never clobber the winner's committed
+        # parquet — its moved files become unreferenced orphans that
+        # vacuum() collects, and the loser still fails put-if-absent
+        import tempfile as _tempfile
+
+        staging = _tempfile.mkdtemp(dir=self.path, prefix="_staging_")
+        token = os.path.basename(staging).removeprefix("_staging_")
         if BUCKET_COL in df.columns:
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
             touched_buckets = None
 
+        # collect staged parquet from bucket dirs AND flat layout (an
+        # unbucketed df stages files at the staging ROOT — they must
+        # become adds too, not silently vanish)
+        staged: list[tuple[str, str, dict]] = []  # (src, rel_dir, pv)
+        for entry in sorted(os.listdir(staging)):
+            full = os.path.join(staging, entry)
+            if os.path.isdir(full) and entry.startswith(f"{BUCKET_COL}="):
+                pv = {BUCKET_COL: entry.split("=", 1)[1]}
+                for fname in sorted(os.listdir(full)):
+                    if fname.endswith(".parquet") and not fname.startswith("."):
+                        staged.append((os.path.join(full, fname), entry, pv))
+            elif (os.path.isfile(full) and entry.endswith(".parquet")
+                  and not entry.startswith(".")):
+                staged.append((full, "__unpartitioned", {}))
+
         adds: list[dict] = []
-        seq = 0
-        for bucket_dir in sorted(os.listdir(staging)):
-            src_dir = os.path.join(staging, bucket_dir)
-            if not os.path.isdir(src_dir):
-                continue
-            is_bucketed = bucket_dir.startswith(f"{BUCKET_COL}=")
-            rel_dir = bucket_dir if is_bucketed else "__unpartitioned"
+        for seq, (src, rel_dir, pv) in enumerate(staged):
             os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
-            pv = ({BUCKET_COL: bucket_dir.split("=", 1)[1]}
-                  if is_bucketed else {})
-            for fname in sorted(os.listdir(src_dir)):
-                if not fname.endswith(".parquet") or fname.startswith("."):
-                    continue
-                rel = f"{rel_dir}/part-{delta_version:010d}-{seq:05d}.snappy.parquet"
-                seq += 1
-                dst = os.path.join(self.path, rel)
-                os.replace(os.path.join(src_dir, fname), dst)
-                st = os.stat(dst)
-                adds.append({"add": {
-                    "path": rel,
-                    "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                }})
+            rel = (f"{rel_dir}/part-{delta_version:010d}-{seq:05d}-"
+                   f"{token}.snappy.parquet")
+            dst = os.path.join(self.path, rel)
+            os.replace(src, dst)
+            st = os.stat(dst)
+            adds.append({"add": {
+                "path": rel,
+                "partitionValues": pv,
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }})
         shutil.rmtree(staging, ignore_errors=True)
 
         removes: list[dict] = []

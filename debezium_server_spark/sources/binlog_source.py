@@ -64,7 +64,8 @@ def _type_filter(codes: tuple[int, ...]):
         list(codes))
 
 
-def load_table_registry(msgs: DataFrame) -> dict[int, dict]:
+def load_table_registry(msgs: DataFrame,
+                        checksum: bool = False) -> dict[int, dict]:
     """Collect the distinct TABLE_MAP declarations (latest per
     table_id wins — bounded |tables|-row control frame, the pgoutput
     Relation-registry convention)."""
@@ -72,22 +73,27 @@ def load_table_registry(msgs: DataFrame) -> dict[int, dict]:
         "seq", "data")
     reg: dict[int, dict] = {}
     for r in sorted(rows.collect(), key=lambda r: r["seq"]):
-        ev = decode_event(bytes(r["data"]))
+        ev = decode_event(bytes(r["data"]), checksum=checksum)
         reg[ev["table_id"]] = ev
     return reg
 
 
 def decode_binlog_changelog(msgs: DataFrame,
                             names: dict[str, list[str]],
-                            registry: dict[int, dict] | None = None
-                            ) -> DataFrame:
+                            registry: dict[int, dict] | None = None,
+                            checksum: bool = False) -> DataFrame:
     """`(seq, data)` framed-event frame → envelope frame. `names` maps
     "schema.table" → ordered column names (schema-history input).
     Pass `registry` explicitly when `msgs` is a STREAMING frame (a
     stream cannot collect its own TABLE_MAPs — load it from a batch
-    pre-read or the schema history, the pgoutput streaming shape)."""
+    pre-read or the schema history, the pgoutput streaming shape).
+    `checksum=True` for binlog_checksum=CRC32 captures (the modern
+    server default): footers are verified and stripped; without it a
+    checksummed capture would fail decode rather than mis-parse (the
+    codec's short-read guards make trailing bytes an error, never a
+    phantom row)."""
     if registry is None:
-        registry = load_table_registry(msgs)
+        registry = load_table_registry(msgs, checksum=checksum)
 
     def row_json(cols: list[str], row: list) -> str:
         return json.dumps(dict(zip(cols, row)), separators=(",", ":"))
@@ -100,10 +106,18 @@ def decode_binlog_changelog(msgs: DataFrame,
                 try:
                     ev = decode_event(
                         bytes(raw),
-                        columns_of=lambda tid: registry[tid]["columns"])
+                        columns_of=lambda tid: registry[tid]["columns"],
+                        checksum=checksum)
                     tmap = registry[ev["table_id"]]
                     dest = f"{tmap['schema']}.{tmap['table']}"
                     cols = names[dest]
+                    if len(cols) != len(tmap["columns"]):
+                        # schema-history drift: zip would silently
+                        # truncate and mis-project values — quarantine
+                        raise ValueError(
+                            f"names for {dest} have {len(cols)} "
+                            f"columns, TABLE_MAP declares "
+                            f"{len(tmap['columns'])}")
                     # MINIMAL/NOBLOB row images: values align with the
                     # present-column subset, so project names the same way
                     present = ev.get("present", [True] * len(cols))

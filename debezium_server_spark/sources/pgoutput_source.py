@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 
 from debezium_server_spark.functions.pgoutput_codec import (
     PG_EPOCH_OFFSET_US,
+    UNCHANGED_TOAST_VALUE,
     decode_message,
     tuple_to_dict,
 )
@@ -56,9 +57,6 @@ from debezium_server_spark.functions.pgoutput_codec import (
 # Truncate → t (Debezium's truncate event — no row images, one event
 # per affected table; sinks without truncate support skip op='t').
 _OP_OF = {"I": "c", "U": "u", "D": "d"}
-
-_TAG = {k: str(ord(k)) for k in "RBICUDTM"}
-
 
 def _tag_filter(kinds: str):
     """JVM-side predicate on the 1-byte message tag — prunes the scan
@@ -137,7 +135,13 @@ def decode_data_messages(msgs: DataFrame, registry: dict[int, dict]) -> DataFram
     convention) instead of failing the batch."""
 
     def row_json(rel: dict, tup) -> str:
-        return json.dumps(tuple_to_dict(rel, tup), separators=(",", ":"))
+        # 'u' (unchanged TOAST) columns get the Debezium sentinel, NOT
+        # SQL NULL — an upsert must not overwrite real data with NULL
+        # for a value the WAL simply didn't ship
+        return json.dumps(
+            tuple_to_dict(rel, tup,
+                          unchanged_marker=UNCHANGED_TOAST_VALUE),
+            separators=(",", ":"))
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,8 +257,6 @@ def decode_streamed_chunks(chunks: DataFrame,
     A failed chunk quarantines as ONE error row; its transactions are
     all-or-nothing by design.
     """
-    import json as _json
-
     from debezium_server_spark.functions.pgoutput_codec import (
         assemble_streamed_transactions,
     )
@@ -290,23 +292,33 @@ def decode_streamed_chunks(chunks: DataFrame,
                             if m["type"] == "R":
                                 reg[m["relation_oid"]] = m
                                 continue
+                            if m["type"] == "T":
+                                # same op='t' routing as the batch path
+                                for oid in m["relation_oids"]:
+                                    rel = reg[oid]
+                                    out.append((
+                                        chunk_id, xid, i,
+                                        f"{rel['namespace']}"
+                                        f".{rel['relation_name']}",
+                                        "t", None, None, ts_ms, None))
+                                    i += 1
+                                continue
                             if m["type"] not in _OP_OF:
                                 continue
                             rel = reg[m["relation_oid"]]
                             dest = (f"{rel['namespace']}"
                                     f".{rel['relation_name']}")
-                            before = (
-                                _json.dumps(tuple_to_dict(
-                                    rel, m["old_tuple"]),
-                                    separators=(",", ":"))
-                                if m.get("old_tuple") is not None
-                                else None)
-                            after = (
-                                _json.dumps(tuple_to_dict(
-                                    rel, m["new_tuple"]),
-                                    separators=(",", ":"))
-                                if m.get("new_tuple") is not None
-                                else None)
+                            tj = (lambda tup: json.dumps(
+                                tuple_to_dict(
+                                    rel, tup,
+                                    unchanged_marker=UNCHANGED_TOAST_VALUE),
+                                separators=(",", ":")))
+                            before = (tj(m["old_tuple"])
+                                      if m.get("old_tuple") is not None
+                                      else None)
+                            after = (tj(m["new_tuple"])
+                                     if m.get("new_tuple") is not None
+                                     else None)
                             out.append((chunk_id, xid, i, dest,
                                         _OP_OF[m["type"]], before,
                                         after, ts_ms, None))

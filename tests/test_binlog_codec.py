@@ -399,3 +399,46 @@ def test_minimal_row_images_round_trip_and_stage(spark):
     assert json.loads(by[2]["after"]) == {"id": 1, "balance": 175}
     assert json.loads(by[3]["before"]) == {"id": 2}
     assert by[3]["after"] is None
+
+
+def test_names_length_mismatch_quarantines(spark):
+    """Round-5 self-review finding: a names list shorter/longer than
+    the TABLE_MAP arity must quarantine, never silently truncate into
+    well-formed-but-wrong JSON images."""
+    rows = [
+        (1, TMAP),
+        (2, {"type": "write_rows", "table_id": 7, "columns": COLS,
+             "rows": [[1, "a", 2]], "timestamp": 0, "log_pos": 2}),
+    ]
+    out = decode_binlog_changelog(
+        _wal(spark, rows), {"app.accounts": ["id", "name"]}).collect()
+    assert len(out) == 1
+    assert out[0]["error"] and "names" in out[0]["error"]
+
+
+def test_checksummed_capture_decodes_with_checksum_flag(spark):
+    """binlog_checksum=CRC32 captures: with checksum=True the stage
+    verifies+strips footers; without it the short-read guards make
+    trailing CRC bytes an error (quarantine), never a phantom row
+    with fabricated values."""
+    ev_rows = {"type": "write_rows", "table_id": 7, "columns": COLS,
+               "rows": [[1, "ann", 250]], "timestamp": 3, "log_pos": 2}
+    rows = [(1, encode_event(TMAP, checksum=True)),
+            (2, encode_event(ev_rows, checksum=True))]
+    from debezium_server_spark.sources.binlog_source import (
+        load_table_registry,
+    )
+
+    wal = _wal(spark, rows)
+    reg = load_table_registry(wal, checksum=True)
+    ok = decode_binlog_changelog(wal, NAMES, registry=reg,
+                                 checksum=True).collect()
+    assert len(ok) == 1 and json.loads(ok[0]["after"])["balance"] == 250
+
+    # same capture WITHOUT the flag: the rows event must not produce a
+    # phantom data row with error=NULL
+    bad = decode_binlog_changelog(wal, NAMES, registry=reg,
+                                  checksum=False).collect()
+    phantom = [r for r in bad if r["error"] is None
+               and json.loads(r["after"] or "{}").get("balance") != 250]
+    assert not phantom

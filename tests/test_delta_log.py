@@ -173,3 +173,63 @@ def test_concurrent_writer_loses_put_if_absent(spark, tmp_path):
         f.write('{"commitInfo":{"operationParameters":{"epoch":99}}}\n')
     with pytest.raises(FileExistsError):
         table.commit(state, epoch_id=1, touched_buckets=None)
+
+
+def test_unbucketed_commit_writes_adds_not_empty_table(spark, tmp_path):
+    """A commit whose frame has no __bucket column stages files FLAT;
+    they must become add actions (under __unpartitioned/), not vanish
+    while removes tombstone the whole table."""
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    df1 = spark.range(5).selectExpr("id", "id * 10 as v")
+    table.commit(df1, epoch_id=0, touched_buckets=None)
+    v0 = table._read_commit(0)
+    adds = [a["add"] for a in v0 if "add" in a]
+    assert adds and all(a["path"].startswith("__unpartitioned/")
+                        for a in adds)
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert meta["partitionColumns"] == []
+    got = {(r["id"], r["v"]) for r in table.read(spark).collect()}
+    assert got == {(i, i * 10) for i in range(5)}
+
+    # full rewrite replaces, and time travel still sees version 1
+    table.read(spark)  # refresh transaction snapshot
+    df2 = spark.range(2).selectExpr("id", "id * 100 as v")
+    table.commit(df2, epoch_id=1, touched_buckets=None)
+    assert {r["v"] for r in table.read(spark).collect()} == {0, 100}
+    assert table.read(spark, version=1).count() == 5
+
+
+def test_losing_writer_cannot_clobber_winner_files(spark, tmp_path):
+    """Finding from round-5 self-review: the loser's data files carry
+    a per-attempt unique token, so the winner's committed parquet is
+    untouched; the loser's orphans are vacuumable."""
+    sink = _sink(tmp_path)
+    sink(_batch(spark, [
+        event(1, "c", None, (1, "a", "b", "a@x.com"), lsn=1)
+    ]), 0)
+    loser = _table(tmp_path)
+    state = loser.read(spark)  # snapshot at version 1
+
+    winner = _table(tmp_path)
+    wstate = winner.read(spark)
+    winner.commit(
+        wstate.withColumn("first_name",
+                          wstate["first_name"].substr(1, 1)),
+        epoch_id=1, touched_buckets=None)
+    live_before = dict(winner._live_files())
+
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        loser.commit(state, epoch_id=99, touched_buckets=None)
+
+    fresh = _table(tmp_path)
+    # the winner's log and referenced bytes are untouched
+    assert dict(fresh._live_files()) == live_before
+    rows = {r["id"]: r["first_name"]
+            for r in sink.read_table(spark, DEST).collect()}
+    assert rows == {1: "a"}
+    # loser's moved files are orphans; vacuum collects them
+    dead = fresh.vacuum()
+    assert dead, "loser's orphan files should be vacuumable"
+    assert {r["id"] for r in sink.read_table(spark, DEST).collect()} == {1}

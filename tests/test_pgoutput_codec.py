@@ -331,3 +331,42 @@ def test_replication_transport_frames():
         decode_frame(b"z123")
     with pytest.raises(EOFError):
         split_copy_stream(blob[:-3])
+
+
+def test_subtransaction_abort_excises_only_the_subxid():
+    """Round-5 self-review finding: 'A' with subxid != xid is a
+    SAVEPOINT rollback — only the subtransaction's messages vanish;
+    the toplevel keeps the rest and commits them."""
+    def enc(m):
+        return encode_message(m)
+
+    chunk = [
+        enc({"type": "S", "xid": 100, "first_segment": True}),
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 100,
+             "new_tuple": [("t", "keep1")]}),
+        # savepoint work under subxid 101
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 101,
+             "new_tuple": [("t", "rolled-back")]}),
+        enc({"type": "E"}),
+        enc({"type": "A", "xid": 100, "subxid": 101}),  # savepoint rollback
+        enc({"type": "S", "xid": 100, "first_segment": False}),
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 100,
+             "new_tuple": [("t", "keep2")]}),
+        enc({"type": "E"}),
+        enc({"type": "c", "xid": 100, "flags": 0, "commit_lsn": 9,
+             "end_lsn": 10, "commit_ts_us": 1}),
+    ]
+    out = assemble_streamed_transactions(chunk)
+    vals = [m["new_tuple"][0][1] for m in out[100]["messages"]]
+    assert vals == ["keep1", "keep2"]  # subxid 101's row excised
+
+
+def test_toplevel_stream_abort_still_discards_everything():
+    chunk = [
+        encode_message({"type": "S", "xid": 200, "first_segment": True}),
+        encode_message({"type": "I", "relation_oid": 1,
+                        "stream_xid": 200, "new_tuple": [("t", "x")]}),
+        encode_message({"type": "E"}),
+        encode_message({"type": "A", "xid": 200, "subxid": 200}),
+    ]
+    assert assemble_streamed_transactions(chunk) == {}

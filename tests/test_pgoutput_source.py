@@ -259,3 +259,28 @@ def test_streamed_chunk_decode_commit_order_and_abort(spark):
     assert not [r for r in rows if r["xid"] == 901]
     bad = [r for r in rows if r["error"] is not None]
     assert len(bad) == 1 and bad[0]["chunk_id"] == 2
+
+
+def test_unchanged_toast_projects_sentinel_not_null(spark):
+    """Round-5 self-review finding: 'u' (unchanged TOAST) columns must
+    surface as the Debezium sentinel, not SQL NULL — an upsert must
+    never overwrite real data with NULL for a value the WAL didn't
+    ship."""
+    from debezium_server_spark.functions.pgoutput_codec import (
+        UNCHANGED_TOAST_VALUE,
+    )
+
+    rows = [
+        (1, REL_A),
+        (10, {"type": "B", "final_lsn": 12, "commit_ts_us": 5,
+              "xid": 9}),
+        (11, {"type": "U", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("u", None)]}),
+        (12, {"type": "U", "relation_oid": 100,
+              "new_tuple": [("t", "2"), ("n", None)]}),  # real NULL
+    ]
+    out = {r["seq"]: r for r in
+           decode_pgoutput_changelog(_wal(spark, rows)).collect()}
+    assert json.loads(out[11]["after"]) == {
+        "id": 1, "bal": UNCHANGED_TOAST_VALUE}
+    assert json.loads(out[12]["after"]) == {"id": 2, "bal": None}
