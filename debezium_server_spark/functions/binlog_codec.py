@@ -61,6 +61,8 @@ T_LONGLONG, T_INT24 = 8, 9
 T_DATE = 10
 T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
 T_NEWDECIMAL = 246
+T_ENUM, T_SET = 247, 248  # raw-type codes (inside STRING metadata on
+#                            real servers; the twin uses them directly)
 T_VARCHAR, T_BLOB = 15, 252
 
 _INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
@@ -223,6 +225,10 @@ def _enc_value(col: dict, v) -> bytes:
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return encode_newdecimal(str(v), precision, scale)
+    if t in (T_ENUM, T_SET):
+        # ENUM: 1- or 2-byte unsigned ordinal (1-based; 0 = invalid);
+        # SET: pack-length-byte little-endian member bitmask
+        return int(v).to_bytes(col.get("meta", 1), "little")
     if t == T_DATE:
         y, m, d = (int(x) for x in str(v).split("-"))
         return ((y << 9) | (m << 5) | d).to_bytes(3, "little")
@@ -291,6 +297,9 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return decode_newdecimal(data, pos, precision, scale)
+    if t in (T_ENUM, T_SET):
+        n = col.get("meta", 1)
+        return int.from_bytes(_take(data, pos, n), "little"), pos + n
     if t == T_DATE:
         packed = int.from_bytes(data[pos:pos + 3], "little")
         return (f"{packed >> 9:04d}-{(packed >> 5) & 0xF:02d}"
@@ -419,6 +428,8 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                 meta += bytes((precision, scale))
             elif c["type"] in (T_TIMESTAMP2, T_DATETIME2, T_TIME2):
                 meta += bytes((c.get("meta", 0),))
+            elif c["type"] in (T_ENUM, T_SET):
+                meta += bytes((c.get("meta", 1),))
         body += _lenenc(len(meta)) + meta
         body += _bitmap([bool(c.get("nullable", True)) for c in cols])
         return _frame(TABLE_MAP_EVENT, body, ts, pos)
@@ -514,7 +525,8 @@ def decode_event(data: bytes, columns_of=None,
                 meta = _struct.unpack("<H", meta_block[mp:mp + 2])[0]
                 mp += 2
             elif t in (T_FLOAT, T_DOUBLE, T_BLOB,
-                       T_TIMESTAMP2, T_DATETIME2, T_TIME2):
+                       T_TIMESTAMP2, T_DATETIME2, T_TIME2,
+                       T_ENUM, T_SET):
                 meta = meta_block[mp]
                 mp += 1
             elif t == T_NEWDECIMAL:

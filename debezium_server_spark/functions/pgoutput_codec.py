@@ -179,9 +179,12 @@ def encode_message(msg: dict) -> bytes:
         w.int64(msg["end_lsn"])
         w.int64(msg["commit_ts_us"])
         return w.getvalue()
-    if kind == "A":  # Stream Abort (v2)
+    if kind == "A":  # Stream Abort (v2; v4 adds abort LSN + timestamp)
         w.int32(msg["xid"])
         w.int32(msg.get("subxid", msg["xid"]))
+        if "abort_lsn" in msg:
+            w.int64(msg["abort_lsn"])
+            w.int64(msg["abort_ts_us"])
         return w.getvalue()
     if kind == "B":  # Begin
         w.int64(msg["final_lsn"])
@@ -330,6 +333,9 @@ def decode_message(data: bytes, in_stream: bool = False) -> dict:
         return out
     if kind == "A":
         out = {"type": "A", "xid": r.int32(), "subxid": r.int32()}
+        if not r.done():  # protocol v4: abort LSN + abort timestamp
+            out["abort_lsn"] = r.int64()
+            out["abort_ts_us"] = r.int64()
         if not r.done():
             raise ValueError("trailing bytes after A message")
         return out

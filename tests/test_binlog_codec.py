@@ -442,3 +442,22 @@ def test_checksummed_capture_decodes_with_checksum_flag(spark):
     phantom = [r for r in bad if r["error"] is None
                and json.loads(r["after"] or "{}").get("balance") != 250]
     assert not phantom
+
+
+def test_enum_set_round_trip_and_table_map_meta():
+    from debezium_server_spark.functions.binlog_codec import T_ENUM, T_SET
+
+    cols = [{"type": T_ENUM, "meta": 1, "nullable": True},
+            {"type": T_ENUM, "meta": 2, "nullable": True},
+            {"type": T_SET, "meta": 3, "nullable": True}]
+    rows = [[3, 300, 0b101000000000000000001], [None, None, None]]
+    ev = {"type": "write_rows", "table_id": 4, "columns": cols,
+          "rows": rows, "timestamp": 0, "log_pos": 0}
+    out = decode_event(encode_event(ev), columns_of=lambda tid: cols)
+    assert out["rows"] == rows
+
+    tmap = {"type": "table_map", "table_id": 4, "schema": "s",
+            "table": "t", "columns": cols, "timestamp": 0, "log_pos": 0}
+    got = decode_event(encode_event(tmap))["columns"]
+    assert [(c["type"], c["meta"]) for c in got] == \
+        [(T_ENUM, 1), (T_ENUM, 2), (T_SET, 3)]

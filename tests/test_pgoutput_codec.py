@@ -370,3 +370,15 @@ def test_toplevel_stream_abort_still_discards_everything():
         encode_message({"type": "A", "xid": 200, "subxid": 200}),
     ]
     assert assemble_streamed_transactions(chunk) == {}
+
+
+def test_v4_stream_abort_fields_round_trip():
+    # protocol v4 adds abort LSN + abort timestamp to 'A'; both forms
+    # must round-trip and the v2 form stays byte-compatible
+    v2 = {"type": "A", "xid": 9, "subxid": 9}
+    assert decode_message(encode_message(v2)) == v2
+    v4 = {"type": "A", "xid": 9, "subxid": 10, "abort_lsn": 77,
+          "abort_ts_us": 123456}
+    raw = encode_message(v4)
+    assert len(raw) == len(encode_message(v2)) + 16
+    assert decode_message(raw) == v4
