@@ -10,7 +10,15 @@ name, ChangeConsumerProducer.java:61-90).
 Property surface understood here (the Spark-native subset):
 
     debezium.source.type              changelog-dir | lines | debezium-changelog |
-                                      pgoutput-wal | oplog-bson | mysql-binlog
+                                      pgoutput-wal | oplog-bson | mysql-binlog |
+                                      sqlserver-cdc
+    debezium.source.sqlserver.destination
+                                      sqlserver-cdc only: the envelope
+                                      destination for the change-table
+                                      export at debezium.source.path
+                                      (one capture instance per path,
+                                      row_filter='all' semantics — see
+                                      sources/sqlserver_cdc_source.py)
     debezium.source.path              directory for the file source
     debezium.source.max.files.per.trigger   backpressure knob
     debezium.source.binlog.names      JSON {"schema.table": [column
@@ -20,6 +28,25 @@ Property surface understood here (the Spark-native subset):
     debezium.source.binlog.checksum   none (default) | crc32 — set to
                                       crc32 for captures from a
                                       binlog_checksum=CRC32 server
+    debezium.source.dead.letter.destination
+                                      wire sources only: route rows the
+                                      decoder quarantined (malformed
+                                      bytes, relation/TABLE_MAP OIDs
+                                      not in the startup registry) to
+                                      this destination instead of
+                                      dropping them; value is a JSON
+                                      {error, lsn} document. Unset =
+                                      drop (the pre-r6 behavior).
+                                      RESTRICTION: wire-source
+                                      registries (pgoutput Relations,
+                                      binlog TABLE_MAPs) are frozen at
+                                      stream start from a batch
+                                      pre-read of the directory —
+                                      tables first declared in files
+                                      that arrive AFTER start
+                                      dead-letter (or drop) until
+                                      restart. Size the pre-read
+                                      accordingly or restart on DDL.
     debezium.transforms               ordered list: t1,t2
     debezium.transforms.<n>.type      hoist_field | insert_header |
                                       insert_field | mask_field | filter |
@@ -123,6 +150,30 @@ def build_source(
         return spark.readStream.format("debezium-changelog").option("path", path).load()
     if stype in ("pgoutput-wal", "oplog-bson", "mysql-binlog"):
         return _build_wire_source(spark, cfg, stype, path)
+    if stype == "sqlserver-cdc":
+        # change-table tail (cdc.fn_cdc_get_all_changes_* exports as
+        # parquet): row_filter='all' rows decode STATELESSLY, so the
+        # stream is a plain projection; the schema comes from a
+        # bounded batch pre-read of the same export directory
+        from debezium_server_spark.sources.sqlserver_cdc_source import (
+            decode_cdc_changes_stateless,
+        )
+
+        dest = cfg.require("debezium.source.sqlserver.destination")
+        batch_schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(batch_schema)
+        mft = cfg.get("debezium.source.max.files.per.trigger")
+        if mft:
+            reader = reader.option("maxFilesPerTrigger", int(mft))
+        env = decode_cdc_changes_stateless(reader.parquet(path),
+                                           destination=dest)
+        return env.select(
+            F.col("destination"),
+            F.lit(None).cast("string").alias("key"),
+            F.to_json(F.struct(
+                F.col("op"), F.col("before"), F.col("after"),
+                F.struct(F.col("lsn"), F.col("seqval")).alias("source"),
+            )).alias("value"))
     raise ValueError(f"unknown source type {stype!r}")
 
 
@@ -182,18 +233,33 @@ def _build_wire_source(spark: SparkSession, cfg: PipelineConfig,
                                       checksum=checksum)
 
     # raw envelope: images stay JSON text inside the value document
-    # (the multi-table convention); quarantined rows are dropped here —
-    # route them to a dead-letter sink by consuming `env` directly
+    # (the multi-table convention). Quarantined rows (error != null —
+    # malformed bytes, or an OID missing from the STARTUP-FROZEN
+    # registry, e.g. a table first declared after stream start) either
+    # drop (default) or, with debezium.source.dead.letter.destination
+    # set, route as {error, lsn} rows to that destination so the sink
+    # persists them — a long-running pipeline must not silently lose
+    # rows on schema change (ADVICE r5, medium).
     payload = [F.col("op"), F.col("before"), F.col("after"),
                F.struct(F.col("seq").alias("lsn")).alias("source")]
     # oplog diff updates carry patch; pgoutput adds the transaction id
     for extra in ("patch", "xid", "ts_ms"):
         if extra in env.columns:
             payload.append(F.col(extra))
-    return (env.filter(F.col("error").isNull())
+    good = (env.filter(F.col("error").isNull())
             .select(F.col("destination"),
                     F.lit(None).cast("string").alias("key"),
                     F.to_json(F.struct(*payload)).alias("value")))
+    dlq_dest = cfg.get("debezium.source.dead.letter.destination")
+    if not dlq_dest:
+        return good
+    dead = (env.filter(F.col("error").isNotNull())
+            .select(F.lit(dlq_dest).alias("destination"),
+                    F.lit(None).cast("string").alias("key"),
+                    F.to_json(F.struct(
+                        F.col("error"),
+                        F.col("seq").alias("lsn"))).alias("value")))
+    return good.unionByName(dead)
 
 
 def build_pipeline(

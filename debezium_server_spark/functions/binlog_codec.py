@@ -34,8 +34,10 @@ big-endian bytes, partial leading groups in fewer, sign bit XORed
 into the first byte, negative values stored complemented; decoded to
 an EXACT decimal string, never a float), and the -2 temporals
 DATETIME2 / TIMESTAMP2 / TIME2 (bit-packed big-endian with
-metadata-driven fractional-second bytes). NULLs ride the per-row null
-bitmap. Remaining exotica (ENUM/SET/GEOMETRY/JSON binary) raise.
+metadata-driven fractional-second bytes), ENUM/SET ordinals/bitmasks,
+and JSON (the binary JSON cell format — length-prefixed documents
+decoded by `functions/mysql_jsonb.py`). NULLs ride the per-row null
+bitmap. Remaining exotica (GEOMETRY beyond WKB-in-BLOB) raise.
 """
 
 from __future__ import annotations
@@ -64,6 +66,8 @@ T_NEWDECIMAL = 246
 T_ENUM, T_SET = 247, 248  # raw-type codes (inside STRING metadata on
 #                            real servers; the twin uses them directly)
 T_VARCHAR, T_BLOB = 15, 252
+T_JSON = 245  # binary JSON cell (functions/mysql_jsonb.py layout);
+#               metadata = length-prefix width in bytes (server: 4)
 
 _INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
 
@@ -222,6 +226,13 @@ def _enc_value(col: dict, v) -> bytes:
         raw = bytes(v)
         nbytes = col.get("meta", 2)
         return len(raw).to_bytes(nbytes, "little") + raw
+    if t == T_JSON:
+        # the cell is a length-prefixed binary JSON document; the twin
+        # takes the Python value (dict/list/scalar/JsonDecimal/...)
+        from debezium_server_spark.functions import mysql_jsonb
+        raw = mysql_jsonb.encode(v)
+        nbytes = col.get("meta", 4)
+        return len(raw).to_bytes(nbytes, "little") + raw
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return encode_newdecimal(str(v), precision, scale)
@@ -294,6 +305,12 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
         n = int.from_bytes(_take(data, pos, nbytes), "little")
         pos += nbytes
         return _take(data, pos, n), pos + n
+    if t == T_JSON:
+        from debezium_server_spark.functions import mysql_jsonb
+        nbytes = col.get("meta", 4)
+        n = int.from_bytes(_take(data, pos, nbytes), "little")
+        pos += nbytes
+        return mysql_jsonb.decode(_take(data, pos, n)), pos + n
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return decode_newdecimal(data, pos, precision, scale)
@@ -423,6 +440,8 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                     "<f" if c["type"] == T_FLOAT else "<d"),))
             elif c["type"] == T_BLOB:
                 meta += bytes((c.get("meta", 2),))
+            elif c["type"] == T_JSON:
+                meta += bytes((c.get("meta", 4),))
             elif c["type"] == T_NEWDECIMAL:
                 precision, scale = c["meta"]
                 meta += bytes((precision, scale))
@@ -524,7 +543,7 @@ def decode_event(data: bytes, columns_of=None,
             if t == T_VARCHAR:
                 meta = _struct.unpack("<H", meta_block[mp:mp + 2])[0]
                 mp += 2
-            elif t in (T_FLOAT, T_DOUBLE, T_BLOB,
+            elif t in (T_FLOAT, T_DOUBLE, T_BLOB, T_JSON,
                        T_TIMESTAMP2, T_DATETIME2, T_TIME2,
                        T_ENUM, T_SET):
                 meta = meta_block[mp]

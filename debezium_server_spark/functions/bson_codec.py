@@ -60,6 +60,17 @@ class UtcDatetime:
     millis: int
 
 
+@dataclass(frozen=True)
+class BsonBinary:
+    """0x05 with a non-generic subtype (e.g. 0x04 UUID). Plain `bytes`
+    map to subtype 0; this wrapper preserves any other subtype so a
+    decode→encode round trip reproduces the byte stream exactly —
+    the encoder twin is held to exact fidelity everywhere else."""
+
+    subtype: int
+    data: bytes
+
+
 # --------------------------------------------------------------- encode
 
 
@@ -80,6 +91,9 @@ def _enc_element(name: str, v) -> bytes:
     if isinstance(v, (bytes, bytearray)):
         return (b"\x05" + key + _struct.pack("<i", len(v)) + b"\x00"
                 + bytes(v))  # subtype 0: generic
+    if isinstance(v, BsonBinary):
+        return (b"\x05" + key + _struct.pack("<i", len(v.data))
+                + bytes([v.subtype]) + bytes(v.data))
     if isinstance(v, ObjectId):
         return b"\x07" + key + bytes.fromhex(v.hex)
     if isinstance(v, UtcDatetime):
@@ -163,7 +177,11 @@ def _dec_document(r: _Reader) -> dict:
             subtype = r.take(1)[0]
             if subtype not in (0x00, 0x04):  # generic / UUID
                 raise ValueError(f"unsupported binary subtype {subtype}")
-            out[name] = r.take(n)
+            raw = r.take(n)
+            # subtype 0 stays plain bytes; anything else keeps its
+            # subtype so encode(decode(x)) == x (UUID binaries must not
+            # silently rewrite as generic)
+            out[name] = raw if subtype == 0x00 else BsonBinary(subtype, raw)
         elif etype == 0x07:
             out[name] = ObjectId(r.take(12).hex())
         elif etype == 0x08:

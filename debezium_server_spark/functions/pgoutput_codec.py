@@ -34,7 +34,18 @@ a leading Int32 xid — pass `in_stream=True` to `decode_message` (or
 put `stream_xid` on the dict for the encoder twin). A segment is the
 server's `logical_decoding_work_mem` flush unit;
 `assemble_streamed_transactions` folds one captured chunk's segments
-back into committed per-transaction message lists (aborts discard).
+back into committed per-transaction message lists (aborts discard),
+
+plus the protocol-v3 TWO-PHASE set (`two_phase = on` slots — PREPARE
+TRANSACTION flows): 'b' Begin Prepare (prepare LSN, end LSN, prepare
+ts, xid, gid), 'P' Prepare (flags + the same fields), 'K' Commit
+Prepared (flags, commit LSN, end LSN, commit ts, xid, gid), 'r'
+Rollback Prepared (flags, prepared-end LSN, rollback-end LSN, prepare
+ts, rollback ts, xid, gid), and v4's 'p' Stream Prepare sealing a
+streamed two-phase transaction. A prepared transaction MUST NOT emit
+until Commit Prepared arrives — `assemble_streamed_transactions`
+buffers it and Rollback Prepared discards it, mirroring the
+reference connector's buffering contract.
 
 TupleData columns are tagged 'n' (SQL NULL), 'u' (unchanged TOAST),
 't' (text representation, length-prefixed) or 'b' (binary, ditto).
@@ -186,6 +197,38 @@ def encode_message(msg: dict) -> bytes:
             w.int64(msg["abort_lsn"])
             w.int64(msg["abort_ts_us"])
         return w.getvalue()
+    if kind == "b":  # Begin Prepare (v3)
+        w.int64(msg["prepare_lsn"])
+        w.int64(msg["end_lsn"])
+        w.int64(msg["prepare_ts_us"])
+        w.int32(msg["xid"])
+        w.cstr(msg["gid"])
+        return w.getvalue()
+    if kind in ("P", "p"):  # Prepare (v3) / Stream Prepare (v4)
+        w.int8(msg.get("flags", 0))
+        w.int64(msg["prepare_lsn"])
+        w.int64(msg["end_lsn"])
+        w.int64(msg["prepare_ts_us"])
+        w.int32(msg["xid"])
+        w.cstr(msg["gid"])
+        return w.getvalue()
+    if kind == "K":  # Commit Prepared (v3)
+        w.int8(msg.get("flags", 0))
+        w.int64(msg["commit_lsn"])
+        w.int64(msg["end_lsn"])
+        w.int64(msg["commit_ts_us"])
+        w.int32(msg["xid"])
+        w.cstr(msg["gid"])
+        return w.getvalue()
+    if kind == "r":  # Rollback Prepared (v3)
+        w.int8(msg.get("flags", 0))
+        w.int64(msg["prepared_end_lsn"])
+        w.int64(msg["rollback_end_lsn"])
+        w.int64(msg["prepare_ts_us"])
+        w.int64(msg["rollback_ts_us"])
+        w.int32(msg["xid"])
+        w.cstr(msg["gid"])
+        return w.getvalue()
     if kind == "B":  # Begin
         w.int64(msg["final_lsn"])
         w.int64(msg["commit_ts_us"])
@@ -304,11 +347,19 @@ def _read_tuple(r: _Reader) -> list[tuple[str, object]]:
     return cols
 
 
-def decode_message(data: bytes, in_stream: bool = False) -> dict:
+def decode_message(data: bytes, in_stream: bool = False,
+                   protocol_version: int = 2) -> dict:
     """Decode one pgoutput message to a dict (inverse of
     `encode_message`). Trailing garbage raises — a message is exactly
     one WAL record's payload. `in_stream=True` reads the protocol-v2
-    Int32 xid prefix data messages carry between Stream Start/Stop."""
+    Int32 xid prefix data messages carry between Stream Start/Stop.
+
+    `protocol_version` is the version negotiated in START_REPLICATION
+    (`proto_version` option) and gates version-dependent layouts
+    EXPLICITLY: a v4 server always ships abort LSN + timestamp on
+    Stream Abort, a v2/v3 server never does. Residual-length
+    inference would let a corrupt v2 abort with 16 trailing bytes
+    silently misparse as v4 fields."""
     r = _Reader(data)
     kind = r.byte1()
     stream_xid = None
@@ -333,11 +384,42 @@ def decode_message(data: bytes, in_stream: bool = False) -> dict:
         return out
     if kind == "A":
         out = {"type": "A", "xid": r.int32(), "subxid": r.int32()}
-        if not r.done():  # protocol v4: abort LSN + abort timestamp
-            out["abort_lsn"] = r.int64()
+        if protocol_version >= 4:  # v4: abort LSN + abort timestamp,
+            out["abort_lsn"] = r.int64()   # always present
             out["abort_ts_us"] = r.int64()
         if not r.done():
             raise ValueError("trailing bytes after A message")
+        return out
+    if kind == "b":
+        out = {"type": "b", "prepare_lsn": r.int64(),
+               "end_lsn": r.int64(), "prepare_ts_us": r.int64(),
+               "xid": r.int32(), "gid": r.cstr()}
+        if not r.done():
+            raise ValueError("trailing bytes after b message")
+        return out
+    if kind in ("P", "p"):
+        out = {"type": kind, "flags": r.int8(),
+               "prepare_lsn": r.int64(), "end_lsn": r.int64(),
+               "prepare_ts_us": r.int64(), "xid": r.int32(),
+               "gid": r.cstr()}
+        if not r.done():
+            raise ValueError(f"trailing bytes after {kind} message")
+        return out
+    if kind == "K":
+        out = {"type": "K", "flags": r.int8(), "commit_lsn": r.int64(),
+               "end_lsn": r.int64(), "commit_ts_us": r.int64(),
+               "xid": r.int32(), "gid": r.cstr()}
+        if not r.done():
+            raise ValueError("trailing bytes after K message")
+        return out
+    if kind == "r":
+        out = {"type": "r", "flags": r.int8(),
+               "prepared_end_lsn": r.int64(),
+               "rollback_end_lsn": r.int64(),
+               "prepare_ts_us": r.int64(), "rollback_ts_us": r.int64(),
+               "xid": r.int32(), "gid": r.cstr()}
+        if not r.done():
+            raise ValueError("trailing bytes after r message")
         return out
     if kind == "B":
         out = {"type": "B", "final_lsn": r.int64(),
@@ -402,7 +484,8 @@ def decode_message(data: bytes, in_stream: bool = False) -> dict:
     return out
 
 
-def assemble_streamed_transactions(raw_messages: list[bytes]
+def assemble_streamed_transactions(raw_messages: list[bytes],
+                                   protocol_version: int = 2
                                    ) -> dict[int, dict]:
     """Fold ONE captured WAL chunk's protocol-v2 stream back into
     whole transactions: interleaved S..E segments accumulate per xid,
@@ -416,9 +499,41 @@ def assemble_streamed_transactions(raw_messages: list[bytes]
     open_segments: dict[int, list[dict]] = {}
     current: int | None = None
     committed: dict[int, dict] = {}
+    #: v3 two-phase: PREPAREd-but-undecided transactions buffer here —
+    #: they must not emit until Commit Prepared; Rollback Prepared
+    #: discards. A 'K'/'r' whose xid was prepared in an EARLIER chunk
+    #: is out of this chunk's scope (the chunk-contained model v2
+    #: streams already have) and is ignored; a capture task feeding
+    #: this fold keeps prepare+decision in one chunk.
+    prepared: dict[int, dict] = {}
     v1_xid: int | None = None
     for raw in raw_messages:
         kind = bytes(raw)[:1].decode("ascii")
+        if kind == "b":  # Begin Prepare: opens like Begin
+            m = decode_message(raw)
+            v1_xid = m["xid"]
+            open_segments.setdefault(v1_xid, [])
+            continue
+        if kind in ("P", "p"):  # Prepare / Stream Prepare: seal, hold
+            m = decode_message(raw)
+            prepared[m["xid"]] = {
+                "prepare": m,
+                "messages": open_segments.pop(m["xid"], [])}
+            if v1_xid == m["xid"]:
+                v1_xid = None
+            continue
+        if kind == "K":  # Commit Prepared: NOW the txn emits
+            m = decode_message(raw)
+            if m["xid"] in prepared:
+                held = prepared.pop(m["xid"])
+                committed[m["xid"]] = {"commit": m,
+                                       "prepare": held["prepare"],
+                                       "messages": held["messages"]}
+            continue
+        if kind == "r":  # Rollback Prepared: discard
+            m = decode_message(raw)
+            prepared.pop(m["xid"], None)
+            continue
         if kind == "S":
             m = decode_message(raw)
             current = m["xid"]
@@ -435,7 +550,7 @@ def assemble_streamed_transactions(raw_messages: list[bytes]
                 "messages": open_segments.pop(m["xid"], [])}
             continue
         if kind == "A":
-            m = decode_message(raw)
+            m = decode_message(raw, protocol_version=protocol_version)
             if m["subxid"] == m["xid"]:
                 # toplevel abort: the whole transaction vanishes
                 open_segments.pop(m["xid"], None)

@@ -19,10 +19,19 @@ native vocabulary): a commit touching k of B buckets logs O(k) actions
 — untouched buckets appear NOWHERE in the commit, their files simply
 stay live. remove actions are logical tombstones (files stay on disk
 for time travel until a VACUUM-style cleanup), which is exactly the
-protocol's model. Log replay cost grows with commit count; real
-deployments checkpoint the log every 10 commits — out of scope here
-and documented, since the container has no reader to validate
-checkpoint parquet against.
+protocol's model. Log replay cost is bounded by the CHECKPOINT
+mechanism (PROTOCOL.md "Checkpoints"): every `checkpoint_interval`
+(10, the protocol's default cadence) commits, the full replay state —
+one parquet row per live `add` plus the `metaData` and `protocol`
+rows — lands in `_delta_log/{version:020d}.checkpoint.parquet` and
+`_last_checkpoint` points at it, so a reader replays O(interval) JSON
+commits after one parquet read instead of the whole history, and JSON
+commits at or before the checkpoint version become deletable. The
+checkpoint is written driver-side with pyarrow: its row count is
+O(live files) = O(n_buckets) here (each commit REPLACES bucket files),
+a bounded control frame, not a data-plane write. Validation is
+protocol-level assertion (no external Delta reader exists in this
+container — still a watch item).
 
 Same interface as `VersionedParquetTable` (read / commit / last_epoch /
 current_version / bucket_expr), so `ParquetUpsertSink(table_format=
@@ -50,10 +59,12 @@ BUCKET_COL = "__bucket"
 class DeltaLogTable:
     """Hash-bucketed Delta table (see module docstring)."""
 
-    def __init__(self, path: str, n_buckets: int = 16, retain: int = 2):
+    def __init__(self, path: str, n_buckets: int = 16, retain: int = 2,
+                 checkpoint_interval: int = 10):
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
         os.makedirs(self.log_dir, exist_ok=True)
+        self.checkpoint_interval = checkpoint_interval
         meta = self._replay_meta()
         self.n_buckets = meta.get("n_buckets", n_buckets)
         self.retain = retain  # interface parity; removes are logical
@@ -76,18 +87,153 @@ class DeltaLogTable:
         with open(self._log_path(version)) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    # ------------------------------------------------------ checkpoints
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir,
+                            f"{version:020d}.checkpoint.parquet")
+
+    def _read_last_checkpoint(self) -> dict | None:
+        """The `_last_checkpoint` pointer file ({"version": V,
+        "size": N} per PROTOCOL.md), or None."""
+        try:
+            with open(os.path.join(self.log_dir, "_last_checkpoint")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _usable_checkpoint(self, upto: int | None) -> int | None:
+        """Version of the last checkpoint iff it exists and covers a
+        prefix of the requested replay range."""
+        ck = self._read_last_checkpoint()
+        if (ck is not None
+                and (upto is None or upto >= ck["version"])
+                and os.path.exists(self._checkpoint_path(ck["version"]))):
+            return int(ck["version"])
+        return None
+
+    def _checkpoint_state(self, version: int):
+        """Checkpoint parquet → ({path: add}, metaData, protocol).
+        pyarrow map columns come back as (k, v) tuple lists —
+        normalized to dicts so checkpoint state is interchangeable
+        with JSON-replayed state."""
+        import pyarrow.parquet as pq
+
+        def demap(v):
+            if isinstance(v, list) and all(
+                    isinstance(x, tuple) and len(x) == 2 for x in v):
+                return dict(v)
+            return v
+
+        live: dict[str, dict] = {}
+        meta = proto = None
+        for row in pq.read_table(self._checkpoint_path(version)).to_pylist():
+            if row.get("add") is not None:
+                add = {k: demap(v) for k, v in row["add"].items()}
+                live[add["path"]] = add
+            elif row.get("metaData") is not None:
+                meta = {k: demap(v) for k, v in row["metaData"].items()}
+            elif row.get("protocol") is not None:
+                proto = dict(row["protocol"])
+        return live, meta, proto
+
+    def write_checkpoint(self, version: int | None = None) -> str:
+        """Write the classic checkpoint for `version` (default: the
+        last committed one): one parquet row per action of the full
+        replay state — every live `add`, plus `metaData` and
+        `protocol` — and repoint `_last_checkpoint`. Row count is
+        O(live files) = O(n_buckets) for this bucketed table (a
+        bounded control frame; a huge unbucketed table would write it
+        with Spark instead). JSON commits ≤ `version` become
+        deletable afterwards: a reader needs only checkpoint +
+        later JSON."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if version is None:
+            version = self.current_version() - 1
+        if version < 0:
+            raise ValueError("nothing committed — no checkpoint to write")
+        live = self._live_files(upto=version)
+        meta = proto = None
+        for v in self._versions():  # latest declaration ≤ version wins
+            if v > version:
+                break
+            for action in self._read_commit(v):
+                if "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+
+        smap = pa.map_(pa.string(), pa.string())
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_())])
+        meta_t = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap)])
+        proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                             ("minWriterVersion", pa.int32())])
+        rows = [{"protocol": proto, "metaData": None, "add": None},
+                {"protocol": None, "metaData": meta, "add": None}]
+        rows += [{"protocol": None, "metaData": None, "add": a}
+                 for _, a in sorted(live.items())]
+        table = pa.Table.from_pylist(rows, schema=pa.schema(
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
+        path = self._checkpoint_path(version)
+        pq.write_table(table, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        pointer = os.path.join(self.log_dir, "_last_checkpoint")
+        with open(pointer + ".tmp", "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.replace(pointer + ".tmp", pointer)
+        return path
+
+    # ------------------------------------------------------- log replay
+
     def _replay_meta(self) -> dict:
         for v in self._versions():
             for action in self._read_commit(v):
                 if "metaData" in action:
                     cfg = action["metaData"].get("configuration", {})
                     return {"n_buckets": int(cfg.get("bucketing.count", 16))}
+        ck = self._usable_checkpoint(upto=None)
+        if ck is not None:  # JSON prefix cleaned: metaData lives in
+            _, meta, _ = self._checkpoint_state(ck)  # the checkpoint
+            if meta is not None:
+                cfg = meta.get("configuration", {})
+                return {"n_buckets": int(cfg.get("bucketing.count", 16))}
         return {}
 
     def _live_files(self, upto: int | None = None) -> dict[str, dict]:
-        """Replay add/remove actions → {relative path: add action}."""
+        """Replay → {relative path: add action}: start from the last
+        checkpoint when it covers a prefix of the range, then apply
+        the JSON commits after it."""
         live: dict[str, dict] = {}
-        for v in self._versions():
+        start = 0
+        ck = self._usable_checkpoint(upto)
+        if ck is not None:
+            live, _, _ = self._checkpoint_state(ck)
+            start = ck + 1
+        versions = self._versions()
+        if start == 0 and (
+                (versions and versions[0] != 0)
+                or (not versions and self._read_last_checkpoint())):
+            # JSON history does not reach version 0 and the checkpoint
+            # does not cover the requested range (time travel below
+            # it, or a missing checkpoint file): replaying would be
+            # silently partial
+            raise ValueError(
+                f"delta log for {self.path} has no full history for "
+                f"this range (cleaned prefix, no usable checkpoint)")
+        for v in versions:
+            if v < start:
+                continue
             if upto is not None and v > upto:
                 break
             for action in self._read_commit(v):
@@ -101,9 +247,14 @@ class DeltaLogTable:
 
     def current_version(self) -> int:
         """Commit count (0 = empty) — interface-compatible with
-        VersionedParquetTable; the Delta version on disk is count-1."""
+        VersionedParquetTable; the Delta version on disk is count-1.
+        The checkpoint pointer counts too: after log cleanup the
+        newest state may be checkpoint-only."""
         vs = self._versions()
-        return (vs[-1] + 1) if vs else 0
+        ck = self._read_last_checkpoint()
+        last = max(vs[-1] if vs else -1,
+                   ck["version"] if ck else -1)
+        return last + 1
 
     def last_epoch(self) -> int | None:
         vs = self._versions()
@@ -245,14 +396,27 @@ class DeltaLogTable:
             dst_f.write(src_f.read())
         os.remove(tmp)
         self._snapshot_version = delta_version + 1
+        # protocol cadence: checkpoint every `checkpoint_interval`
+        # commits so replay stays O(interval) JSON reads
+        if (delta_version + 1) % self.checkpoint_interval == 0:
+            self.write_checkpoint(delta_version)
         return delta_version + 1
 
     # ------------------------------------------------------ maintenance
 
-    def vacuum(self) -> list[str]:
-        """Physically delete files removed from the log (no retention
-        window here — the caller owns the time-travel trade-off; real
-        Delta defaults to 7 days). Returns deleted relative paths."""
+    def vacuum(self, retention_seconds: float = 7 * 86400) -> list[str]:
+        """Physically delete files removed from the log, SKIPPING files
+        younger than `retention_seconds` (Delta's default: 7 days).
+        The window is not just a time-travel courtesy — it is a
+        CORRECTNESS guard for concurrent writers: another writer's data
+        files are moved into the table (`os.replace` in commit())
+        BEFORE its log record lands, so a zero-retention vacuum racing
+        that gap would delete an in-flight commit's data. Pass
+        `retention_seconds=0` only when no other writer can be active.
+        Returns deleted relative paths."""
+        import time as _time
+
+        cutoff = _time.time() - retention_seconds
         live = set(self._live_files())
         deleted = []
         for dirname in os.listdir(self.path):
@@ -261,7 +425,11 @@ class DeltaLogTable:
                 continue
             for fname in os.listdir(d):
                 rel = f"{dirname}/{fname}"
-                if rel not in live and fname.endswith(".parquet"):
-                    os.remove(os.path.join(d, fname))
-                    deleted.append(rel)
+                if rel in live or not fname.endswith(".parquet"):
+                    continue
+                full = os.path.join(d, fname)
+                if os.stat(full).st_mtime > cutoff:
+                    continue  # inside the retention window
+                os.remove(full)
+                deleted.append(rel)
         return deleted

@@ -96,7 +96,14 @@ def decode_binlog_changelog(msgs: DataFrame,
         registry = load_table_registry(msgs, checksum=checksum)
 
     def row_json(cols: list[str], row: list) -> str:
-        return json.dumps(dict(zip(cols, row)), separators=(",", ":"))
+        # BLOB cells decode to bytes and JSON cells to Python
+        # structures that may carry JsonDecimal/JsonOpaque wrappers —
+        # project all of them to JSON-serializable values (base64 for
+        # bytes, exact text for decimals) instead of letting
+        # json.dumps raise and quarantine the row
+        from debezium_server_spark.functions.mysql_jsonb import to_jsonable
+        return json.dumps({k: to_jsonable(v) for k, v in zip(cols, row)},
+                          separators=(",", ":"))
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

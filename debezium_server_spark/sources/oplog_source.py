@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from debezium_server_spark.functions.bson_codec import (
+    BsonBinary,
     BsonTimestamp,
     ObjectId,
     UtcDatetime,
@@ -72,6 +73,9 @@ def _jsonable(v):
         return {"t": v.seconds, "i": v.increment}
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, BsonBinary):  # non-generic subtype (e.g. UUID)
+        return {"$binary": base64.b64encode(v.data).decode("ascii"),
+                "subtype": v.subtype}
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, list):

@@ -45,12 +45,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import base64
+
 from debezium_server_spark.functions.pgoutput_codec import (
     PG_EPOCH_OFFSET_US,
     UNCHANGED_TOAST_VALUE,
     decode_message,
     tuple_to_dict,
 )
+
+
+def _jsonable(v):
+    """Binary-format ('b') tuple columns decode to raw bytes, which
+    json.dumps rejects — base64 them (the oplog source's convention)
+    so a `binary = true` pgoutput capture doesn't quarantine every
+    row."""
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return v
+
+
+def _row_json(rel: dict, tup) -> str:
+    # 'u' (unchanged TOAST) columns get the Debezium sentinel, NOT SQL
+    # NULL — an upsert must not overwrite real data with NULL for a
+    # value the WAL simply didn't ship
+    d = tuple_to_dict(rel, tup, unchanged_marker=UNCHANGED_TOAST_VALUE)
+    return json.dumps({k: _jsonable(v) for k, v in d.items()},
+                      separators=(",", ":"))
 
 # op codes per the envelope contract (Envelope.FieldName dispatch at
 # FlussChangeConsumer.java:188-193): Insert → c, Update → u, Delete → d;
@@ -134,14 +155,7 @@ def decode_data_messages(msgs: DataFrame, registry: dict[int, dict]) -> DataFram
     order; malformed records land on the `error` column (quarantine
     convention) instead of failing the batch."""
 
-    def row_json(rel: dict, tup) -> str:
-        # 'u' (unchanged TOAST) columns get the Debezium sentinel, NOT
-        # SQL NULL — an upsert must not overwrite real data with NULL
-        # for a value the WAL simply didn't ship
-        return json.dumps(
-            tuple_to_dict(rel, tup,
-                          unchanged_marker=UNCHANGED_TOAST_VALUE),
-            separators=(",", ":"))
+    row_json = _row_json
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,8 +252,8 @@ _CHUNK_SCHEMA = T.StructType([
 
 
 def decode_streamed_chunks(chunks: DataFrame,
-                           registry: dict[int, dict] | None = None
-                           ) -> DataFrame:
+                           registry: dict[int, dict] | None = None,
+                           protocol_version: int = 2) -> DataFrame:
     """Protocol-v2 STREAMED transactions at scale: each input row is
     one captured WAL CHUNK — `(chunk_id bigint, blob binary)` of
     big-endian length-prefixed pgoutput messages, the unit a capture
@@ -278,7 +292,8 @@ def decode_streamed_chunks(chunks: DataFrame,
                             raise EOFError("truncated chunk frame")
                         msgs.append(frame)
                         pos += 4 + n
-                    committed = assemble_streamed_transactions(msgs)
+                    committed = assemble_streamed_transactions(
+                        msgs, protocol_version=protocol_version)
                     reg = dict(seed)
                     for xid in sorted(
                             committed,
@@ -308,11 +323,7 @@ def decode_streamed_chunks(chunks: DataFrame,
                             rel = reg[m["relation_oid"]]
                             dest = (f"{rel['namespace']}"
                                     f".{rel['relation_name']}")
-                            tj = (lambda tup: json.dumps(
-                                tuple_to_dict(
-                                    rel, tup,
-                                    unchanged_marker=UNCHANGED_TOAST_VALUE),
-                                separators=(",", ":")))
+                            tj = (lambda tup: _row_json(rel, tup))
                             before = (tj(m["old_tuple"])
                                       if m.get("old_tuple") is not None
                                       else None)

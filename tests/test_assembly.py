@@ -210,6 +210,49 @@ def test_build_pgoutput_wal_source(spark, tmp_path):
     assert all(r["destination"] == "public.t" for r in rows)
 
 
+def test_wire_source_dead_letter_routing(spark, tmp_path):
+    """ADVICE r5 (medium): quarantined rows must not silently vanish —
+    with debezium.source.dead.letter.destination set, a data message
+    referencing a relation OID absent from the startup-frozen registry
+    routes to the DLQ destination as an {error, lsn} row; without the
+    option the pre-r6 drop behavior stands."""
+    import json
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+    from debezium_server_spark.functions.pgoutput_codec import encode_message
+
+    rel = {"type": "R", "relation_oid": 1, "namespace": "public",
+           "relation_name": "t", "replica_identity": "d",
+           "columns": [{"key": True, "name": "id", "type_oid": 20,
+                        "type_mod": -1}]}
+    src = _wire_dir(spark, tmp_path, [
+        (1, encode_message(rel)),
+        (2, encode_message({"type": "I", "relation_oid": 1,
+                            "new_tuple": [("t", "5")]})),
+        # OID 99 was never declared → registry miss → quarantine
+        (3, encode_message({"type": "I", "relation_oid": 99,
+                            "new_tuple": [("t", "6")]})),
+    ])
+    props = {"debezium.source.type": "pgoutput-wal",
+             "debezium.source.path": src,
+             "debezium.source.dead.letter.destination": "__dlq__"}
+    rows = _drain(spark, build_source(spark, PipelineConfig(props)),
+                  tmp_path, "pg_dlq")
+    by_dest = {}
+    for r in rows:
+        by_dest.setdefault(r["destination"], []).append(
+            json.loads(r["value"]))
+    assert [v["op"] for v in by_dest["public.t"]] == ["c"]
+    (dead,) = by_dest["__dlq__"]
+    assert dead["lsn"] == 3 and "99" in dead["error"]
+    # unset → dropped (prior behavior)
+    del props["debezium.source.dead.letter.destination"]
+    rows2 = _drain(spark, build_source(spark, PipelineConfig(props)),
+                   tmp_path, "pg_nodlq")
+    assert {r["destination"] for r in rows2} == {"public.t"}
+
+
 def test_build_oplog_bson_source(spark, tmp_path):
     import json
 

@@ -67,6 +67,22 @@ def test_key_order_preserved():
     assert list(decode(encode(doc))) == ["z", "a", "m"]
 
 
+def test_uuid_binary_subtype_preserved_exact_round_trip():
+    """ADVICE r5: decode→encode of a subtype-4 (UUID) binary must
+    reproduce the byte stream exactly — not silently rewrite it as
+    subtype 0 (generic)."""
+    from debezium_server_spark.functions.bson_codec import BsonBinary
+
+    uid = bytes(range(16))
+    raw = encode({"u": BsonBinary(0x04, uid), "g": b"\x01\x02"})
+    doc = decode(raw)
+    assert doc["u"] == BsonBinary(0x04, uid)
+    assert doc["g"] == b"\x01\x02"  # generic stays plain bytes
+    assert encode(doc) == raw  # exact byte fidelity
+    # JSON projection carries the subtype
+    assert json.loads(doc_to_json(doc))["u"]["subtype"] == 4
+
+
 def test_trailing_and_truncated_rejected():
     raw = encode({"a": 1})
     with pytest.raises(ValueError, match="trailing"):

@@ -148,13 +148,87 @@ def test_vacuum_deletes_only_dead_files(spark, tmp_path):
               (1, "zz", "x", "1@x.com"), lsn=9),
     ]), 1)
     table = _table(tmp_path)
-    dead = table.vacuum()
+    # default retention (7 days) protects young dead files — a racing
+    # writer's moved-but-not-yet-logged data must survive (ADVICE r5)
+    assert table.vacuum() == []
+    dead = table.vacuum(retention_seconds=0)
     assert dead, "the replaced bucket file should be vacuumed"
     for rel in dead:
         assert not os.path.exists(os.path.join(table.path, rel))
     rows = {r["id"]: r["first_name"]
             for r in sink.read_table(spark, DEST).collect()}
     assert rows[1] == "zz" and len(rows) == 8
+
+
+def test_checkpoint_written_every_interval_with_protocol_shape(
+        spark, tmp_path):
+    """Round-5 verdict #3: every `checkpoint_interval` commits the
+    full replay state lands in {version:020d}.checkpoint.parquet and
+    `_last_checkpoint` points at it — protocol-level content
+    assertions (no external reader in this container)."""
+    import pyarrow.parquet as pq
+
+    sink = _sink(tmp_path)
+    for epoch in range(12):
+        sink(_batch(spark, [
+            event(epoch % 4, "c", None,
+                  (epoch % 4, f"e{epoch}", "x", "a@x.com"),
+                  lsn=epoch)
+        ]), epoch)
+    table = _table(tmp_path)
+    ck = table._read_last_checkpoint()
+    assert ck is not None and ck["version"] == 9
+    path = table._checkpoint_path(9)
+    assert os.path.exists(path)
+    rows = pq.read_table(path).to_pylist()
+    assert ck["size"] == len(rows)
+    protos = [r["protocol"] for r in rows if r["protocol"] is not None]
+    metas = [r["metaData"] for r in rows if r["metaData"] is not None]
+    adds = [r["add"] for r in rows if r["add"] is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1 and json.loads(metas[0]["schemaString"])
+    # checkpoint adds == live set replayed from JSON alone at v9
+    ckpt_live, _, _ = table._checkpoint_state(9)
+    json_live = {}
+    for v in range(10):
+        for action in table._read_commit(v):
+            if "add" in action:
+                json_live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                json_live.pop(action["remove"]["path"], None)
+    assert set(a["path"] for a in adds) == set(json_live)
+    assert ckpt_live == {p: {**a, "partitionValues":
+                             dict(a["partitionValues"])}
+                         for p, a in json_live.items()}
+
+
+def test_reopen_from_checkpoint_only_state(spark, tmp_path):
+    """JSON commits ≤ the checkpoint version are deletable: a table
+    whose log prefix was cleaned replays checkpoint + later JSON to
+    the same state, and time travel BEFORE the checkpoint now raises
+    instead of silently returning partial state."""
+    import pytest
+
+    sink = _sink(tmp_path)
+    for epoch in range(12):
+        sink(_batch(spark, [
+            event(epoch % 4, "c", None,
+                  (epoch % 4, f"e{epoch}", "x", "a@x.com"),
+                  lsn=epoch)
+        ]), epoch)
+    before = {r["id"]: r["first_name"]
+              for r in sink.read_table(spark, DEST).collect()}
+    table = _table(tmp_path)
+    for v in range(10):  # clean the checkpointed prefix
+        os.remove(table._log_path(v))
+    fresh = _table(tmp_path)
+    assert fresh.current_version() == 12
+    after = {r["id"]: r["first_name"]
+             for r in fresh.read(spark).collect()}
+    assert after == before
+    assert fresh.last_epoch() == 11  # newest JSON commit survives
+    with pytest.raises(ValueError, match="cleaned"):
+        fresh._live_files(upto=5)
 
 
 def test_concurrent_writer_loses_put_if_absent(spark, tmp_path):
@@ -229,7 +303,8 @@ def test_losing_writer_cannot_clobber_winner_files(spark, tmp_path):
     rows = {r["id"]: r["first_name"]
             for r in sink.read_table(spark, DEST).collect()}
     assert rows == {1: "a"}
-    # loser's moved files are orphans; vacuum collects them
-    dead = fresh.vacuum()
+    # loser's moved files are orphans; vacuum collects them (past the
+    # retention window — forced here with retention 0)
+    dead = fresh.vacuum(retention_seconds=0)
     assert dead, "loser's orphan files should be vacuumable"
     assert {r["id"] for r in sink.read_table(spark, DEST).collect()} == {1}

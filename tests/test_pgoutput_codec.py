@@ -374,11 +374,124 @@ def test_toplevel_stream_abort_still_discards_everything():
 
 def test_v4_stream_abort_fields_round_trip():
     # protocol v4 adds abort LSN + abort timestamp to 'A'; both forms
-    # must round-trip and the v2 form stays byte-compatible
+    # must round-trip, the v2 form stays byte-compatible, and the v4
+    # fields are gated on the NEGOTIATED protocol_version — never
+    # inferred from residual length (ADVICE r5: a corrupt v2 abort
+    # with 16 trailing bytes must raise, not misparse as v4)
     v2 = {"type": "A", "xid": 9, "subxid": 9}
     assert decode_message(encode_message(v2)) == v2
     v4 = {"type": "A", "xid": 9, "subxid": 10, "abort_lsn": 77,
           "abort_ts_us": 123456}
     raw = encode_message(v4)
     assert len(raw) == len(encode_message(v2)) + 16
-    assert decode_message(raw) == v4
+    assert decode_message(raw, protocol_version=4) == v4
+    # cross-version strictness, both directions
+    with pytest.raises(ValueError, match="trailing"):
+        decode_message(raw)  # v4 bytes under v2 negotiation
+    with pytest.raises(EOFError):
+        decode_message(encode_message(v2), protocol_version=4)
+    # corrupt v2 abort with 16 garbage tail bytes: raises under v2
+    # (before this gate it silently decoded the garbage as v4 fields)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_message(encode_message(v2) + b"\x00" * 16)
+
+
+# ----------------------- protocol v3: prepared (two-phase) transactions
+
+
+def test_golden_begin_prepare_bytes():
+    # Spec: Byte1('b'), Int64 prepare LSN, Int64 end LSN, Int64
+    # prepare timestamp, Int32 xid, String gid
+    msg = {"type": "b", "prepare_lsn": 5, "end_lsn": 9,
+           "prepare_ts_us": 123, "xid": 42, "gid": "tx-1"}
+    expect = (b"b" + struct.pack(">q", 5) + struct.pack(">q", 9)
+              + struct.pack(">q", 123) + struct.pack(">i", 42)
+              + b"tx-1\x00")
+    assert encode_message(msg) == expect
+    assert decode_message(expect) == msg
+
+
+def test_golden_commit_prepared_bytes():
+    # Byte1('K'), Int8 flags, Int64 commit LSN, Int64 end LSN,
+    # Int64 commit timestamp, Int32 xid, String gid
+    msg = {"type": "K", "flags": 0, "commit_lsn": 7, "end_lsn": 11,
+           "commit_ts_us": 456, "xid": 42, "gid": "tx-1"}
+    expect = (b"K\x00" + struct.pack(">q", 7) + struct.pack(">q", 11)
+              + struct.pack(">q", 456) + struct.pack(">i", 42)
+              + b"tx-1\x00")
+    assert encode_message(msg) == expect
+    assert decode_message(expect) == msg
+
+
+@pytest.mark.parametrize("msg", [
+    {"type": "P", "flags": 0, "prepare_lsn": 5, "end_lsn": 9,
+     "prepare_ts_us": 123, "xid": 42, "gid": "gid-é"},
+    {"type": "p", "flags": 0, "prepare_lsn": 5, "end_lsn": 9,
+     "prepare_ts_us": 123, "xid": 42, "gid": "stream-2pc"},
+    {"type": "r", "flags": 0, "prepared_end_lsn": 9,
+     "rollback_end_lsn": 14, "prepare_ts_us": 123,
+     "rollback_ts_us": 999, "xid": 42, "gid": "tx-1"},
+])
+def test_v3_prepared_messages_round_trip(msg):
+    assert decode_message(encode_message(msg)) == msg
+    with pytest.raises(ValueError, match="trailing"):
+        decode_message(encode_message(msg) + b"\x00")
+
+
+def test_prepared_txn_emits_only_on_commit_prepared():
+    """Pin test (policy: a PREPAREd transaction must NOT emit until
+    Commit Prepared; Rollback Prepared discards it entirely)."""
+    def enc(m):
+        return encode_message(m)
+
+    chunk = [
+        # prepared txn 42: b .. data .. P, decided by K later in chunk
+        enc({"type": "b", "prepare_lsn": 5, "end_lsn": 9,
+             "prepare_ts_us": 123, "xid": 42, "gid": "tx-1"}),
+        enc({"type": "I", "relation_oid": 1, "new_tuple": [("t", "1")]}),
+        enc({"type": "P", "flags": 0, "prepare_lsn": 5, "end_lsn": 9,
+             "prepare_ts_us": 123, "xid": 42, "gid": "tx-1"}),
+        # prepared txn 43 rolls back — must vanish
+        enc({"type": "b", "prepare_lsn": 20, "end_lsn": 24,
+             "prepare_ts_us": 200, "xid": 43, "gid": "tx-2"}),
+        enc({"type": "I", "relation_oid": 1, "new_tuple": [("t", "X")]}),
+        enc({"type": "P", "flags": 0, "prepare_lsn": 20, "end_lsn": 24,
+             "prepare_ts_us": 200, "xid": 43, "gid": "tx-2"}),
+        enc({"type": "r", "flags": 0, "prepared_end_lsn": 24,
+             "rollback_end_lsn": 30, "prepare_ts_us": 200,
+             "rollback_ts_us": 300, "xid": 43, "gid": "tx-2"}),
+        # decision for 42
+        enc({"type": "K", "flags": 0, "commit_lsn": 31, "end_lsn": 35,
+             "commit_ts_us": 456, "xid": 42, "gid": "tx-1"}),
+    ]
+    # prefix WITHOUT the K: nothing may emit (prepared ≠ committed)
+    assert assemble_streamed_transactions(chunk[:-1]) == {}
+    out = assemble_streamed_transactions(chunk)
+    assert sorted(out) == [42]
+    assert [m["new_tuple"][0][1] for m in out[42]["messages"]] == ["1"]
+    assert out[42]["commit"]["commit_ts_us"] == 456
+    assert out[42]["commit"]["gid"] == "tx-1"
+    assert out[42]["prepare"]["prepare_ts_us"] == 123
+
+
+def test_streamed_two_phase_prepare_then_commit_prepared():
+    """v4 'p' Stream Prepare seals S..E segments into the prepared
+    buffer; Commit Prepared releases them."""
+    def enc(m):
+        return encode_message(m)
+
+    chunk = [
+        enc({"type": "S", "xid": 77, "first_segment": True}),
+        enc({"type": "I", "relation_oid": 1, "stream_xid": 77,
+             "new_tuple": [("t", "a")]}),
+        enc({"type": "E"}),
+        enc({"type": "p", "flags": 0, "prepare_lsn": 40, "end_lsn": 44,
+             "prepare_ts_us": 500, "xid": 77, "gid": "s2pc"}),
+    ]
+    assert assemble_streamed_transactions(chunk) == {}
+    chunk.append(enc({"type": "K", "flags": 0, "commit_lsn": 45,
+                      "end_lsn": 49, "commit_ts_us": 600, "xid": 77,
+                      "gid": "s2pc"}))
+    out = assemble_streamed_transactions(chunk)
+    assert [m["new_tuple"][0][1] for m in out[77]["messages"]] == ["a"]
+    assert out[77]["commit"]["commit_ts_us"] == 600

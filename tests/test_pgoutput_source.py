@@ -284,3 +284,24 @@ def test_unchanged_toast_projects_sentinel_not_null(spark):
     assert json.loads(out[11]["after"]) == {
         "id": 1, "bal": UNCHANGED_TOAST_VALUE}
     assert json.loads(out[12]["after"]) == {"id": 2, "bal": None}
+
+
+def test_binary_format_tuple_columns_base64_not_quarantined(spark):
+    """ADVICE r5: a `binary = true` pgoutput capture ships 'b' tuple
+    columns; raw bytes would make json.dumps raise and quarantine the
+    row — they must project as base64 text instead."""
+    import base64
+
+    payload = b"\x01\x02\xff\x00!"
+    rows = [
+        (1, REL_A),
+        (10, {"type": "B", "final_lsn": 12, "commit_ts_us": 5,
+              "xid": 9}),
+        (11, {"type": "I", "relation_oid": 100,
+              "new_tuple": [("t", "1"), ("b", payload)]}),
+    ]
+    out = {r["seq"]: r for r in
+           decode_pgoutput_changelog(_wal(spark, rows)).collect()}
+    assert out[11]["error"] is None
+    assert json.loads(out[11]["after"]) == {
+        "id": 1, "bal": base64.b64encode(payload).decode("ascii")}

@@ -1,0 +1,130 @@
+"""SQL Server CDC change-table source: the poll-SQL string contract,
+batch decode with op-3/4 update pairing, stateless streaming decode,
+and the sqlserver-cdc assembly path — all against synthetic
+change-table fixtures (no SQL Server in this container; the function
+shape `cdc.fn_cdc_get_all_changes_*` is Microsoft's public CDC
+contract)."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from debezium_server_spark.sources.sqlserver_cdc_source import (
+    cdc_poll_query,
+    change_table_function,
+    decode_cdc_changes,
+    decode_cdc_changes_stateless,
+)
+
+
+def _lsn(n: int) -> bytearray:
+    return bytearray(n.to_bytes(10, "big"))
+
+
+_SCHEMA = T.StructType([
+    T.StructField("__$start_lsn", T.BinaryType()),
+    T.StructField("__$seqval", T.BinaryType()),
+    T.StructField("__$operation", T.IntegerType()),
+    T.StructField("__$update_mask", T.BinaryType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+])
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        [(_lsn(lsn), _lsn(seq), op, bytearray(b"\x03"), rid, name)
+         for lsn, seq, op, rid, name in rows], _SCHEMA)
+
+
+def test_poll_query_contract():
+    assert change_table_function("dbo.t") == \
+        "cdc.fn_cdc_get_all_changes_dbo_t"
+    q = cdc_poll_query("dbo.t", "0000000000000000002A")
+    assert q == ("SELECT * FROM cdc.fn_cdc_get_all_changes_dbo_t("
+                 "sys.fn_cdc_increment_lsn(CONVERT(binary(10), "
+                 "0x0000000000000000002A, 1)), "
+                 "sys.fn_cdc_get_max_lsn(), N'all update old')")
+    # first poll: from the capture instance's minimum LSN
+    q0 = cdc_poll_query("dbo.t", None, row_filter="all")
+    assert "fn_cdc_get_min_lsn('dbo_t')" in q0 and "N'all'" in q0
+    with pytest.raises(ValueError, match="row_filter"):
+        cdc_poll_query("dbo.t", None, row_filter="bogus")
+    with pytest.raises(ValueError, match="hex"):
+        cdc_poll_query("dbo.t", "xyz")
+
+
+def test_batch_decode_pairs_update_images(spark):
+    df = _changes(spark, [
+        (1, 1, 2, 10, "a"),          # insert
+        (2, 1, 3, 10, "a"),          # update before
+        (2, 1, 4, 10, "a2"),         # update after (same lsn+seqval)
+        (3, 1, 1, 10, "a2"),         # delete
+    ])
+    out = {(r["lsn"], r["op"]): r
+           for r in decode_cdc_changes(df, "srv.dbo.t").collect()}
+    ins = out[("00000000000000000001", "c")]
+    assert ins["before"] is None
+    assert json.loads(ins["after"]) == {"id": 10, "name": "a"}
+    upd = out[("00000000000000000002", "u")]
+    assert json.loads(upd["before"]) == {"id": 10, "name": "a"}
+    assert json.loads(upd["after"]) == {"id": 10, "name": "a2"}
+    del_ = out[("00000000000000000003", "d")]
+    assert json.loads(del_["before"]) == {"id": 10, "name": "a2"}
+    assert del_["after"] is None
+    assert all(r["destination"] == "srv.dbo.t" for r in out.values())
+
+
+def test_lsn_hex_is_order_preserving():
+    # cursoring compares hex strings: lexicographic == numeric order
+    hexes = [bytes(_lsn(n)).hex().upper() for n in (1, 9, 10, 255, 256)]
+    assert hexes == sorted(hexes)
+
+
+def test_stateless_decode_for_streaming_filter(spark):
+    # row_filter='all': ops 1/2/4 only; op 4 becomes u with after only
+    df = _changes(spark, [
+        (1, 1, 2, 10, "a"),
+        (2, 1, 4, 10, "a2"),
+        (3, 1, 1, 10, "a2"),
+    ])
+    out = {r["op"]: r for r in
+           decode_cdc_changes_stateless(df, "srv.dbo.t").collect()}
+    assert json.loads(out["c"]["after"]) == {"id": 10, "name": "a"}
+    assert out["u"]["before"] is None
+    assert json.loads(out["u"]["after"]) == {"id": 10, "name": "a2"}
+    assert out["d"]["after"] is None
+    assert json.loads(out["d"]["before"]) == {"id": 10, "name": "a2"}
+
+
+def test_build_sqlserver_cdc_source(spark, tmp_path):
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+
+    src = str(tmp_path / "changes")
+    _changes(spark, [
+        (1, 1, 2, 10, "a"),
+        (2, 1, 4, 10, "a2"),
+    ]).write.parquet(src)
+    cfg = PipelineConfig({
+        "debezium.source.type": "sqlserver-cdc",
+        "debezium.source.path": src,
+        "debezium.source.sqlserver.destination": "srv.dbo.t",
+    })
+    stream = build_source(spark, cfg)
+    assert stream.isStreaming
+    assert stream.columns == ["destination", "key", "value"]
+    q = (stream.writeStream.format("memory").queryName("mssql_cdc")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM mssql_cdc").collect()
+    vals = {json.loads(r["value"])["op"]: json.loads(r["value"])
+            for r in rows}
+    assert json.loads(vals["c"]["after"]) == {"id": 10, "name": "a"}
+    assert vals["u"]["source"]["lsn"] == "00000000000000000002"
+    assert all(r["destination"] == "srv.dbo.t" for r in rows)
