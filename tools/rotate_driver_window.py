@@ -64,13 +64,15 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    # round 5: additions capped at 5 (round-4 verdict #3 — let the
-    # never-observed backlog drain through the window)
-    "pgoutput_changelog_decode",
-    "pgoutput_tx_boundaries",
-    "multivector_maxsim_rerank",
-    "oplog_changelog_decode",
-    "binlog_changelog_decode",
+    # round 6: additions capped at 2 (round-5 verdict #1 — keep
+    # draining the never-observed backlog)
+    "binlog_json_decode",
+    "sqlserver_cdc_changes",
+    # PINNED (round-5 verdict #1): the one entry whose only committed
+    # driver record is the r01 `no_oracle` error — fixed long since,
+    # but `observed_rounds()` counts the r01 row as an observation so
+    # the debutante fill would never re-window it; force a green row
+    "approx_distinct_users",
 )
 
 

@@ -103,6 +103,11 @@ QUERIES = [
     "oplog_changelog_decode",
     "binlog_changelog_decode",
     "multivector_maxsim_rerank",
+    # round-6 additions: the binary-JSON cell codec (per-byte decode,
+    # expected linear like its binlog sibling) and the SQL Server
+    # change-table decode (equi self-join pairing — |changes|-linear)
+    "binlog_json_decode",
+    "sqlserver_cdc_changes",
 ]
 
 
