@@ -68,6 +68,11 @@ class DeltaLogTable:
         meta = self._replay_meta()
         self.n_buckets = meta.get("n_buckets", n_buckets)
         self.retain = retain  # interface parity; removes are logical
+        #: the protocol's idempotent-writer identity (`txn` actions:
+        #: appId + version): stable per table path so a restarted
+        #: pipeline writing the same table resumes the same stream
+        self.app_id = str(uuid.uuid5(uuid.NAMESPACE_URL,
+                                     "dss-delta-txn:" + path))
         #: snapshot version this transaction read (optimistic
         #: concurrency): commit() attempts snapshot+1 and FAILS on a
         #: conflicting writer instead of silently building on top of it
@@ -113,10 +118,10 @@ class DeltaLogTable:
         return None
 
     def _checkpoint_state(self, version: int):
-        """Checkpoint parquet → ({path: add}, metaData, protocol).
-        pyarrow map columns come back as (k, v) tuple lists —
-        normalized to dicts so checkpoint state is interchangeable
-        with JSON-replayed state."""
+        """Checkpoint parquet → ({path: add}, metaData, protocol,
+        {appId: txn version}). pyarrow map columns come back as (k, v)
+        tuple lists — normalized to dicts so checkpoint state is
+        interchangeable with JSON-replayed state."""
         import pyarrow.parquet as pq
 
         def demap(v):
@@ -126,6 +131,7 @@ class DeltaLogTable:
             return v
 
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         meta = proto = None
         for row in pq.read_table(self._checkpoint_path(version)).to_pylist():
             if row.get("add") is not None:
@@ -135,7 +141,9 @@ class DeltaLogTable:
                 meta = {k: demap(v) for k, v in row["metaData"].items()}
             elif row.get("protocol") is not None:
                 proto = dict(row["protocol"])
-        return live, meta, proto
+            elif row.get("txn") is not None:
+                txns[row["txn"]["appId"]] = row["txn"]["version"]
+        return live, meta, proto, txns
 
     def write_checkpoint(self, version: int | None = None) -> str:
         """Write the classic checkpoint for `version` (default: the
@@ -155,7 +163,14 @@ class DeltaLogTable:
         if version < 0:
             raise ValueError("nothing committed — no checkpoint to write")
         live = self._live_files(upto=version)
+        # metaData/protocol/txn state: seed from the previous
+        # checkpoint (the JSON prefix that DECLARED them may already be
+        # cleaned), then apply later JSON declarations
         meta = proto = None
+        txns: dict[str, int] = {}
+        prev_ck = self._usable_checkpoint(upto=version)
+        if prev_ck is not None and prev_ck < version:
+            _, meta, proto, txns = self._checkpoint_state(prev_ck)
         for v in self._versions():  # latest declaration ≤ version wins
             if v > version:
                 break
@@ -164,6 +179,15 @@ class DeltaLogTable:
                     meta = action["metaData"]
                 elif "protocol" in action:
                     proto = action["protocol"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = action["txn"]["version"]
+        if meta is None or proto is None:
+            # a checkpoint without metaData+protocol is corrupt per
+            # PROTOCOL.md — refuse rather than strand readers
+            raise ValueError(
+                f"cannot reconstruct metaData/protocol for checkpoint "
+                f"{version} of {self.path} (cleaned prefix, no prior "
+                f"checkpoint)")
 
         smap = pa.map_(pa.string(), pa.string())
         add_t = pa.struct([
@@ -179,12 +203,20 @@ class DeltaLogTable:
             ("configuration", smap)])
         proto_t = pa.struct([("minReaderVersion", pa.int32()),
                              ("minWriterVersion", pa.int32())])
-        rows = [{"protocol": proto, "metaData": None, "add": None},
-                {"protocol": None, "metaData": meta, "add": None}]
-        rows += [{"protocol": None, "metaData": None, "add": a}
-                 for _, a in sorted(live.items())]
+        txn_t = pa.struct([("appId", pa.string()),
+                           ("version", pa.int64())])
+        none_row = {"protocol": None, "metaData": None, "add": None,
+                    "txn": None}
+        rows = [{**none_row, "protocol": proto},
+                {**none_row, "metaData": meta}]
+        # txn state is PART of the checkpoint per PROTOCOL.md — epoch
+        # idempotence must survive JSON-prefix cleanup
+        rows += [{**none_row, "txn": {"appId": app, "version": ver}}
+                 for app, ver in sorted(txns.items())]
+        rows += [{**none_row, "add": a} for _, a in sorted(live.items())]
         table = pa.Table.from_pylist(rows, schema=pa.schema(
-            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t),
+             ("txn", txn_t)]))
         path = self._checkpoint_path(version)
         pq.write_table(table, path + ".tmp")
         os.replace(path + ".tmp", path)
@@ -204,7 +236,7 @@ class DeltaLogTable:
                     return {"n_buckets": int(cfg.get("bucketing.count", 16))}
         ck = self._usable_checkpoint(upto=None)
         if ck is not None:  # JSON prefix cleaned: metaData lives in
-            _, meta, _ = self._checkpoint_state(ck)  # the checkpoint
+            _, meta, _, _ = self._checkpoint_state(ck)  # the checkpoint
             if meta is not None:
                 cfg = meta.get("configuration", {})
                 return {"n_buckets": int(cfg.get("bucketing.count", 16))}
@@ -218,7 +250,7 @@ class DeltaLogTable:
         start = 0
         ck = self._usable_checkpoint(upto)
         if ck is not None:
-            live, _, _ = self._checkpoint_state(ck)
+            live, _, _, _ = self._checkpoint_state(ck)
             start = ck + 1
         versions = self._versions()
         if start == 0 and (
@@ -258,11 +290,20 @@ class DeltaLogTable:
 
     def last_epoch(self) -> int | None:
         vs = self._versions()
-        if not vs:
+        if vs:
+            for action in self._read_commit(vs[-1]):
+                if "txn" in action and action["txn"]["appId"] == self.app_id:
+                    return action["txn"]["version"]
+                if "commitInfo" in action:  # pre-txn commits
+                    return (action["commitInfo"]["operationParameters"]
+                            .get("epoch"))
             return None
-        for action in self._read_commit(vs[-1]):
-            if "commitInfo" in action:
-                return action["commitInfo"]["operationParameters"].get("epoch")
+        # JSON prefix fully cleaned: the txn state lives in the
+        # checkpoint (the protocol's idempotent-writer mechanism)
+        ck = self._usable_checkpoint(upto=None)
+        if ck is not None:
+            _, _, _, txns = self._checkpoint_state(ck)
+            return txns.get(self.app_id)
         return None
 
     def bucket_expr(self, key_cols: tuple[str, ...]):
@@ -370,7 +411,7 @@ class DeltaLogTable:
             "operation": "MERGE" if delta_version > 0 else "WRITE",
             "operationParameters": {"epoch": epoch_id},
             "engineInfo": "debezium-server-spark/minimal-delta-writer",
-        }}]
+        }}, {"txn": {"appId": self.app_id, "version": epoch_id}}]
         if delta_version == 0:
             schema = df.schema
             actions.append({"protocol": {"minReaderVersion": 1,

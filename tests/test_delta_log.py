@@ -188,7 +188,9 @@ def test_checkpoint_written_every_interval_with_protocol_shape(
     assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
     assert len(metas) == 1 and json.loads(metas[0]["schemaString"])
     # checkpoint adds == live set replayed from JSON alone at v9
-    ckpt_live, _, _ = table._checkpoint_state(9)
+    ckpt_live, _, _, ckpt_txns = table._checkpoint_state(9)
+    # txn state (epoch idempotence) is part of the checkpoint
+    assert ckpt_txns == {table.app_id: 9}
     json_live = {}
     for v in range(10):
         for action in table._read_commit(v):
@@ -229,6 +231,48 @@ def test_reopen_from_checkpoint_only_state(spark, tmp_path):
     assert fresh.last_epoch() == 11  # newest JSON commit survives
     with pytest.raises(ValueError, match="cleaned"):
         fresh._live_files(upto=5)
+
+
+def test_checkpoint_after_prefix_cleanup_keeps_metadata(spark, tmp_path):
+    """A checkpoint written AFTER the JSON prefix (which held the only
+    metaData/protocol declarations, at v0) was cleaned must seed those
+    actions from the previous checkpoint — a checkpoint without them
+    is corrupt per PROTOCOL.md. Also: epoch idempotence survives a
+    FULL JSON cleanup through the checkpoint's txn rows."""
+    sink = _sink(tmp_path)
+    for epoch in range(12):
+        sink(_batch(spark, [
+            event(epoch % 4, "c", None,
+                  (epoch % 4, f"e{epoch}", "x", "a@x.com"),
+                  lsn=epoch)
+        ]), epoch)
+    table = _table(tmp_path)
+    for v in range(10):  # clean the v0-v9 prefix (metaData lived at v0)
+        os.remove(table._log_path(v))
+    for epoch in range(12, 20):  # drive to the NEXT checkpoint (v19)
+        sink(_batch(spark, [
+            event(epoch % 4, "c", None,
+                  (epoch % 4, f"e{epoch}", "x", "a@x.com"),
+                  lsn=epoch)
+        ]), epoch)
+    table = _table(tmp_path)
+    ck = table._read_last_checkpoint()
+    assert ck["version"] == 19
+    _, meta, proto, txns = table._checkpoint_state(19)
+    assert meta is not None and json.loads(meta["schemaString"])
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert txns == {table.app_id: 19}
+    # full JSON cleanup: state AND last_epoch replay from checkpoint only
+    before = {r["id"]: r["first_name"]
+              for r in table.read(spark).collect()}
+    for v in range(10, 20):
+        os.remove(table._log_path(v))
+    fresh = _table(tmp_path)
+    assert fresh.current_version() == 20
+    assert fresh.last_epoch() == 19  # txn row, not commitInfo
+    after = {r["id"]: r["first_name"]
+             for r in fresh.read(spark).collect()}
+    assert after == before
 
 
 def test_concurrent_writer_loses_put_if_absent(spark, tmp_path):
