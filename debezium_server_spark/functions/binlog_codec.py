@@ -18,6 +18,20 @@ Events implemented (the ROW-replication data plane):
   GTID               (0x21)  global transaction id (flags, SID uuid,
                              GNO) — the offset currency Debezium's
                              MySQL connector records for resumability
+  TRANSACTION_PAYLOAD(0x28)  binlog_transaction_compression=ON
+                             (MySQL 8.0.20+): the WHOLE transaction's
+                             events (TABLE_MAP + ROWS + XID, framed,
+                             checksum-free) ride inside one event,
+                             zstd-compressed. Body = TLV header
+                             fields, each `type(lenenc) len(lenenc)
+                             value(lenenc int)`: 2 = compression type
+                             (0 ZSTD, 255 NONE), 3 = uncompressed
+                             size, 1 = payload size; a bare type 0
+                             ends the header and the payload bytes
+                             follow. Decode recurses into the inner
+                             events with a payload-local TABLE_MAP
+                             registry (a compressed transaction is
+                             self-contained by construction).
 
 Common event header (19 bytes, all little-endian): timestamp(4),
 type(1), server_id(4), event_size(4), log_pos(4), flags(2). Both
@@ -35,9 +49,11 @@ into the first byte, negative values stored complemented; decoded to
 an EXACT decimal string, never a float), and the -2 temporals
 DATETIME2 / TIMESTAMP2 / TIME2 (bit-packed big-endian with
 metadata-driven fractional-second bytes), ENUM/SET ordinals/bitmasks,
-and JSON (the binary JSON cell format — length-prefixed documents
-decoded by `functions/mysql_jsonb.py`). NULLs ride the per-row null
-bitmap. Remaining exotica (GEOMETRY beyond WKB-in-BLOB) raise.
+JSON (the binary JSON cell format — length-prefixed documents decoded
+by `functions/mysql_jsonb.py`), and GEOMETRY (length-prefixed 4-byte
+SRID + WKB → `GeoValue`; `type_conversions.wkb_point_xy` reads the
+WKB side). NULLs ride the per-row null bitmap. Unknown type codes
+raise.
 """
 
 from __future__ import annotations
@@ -56,6 +72,13 @@ UPDATE_ROWS_EVENT_V2 = 0x1F
 DELETE_ROWS_EVENT_V2 = 0x20
 XID_EVENT = 0x10
 GTID_LOG_EVENT = 0x21
+TRANSACTION_PAYLOAD_EVENT = 0x28
+
+# TLV field types of the TRANSACTION_PAYLOAD header
+_OTW_HEADER_END, _OTW_PAYLOAD_SIZE = 0, 1
+_OTW_COMPRESSION_TYPE, _OTW_UNCOMPRESSED_SIZE = 2, 3
+# binary_log::transaction::compression::type
+COMPRESSION_ZSTD, COMPRESSION_NONE = 0, 255
 
 # MYSQL_TYPE_* codes
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE = 1, 2, 3, 4, 5
@@ -68,6 +91,9 @@ T_ENUM, T_SET = 247, 248  # raw-type codes (inside STRING metadata on
 T_VARCHAR, T_BLOB = 15, 252
 T_JSON = 245  # binary JSON cell (functions/mysql_jsonb.py layout);
 #               metadata = length-prefix width in bytes (server: 4)
+T_GEOMETRY = 255  # length-prefixed (meta bytes, server: 4) cell of
+#                   MySQL's internal geometry value: 4-byte LE SRID +
+#                   standard WKB — decoded to GeoValue(srid, wkb)
 
 _INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
 
@@ -208,6 +234,25 @@ def _read_bitmap(data: bytes, pos: int, n: int) -> tuple[list[bool], int]:
 # ---------------------------------------------------------- cell codec
 
 
+class GeoValue:
+    """GEOMETRY cell: MySQL's internal value = 4-byte LE SRID + WKB.
+    Kept as (srid, wkb bytes) — byte-faithful for the encoder twin;
+    `functions/type_conversions.wkb_point_xy` reads the WKB side."""
+
+    __slots__ = ("srid", "wkb")
+
+    def __init__(self, srid: int, wkb: bytes):
+        self.srid = int(srid)
+        self.wkb = bytes(wkb)
+
+    def __eq__(self, other):
+        return (isinstance(other, GeoValue)
+                and (self.srid, self.wkb) == (other.srid, other.wkb))
+
+    def __repr__(self):
+        return f"GeoValue(srid={self.srid}, wkb={self.wkb.hex()})"
+
+
 def _enc_value(col: dict, v) -> bytes:
     t = col["type"]
     if t in _INT_SIZES:
@@ -231,6 +276,10 @@ def _enc_value(col: dict, v) -> bytes:
         # takes the Python value (dict/list/scalar/JsonDecimal/...)
         from debezium_server_spark.functions import mysql_jsonb
         raw = mysql_jsonb.encode(v)
+        nbytes = col.get("meta", 4)
+        return len(raw).to_bytes(nbytes, "little") + raw
+    if t == T_GEOMETRY:
+        raw = v.srid.to_bytes(4, "little") + v.wkb
         nbytes = col.get("meta", 4)
         return len(raw).to_bytes(nbytes, "little") + raw
     if t == T_NEWDECIMAL:
@@ -311,6 +360,15 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
         n = int.from_bytes(_take(data, pos, nbytes), "little")
         pos += nbytes
         return mysql_jsonb.decode(_take(data, pos, n)), pos + n
+    if t == T_GEOMETRY:
+        nbytes = col.get("meta", 4)
+        n = int.from_bytes(_take(data, pos, nbytes), "little")
+        pos += nbytes
+        raw = _take(data, pos, n)
+        if n < 4:
+            raise EOFError("GEOMETRY cell shorter than its SRID prefix")
+        return (GeoValue(int.from_bytes(raw[:4], "little"), raw[4:]),
+                pos + n)
     if t == T_NEWDECIMAL:
         precision, scale = col["meta"]
         return decode_newdecimal(data, pos, precision, scale)
@@ -440,7 +498,7 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                     "<f" if c["type"] == T_FLOAT else "<d"),))
             elif c["type"] == T_BLOB:
                 meta += bytes((c.get("meta", 2),))
-            elif c["type"] == T_JSON:
+            elif c["type"] in (T_JSON, T_GEOMETRY):
                 meta += bytes((c.get("meta", 4),))
             elif c["type"] == T_NEWDECIMAL:
                 precision, scale = c["meta"]
@@ -452,6 +510,31 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
         body += _lenenc(len(meta)) + meta
         body += _bitmap([bool(c.get("nullable", True)) for c in cols])
         return _frame(TABLE_MAP_EVENT, body, ts, pos)
+    if kind == "transaction_payload":
+        # binlog_transaction_compression: the whole transaction's
+        # events, framed WITHOUT checksums (the outer event carries
+        # the only CRC), zstd-compressed unless compression="none"
+        inner = b"".join(encode_event(e) for e in ev["events"])
+        comp = ev.get("compression", "zstd")
+        fields: list[tuple[int, int]] = []
+        if comp == "zstd":
+            import pyarrow as _pa
+
+            payload = bytes(_pa.Codec("zstd").compress(inner))
+            fields.append((_OTW_COMPRESSION_TYPE, COMPRESSION_ZSTD))
+            fields.append((_OTW_UNCOMPRESSED_SIZE, len(inner)))
+        elif comp == "none":
+            payload = inner
+            fields.append((_OTW_COMPRESSION_TYPE, COMPRESSION_NONE))
+        else:
+            raise ValueError(f"unknown payload compression {comp!r}")
+        fields.append((_OTW_PAYLOAD_SIZE, len(payload)))
+        body = b""
+        for ftype, fval in fields:  # TLV: type, len, lenenc-int value
+            enc = _lenenc(fval)
+            body += _lenenc(ftype) + _lenenc(len(enc)) + enc
+        body += _lenenc(_OTW_HEADER_END) + payload
+        return _frame(TRANSACTION_PAYLOAD_EVENT, body, ts, pos)
     if kind in ("write_rows", "update_rows", "delete_rows"):
         code = {"write_rows": WRITE_ROWS_EVENT_V2,
                 "update_rows": UPDATE_ROWS_EVENT_V2,
@@ -543,7 +626,7 @@ def decode_event(data: bytes, columns_of=None,
             if t == T_VARCHAR:
                 meta = _struct.unpack("<H", meta_block[mp:mp + 2])[0]
                 mp += 2
-            elif t in (T_FLOAT, T_DOUBLE, T_BLOB, T_JSON,
+            elif t in (T_FLOAT, T_DOUBLE, T_BLOB, T_JSON, T_GEOMETRY,
                        T_TIMESTAMP2, T_DATETIME2, T_TIME2,
                        T_ENUM, T_SET):
                 meta = meta_block[mp]
@@ -557,6 +640,66 @@ def decode_event(data: bytes, columns_of=None,
             c["nullable"] = nl
         return {**base, "type": "table_map", "table_id": table_id,
                 "schema": names[0], "table": names[1], "columns": cols}
+    if etype == TRANSACTION_PAYLOAD_EVENT:
+        fields: dict[int, int] = {}
+        p = 0
+        while True:
+            ftype, p = _read_lenenc(body, p)
+            if ftype == _OTW_HEADER_END:
+                break
+            flen, p = _read_lenenc(body, p)
+            fval, q = _read_lenenc(body, p)
+            if q - p != flen:
+                raise ValueError(
+                    f"payload TLV field {ftype}: declared length "
+                    f"{flen} != value encoding {q - p}")
+            fields[ftype] = fval
+            p = q
+        if _OTW_PAYLOAD_SIZE not in fields:
+            raise ValueError("transaction payload missing size field")
+        n = fields[_OTW_PAYLOAD_SIZE]
+        payload = body[p:p + n]
+        if len(payload) != n:
+            raise EOFError("truncated transaction payload")
+        if p + n != len(body):
+            raise ValueError("trailing bytes after transaction payload")
+        comp = fields.get(_OTW_COMPRESSION_TYPE, COMPRESSION_NONE)
+        if comp == COMPRESSION_ZSTD:
+            import pyarrow as _pa
+
+            if _OTW_UNCOMPRESSED_SIZE not in fields:
+                raise ValueError(
+                    "zstd transaction payload missing uncompressed size")
+            inner = bytes(_pa.Codec("zstd").decompress(
+                payload, fields[_OTW_UNCOMPRESSED_SIZE]))
+        elif comp == COMPRESSION_NONE:
+            inner = payload
+        else:
+            raise ValueError(f"unknown payload compression {comp}")
+        # a compressed transaction is SELF-CONTAINED: its TABLE_MAPs
+        # precede its ROWS events inside the payload, so decode with a
+        # payload-local registry (outer columns_of as fallback)
+        local: dict[int, dict] = {}
+
+        def inner_cols(tid: int) -> list[dict]:
+            if tid in local:
+                return local[tid]["columns"]
+            if columns_of is not None:
+                return columns_of(tid)
+            raise ValueError(f"no TABLE_MAP for table_id {tid} inside "
+                             f"transaction payload")
+
+        events = []
+        for frame in split_frames(inner):
+            e = decode_event(frame, columns_of=inner_cols,
+                             checksum=False)
+            if e["type"] == "table_map":
+                local[e["table_id"]] = e
+            events.append(e)
+        return {**base, "type": "transaction_payload",
+                "compression": ("zstd" if comp == COMPRESSION_ZSTD
+                                else "none"),
+                "events": events}
     if etype in (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
                  DELETE_ROWS_EVENT_V2):
         kind = {WRITE_ROWS_EVENT_V2: "write_rows",
@@ -593,20 +736,22 @@ def decode_event(data: bytes, columns_of=None,
             else:
                 row, p = _dec_row(b_cols, body, p)
                 rows.append(row)
+        # the resolved column specs ride the decoded dict so a ROWS
+        # event is re-encodable as-is (the payload twin's fidelity
+        # contract) — same specs the TABLE_MAP declared
         out = {**base, "type": kind, "table_id": table_id, "rows": rows,
-               "present": present}
+               "present": present, "columns": cols}
         if present_after is not None:
             out["present_after"] = present_after
         return out
     raise ValueError(f"unsupported binlog event type 0x{etype:02x}")
 
 
-def split_events(stream: bytes) -> list[bytes]:
-    """Split a binlog FILE byte stream (magic + events) into framed
-    event byte strings using each header's event_size."""
-    if not stream.startswith(MAGIC):
-        raise ValueError("missing binlog magic")
-    out, pos = [], len(MAGIC)
+def split_frames(stream: bytes, pos: int = 0) -> list[bytes]:
+    """Split concatenated framed events (no file magic — the shape of
+    a TRANSACTION_PAYLOAD's decompressed interior) using each header's
+    event_size."""
+    out = []
     while pos < len(stream):
         if pos + 19 > len(stream):
             raise EOFError("truncated binlog event header")
@@ -616,3 +761,11 @@ def split_events(stream: bytes) -> list[bytes]:
         out.append(stream[pos:pos + size])
         pos += size
     return out
+
+
+def split_events(stream: bytes) -> list[bytes]:
+    """Split a binlog FILE byte stream (magic + events) into framed
+    event byte strings using each header's event_size."""
+    if not stream.startswith(MAGIC):
+        raise ValueError("missing binlog magic")
+    return split_frames(stream, pos=len(MAGIC))

@@ -47,6 +47,7 @@ import struct as _struct
 from dataclasses import dataclass
 
 from debezium_server_spark.functions.binlog_codec import (
+    GeoValue,
     T_NEWDECIMAL,
     decode_newdecimal,
     encode_newdecimal,
@@ -103,6 +104,9 @@ def to_jsonable(v):
     if isinstance(v, JsonOpaque):
         return {"$opaque": v.field_type,
                 "base64": base64.b64encode(v.data).decode("ascii")}
+    if isinstance(v, GeoValue):  # GEOMETRY cell (binlog_codec)
+        return {"srid": v.srid,
+                "wkb": base64.b64encode(v.wkb).decode("ascii")}
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode("ascii")
     if isinstance(v, dict):

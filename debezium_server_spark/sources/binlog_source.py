@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from debezium_server_spark.functions.binlog_codec import (
     DELETE_ROWS_EVENT_V2,
     TABLE_MAP_EVENT,
+    TRANSACTION_PAYLOAD_EVENT,
     UPDATE_ROWS_EVENT_V2,
     WRITE_ROWS_EVENT_V2,
     decode_event,
@@ -55,7 +56,8 @@ _ENVELOPE_SCHEMA = T.StructType([
 ])
 
 _ROWS_TYPES = (WRITE_ROWS_EVENT_V2, UPDATE_ROWS_EVENT_V2,
-               DELETE_ROWS_EVENT_V2)
+               DELETE_ROWS_EVENT_V2, TRANSACTION_PAYLOAD_EVENT)
+_ROW_KINDS = ("write_rows", "update_rows", "delete_rows")
 
 
 def _type_filter(codes: tuple[int, ...]):
@@ -105,6 +107,41 @@ def decode_binlog_changelog(msgs: DataFrame,
         return json.dumps({k: to_jsonable(v) for k, v in zip(cols, row)},
                           separators=(",", ":"))
 
+    def emit_rows(seq: int, ev: dict, tmaps: dict[int, dict],
+                  out: list, row_idx: int) -> int:
+        """Append one ROWS event's envelope rows; returns the next
+        row_idx (payloads number their row images consecutively so
+        (seq, row_idx) stays a stable per-image key)."""
+        tmap = tmaps[ev["table_id"]]
+        dest = f"{tmap['schema']}.{tmap['table']}"
+        cols = names[dest]
+        if len(cols) != len(tmap["columns"]):
+            # schema-history drift: zip would silently truncate and
+            # mis-project values — quarantine
+            raise ValueError(
+                f"names for {dest} have {len(cols)} columns, "
+                f"TABLE_MAP declares {len(tmap['columns'])}")
+        # MINIMAL/NOBLOB row images: values align with the
+        # present-column subset, so project names the same way
+        present = ev.get("present", [True] * len(cols))
+        b_names = [n for n, pr in zip(cols, present) if pr]
+        a_names = [n for n, pr in zip(
+            cols, ev.get("present_after", present)) if pr]
+        ts_ms = ev["timestamp"] * 1000
+        for r in ev["rows"]:
+            if ev["type"] == "write_rows":
+                out.append((seq, row_idx, dest, "c", None,
+                            row_json(b_names, r), ts_ms, None))
+            elif ev["type"] == "update_rows":
+                out.append((seq, row_idx, dest, "u",
+                            row_json(b_names, r[0]),
+                            row_json(a_names, r[1]), ts_ms, None))
+            else:
+                out.append((seq, row_idx, dest, "d",
+                            row_json(b_names, r), None, ts_ms, None))
+            row_idx += 1
+        return row_idx
+
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -115,37 +152,22 @@ def decode_binlog_changelog(msgs: DataFrame,
                         bytes(raw),
                         columns_of=lambda tid: registry[tid]["columns"],
                         checksum=checksum)
-                    tmap = registry[ev["table_id"]]
-                    dest = f"{tmap['schema']}.{tmap['table']}"
-                    cols = names[dest]
-                    if len(cols) != len(tmap["columns"]):
-                        # schema-history drift: zip would silently
-                        # truncate and mis-project values — quarantine
-                        raise ValueError(
-                            f"names for {dest} have {len(cols)} "
-                            f"columns, TABLE_MAP declares "
-                            f"{len(tmap['columns'])}")
-                    # MINIMAL/NOBLOB row images: values align with the
-                    # present-column subset, so project names the same way
-                    present = ev.get("present", [True] * len(cols))
-                    b_names = [n for n, pr in zip(cols, present) if pr]
-                    a_names = [n for n, pr in zip(
-                        cols, ev.get("present_after", present)) if pr]
-                    ts_ms = ev["timestamp"] * 1000
-                    for i, r in enumerate(ev["rows"]):
-                        if ev["type"] == "write_rows":
-                            out.append((seq, i, dest, "c", None,
-                                        row_json(b_names, r), ts_ms,
-                                        None))
-                        elif ev["type"] == "update_rows":
-                            out.append((seq, i, dest, "u",
-                                        row_json(b_names, r[0]),
-                                        row_json(a_names, r[1]),
-                                        ts_ms, None))
-                        else:
-                            out.append((seq, i, dest, "d",
-                                        row_json(b_names, r), None,
-                                        ts_ms, None))
+                    if ev["type"] == "transaction_payload":
+                        # compressed transactions are SELF-CONTAINED:
+                        # their TABLE_MAPs travel inside the payload,
+                        # so they never touch the bounded registry
+                        # collect — payload-local declarations overlay
+                        # the startup registry here
+                        local = dict(registry)
+                        row_idx = 0
+                        for ie in ev["events"]:
+                            if ie["type"] == "table_map":
+                                local[ie["table_id"]] = ie
+                            elif ie["type"] in _ROW_KINDS:
+                                row_idx = emit_rows(seq, ie, local,
+                                                    out, row_idx)
+                    else:
+                        emit_rows(seq, ev, registry, out, 0)
                 except Exception as exc:
                     out.append((seq, 0, None, None, None, None, None,
                                 f"{type(exc).__name__}: {exc}"))

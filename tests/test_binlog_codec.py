@@ -461,3 +461,188 @@ def test_enum_set_round_trip_and_table_map_meta():
     got = decode_event(encode_event(tmap))["columns"]
     assert [(c["type"], c["meta"]) for c in got] == \
         [(T_ENUM, 1), (T_ENUM, 2), (T_SET, 3)]
+
+
+# --------------------------------------- transaction payload (0x28)
+
+
+def _tx_events():
+    return [
+        TMAP,
+        {"type": "write_rows", "table_id": 7, "columns": COLS,
+         "rows": [[10, "zed", 5]], "timestamp": 300, "log_pos": 20},
+        {"type": "xid", "xid": 900, "timestamp": 300, "log_pos": 30},
+    ]
+
+
+def test_golden_transaction_payload_none_layout():
+    """Hand-packed TLV header for compression=NONE: each field is
+    type(lenenc) len(lenenc) value(lenenc int); 0 ends the header and
+    the raw payload bytes follow. NONE = 255 (a 3-byte lenenc)."""
+    from debezium_server_spark.functions.binlog_codec import (
+        TRANSACTION_PAYLOAD_EVENT,
+        encode_event,
+    )
+
+    inner = encode_event({"type": "xid", "xid": 1, "timestamp": 5,
+                          "log_pos": 6})
+    ev = {"type": "transaction_payload", "compression": "none",
+          "events": [{"type": "xid", "xid": 1, "timestamp": 5,
+                      "log_pos": 6}],
+          "timestamp": 5, "log_pos": 9}
+    got = encode_event(ev)
+    # TLV: type 2 (compression), len 3, value fc ff 00 (lenenc 255);
+    # type 1 (payload size), len 1, value len(inner); end mark 0
+    header = (bytes([2, 3, 0xFC, 0xFF, 0x00])
+              + bytes([1, 1, len(inner)]) + bytes([0]))
+    body = header + inner
+    expect = struct.pack("<IBIIIH", 5, TRANSACTION_PAYLOAD_EVENT, 1,
+                         19 + len(body), 9, 0) + body
+    assert got == expect
+    out = decode_event(got)
+    assert out["type"] == "transaction_payload"
+    assert out["compression"] == "none"
+    assert [e["type"] for e in out["events"]] == ["xid"]
+    assert out["events"][0]["xid"] == 1
+
+
+def test_transaction_payload_zstd_round_trip_self_contained():
+    """A zstd payload decodes without any OUTER registry: the inner
+    TABLE_MAP resolves the inner ROWS event (MySQL encapsulates the
+    whole transaction, so compressed transactions are self-contained)."""
+    ev = {"type": "transaction_payload", "compression": "zstd",
+          "events": _tx_events(), "timestamp": 300, "log_pos": 99}
+    raw = encode_event(ev)
+    out = decode_event(raw)  # note: no columns_of
+    assert out["compression"] == "zstd"
+    kinds = [e["type"] for e in out["events"]]
+    assert kinds == ["table_map", "write_rows", "xid"]
+    assert out["events"][1]["rows"] == [[10, "zed", 5]]
+    # encoder twin: re-encode reproduces the byte stream exactly
+    assert encode_event(out) == raw
+
+
+def test_transaction_payload_checksummed_outer_frame():
+    """binlog_checksum=CRC32 servers checksum the OUTER payload frame
+    only; inner events are checksum-free."""
+    ev = {"type": "transaction_payload", "compression": "zstd",
+          "events": _tx_events(), "timestamp": 300, "log_pos": 99}
+    raw = encode_event(ev, checksum=True)
+    out = decode_event(raw, checksum=True)
+    assert out["events"][1]["rows"] == [[10, "zed", 5]]
+    with pytest.raises(ValueError, match="CRC32"):
+        decode_event(raw[:-1] + bytes([raw[-1] ^ 1]), checksum=True)
+
+
+def test_transaction_payload_truncated_and_bad_fields_raise():
+    ev = {"type": "transaction_payload", "compression": "zstd",
+          "events": _tx_events(), "timestamp": 300, "log_pos": 99}
+    raw = bytearray(encode_event(ev))
+    # truncate the payload but fix the frame size so only the
+    # payload-size contract can catch it
+    cut = raw[:-10]
+    struct.pack_into("<I", cut, 9, len(cut))
+    with pytest.raises(EOFError, match="truncated transaction payload"):
+        decode_event(bytes(cut))
+
+
+def test_transaction_payload_through_spark_stage(spark):
+    """The envelope stage flattens a compressed transaction: inner
+    TABLE_MAP never touches the bounded registry collect, row_idx
+    numbers the payload's row images consecutively."""
+    payload = {"type": "transaction_payload", "compression": "zstd",
+               "events": [
+                   TMAP,
+                   {"type": "write_rows", "table_id": 7,
+                    "columns": COLS,
+                    "rows": [[1, "ann", 250], [2, "bob", None]],
+                    "timestamp": 400, "log_pos": 20},
+                   {"type": "delete_rows", "table_id": 7,
+                    "columns": COLS, "rows": [[1, "ann", 250]],
+                    "timestamp": 401, "log_pos": 30},
+                   {"type": "xid", "xid": 77, "timestamp": 401,
+                    "log_pos": 40},
+               ], "timestamp": 401, "log_pos": 50}
+    out = decode_binlog_changelog(_wal(spark, [(1, payload)]),
+                                  NAMES).collect()
+    assert [(r["seq"], r["row_idx"], r["op"]) for r in
+            sorted(out, key=lambda r: r["row_idx"])] == \
+        [(1, 0, "c"), (1, 1, "c"), (1, 2, "d")]
+    assert all(r["error"] is None for r in out)
+    two = [r for r in out if r["row_idx"] == 1][0]
+    assert json.loads(two["after"]) == {"id": 2, "name": "bob",
+                                        "balance": None}
+    assert two["ts_ms"] == 400_000  # inner event's own timestamp
+
+
+# ------------------------------------------------- GEOMETRY (type 255)
+
+
+def test_geometry_cell_round_trip_and_envelope_json(spark):
+    """GEOMETRY cells: 4-byte LE SRID + WKB, length-prefixed like
+    BLOB. Decodes to GeoValue; the envelope projects {srid, wkb-b64};
+    wkb_point_xy reads the WKB side downstream."""
+    import base64
+
+    from debezium_server_spark.functions.binlog_codec import (
+        GeoValue,
+        T_GEOMETRY,
+    )
+
+    # WKB: little-endian (01) POINT (01000000) x=1.5 y=-2.0
+    wkb = (b"\x01" + struct.pack("<I", 1)
+           + struct.pack("<dd", 1.5, -2.0))
+    geo = GeoValue(4326, wkb)
+    cols = [{"type": T_LONGLONG, "nullable": False},
+            {"type": T_GEOMETRY, "meta": 4, "nullable": True}]
+    tmap = {"type": "table_map", "table_id": 9, "schema": "app",
+            "table": "places", "columns": cols, "timestamp": 1,
+            "log_pos": 2}
+    ev = {"type": "write_rows", "table_id": 9, "columns": cols,
+          "rows": [[5, geo], [6, None]], "timestamp": 2, "log_pos": 3}
+    raw = encode_event(ev)
+    out = decode_event(raw, columns_of=lambda tid: cols)
+    assert out["rows"][0][1] == geo and out["rows"][1][1] is None
+    # tmap meta survives
+    t2 = decode_event(encode_event(tmap))
+    assert t2["columns"][1]["type"] == T_GEOMETRY
+    assert t2["columns"][1]["meta"] == 4
+    rows = decode_binlog_changelog(
+        _wal(spark, [(1, tmap), (2, ev)]),
+        {"app.places": ["id", "loc"]}).collect()
+    got = json.loads([r for r in rows if r["row_idx"] == 0][0]["after"])
+    assert got == {"id": 5,
+                   "loc": {"srid": 4326,
+                           "wkb": base64.b64encode(wkb).decode()}}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2 ** 63), 2 ** 63 - 1),
+            st.text(max_size=20),
+            st.one_of(st.none(),
+                      st.integers(-(2 ** 31), 2 ** 31 - 1))),
+        min_size=1, max_size=5),
+    st.sampled_from(["zstd", "none"]))
+def test_transaction_payload_fuzz(rows, comp):
+    """Arbitrary transactions survive the payload round trip in both
+    compression modes, and the decoded dict re-encodes byte-exact."""
+    evs = [
+        TMAP,
+        {"type": "write_rows", "table_id": 7, "columns": COLS,
+         "rows": [list(r) for r in rows], "timestamp": 9,
+         "log_pos": 1},
+        {"type": "xid", "xid": 3, "timestamp": 9, "log_pos": 2},
+    ]
+    ev = {"type": "transaction_payload", "compression": comp,
+          "events": evs, "timestamp": 9, "log_pos": 5}
+    raw = encode_event(ev)
+    out = decode_event(raw)
+    assert out["events"][1]["rows"] == [list(r) for r in rows]
+    assert encode_event(out) == raw

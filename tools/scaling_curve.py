@@ -108,6 +108,9 @@ QUERIES = [
     # change-table decode (equi self-join pairing — |changes|-linear)
     "binlog_json_decode",
     "sqlserver_cdc_changes",
+    # TRANSACTION_PAYLOAD decode: zstd decompress + inner decode per
+    # payload inside mapInPandas — expected linear, codec constant
+    "binlog_compressed_tx_decode",
 ]
 
 
