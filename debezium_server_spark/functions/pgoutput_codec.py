@@ -112,6 +112,212 @@ def parse_text_value(type_oid: int, text: str):
     return parser(text) if parser else text
 
 
+# Binary-format ('b' TupleData tag, the `binary = true` publication
+# option) decode — PostgreSQL's per-type SEND formats (public:
+# src/backend/utils/adt/*send/*recv; all integers big-endian). Decoded
+# values match the text-format parsers' Python shapes (bool/int/float/
+# str, numeric as EXACT text, temporals as the server's text rendering)
+# so downstream projection is format-agnostic. Unmapped OIDs stay raw
+# bytes — the source layer base64s them, the reference's fallback for
+# unknown types. Each decoder REJECTS wrong-length payloads (a real
+# capture never ships them; silence would mint wrong values).
+
+_PG_EPOCH_DAYS = 730_120  # 2000-01-01 in proleptic-Gregorian ordinal
+
+
+def _us_to_time_text(us: int) -> str:
+    s, us = divmod(us, 1_000_000)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    out = f"{h:02d}:{m:02d}:{s:02d}"
+    if us:
+        out += f".{us:06d}".rstrip("0")
+    return out
+
+
+def _date_text(days_since_2000: int) -> str:
+    from datetime import date as _date
+
+    return _date.fromordinal(_PG_EPOCH_DAYS + days_since_2000).isoformat()
+
+
+def _timestamp_bin_to_text(us_since_2000: int) -> str:
+    days, us = divmod(us_since_2000, 86_400_000_000)
+    return f"{_date_text(days)} {_us_to_time_text(us)}"
+
+
+def _numeric_bin_to_text(data: bytes) -> str:
+    """Binary numeric (NumericVar on the wire: ndigits, weight, sign,
+    dscale, base-10000 digit groups) → exact decimal text."""
+    if len(data) < 8:
+        raise EOFError("truncated binary numeric header")
+    ndigits, weight, sign, dscale = _struct.unpack_from(">HhHH", data, 0)
+    if len(data) != 8 + 2 * ndigits:
+        raise ValueError(f"binary numeric length {len(data)} != "
+                         f"header + {ndigits} digit groups")
+    if sign == 0xC000:
+        return "NaN"
+    if sign not in (0x0000, 0x4000):
+        raise ValueError(f"bad numeric sign word 0x{sign:04x}")
+    digits = (_struct.unpack_from(f">{ndigits}H", data, 8)
+              if ndigits else ())
+    if weight < 0 or not digits:
+        intpart = "0"
+    else:
+        groups = []
+        for w in range(weight, -1, -1):
+            i = weight - w
+            d = digits[i] if i < len(digits) else 0
+            groups.append(str(d) if w == weight else f"{d:04d}")
+        intpart = "".join(groups)
+    text = intpart
+    if dscale:
+        frac = []
+        for w in range(-1, -((dscale + 3) // 4) - 1, -1):
+            i = weight - w
+            d = digits[i] if 0 <= i < len(digits) else 0
+            frac.append(f"{d:04d}")
+        text += "." + "".join(frac)[:dscale]
+    return ("-" if sign == 0x4000 else "") + text
+
+
+def _numeric_text_to_bin(text: str) -> bytes:
+    """Encoder twin of `_numeric_bin_to_text` (dscale = the text's
+    fractional width, so trailing zeros survive the round trip)."""
+    if text == "NaN":
+        return _struct.pack(">HhHH", 0, 0, 0xC000, 0)
+    neg = text.startswith("-")
+    t = text.lstrip("+-")
+    ip, _, fp = t.partition(".")
+    dscale = len(fp)
+    ip = ip.lstrip("0")
+    ipp = "0" * ((-len(ip)) % 4) + ip
+    int_groups = [int(ipp[i:i + 4]) for i in range(0, len(ipp), 4)]
+    fpp = fp + "0" * ((-len(fp)) % 4)
+    frac_groups = [int(fpp[i:i + 4]) for i in range(0, len(fpp), 4)]
+    digits = int_groups + frac_groups
+    weight = len(int_groups) - 1
+    while digits and digits[0] == 0:  # leading zero groups
+        digits.pop(0)
+        weight -= 1
+    while digits and digits[-1] == 0:  # trailing zero groups (dscale
+        digits.pop()  # alone preserves the rendered zeros)
+    if not digits:
+        weight = 0
+    sign = 0x4000 if (neg and digits) else 0x0000
+    return (_struct.pack(">HhHH", len(digits), weight, sign, dscale)
+            + b"".join(_struct.pack(">H", d) for d in digits))
+
+
+def _fixed(fmt: str, data: bytes):
+    if len(data) != _struct.calcsize(fmt):
+        raise ValueError(f"binary value length {len(data)} != "
+                         f"{_struct.calcsize(fmt)} for format {fmt!r}")
+    return _struct.unpack(fmt, data)[0]
+
+
+PG_BINARY_PARSERS = {
+    16: lambda d: _fixed(">B", d) != 0,                       # bool
+    20: lambda d: _fixed(">q", d),                            # int8
+    21: lambda d: _fixed(">h", d),                            # int2
+    23: lambda d: _fixed(">i", d),                            # int4
+    26: lambda d: _fixed(">I", d),                            # oid
+    700: lambda d: _fixed(">f", d),                           # float4
+    701: lambda d: _fixed(">d", d),                           # float8
+    17: lambda d: bytes(d),                                   # bytea
+    19: lambda d: d.decode("utf-8"),                          # name
+    25: lambda d: d.decode("utf-8"),                          # text
+    1042: lambda d: d.decode("utf-8"),                        # bpchar
+    1043: lambda d: d.decode("utf-8"),                        # varchar
+    114: lambda d: d.decode("utf-8"),                         # json
+    2950: lambda d: _uuid_bin(d),                             # uuid
+    1700: _numeric_bin_to_text,                               # numeric
+    1082: lambda d: _date_text(_fixed(">i", d)),              # date
+    1083: lambda d: _us_to_time_text(_fixed(">q", d)),        # time
+    1114: lambda d: _timestamp_bin_to_text(_fixed(">q", d)),  # timestamp
+    1184: lambda d: _timestamp_bin_to_text(_fixed(">q", d)) + "+00",
+    3802: lambda d: _jsonb_bin(d),                            # jsonb
+}
+
+
+def _require(d: bytes, n: int, what: str) -> bytes:
+    if len(d) != n:
+        raise ValueError(f"binary {what} must be {n} bytes, "
+                         f"got {len(d)}")
+    return d
+
+
+def _uuid_bin(d: bytes) -> str:
+    import uuid as _uuid
+
+    return str(_uuid.UUID(bytes=bytes(_require(d, 16, "uuid"))))
+
+
+def _jsonb_bin(d: bytes) -> str:
+    if not d or d[0] != 1:
+        raise ValueError("binary jsonb must start with version byte 1")
+    return d[1:].decode("utf-8")
+
+
+def parse_binary_value(type_oid: int, data: bytes):
+    """'b'-format tuple column → typed Python value (same shapes as
+    `parse_text_value`); unmapped OIDs → raw bytes (base64 at the
+    source layer)."""
+    parser = PG_BINARY_PARSERS.get(type_oid)
+    return parser(bytes(data)) if parser else bytes(data)
+
+
+def encode_binary_value(type_oid: int, v) -> bytes:
+    """Encoder twin of `parse_binary_value` for the mapped OIDs — the
+    fixture/golden-test counterpart (a capture tool never needs it)."""
+    if type_oid == 16:
+        return b"\x01" if v else b"\x00"
+    if type_oid in (20, 21, 23, 26):
+        fmt = {20: ">q", 21: ">h", 23: ">i", 26: ">I"}[type_oid]
+        return _struct.pack(fmt, v)
+    if type_oid in (700, 701):
+        return _struct.pack(">f" if type_oid == 700 else ">d", v)
+    if type_oid in (17,):
+        return bytes(v)
+    if type_oid in (19, 25, 1042, 1043, 114):
+        return str(v).encode("utf-8")
+    if type_oid == 2950:
+        import uuid as _uuid
+
+        return _uuid.UUID(str(v)).bytes
+    if type_oid == 1700:
+        return _numeric_text_to_bin(str(v))
+    if type_oid == 1082:
+        from datetime import date as _date
+
+        return _struct.pack(
+            ">i", _date.fromisoformat(str(v)).toordinal() - _PG_EPOCH_DAYS)
+    if type_oid == 1083:
+        return _struct.pack(">q", _text_time_to_us(str(v)))
+    if type_oid in (1114, 1184):
+        text = str(v)
+        if type_oid == 1184:
+            if not text.endswith("+00"):
+                raise ValueError("timestamptz text must end with +00")
+            text = text[:-3]
+        day_text, _, time_text = text.partition(" ")
+        from datetime import date as _date
+
+        days = _date.fromisoformat(day_text).toordinal() - _PG_EPOCH_DAYS
+        return _struct.pack(
+            ">q", days * 86_400_000_000 + _text_time_to_us(time_text))
+    if type_oid == 3802:
+        return b"\x01" + str(v).encode("utf-8")
+    raise ValueError(f"no binary encoder for type OID {type_oid}")
+
+
+def _text_time_to_us(text: str) -> int:
+    hms, _, frac = text.partition(".")
+    h, m, s = (int(x) for x in hms.split(":"))
+    us = int((frac + "000000")[:6]) if frac else 0
+    return ((h * 60 + m) * 60 + s) * 1_000_000 + us
+
+
 # ---------------------------------------------------------------- writer
 
 
@@ -595,7 +801,9 @@ def tuple_to_dict(relation: dict, tup: list[tuple[str, object]],
                   unchanged_marker=None) -> dict:
     """Project a TupleData against its Relation metadata into a
     {column: typed value} dict. 'n' → None, 'u' (unchanged TOAST) →
-    `unchanged_marker`, 't' → parsed per type OID, 'b' → raw bytes."""
+    `unchanged_marker`, 't' → parsed per type OID, 'b' → typed decode
+    of the binary SEND format (`parse_binary_value`; unmapped OIDs
+    stay raw bytes)."""
     cols = relation["columns"]
     if len(tup) != len(cols):
         raise ValueError(
@@ -609,8 +817,9 @@ def tuple_to_dict(relation: dict, tup: list[tuple[str, object]],
             out[spec["name"]] = unchanged_marker
         elif tag == "t":
             out[spec["name"]] = parse_text_value(spec["type_oid"], value)
-        else:  # 'b'
-            out[spec["name"]] = value
+        else:  # 'b': binary SEND format, typed decode per OID
+            out[spec["name"]] = parse_binary_value(spec["type_oid"],
+                                                   value)
     return out
 
 

@@ -16030,3 +16030,132 @@ def q_binlog_compressed_tx_decode(spark: SparkSession,
     return decode_binlog_changelog(wal, names).select(
         "seq", "row_idx", "destination", "op", "before", "after",
         "ts_ms")
+
+
+@register(
+    "pgoutput_binary_decode",
+    """
+    WITH j AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value*100) AS BIGINT) AS value_cents
+      FROM events)
+    SELECT event_id*4+2 AS seq,
+           'public.events_bin' AS destination,
+           'c' AS op,
+           CAST(to_json(struct_pack(
+             event_id := event_id,
+             flag := user_id % 2 = 0,
+             amount := printf('%d.%02d', value_cents // 100,
+                              value_cents % 100),
+             label := event_type,
+             ts := strftime(TIMESTAMP '2020-01-01'
+                            + to_seconds(event_id),
+                            '%Y-%m-%d %H:%M:%S'),
+             uid := printf('00000000-0000-0000-0000-%012x', event_id)
+           )) AS VARCHAR) AS after
+    FROM j
+    """,
+    "pgoutput `binary = true` captures: tuple columns arrive with the "
+    "'b' tag in PostgreSQL's per-type binary SEND formats, and the "
+    "decoder produces TYPED values — int8 (8-byte BE), bool (1 byte), "
+    "numeric (base-10000 NumericVar → EXACT text, the packed-decimal "
+    "discipline), text (utf-8), timestamp (int8 µs since 2000-01-01 → "
+    "the server's text rendering), uuid (16 bytes → canonical "
+    "8-4-4-4-12) — instead of the pre-r6 base64 blanket (which "
+    "remains the fallback for unmapped OIDs). Wire layout + "
+    "wrong-length rejection pinned by golden vectors and a 120-case "
+    "numeric fuzz in tests/test_pgoutput_codec.py; this entry proves "
+    "the same decode DISTRIBUTED (encoder-twin 'b' tuples → Arrow-"
+    "batched decode pass → envelope, same bounded-registry / band-"
+    "join shape as pgoutput_changelog_decode). Reference anchor: the "
+    "bundled Postgres connector honors the publication's binary "
+    "transfer option (debezium-server-dist/pom.xml:359-389).",
+)
+def q_pgoutput_binary_decode(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+        encode_message,
+    )
+    from debezium_server_spark.sources.pgoutput_source import (
+        decode_pgoutput_changelog,
+    )
+
+    rel = {"type": "R", "relation_oid": 16390, "namespace": "public",
+           "relation_name": "events_bin", "replica_identity": "d",
+           "columns": [
+               {"key": True, "name": "event_id", "type_oid": 20,
+                "type_mod": -1},
+               {"key": False, "name": "flag", "type_oid": 16,
+                "type_mod": -1},
+               {"key": False, "name": "amount", "type_oid": 1700,
+                "type_mod": -1},
+               {"key": False, "name": "label", "type_oid": 25,
+                "type_mod": -1},
+               {"key": False, "name": "ts", "type_oid": 1114,
+                "type_mod": -1},
+               {"key": False, "name": "uid", "type_oid": 2950,
+                "type_mod": -1},
+           ]}
+    msg_schema = "seq bigint, data binary"
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
+    )
+
+    def ts_text(eid: int) -> str:
+        # 2020-01-01 + eid seconds, the server's text rendering
+        d, s = divmod(eid, 86400)
+        from datetime import date, timedelta
+        day = date(2020, 1, 1) + timedelta(days=d)
+        return (f"{day.isoformat()} "
+                f"{s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}")
+
+    def enc_data(batches):
+        for pdf in batches:
+            rows = []
+            for eid, uid, etype, cents in zip(
+                    pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                    pdf["value_cents"]):
+                eid, cents = int(eid), int(cents)
+                tup = [
+                    ("b", encode_binary_value(20, eid)),
+                    ("b", encode_binary_value(16, int(uid) % 2 == 0)),
+                    ("b", encode_binary_value(
+                        1700, f"{cents // 100}.{cents % 100:02d}")),
+                    ("b", encode_binary_value(25, str(etype))),
+                    ("b", encode_binary_value(1114, ts_text(eid))),
+                    ("b", encode_binary_value(
+                        2950, f"00000000-0000-0000-0000-{eid:012x}")),
+                ]
+                m = {"type": "I", "relation_oid": 16390,
+                     "new_tuple": tup}
+                rows.append((eid * 4 + 2, encode_message(m)))
+            yield pd.DataFrame(rows, columns=["seq", "data"])
+
+    def enc_tx(batches):
+        for pdf in batches:
+            rows = []
+            for tx in pdf["tx"]:
+                tx = int(tx)
+                ts = tx * 1_000_000
+                rows.append((tx * 40, encode_message(
+                    {"type": "B", "final_lsn": tx * 40 + 39,
+                     "commit_ts_us": ts, "xid": tx + 1000})))
+                rows.append((tx * 40 + 39, encode_message(
+                    {"type": "C", "flags": 0,
+                     "commit_lsn": tx * 40 + 38,
+                     "end_lsn": tx * 40 + 39, "commit_ts_us": ts})))
+            yield pd.DataFrame(rows, columns=["seq", "data"])
+
+    data_msgs = ev.mapInPandas(enc_data, msg_schema)
+    tx_msgs = (ev.select(F.expr("event_id div 10").alias("tx"))
+               .distinct().mapInPandas(enc_tx, msg_schema))
+    rel_msg = spark.createDataFrame(
+        [(0, bytearray(encode_message(rel)))], msg_schema)
+    wal = data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
+    return decode_pgoutput_changelog(wal).select(
+        "seq", "destination", "op", "after")

@@ -495,3 +495,108 @@ def test_streamed_two_phase_prepare_then_commit_prepared():
     out = assemble_streamed_transactions(chunk)
     assert [m["new_tuple"][0][1] for m in out[77]["messages"]] == ["a"]
     assert out[77]["commit"]["commit_ts_us"] == 600
+
+
+# -------------------------- binary-format ('b') typed value decode
+
+
+def test_binary_values_golden_and_round_trip():
+    """PostgreSQL binary SEND formats (src/backend/utils/adt/*send):
+    golden bytes per OID, and encode→parse identity against the
+    text-mode value shapes."""
+    import struct as _s
+
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+        parse_binary_value,
+    )
+
+    cases = [
+        (16, True, b"\x01"), (16, False, b"\x00"),
+        (21, -7, _s.pack(">h", -7)),
+        (23, 123456, _s.pack(">i", 123456)),
+        (20, -(2 ** 40), _s.pack(">q", -(2 ** 40))),
+        (26, 99999, _s.pack(">I", 99999)),
+        (701, -2.5, _s.pack(">d", -2.5)),
+        (25, "héllo", "héllo".encode()),
+        (17, b"\x00\xff", b"\x00\xff"),
+        (2950, "12345678-1234-5678-1234-567812345678",
+         bytes.fromhex("12345678123456781234567812345678")),
+        (1082, "2004-10-19", _s.pack(">i", 1753)),  # days since 2000
+        (1083, "10:23:54.5", _s.pack(">q", 37434500000)),
+        (1114, "2004-10-19 10:23:54",
+         _s.pack(">q", 1753 * 86_400_000_000 + 37434 * 1_000_000)),
+        (3802, '{"a":1}', b"\x01" + b'{"a":1}'),
+    ]
+    for oid, val, raw in cases:
+        assert encode_binary_value(oid, val) == raw, oid
+        assert parse_binary_value(oid, raw) == val, oid
+    # timestamptz renders with the UTC suffix
+    tz = encode_binary_value(1184, "2004-10-19 10:23:54+00")
+    assert parse_binary_value(1184, tz) == "2004-10-19 10:23:54+00"
+    # float4 round-trips through the 32-bit lattice
+    assert parse_binary_value(700, encode_binary_value(700, 1.5)) == 1.5
+
+
+def test_binary_numeric_exact_text():
+    """Binary numeric (base-10000 NumericVar): exact text both ways,
+    dscale preserves rendered trailing zeros, NaN, negatives,
+    sub-group leading zeros."""
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+        parse_binary_value,
+    )
+
+    for text in ["0", "1", "-1", "12.34", "-12.34", "0.010",
+                 "0.00001", "12345678.000042", "10000", "9999",
+                 "123456789012345678901234.5678901234", "NaN"]:
+        raw = encode_binary_value(1700, text)
+        assert parse_binary_value(1700, raw) == text, text
+    # golden: 12.34 = digits [12, 3400], weight 0, dscale 2
+    import struct as _s
+
+    assert encode_binary_value(1700, "12.34") == _s.pack(
+        ">HhHH", 2, 0, 0, 2) + _s.pack(">H", 12) + _s.pack(">H", 3400)
+
+
+def test_binary_values_reject_wrong_length_and_bad_jsonb():
+    import pytest as _pytest
+
+    from debezium_server_spark.functions.pgoutput_codec import (
+        parse_binary_value,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_binary_value(20, b"\x01\x02")  # int8 needs 8 bytes
+    with _pytest.raises(ValueError):
+        parse_binary_value(2950, b"\x01" * 15)  # uuid needs 16
+    with _pytest.raises(ValueError):
+        parse_binary_value(3802, b"\x02{}")  # jsonb version byte
+    with _pytest.raises(ValueError):
+        parse_binary_value(1700, b"\x00\x01\x00\x00\x00\x00\x00\x02")
+    # unmapped OID: raw bytes, never an exception
+    assert parse_binary_value(424242, b"\x00\x01") == b"\x00\x01"
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=120, deadline=None)
+@_given(_st.decimals(allow_nan=False, allow_infinity=False,
+                     places=6,
+                     min_value=-10 ** 20, max_value=10 ** 20))
+def test_binary_numeric_fuzz(d):
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+        parse_binary_value,
+    )
+
+    text = format(d, "f")
+    got = parse_binary_value(1700, encode_binary_value(1700, text))
+    # canonical comparison: equal as decimals AND equal dscale
+    from decimal import Decimal
+
+    assert Decimal(got) == Decimal(text)
+    assert (len(got.partition(".")[2])
+            == len(text.partition(".")[2]))

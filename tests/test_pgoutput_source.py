@@ -286,22 +286,42 @@ def test_unchanged_toast_projects_sentinel_not_null(spark):
     assert json.loads(out[12]["after"]) == {"id": 2, "bal": None}
 
 
-def test_binary_format_tuple_columns_base64_not_quarantined(spark):
-    """ADVICE r5: a `binary = true` pgoutput capture ships 'b' tuple
-    columns; raw bytes would make json.dumps raise and quarantine the
-    row — they must project as base64 text instead."""
+def test_binary_format_tuple_columns_typed_or_base64(spark):
+    """A `binary = true` pgoutput capture ships 'b' tuple columns.
+    Mapped OIDs decode TYPED (the binary SEND formats — here int8);
+    unmapped OIDs stay bytes and project as base64 text instead of
+    making json.dumps quarantine the row (ADVICE r5)."""
     import base64
+    import struct as _s
 
-    payload = b"\x01\x02\xff\x00!"
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+    )
+
+    payload = b"\x01\x02\xff\x00!"  # opaque custom-type value
+    rel = {"type": "R", "relation_oid": 300, "namespace": "public",
+           "relation_name": "binacct", "replica_identity": "d",
+           "columns": [
+               {"key": True, "name": "id", "type_oid": 20,
+                "type_mod": -1},
+               {"key": False, "name": "blob", "type_oid": 99999,
+                "type_mod": -1},
+           ]}
     rows = [
-        (1, REL_A),
+        (1, rel),
         (10, {"type": "B", "final_lsn": 12, "commit_ts_us": 5,
               "xid": 9}),
-        (11, {"type": "I", "relation_oid": 100,
-              "new_tuple": [("t", "1"), ("b", payload)]}),
+        (11, {"type": "I", "relation_oid": 300,
+              "new_tuple": [("b", encode_binary_value(20, 77)),
+                            ("b", payload)]}),
+        # wrong-length binary int8 must QUARANTINE, not mint a value
+        (12, {"type": "I", "relation_oid": 300,
+              "new_tuple": [("b", b"\x01\x02"), ("n", None)]}),
     ]
+    assert encode_binary_value(20, 77) == _s.pack(">q", 77)
     out = {r["seq"]: r for r in
            decode_pgoutput_changelog(_wal(spark, rows)).collect()}
     assert out[11]["error"] is None
     assert json.loads(out[11]["after"]) == {
-        "id": 1, "bal": base64.b64encode(payload).decode("ascii")}
+        "id": 77, "blob": base64.b64encode(payload).decode("ascii")}
+    assert out[12]["error"] is not None

@@ -111,6 +111,9 @@ QUERIES = [
     # TRANSACTION_PAYLOAD decode: zstd decompress + inner decode per
     # payload inside mapInPandas — expected linear, codec constant
     "binlog_compressed_tx_decode",
+    # binary-format ('b') typed decode — same band-join shape as the
+    # text-mode pgoutput entry, per-value struct unpacks in the codec
+    "pgoutput_binary_decode",
 ]
 
 
