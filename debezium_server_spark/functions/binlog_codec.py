@@ -670,8 +670,15 @@ def decode_event(data: bytes, columns_of=None,
             if _OTW_UNCOMPRESSED_SIZE not in fields:
                 raise ValueError(
                     "zstd transaction payload missing uncompressed size")
-            inner = bytes(_pa.Codec("zstd").decompress(
-                payload, fields[_OTW_UNCOMPRESSED_SIZE]))
+            usize = fields[_OTW_UNCOMPRESSED_SIZE]
+            if usize > 1 << 30:
+                # the server caps any event at 1 GiB — a larger claim
+                # is corrupt, and honoring it would let a 100-byte
+                # frame demand gigabytes from the decoder
+                raise ValueError(
+                    f"transaction payload claims {usize} uncompressed "
+                    f"bytes (> 1 GiB event cap)")
+            inner = bytes(_pa.Codec("zstd").decompress(payload, usize))
         elif comp == COMPRESSION_NONE:
             inner = payload
         else:

@@ -646,3 +646,25 @@ def test_transaction_payload_fuzz(rows, comp):
     out = decode_event(raw)
     assert out["events"][1]["rows"] == [list(r) for r in rows]
     assert encode_event(out) == raw
+
+
+def test_transaction_payload_rejects_gigantic_size_claim():
+    """A 100-byte frame claiming multi-GiB uncompressed size is
+    corrupt (the server caps events at 1 GiB) — reject before
+    allocating."""
+    from debezium_server_spark.functions.binlog_codec import (
+        TRANSACTION_PAYLOAD_EVENT,
+        _lenenc,
+    )
+
+    def tlv(t, v):
+        enc = _lenenc(v)
+        return _lenenc(t) + _lenenc(len(enc)) + enc
+
+    body = (tlv(2, 0)  # compression = ZSTD
+            + tlv(3, 1 << 40)  # absurd uncompressed size
+            + tlv(1, 4) + bytes([0]) + b"\x00\x00\x00\x00")
+    frame = struct.pack("<IBIIIH", 0, TRANSACTION_PAYLOAD_EVENT, 1,
+                        19 + len(body), 0, 0) + body
+    with pytest.raises(ValueError, match="1 GiB"):
+        decode_event(frame)
