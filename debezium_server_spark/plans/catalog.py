@@ -15328,10 +15328,14 @@ def _pgoutput_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = _PGOUT_REL
     msg_schema = "seq bigint, data binary"
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def enc_data(batches):
         for pdf in batches:
@@ -15629,10 +15633,14 @@ def q_oplog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_oplog_changelog,
     )
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def enc(batches):
         for pdf in batches:
@@ -15728,10 +15736,14 @@ def q_binlog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table": "events_mysql", "columns": cols,
             "timestamp": 1600000000, "log_pos": 0}
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def enc(batches):
         for pdf in batches:
@@ -15826,10 +15838,14 @@ def q_binlog_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table": "events_json", "columns": cols,
             "timestamp": 1600000000, "log_pos": 0}
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def enc(batches):
         for pdf in batches:
@@ -15853,7 +15869,12 @@ def q_binlog_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(-1, bytearray(encode_event(tmap)))],
                               msg_schema))
     names = {"app.events_json": ["id", "doc"]}
-    return decode_binlog_changelog(wal, names).select(
+    # registry passed explicitly (the declaration is this entry's own
+    # tmap): skips the registry collect pass, which would re-run the
+    # synthesized-WAL encode; loading the registry FROM the wire is
+    # binlog_changelog_decode's job
+    return decode_binlog_changelog(wal, names,
+                                   registry={11: tmap}).select(
         "seq", "row_idx", "destination", "op", "after", "ts_ms")
 
 
@@ -15990,10 +16011,14 @@ def q_binlog_compressed_tx_decode(spark: SparkSession,
             {"type": T_VARCHAR, "meta": 64, "nullable": True},
             {"type": T_LONGLONG, "nullable": True}]
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def enc(batches):
         for pdf in batches:
@@ -16027,7 +16052,11 @@ def q_binlog_compressed_tx_decode(spark: SparkSession,
     wal = ev.mapInPandas(enc, "seq bigint, data binary")
     names = {"app.events_tx":
              ["event_id", "user_id", "event_type", "value_cents"]}
-    return decode_binlog_changelog(wal, names).select(
+    # registry={} is the POINT: compressed transactions are
+    # self-contained, so no startup TABLE_MAP collect exists — and the
+    # synthesized-WAL encode runs exactly once (a registry pass would
+    # re-evaluate the whole encode mapInPandas to find zero rows)
+    return decode_binlog_changelog(wal, names, registry={}).select(
         "seq", "row_idx", "destination", "op", "before", "after",
         "ts_ms")
 
@@ -16101,10 +16130,14 @@ def q_pgoutput_binary_decode(spark: SparkSession,
            ]}
     msg_schema = "seq bigint, data binary"
 
+    # the sf-dir events table is ONE small parquet file (a single scan
+    # partition), but the codec work downstream is per-event Python —
+    # spread it across the executor cores the way a real capture's
+    # many WAL files would be; the 2 MB shuffle is noise
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.expr("CAST(floor(value*100) AS BIGINT)").alias("value_cents"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def ts_text(eid: int) -> str:
         # 2020-01-01 + eid seconds, the server's text rendering
@@ -16157,5 +16190,9 @@ def q_pgoutput_binary_decode(spark: SparkSession,
     rel_msg = spark.createDataFrame(
         [(0, bytearray(encode_message(rel)))], msg_schema)
     wal = data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
-    return decode_pgoutput_changelog(wal).select(
+    # registry passed explicitly (this entry declares `rel` itself):
+    # skips the registry collect pass, which would re-run the
+    # synthesized-WAL encode; wire-loaded registries are
+    # pgoutput_changelog_decode's job
+    return decode_pgoutput_changelog(wal, registry={16390: rel}).select(
         "seq", "destination", "op", "after")

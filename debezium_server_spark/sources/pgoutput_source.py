@@ -345,15 +345,23 @@ def decode_streamed_chunks(chunks: DataFrame,
 
 
 def decode_pgoutput_changelog(msgs: DataFrame,
-                              band_width: int = 4096) -> DataFrame:
+                              band_width: int = 4096,
+                              registry: dict[int, dict] | None = None
+                              ) -> DataFrame:
     """Full decode: `(seq, data)` WAL-message frame → envelope frame
     `(seq, destination, op, before, after, error, xid, ts_ms)`.
 
     Quarantined rows (error != null) carry null envelope fields; feed
     `.filter("error is null")` into the pipeline and route the rest to
     a dead-letter sink, mirroring `file_source.py`'s convention.
+
+    Pass `registry` explicitly when the Relation declarations are
+    already known (streaming frames, schema history, synthesized WAL)
+    — it skips the registry collect pass over `msgs`, the
+    `decode_binlog_changelog` convention.
     """
-    registry = load_relation_registry(msgs)
+    if registry is None:
+        registry = load_relation_registry(msgs)
     data = decode_data_messages(msgs, registry)
     begins = extract_begins(msgs)
     return attach_transactions(data, begins, band_width=band_width)
