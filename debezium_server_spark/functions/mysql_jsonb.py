@@ -178,6 +178,15 @@ def _scalar_payload(v) -> tuple[int, bytes]:
         return J_OPAQUE, (bytes((T_NEWDECIMAL,))
                           + _enc_varlen(len(payload)) + payload)
     if isinstance(v, JsonOpaque):
+        if v.field_type == T_NEWDECIMAL:
+            # decode() always parses field type 246 as a decimal, so
+            # an opaque carrying that type with non-decimal bytes
+            # would encode to something decode() rejects — make the
+            # asymmetry impossible (the BsonBinary-subtype lesson);
+            # decimals go through JsonDecimal
+            raise ValueError(
+                "JsonOpaque cannot carry MYSQL_TYPE_NEWDECIMAL "
+                "(246) — use JsonDecimal")
         return J_OPAQUE, (bytes((v.field_type,))
                           + _enc_varlen(len(v.data)) + bytes(v.data))
     raise TypeError(f"no JSON-binary mapping for {type(v).__name__}")

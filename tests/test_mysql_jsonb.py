@@ -214,3 +214,15 @@ def test_json_column_through_spark_stage(spark):
     assert row["error"] is None and row["op"] == "c"
     after = json.loads(row["after"])
     assert after == {"id": 1, "doc": {"a": [1, 2], "d": "0.50"}}
+
+
+def test_opaque_cannot_impersonate_decimal():
+    """Fuzz-soak find (round 6): decode() always parses opaque field
+    type 246 as NEWDECIMAL, so encoding a JsonOpaque carrying that
+    type with arbitrary bytes would produce a document decode()
+    rejects — the construction is forbidden (use JsonDecimal), the
+    BsonBinary-subtype symmetry lesson."""
+    with pytest.raises(ValueError, match="JsonDecimal"):
+        encode(JsonOpaque(246, b"\x51\x66\xc3"))
+    with pytest.raises(ValueError, match="JsonDecimal"):
+        encode({"k": [JsonOpaque(246, b"")]})
