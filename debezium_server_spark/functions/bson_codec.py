@@ -71,6 +71,98 @@ class BsonBinary:
     data: bytes
 
 
+@dataclass(frozen=True)
+class Decimal128:
+    """0x13: IEEE 754-2008 decimal128 in the BID encoding (the
+    public bson-decimal128 spec) — MongoDB's NumberDecimal, the
+    canonical money type, which the reference's Mongo connector
+    captures natively. Held as the spec's EXACT string rendering
+    (sign/coefficient/exponent all preserved — '1.00' ≠ '1' ≠
+    '1E+2'), never a float; special values are 'NaN', 'Infinity',
+    '-Infinity'. `text → bits` (the encoder twin) and `bits → text`
+    are mutual inverses on canonical values, so round trips are
+    byte-exact."""
+
+    text: str
+
+
+_DEC128_EXP_BIAS = 6176
+_DEC128_MAX_COEF = 10 ** 34 - 1  # 34 decimal digits
+_DEC128_EXP_MIN, _DEC128_EXP_MAX = -6176, 6111
+
+
+def _dec128_to_text(raw: bytes) -> str:
+    """16 LE bytes → the spec's string rendering."""
+    low, high = _struct.unpack("<QQ", raw)
+    sign = "-" if high >> 63 else ""
+    combination = (high >> 58) & 0x1F
+    if combination == 0x1F:
+        return "NaN"  # sign/payload not rendered, per the spec
+    if combination == 0x1E:
+        return sign + "Infinity"
+    if (high >> 61) & 0x3 == 0x3:
+        # '11' prefix: exponent shifted, implicit (100) coefficient
+        # prefix — any such coefficient exceeds 34 digits, which the
+        # spec defines as value ZERO (non-canonical); reject rather
+        # than decode to a value that cannot re-encode byte-exact
+        raise ValueError("non-canonical decimal128 (oversized "
+                         "coefficient encoding)")
+    exponent = ((high >> 49) & 0x3FFF) - _DEC128_EXP_BIAS
+    coef = ((high & 0x0001FFFFFFFFFFFF) << 64) | low
+    if coef > _DEC128_MAX_COEF:
+        raise ValueError("non-canonical decimal128 (coefficient "
+                         "> 10^34-1)")
+    digits = str(coef)
+    adjusted = exponent + len(digits) - 1
+    if exponent <= 0 and adjusted >= -6:
+        if exponent == 0:
+            return sign + digits
+        point = len(digits) + exponent
+        if point <= 0:
+            return sign + "0." + "0" * -point + digits
+        return sign + digits[:point] + "." + digits[point:]
+    # scientific notation
+    mantissa = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return f"{sign}{mantissa}E{adjusted:+d}"
+
+
+def _dec128_from_text(text: str) -> bytes:
+    """Inverse of `_dec128_to_text` — 16 LE bytes. Rejects values
+    outside decimal128's range instead of applying the spec's
+    clamp/round rules (an exact-capture codec must not silently
+    change a value)."""
+    t = text.strip()
+    sign = 0
+    if t[:1] in "+-":
+        sign = 1 if t[0] == "-" else 0
+        t = t[1:]
+    if t == "NaN" or text.strip() == "NaN":
+        return _struct.pack("<QQ", 0, 0x1F << 58)
+    if t == "Infinity":
+        return _struct.pack("<QQ", 0,
+                            (sign << 63) | (0x1E << 58))
+    mant, _, exppart = t.partition("E")
+    if not exppart:
+        mant, _, exppart = t.partition("e")
+    exponent = int(exppart) if exppart else 0
+    ip, dot, fp = mant.partition(".")
+    if not (ip + fp).isdigit() or not (ip or fp):
+        raise ValueError(f"bad decimal128 literal {text!r}")
+    exponent -= len(fp)
+    coef = int(ip + fp)
+    if coef > _DEC128_MAX_COEF:
+        raise ValueError(f"decimal128 coefficient exceeds 34 digits: "
+                         f"{text!r}")
+    if not _DEC128_EXP_MIN <= exponent <= _DEC128_EXP_MAX:
+        raise ValueError(f"decimal128 exponent {exponent} out of "
+                         f"[{_DEC128_EXP_MIN}, {_DEC128_EXP_MAX}]: "
+                         f"{text!r}")
+    high = ((sign << 63)
+            | ((exponent + _DEC128_EXP_BIAS) << 49)
+            | (coef >> 64))
+    return _struct.pack("<QQ", coef & 0xFFFFFFFFFFFFFFFF, high)
+
+
 # --------------------------------------------------------------- encode
 
 
@@ -104,6 +196,8 @@ def _enc_element(name: str, v) -> bytes:
         return (b"\x11" + key
                 + _struct.pack("<II", v.increment & 0xFFFFFFFF,
                                v.seconds & 0xFFFFFFFF))
+    if isinstance(v, Decimal128):
+        return b"\x13" + key + _dec128_from_text(v.text)
     if isinstance(v, int):
         if -(2**31) <= v < 2**31:
             return b"\x10" + key + _struct.pack("<i", v)
@@ -200,6 +294,8 @@ def _dec_document(r: _Reader) -> dict:
             out[name] = BsonTimestamp(sec, inc)
         elif etype == 0x12:
             out[name] = r.int64()
+        elif etype == 0x13:
+            out[name] = Decimal128(_dec128_to_text(r.take(16)))
         else:
             raise ValueError(f"unsupported BSON element type 0x{etype:02x}")
     if r.pos != end:

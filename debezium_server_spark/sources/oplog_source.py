@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 from debezium_server_spark.functions.bson_codec import (
     BsonBinary,
     BsonTimestamp,
+    Decimal128,
     ObjectId,
     UtcDatetime,
     decode,
@@ -76,6 +77,8 @@ def _jsonable(v):
     if isinstance(v, BsonBinary):  # non-generic subtype (e.g. UUID)
         return {"$binary": base64.b64encode(v.data).decode("ascii"),
                 "subtype": v.subtype}
+    if isinstance(v, Decimal128):  # Extended-JSON convention: exact
+        return {"$numberDecimal": v.text}  # text, never a float
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, list):
