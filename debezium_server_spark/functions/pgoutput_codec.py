@@ -259,12 +259,160 @@ def _jsonb_bin(d: bytes) -> str:
     return d[1:].decode("utf-8")
 
 
+# Array types (array_send wire format, public: int32 ndim, int32
+# has-nulls flag, int32 element OID, per-dim (size, lower bound),
+# then per element int32 length (-1 = NULL) + element SEND bytes).
+# Decoded to the same PG text-array literal the TEXT format ships
+# ('{1,2,NULL}', quoting per array_out's rules, '[lb:ub]=' dimension
+# prefix when a lower bound != 1) so downstream consumers see one
+# rendering regardless of the capture's binary option.
+PG_ARRAY_ELEM_OID = {
+    1000: 16,    # bool[]
+    1005: 21,    # int2[]
+    1007: 23,    # int4[]
+    1016: 20,    # int8[]
+    1021: 700,   # float4[]
+    1022: 701,   # float8[]
+    1009: 25,    # text[]
+    1015: 1043,  # varchar[]
+    1014: 1042,  # bpchar[]
+    2951: 2950,  # uuid[]
+    1231: 1700,  # numeric[]
+    1182: 1082,  # date[]
+    1183: 1083,  # time[]
+    1115: 1114,  # timestamp[]
+    1185: 1184,  # timestamptz[]
+}
+
+_NEEDS_QUOTE = set(' {},"\\\t\n\r')
+
+
+def _array_elem_text(elem_oid: int, v) -> str:
+    """One element's rendering inside the array literal — array_out's
+    quoting: strings quote when empty/NULL-like/containing specials,
+    bools render t/f, everything else its text form."""
+    if elem_oid == 16:
+        return "t" if v else "f"
+    s = str(v)
+    if elem_oid in (25, 1042, 1043):
+        if (s == "" or s.upper() == "NULL"
+                or any(c in _NEEDS_QUOTE for c in s)):
+            return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _array_bin_to_text(data: bytes) -> str:
+    if len(data) < 12:
+        raise EOFError("truncated binary array header")
+    ndim, _flags, elem_oid = _struct.unpack_from(">iii", data, 0)
+    if ndim < 0 or ndim > 6:  # MAXDIM in the server
+        raise ValueError(f"bad array ndim {ndim}")
+    if ndim == 0:
+        if len(data) != 12:
+            raise ValueError("trailing bytes after empty array")
+        return "{}"
+    if elem_oid not in PG_BINARY_PARSERS:
+        raise ValueError(f"binary array of unmapped element OID "
+                         f"{elem_oid}")
+    pos = 12
+    dims, lbs = [], []
+    for _ in range(ndim):
+        size, lb = _struct.unpack_from(">ii", data, pos)
+        if size < 0:
+            raise ValueError(f"bad array dimension size {size}")
+        dims.append(size)
+        lbs.append(lb)
+        pos += 8
+    count = 1
+    for d in dims:
+        count *= d
+    elems: list[str | None] = []
+    for _ in range(count):
+        (n,) = _struct.unpack_from(">i", data, pos)
+        pos += 4
+        if n == -1:
+            elems.append(None)
+            continue
+        raw = data[pos:pos + n]
+        if len(raw) != n:
+            raise EOFError("truncated binary array element")
+        elems.append(_array_elem_text(
+            elem_oid, PG_BINARY_PARSERS[elem_oid](raw)))
+        pos += n
+    if pos != len(data):
+        raise ValueError("trailing bytes after binary array")
+
+    def nest(level: int, flat: list) -> str:
+        if level == ndim - 1:
+            return ("{" + ",".join("NULL" if e is None else e
+                                   for e in flat) + "}")
+        stride = len(flat) // dims[level]
+        return ("{" + ",".join(
+            nest(level + 1, flat[i * stride:(i + 1) * stride])
+            for i in range(dims[level])) + "}")
+
+    text = nest(0, elems)
+    if any(lb != 1 for lb in lbs):  # array_out's dimension prefix
+        spec = "".join(f"[{lb}:{lb + d - 1}]"
+                       for lb, d in zip(lbs, dims))
+        text = spec + "=" + text
+    return text
+
+
+def _encode_array_elems(v, elem_oid: int, depth: int,
+                        dims: list[int]) -> list[bytes | None]:
+    """Flatten a (possibly nested) Python list into element payloads,
+    validating rectangularity and recording dims."""
+    if depth == len(dims):
+        dims.append(len(v))
+    elif dims[depth] != len(v):
+        raise ValueError("ragged multidimensional array")
+    out: list[bytes | None] = []
+    for x in v:
+        if isinstance(x, list):
+            out += _encode_array_elems(x, elem_oid, depth + 1, dims)
+        elif x is None:
+            out.append(None)
+        else:
+            out.append(encode_binary_value(elem_oid, x))
+    return out
+
+
+def encode_binary_array(array_oid: int, v: list,
+                        lower_bounds: list[int] | None = None) -> bytes:
+    """Encoder twin for the array SEND format: nested Python list (None
+    = SQL NULL element) → wire bytes."""
+    elem_oid = PG_ARRAY_ELEM_OID[array_oid]
+    if not v:
+        return _struct.pack(">iii", 0, 0, elem_oid)
+    dims: list[int] = []
+    elems = _encode_array_elems(v, elem_oid, 0, dims)
+    lbs = lower_bounds or [1] * len(dims)
+    if len(lbs) != len(dims):
+        raise ValueError("lower_bounds arity != ndim")
+    out = _struct.pack(">iii", len(dims),
+                       1 if any(e is None for e in elems) else 0,
+                       elem_oid)
+    for d, lb in zip(dims, lbs):
+        out += _struct.pack(">ii", d, lb)
+    for e in elems:
+        if e is None:
+            out += _struct.pack(">i", -1)
+        else:
+            out += _struct.pack(">i", len(e)) + e
+    return out
+
+
 def parse_binary_value(type_oid: int, data: bytes):
     """'b'-format tuple column → typed Python value (same shapes as
-    `parse_text_value`); unmapped OIDs → raw bytes (base64 at the
-    source layer)."""
+    `parse_text_value`); array OIDs → the PG text-array literal;
+    unmapped OIDs → raw bytes (base64 at the source layer)."""
     parser = PG_BINARY_PARSERS.get(type_oid)
-    return parser(bytes(data)) if parser else bytes(data)
+    if parser is not None:
+        return parser(bytes(data))
+    if type_oid in PG_ARRAY_ELEM_OID:
+        return _array_bin_to_text(bytes(data))
+    return bytes(data)
 
 
 def encode_binary_value(type_oid: int, v) -> bytes:

@@ -600,3 +600,92 @@ def test_binary_numeric_fuzz(d):
     assert Decimal(got) == Decimal(text)
     assert (len(got.partition(".")[2])
             == len(text.partition(".")[2]))
+
+
+# ------------------------------------- binary arrays (array_send wire)
+
+
+def test_binary_array_golden_and_rendering():
+    """array_send layout → the same PG text-array literal the text
+    format ships: int4[] {1,2,NULL}, quoting per array_out, multi-dim
+    with non-default lower bounds, empty array."""
+    import struct as _s
+
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_array,
+        parse_binary_value,
+    )
+
+    raw = encode_binary_array(1007, [1, 2, None])
+    # golden: ndim=1, has-nulls=1, elem oid 23, dim(3, lb 1),
+    # elements 4:1, 4:2, -1
+    assert raw == (_s.pack(">iii", 1, 1, 23) + _s.pack(">ii", 3, 1)
+                   + _s.pack(">ii", 4, 1) + _s.pack(">ii", 4, 2)
+                   + _s.pack(">i", -1))
+    assert parse_binary_value(1007, raw) == "{1,2,NULL}"
+    assert parse_binary_value(1007, encode_binary_array(1007, [])) == "{}"
+    # text quoting: specials/empty/NULL-literal quote, escapes escape
+    t = parse_binary_value(1009, encode_binary_array(
+        1009, ["a b", 'x"y', None, "", "NULL", "plain", "p\\q"]))
+    assert t == '{"a b","x\\"y",NULL,"","NULL",plain,"p\\\\q"}'
+    # bools render t/f; numeric stays exact text
+    assert parse_binary_value(1000, encode_binary_array(
+        1000, [True, False])) == "{t,f}"
+    assert parse_binary_value(1231, encode_binary_array(
+        1231, ["1.50", "-0.07"])) == "{1.50,-0.07}"
+    # multidim + lower bounds → array_out's [lb:ub]= prefix
+    md = parse_binary_value(1007, encode_binary_array(
+        1007, [[1, 2], [3, 4]], lower_bounds=[0, 1]))
+    assert md == "[0:1][1:2]={{1,2},{3,4}}"
+    md1 = parse_binary_value(1007, encode_binary_array(
+        1007, [[1, 2], [3, 4]]))
+    assert md1 == "{{1,2},{3,4}}"
+
+
+def test_binary_array_strictness():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_array,
+        parse_binary_value,
+    )
+
+    with _pytest.raises(ValueError, match="ragged"):
+        encode_binary_array(1007, [[1, 2], [3]])
+    with _pytest.raises(ValueError, match="trailing"):
+        parse_binary_value(1007,
+                           encode_binary_array(1007, [1]) + b"\x00")
+    with _pytest.raises(EOFError):
+        parse_binary_value(1007, encode_binary_array(1007, [1])[:-2])
+    with _pytest.raises(ValueError, match="unmapped element"):
+        parse_binary_value(1007, _s.pack(">iii", 1, 0, 424242)
+                           + _s.pack(">ii", 1, 1) + _s.pack(">i", -1))
+    with _pytest.raises(ValueError, match="ndim"):
+        parse_binary_value(1007, _s.pack(">iii", 7, 0, 23))
+
+
+def test_binary_array_in_tuple_decode():
+    """A 'b' tuple column of an array OID projects the text literal —
+    format parity with a text-mode capture of the same column."""
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_array,
+        tuple_to_dict,
+    )
+
+    rel = {"type": "R", "relation_oid": 5, "namespace": "public",
+           "relation_name": "tags", "replica_identity": "d",
+           "columns": [
+               {"key": True, "name": "id", "type_oid": 20,
+                "type_mod": -1},
+               {"key": False, "name": "tags", "type_oid": 1009,
+                "type_mod": -1},
+           ]}
+    from debezium_server_spark.functions.pgoutput_codec import (
+        encode_binary_value,
+    )
+
+    tup = [("b", encode_binary_value(20, 9)),
+           ("b", encode_binary_array(1009, ["a", "b c"]))]
+    assert tuple_to_dict(rel, tup) == {"id": 9, "tags": '{a,"b c"}'}
