@@ -48,11 +48,15 @@ big-endian bytes, partial leading groups in fewer, sign bit XORed
 into the first byte, negative values stored complemented; decoded to
 an EXACT decimal string, never a float), and the -2 temporals
 DATETIME2 / TIMESTAMP2 / TIME2 (bit-packed big-endian with
-metadata-driven fractional-second bytes), ENUM/SET ordinals/bitmasks,
-JSON (the binary JSON cell format — length-prefixed documents decoded
-by `functions/mysql_jsonb.py`), and GEOMETRY (length-prefixed 4-byte
-SRID + WKB → `GeoValue`; `type_conversions.wkb_point_xy` reads the
-WKB side). NULLs ride the per-row null bitmap. Unknown type codes
+metadata-driven fractional-second bytes), ENUM/SET ordinals/bitmasks
+(direct codes from the twin, or hidden inside MYSQL_TYPE_STRING's
+packed 2-byte metadata the way real servers ship them), STRING/CHAR
+(packed Field_string metadata, 1-/2-byte length-prefixed cells), BIT
+(big-endian packed, (bits%8, bits//8) metadata), YEAR (year-1900
+byte), JSON (the binary JSON cell format — length-prefixed documents
+decoded by `functions/mysql_jsonb.py`), and GEOMETRY (length-prefixed
+4-byte SRID + WKB → `GeoValue`; `type_conversions.wkb_point_xy` reads
+the WKB side). NULLs ride the per-row null bitmap. Unknown type codes
 raise.
 """
 
@@ -94,6 +98,16 @@ T_JSON = 245  # binary JSON cell (functions/mysql_jsonb.py layout);
 T_GEOMETRY = 255  # length-prefixed (meta bytes, server: 4) cell of
 #                   MySQL's internal geometry value: 4-byte LE SRID +
 #                   standard WKB — decoded to GeoValue(srid, wkb)
+T_BIT = 16    # metadata (bits%8, bits//8) per Field_bit; cell is the
+#               value big-endian in ceil(bits/8) bytes → int
+T_YEAR = 13   # 1 byte, year-1900 (0 encodes YEAR '0000') → int year
+T_STRING = 254  # CHAR(n) — and the REAL servers' carrier for ENUM/
+#                 SET: TABLE_MAP metadata is the packed 2-byte form of
+#                 Field_string::do_save_field_metadata (byte0 =
+#                 real_type ^ ((maxlen & 0x300) >> 4), byte1 = maxlen
+#                 & 0xff); decode resolves ENUM/SET back to
+#                 T_ENUM/T_SET col specs. Cell: length-prefixed bytes
+#                 (1-byte prefix when maxlen < 256, else 2)
 
 _INT_SIZES = {T_TINY: 1, T_SHORT: 2, T_INT24: 3, T_LONG: 4, T_LONGLONG: 8}
 
@@ -289,6 +303,19 @@ def _enc_value(col: dict, v) -> bytes:
         # ENUM: 1- or 2-byte unsigned ordinal (1-based; 0 = invalid);
         # SET: pack-length-byte little-endian member bitmask
         return int(v).to_bytes(col.get("meta", 1), "little")
+    if t == T_STRING:
+        maxlen = col["meta"][1] if isinstance(col.get("meta"),
+                                              tuple) else col["meta"]
+        raw = str(v).encode("utf-8")
+        if maxlen > 255:
+            return _struct.pack("<H", len(raw)) + raw
+        return bytes((len(raw),)) + raw
+    if t == T_BIT:
+        nbits = col.get("meta", 1)
+        return int(v).to_bytes((nbits + 7) // 8, "big")
+    if t == T_YEAR:
+        y = int(v)
+        return bytes(((y - 1900) if y else 0,))
     if t == T_DATE:
         y, m, d = (int(x) for x in str(v).split("-"))
         return ((y << 9) | (m << 5) | d).to_bytes(3, "little")
@@ -354,6 +381,24 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
         n = int.from_bytes(_take(data, pos, nbytes), "little")
         pos += nbytes
         return _take(data, pos, n), pos + n
+    if t == T_STRING:
+        maxlen = col["meta"][1] if isinstance(col.get("meta"),
+                                              tuple) else col["meta"]
+        if maxlen > 255:
+            n = _struct.unpack("<H", _take(data, pos, 2))[0]
+            pos += 2
+        else:
+            n = _take(data, pos, 1)[0]
+            pos += 1
+        return _take(data, pos, n).decode("utf-8"), pos + n
+    if t == T_BIT:
+        nbits = col.get("meta", 1)
+        nbytes = (nbits + 7) // 8
+        return int.from_bytes(_take(data, pos, nbytes), "big"), \
+            pos + nbytes
+    if t == T_YEAR:
+        b = _take(data, pos, 1)[0]
+        return (b + 1900 if b else 0), pos + 1
     if t == T_JSON:
         from debezium_server_spark.functions import mysql_jsonb
         nbytes = col.get("meta", 4)
@@ -507,6 +552,19 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
                 meta += bytes((c.get("meta", 0),))
             elif c["type"] in (T_ENUM, T_SET):
                 meta += bytes((c.get("meta", 1),))
+            elif c["type"] == T_STRING:
+                # Field_string::do_save_field_metadata packed form;
+                # meta = (real_type, maxlen) — real_type 254 for
+                # CHAR, 247/248 when the column is really ENUM/SET
+                real_type, maxlen = c.get("meta", (T_STRING, 255))
+                if maxlen > 1023:
+                    raise ValueError(f"STRING maxlen {maxlen} > 1023")
+                meta += bytes((real_type ^ ((maxlen & 0x300) >> 4),
+                               maxlen & 0xFF))
+            elif c["type"] == T_BIT:
+                nbits = c.get("meta", 1)
+                meta += bytes((nbits % 8, nbits // 8))
+            # T_YEAR: no metadata
         body += _lenenc(len(meta)) + meta
         body += _bitmap([bool(c.get("nullable", True)) for c in cols])
         return _frame(TABLE_MAP_EVENT, body, ts, pos)
@@ -633,6 +691,28 @@ def decode_event(data: bytes, columns_of=None,
                 mp += 1
             elif t == T_NEWDECIMAL:
                 meta = (meta_block[mp], meta_block[mp + 1])
+                mp += 2
+            elif t == T_STRING:
+                # unpack Field_string's 2-byte form; resolve a hidden
+                # ENUM/SET back to its own col-spec type so the cell
+                # decode path is shared with the direct-coded twin
+                b0, b1 = meta_block[mp], meta_block[mp + 1]
+                mp += 2
+                if (b0 & 0x30) != 0x30:
+                    real_type = b0 | 0x30
+                    maxlen = b1 | (((b0 & 0x30) ^ 0x30) << 4)
+                else:
+                    real_type, maxlen = b0, b1
+                if real_type in (T_ENUM, T_SET):
+                    cols.append({"type": real_type, "meta": maxlen})
+                    continue
+                if real_type != T_STRING:
+                    raise ValueError(
+                        f"bad packed STRING metadata real type "
+                        f"0x{real_type:02x}")
+                meta = (T_STRING, maxlen)
+            elif t == T_BIT:
+                meta = meta_block[mp] + 8 * meta_block[mp + 1]
                 mp += 2
             cols.append({"type": t, "meta": meta})
         nullable, p = _read_bitmap(body, p, ncols)

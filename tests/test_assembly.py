@@ -304,3 +304,58 @@ def test_build_mysql_binlog_source(spark, tmp_path):
     assert v["op"] == "c" and json.loads(v["after"]) == {"id": 1,
                                                          "name": "a"}
     assert v["ts_ms"] == 7000
+
+
+def test_build_mysql_binlog_source_compressed_transactions(spark, tmp_path):
+    """binlog_transaction_compression=ON capture through the assembly
+    source: the WHOLE wire is TRANSACTION_PAYLOAD events (no bare
+    TABLE_MAP anywhere — the startup registry pre-read finds zero
+    declarations) and the stream still decodes, from the payloads'
+    own embedded TABLE_MAPs."""
+    import json
+
+    from debezium_server_spark.assembly import build_source
+    from debezium_server_spark.config import PipelineConfig
+    from debezium_server_spark.functions.binlog_codec import (
+        T_LONGLONG,
+        T_VARCHAR,
+        encode_event,
+    )
+
+    cols = [{"type": T_LONGLONG, "nullable": False},
+            {"type": T_VARCHAR, "meta": 32, "nullable": True}]
+    tmap = {"type": "table_map", "table_id": 5, "schema": "db",
+            "table": "t", "columns": cols, "timestamp": 7, "log_pos": 1}
+
+    def tx(seq, comp, rows_ev):
+        return (seq, encode_event({
+            "type": "transaction_payload", "compression": comp,
+            "events": [tmap, rows_ev,
+                       {"type": "xid", "xid": seq, "timestamp": 7,
+                        "log_pos": 9}],
+            "timestamp": 7, "log_pos": seq}))
+
+    src = _wire_dir(spark, tmp_path, [
+        tx(1, "zstd", {"type": "write_rows", "table_id": 5,
+                       "columns": cols, "rows": [[1, "a"], [2, "b"]],
+                       "timestamp": 7, "log_pos": 2}),
+        tx(2, "none", {"type": "delete_rows", "table_id": 5,
+                       "columns": cols, "rows": [[1, "a"]],
+                       "timestamp": 8, "log_pos": 3}),
+    ])
+    cfg = PipelineConfig({
+        "debezium.source.type": "mysql-binlog",
+        "debezium.source.path": src,
+        "debezium.source.binlog.names": json.dumps(
+            {"db.t": ["id", "name"]}),
+    })
+    rows = _drain(spark, build_source(spark, cfg), tmp_path, "my_ctx")
+    vals = [json.loads(r["value"]) for r in rows]
+    assert sorted(v["op"] for v in vals) == ["c", "c", "d"]
+    afters = {v["after"] for v in vals if v["op"] == "c"}
+    assert {json.dumps({"id": 1, "name": "a"}, separators=(",", ":")),
+            json.dumps({"id": 2, "name": "b"}, separators=(",", ":"))
+            } == afters
+    (d,) = [v for v in vals if v["op"] == "d"]
+    assert json.loads(d["before"]) == {"id": 1, "name": "a"}
+    assert all(r["destination"] == "db.t" for r in rows)

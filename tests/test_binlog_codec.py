@@ -668,3 +668,89 @@ def test_transaction_payload_rejects_gigantic_size_claim():
                         19 + len(body), 0, 0) + body
     with pytest.raises(ValueError, match="1 GiB"):
         decode_event(frame)
+
+
+# ------------------------- real-server column types: STRING/BIT/YEAR
+
+
+def test_string_char_packed_metadata_and_cells():
+    """MYSQL_TYPE_STRING (CHAR(n)): TABLE_MAP metadata is
+    Field_string's packed 2-byte form — byte0 = real_type ^
+    ((maxlen & 0x300) >> 4), byte1 = maxlen & 0xff — and the cell is
+    length-prefixed (2-byte prefix past maxlen 255)."""
+    from debezium_server_spark.functions.binlog_codec import T_STRING
+
+    for maxlen in (16, 255, 256, 300, 1020):
+        cols = [{"type": T_STRING, "meta": (T_STRING, maxlen),
+                 "nullable": True}]
+        tmap = {"type": "table_map", "table_id": 4, "schema": "s",
+                "table": "c", "columns": cols, "timestamp": 1,
+                "log_pos": 0}
+        raw = encode_event(tmap)
+        out = decode_event(raw)
+        assert out["columns"][0] == {"type": T_STRING,
+                                     "meta": (T_STRING, maxlen),
+                                     "nullable": True}
+        assert encode_event(out) == raw  # byte-exact twin
+        ev = {"type": "write_rows", "table_id": 4, "columns": cols,
+              "rows": [["padded char"], [""]], "timestamp": 1,
+              "log_pos": 9}
+        got = decode_event(encode_event(ev),
+                           columns_of=lambda tid: cols)
+        assert got["rows"] == [["padded char"], [""]]
+    # golden packing for CHAR(300): 0xFE ^ 0x10 = 0xEE, 0x2C
+    cols = [{"type": T_STRING, "meta": (T_STRING, 300)}]
+    tmap = {"type": "table_map", "table_id": 4, "schema": "s",
+            "table": "c", "columns": cols, "timestamp": 1, "log_pos": 0}
+    raw = encode_event(tmap)
+    assert bytes((0xEE, 0x2C)) in raw
+
+
+def test_enum_hidden_in_string_metadata_resolves():
+    """Real servers ship ENUM/SET columns as MYSQL_TYPE_STRING with
+    the real type in the packed metadata — decode resolves them back
+    to T_ENUM/T_SET col specs (pack size = byte1) so the cell decode
+    path is shared with the direct-coded twin."""
+    from debezium_server_spark.functions.binlog_codec import (
+        T_ENUM,
+        T_SET,
+        T_STRING,
+    )
+
+    cols = [{"type": T_STRING, "meta": (T_ENUM, 2), "nullable": True},
+            {"type": T_STRING, "meta": (T_SET, 1), "nullable": True}]
+    tmap = {"type": "table_map", "table_id": 6, "schema": "s",
+            "table": "e", "columns": cols, "timestamp": 1, "log_pos": 0}
+    out = decode_event(encode_event(tmap))
+    assert out["columns"][0] == {"type": T_ENUM, "meta": 2,
+                                 "nullable": True}
+    assert out["columns"][1] == {"type": T_SET, "meta": 1,
+                                 "nullable": True}
+    # the resolved specs decode cells encoded by the direct twin
+    ev = {"type": "write_rows", "table_id": 6,
+          "columns": out["columns"], "rows": [[258, 0b101]],
+          "timestamp": 1, "log_pos": 9}
+    got = decode_event(encode_event(ev),
+                       columns_of=lambda tid: out["columns"])
+    assert got["rows"] == [[258, 0b101]]
+
+
+def test_bit_and_year_cells():
+    from debezium_server_spark.functions.binlog_codec import (
+        T_BIT,
+        T_YEAR,
+    )
+
+    cols = [{"type": T_BIT, "meta": 12, "nullable": True},
+            {"type": T_YEAR, "nullable": True}]
+    tmap = {"type": "table_map", "table_id": 8, "schema": "s",
+            "table": "b", "columns": cols, "timestamp": 1, "log_pos": 0}
+    out = decode_event(encode_event(tmap))
+    assert out["columns"][0]["meta"] == 12  # (bits%8, bits//8) packed
+    for row in ([0b101010101010, 2026], [0, 0], [1, 1901],
+                [(1 << 12) - 1, 2155]):
+        ev = {"type": "write_rows", "table_id": 8, "columns": cols,
+              "rows": [row], "timestamp": 1, "log_pos": 9}
+        got = decode_event(encode_event(ev),
+                           columns_of=lambda tid: cols)
+        assert got["rows"] == [row], row
