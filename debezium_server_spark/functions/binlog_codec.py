@@ -53,7 +53,9 @@ metadata-driven fractional-second bytes), ENUM/SET ordinals/bitmasks
 packed 2-byte metadata the way real servers ship them), STRING/CHAR
 (packed Field_string metadata, 1-/2-byte length-prefixed cells), BIT
 (big-endian packed, (bits%8, bits//8) metadata), YEAR (year-1900
-byte), JSON (the binary JSON cell format — length-prefixed documents
+byte), the pre-5.6.4 temporals TIMESTAMP/DATETIME/TIME (unix-seconds
+int4 / packed-decimal int8 / signed HHMMSS int3 — columns created
+before an upgrade keep them), JSON (the binary JSON cell format — length-prefixed documents
 decoded by `functions/mysql_jsonb.py`), and GEOMETRY (length-prefixed
 4-byte SRID + WKB → `GeoValue`; `type_conversions.wkb_point_xy` reads
 the WKB side). NULLs ride the per-row null bitmap. Unknown type codes
@@ -76,6 +78,7 @@ UPDATE_ROWS_EVENT_V2 = 0x1F
 DELETE_ROWS_EVENT_V2 = 0x20
 XID_EVENT = 0x10
 GTID_LOG_EVENT = 0x21
+ROTATE_EVENT = 0x04  # next-file pointer: Int64 LE position + name
 TRANSACTION_PAYLOAD_EVENT = 0x28
 
 # TLV field types of the TRANSACTION_PAYLOAD header
@@ -100,6 +103,11 @@ T_GEOMETRY = 255  # length-prefixed (meta bytes, server: 4) cell of
 #                   standard WKB — decoded to GeoValue(srid, wkb)
 T_BIT = 16    # metadata (bits%8, bits//8) per Field_bit; cell is the
 #               value big-endian in ceil(bits/8) bytes → int
+# pre-5.6.4 temporal encodings (columns created before an upgrade
+# keep them; Debezium's connector still decodes them):
+T_TIMESTAMP = 7   # 4-byte LE unix seconds → int epoch seconds
+T_DATETIME = 12   # 8-byte LE integer YYYYMMDDHHMMSS → text
+T_TIME = 11       # 3-byte LE integer HHMMSS (sign via magnitude) → text
 T_YEAR = 13   # 1 byte, year-1900 (0 encodes YEAR '0000') → int year
 T_STRING = 254  # CHAR(n) — and the REAL servers' carrier for ENUM/
 #                 SET: TABLE_MAP metadata is the packed 2-byte form of
@@ -316,6 +324,22 @@ def _enc_value(col: dict, v) -> bytes:
     if t == T_YEAR:
         y = int(v)
         return bytes(((y - 1900) if y else 0,))
+    if t == T_TIMESTAMP:
+        return int(v).to_bytes(4, "little")
+    if t == T_DATETIME:
+        date_s, _, time_s = str(v).partition(" ")
+        y, mo, d = (int(x) for x in date_s.split("-"))
+        h, mi, s = (int(x) for x in time_s.split(":"))
+        packed = ((y * 10000 + mo * 100 + d) * 1000000
+                  + h * 10000 + mi * 100 + s)
+        return packed.to_bytes(8, "little")
+    if t == T_TIME:
+        text = str(v)
+        neg = text.startswith("-")
+        h, mi, s = (int(x) for x in text.lstrip("-").split(":"))
+        packed = h * 10000 + mi * 100 + s
+        return (-packed if neg else packed).to_bytes(
+            3, "little", signed=True)
     if t == T_DATE:
         y, m, d = (int(x) for x in str(v).split("-"))
         return ((y << 9) | (m << 5) | d).to_bytes(3, "little")
@@ -399,6 +423,25 @@ def _dec_value(col: dict, data: bytes, pos: int) -> tuple[object, int]:
     if t == T_YEAR:
         b = _take(data, pos, 1)[0]
         return (b + 1900 if b else 0), pos + 1
+    if t == T_TIMESTAMP:
+        return int.from_bytes(_take(data, pos, 4), "little"), pos + 4
+    if t == T_DATETIME:
+        packed = int.from_bytes(_take(data, pos, 8), "little")
+        date_part, time_part = divmod(packed, 1000000)
+        y, md = divmod(date_part, 10000)
+        mo, d = divmod(md, 100)
+        h, ms = divmod(time_part, 10000)
+        mi, s = divmod(ms, 100)
+        return (f"{y:04d}-{mo:02d}-{d:02d} "
+                f"{h:02d}:{mi:02d}:{s:02d}"), pos + 8
+    if t == T_TIME:
+        packed = int.from_bytes(_take(data, pos, 3), "little",
+                                signed=True)
+        sign = "-" if packed < 0 else ""
+        packed = abs(packed)
+        h, ms = divmod(packed, 10000)
+        mi, s = divmod(ms, 100)
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}", pos + 3
     if t == T_JSON:
         from debezium_server_spark.functions import mysql_jsonb
         nbytes = col.get("meta", 4)
@@ -517,6 +560,10 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
         return _frame(QUERY_EVENT, body, ts, pos)
     if kind == "xid":
         return _frame(XID_EVENT, _struct.pack("<Q", ev["xid"]), ts, pos)
+    if kind == "rotate":
+        body = (_struct.pack("<Q", ev["position"])
+                + ev["next_file"].encode("utf-8"))
+        return _frame(ROTATE_EVENT, body, ts, pos)
     if kind == "gtid":
         sid = bytes.fromhex(ev["sid"].replace("-", ""))
         if len(sid) != 16:
@@ -659,6 +706,10 @@ def decode_event(data: bytes, columns_of=None,
     if etype == XID_EVENT:
         return {**base, "type": "xid",
                 "xid": _struct.unpack("<Q", body[:8])[0]}
+    if etype == ROTATE_EVENT:
+        return {**base, "type": "rotate",
+                "position": _struct.unpack("<Q", body[:8])[0],
+                "next_file": body[8:].decode("utf-8")}
     if etype == GTID_LOG_EVENT:
         raw = body[1:17].hex()
         sid = f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"

@@ -754,3 +754,44 @@ def test_bit_and_year_cells():
         got = decode_event(encode_event(ev),
                            columns_of=lambda tid: cols)
         assert got["rows"] == [row], row
+
+
+def test_old_format_temporals_and_rotate():
+    """Pre-5.6.4 temporal encodings (columns keep them across server
+    upgrades): TIMESTAMP = 4-byte LE unix seconds, DATETIME = packed
+    YYYYMMDDHHMMSS in 8 LE bytes, TIME = signed HHMMSS in 3 LE bytes;
+    plus the ROTATE next-file pointer event."""
+    from debezium_server_spark.functions.binlog_codec import (
+        T_DATETIME,
+        T_TIME,
+        T_TIMESTAMP,
+    )
+
+    cols = [{"type": T_TIMESTAMP, "nullable": True},
+            {"type": T_DATETIME, "nullable": True},
+            {"type": T_TIME, "nullable": True}]
+    tmap = {"type": "table_map", "table_id": 2, "schema": "s",
+            "table": "old", "columns": cols, "timestamp": 1,
+            "log_pos": 0}
+    assert decode_event(encode_event(tmap))["columns"] == [
+        {"type": t["type"], "meta": 0, "nullable": True} for t in cols]
+    for row in ([1600000000, "2021-07-04 23:59:59", "838:59:59"],
+                [0, "0000-00-00 00:00:00", "-01:02:03"],
+                [2**32 - 1, "9999-12-31 12:34:56", "00:00:00"]):
+        ev = {"type": "write_rows", "table_id": 2, "columns": cols,
+              "rows": [row], "timestamp": 1, "log_pos": 9}
+        got = decode_event(encode_event(ev),
+                           columns_of=lambda tid: cols)
+        assert got["rows"] == [row], row
+    # golden: DATETIME 2021-07-04 23:59:59 packs to 20210704235959 LE
+    import struct as _s
+
+    from debezium_server_spark.functions.binlog_codec import _enc_value
+
+    assert _enc_value({"type": T_DATETIME}, "2021-07-04 23:59:59") == \
+        (20210704235959).to_bytes(8, "little")
+    rot = {"type": "rotate", "position": 4,
+           "next_file": "binlog.000042", "timestamp": 5, "log_pos": 6}
+    out = decode_event(encode_event(rot))
+    assert out["position"] == 4 and out["next_file"] == "binlog.000042"
+    assert encode_event(out) == encode_event(rot)
