@@ -265,3 +265,90 @@ def decode(data: bytes, schema, framed: bool = False):
         schema_id = _struct.unpack(">I", r.read(4))[0]
     value = _read(r, schema)
     return (schema_id, value) if framed else value
+
+
+# ----------------------------------------------- object container files
+#
+# The Avro spec's file form (spec §"Object Container Files"): magic
+# `Obj\x01`, a map<string, bytes> of file metadata (at least
+# `avro.schema`, the writer schema as JSON; `avro.codec` when not
+# "null"), a 16-byte sync marker, then data blocks — each `count`
+# (long), `size` (long, post-codec bytes), the serialized objects,
+# and the sync marker again. `deflate` is raw RFC-1951 (no zlib
+# header / checksum). This is the file format Iceberg manifests and
+# manifest lists use, and what any `DataFileReader` consumes —
+# interop is pinned against the avro-1.12.1.jar bundled with Spark
+# (tests/test_avro_codec.py::test_java_reads_container_file).
+
+OCF_MAGIC = b"Obj\x01"
+
+
+def write_container(values, schema, codec: str = "null",
+                    sync_marker: bytes | None = None,
+                    metadata: dict[str, bytes] | None = None) -> bytes:
+    """Serialize `values` (an iterable of python values matching
+    `schema`) as one Avro object container file. One data block — the
+    callers here write bounded control frames (manifest entries), not
+    data-plane volumes; a huge file would chunk."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    if sync_marker is None:
+        import os as _os
+
+        sync_marker = _os.urandom(16)
+    if len(sync_marker) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("ascii")}
+    meta.update(metadata or {})
+    buf = io.BytesIO()
+    buf.write(OCF_MAGIC)
+    _write(buf, {"type": "map", "values": "bytes"}, meta)
+    buf.write(sync_marker)
+    values = list(values)
+    if values:
+        block = io.BytesIO()
+        for v in values:
+            _write(block, schema, v)
+        payload = block.getvalue()
+        if codec == "deflate":
+            import zlib as _zlib
+
+            c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        _write_long(buf, len(values))
+        _write_long(buf, len(payload))
+        buf.write(payload)
+        buf.write(sync_marker)
+    return buf.getvalue()
+
+
+def read_container(data: bytes):
+    """Container file → (writer schema dict, list of values). Verifies
+    magic, per-block sync markers, and block object counts."""
+    r = _Reader(bytes(data))
+    if r.read(4) != OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = _read(r, {"type": "map", "values": "bytes"})
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    sync = r.read(16)
+    out = []
+    while r.pos < len(r.data):
+        count = r.read_long()
+        size = r.read_long()
+        payload = r.read(size)
+        if codec == "deflate":
+            import zlib as _zlib
+
+            payload = _zlib.decompress(payload, -15)
+        br = _Reader(payload)
+        for _ in range(count):
+            out.append(_read(br, schema))
+        if br.pos != len(payload):
+            raise ValueError("trailing bytes in avro data block")
+        if r.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, out

@@ -1,0 +1,591 @@
+"""Minimal Apache Iceberg v2 table — the second lake-format storage
+layer for `ParquetUpsertSink` (`table_format="iceberg"`), implemented
+against the PUBLIC Iceberg table spec (iceberg.apache.org/spec/) with
+no iceberg library (pyiceberg is absent in this container; NEXT.md
+blocked-item list). The reference reaches lake-house tables through
+its Fluss/JDBC PK-table writers (`FlussChangeConsumer.java:256-313`
+MERGE semantics); this gives that materialization Iceberg's on-disk
+contract, exactly as `sinks/delta_log.py` gives it Delta's.
+
+Layout (HadoopCatalog / filesystem-table convention):
+
+  {path}/data/__bucket=N/part-*.parquet      immutable data files
+  {path}/metadata/v{V}.metadata.json         table metadata, one per commit
+  {path}/metadata/version-hint.text          latest V (reader entry point)
+  {path}/metadata/snap-{sid}-1-{token}.avro  manifest list (one per snapshot)
+  {path}/metadata/{token}-b{N}.avro          one manifest PER BUCKET
+  {path}/metadata/{token}-del.avro           delete-only manifest (full rewrite)
+
+All Avro files are real Object Container Files written by
+`functions/avro_codec.write_container` with the spec's field-ids in
+the schema JSON — and, unlike the Delta twin, they are validated by an
+EXTERNAL reader: the avro-1.12.1.jar bundled with Spark reads them
+back via `org.apache.avro.file.DataFileReader` in
+`tests/test_iceberg_meta.py`.
+
+Scale contract (same O(touched) argument as the Delta twin, in
+Iceberg's native vocabulary): manifests are keyed one-per-bucket, so a
+commit touching k of B buckets writes k new manifests (each holding
+that bucket's ADDED files plus DELETED entries for the files it
+replaces — deleted entries keep their original data sequence numbers
+per the v2 spec) and CARRIES FORWARD the other B-k manifests by
+reference in the new manifest list. Manifest reuse across snapshots is
+exactly the spec's model; untouched buckets cost one manifest-list row
+(a bounded control frame: B entries). Readers prune by the manifest
+list's `partitions` field summaries (lower/upper bound = the bucket id
+as the spec's 4-byte little-endian single-value serialization), so a
+point lookup opens one manifest.
+
+Commit protocol: `v{V+1}.metadata.json` is created with
+`open(path, "x")` — put-if-absent, the HadoopTableOperations
+rename-if-absent primitive; a concurrent writer loses with
+FileExistsError instead of corrupting, and `version-hint.text` is
+repointed only after the metadata lands. Epoch idempotence rides the
+snapshot `summary` (`dss.epoch`), the spec's application-property
+channel — the analog of the Delta twin's `txn` action.
+
+Time travel: every snapshot (id, sequence number, manifest list,
+summary) stays in the current metadata JSON, so `read(version=k)`
+resolves the k-th snapshot's manifest list directly — the spec's
+snapshot-log mechanism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct as _struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_server_spark.functions.avro_codec import (
+    read_container,
+    write_container,
+)
+
+BUCKET_COL = "__bucket"
+
+# ---------------------------------------------------------- spec schemas
+#
+# Field ids are the spec's fixed ids (Appendix C "Avro" of the Iceberg
+# table spec): manifest_entry 0/1/3/4/2, data_file 134/100/101/102/
+# 103/104, manifest_file 500-519. Our codec ignores the attributes;
+# real readers require them.
+
+_FIELD_SUMMARY = {
+    "type": "record", "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"],
+         "default": None, "field-id": 511},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY,
+                           "element-id": 508}],
+         "default": None, "field-id": 507},
+    ],
+}
+
+_PARTITION_RECORD = {
+    "type": "record", "name": "r102",
+    "fields": [
+        {"name": BUCKET_COL, "type": ["null", "int"],
+         "default": None, "field-id": 1000},
+    ],
+}
+
+_DATA_FILE = {
+    "type": "record", "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": _PARTITION_RECORD, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE, "field-id": 2},
+    ],
+}
+
+# manifest_entry.status values (spec)
+ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
+
+
+# ------------------------------------------------------- schema mapping
+
+
+def iceberg_schema_of(schema: T.StructType) -> tuple[dict, int]:
+    """Spark schema → Iceberg schema JSON with spec field-ids assigned
+    depth-first (the id assignment is writer's choice; what matters is
+    stability within the table). Returns (schema dict, last column id).
+    """
+    counter = {"id": 0}
+
+    def nid() -> int:
+        counter["id"] += 1
+        return counter["id"]
+
+    def conv(dt: T.DataType):
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        if isinstance(dt, T.DateType):
+            return "date"
+        if isinstance(dt, T.TimestampType):
+            return "timestamptz"  # Spark timestamps are UTC-adjusted
+        if isinstance(dt, T.TimestampNTZType):
+            return "timestamp"
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        if isinstance(dt, T.StructType):
+            return {"type": "struct", "fields": [field(f) for f in dt.fields]}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "list", "element-id": nid(),
+                    "element": conv(dt.elementType),
+                    "element-required": not dt.containsNull}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "key-id": nid(), "key": conv(dt.keyType),
+                    "value-id": nid(), "value": conv(dt.valueType),
+                    "value-required": not dt.valueContainsNull}
+        raise TypeError(f"no Iceberg mapping for {dt.simpleString()}")
+
+    def field(f: T.StructField) -> dict:
+        fid = nid()  # parent id assigned before descending, per spec
+        return {"id": fid, "name": f.name, "required": not f.nullable,
+                "type": conv(f.dataType)}
+
+    out = {"type": "struct", "schema-id": 0,
+           "fields": [field(f) for f in schema.fields]}
+    return out, counter["id"]
+
+
+def _bucket_bound(b: int) -> bytes:
+    """Spec Appendix D single-value serialization for int: 4-byte
+    little-endian — used for the manifest list's partition summaries."""
+    return _struct.pack("<i", b)
+
+
+class IcebergTable:
+    """Hash-bucketed Iceberg v2 table (see module docstring). Same
+    interface as `VersionedParquetTable` / `DeltaLogTable`:
+    read / commit / last_epoch / current_version / bucket_expr."""
+
+    def __init__(self, path: str, n_buckets: int = 16, retain: int = 2):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        meta = self._current_metadata()
+        self.n_buckets = (int(meta["properties"]["bucketing.count"])
+                          if meta else n_buckets)
+        self.retain = retain  # interface parity; history is logical
+        self._snapshot_version: int | None = None
+
+    # -------------------------------------------------------- metadata
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def _hint_version(self) -> int:
+        """Latest committed version: version-hint.text, verified (and
+        healed forward) against the metadata files actually present —
+        the hint write is the non-atomic tail of the commit protocol."""
+        hint = 0
+        try:
+            with open(os.path.join(self.meta_dir, "version-hint.text")) as f:
+                hint = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        while os.path.exists(self._meta_path(hint + 1)):
+            hint += 1  # a crashed writer landed metadata but no hint
+        return hint
+
+    def _current_metadata(self) -> dict | None:
+        v = self._hint_version()
+        if v == 0:
+            return None
+        with open(self._meta_path(v)) as f:
+            return json.load(f)
+
+    # -------------------------------------------------------- manifests
+
+    def _read_manifest_list(self, rel: str) -> list[dict]:
+        _, entries = read_container(
+            open(os.path.join(self.path, rel), "rb").read())
+        return entries
+
+    def _read_manifest(self, rel: str) -> list[dict]:
+        _, entries = read_container(
+            open(os.path.join(self.path, rel), "rb").read())
+        return entries
+
+    @staticmethod
+    def _manifest_key(rel_path: str) -> str | None:
+        """Bucket key a manifest is pinned to, from the name
+        convention: `{token}-b{N}.avro` → 'b{N}', `{token}-flat.avro`
+        → 'flat', delete-only manifests → None (never carried
+        forward)."""
+        stem = os.path.basename(rel_path)[:-len(".avro")]
+        tag = stem.rsplit("-", 1)[-1]
+        if tag == "flat" or (tag[:1] == "b" and tag[1:].isdigit()):
+            return tag
+        return None
+
+    def _write_manifest(self, name: str, entries: list[dict],
+                        seq: int, sid: int) -> dict:
+        """Write one manifest OCF and return its manifest_file row for
+        the manifest list."""
+        rel = os.path.join("metadata", name)
+        raw = write_container(entries, MANIFEST_ENTRY_SCHEMA,
+                              metadata={"format-version": b"2",
+                                        "content": b"data",
+                                        "partition-spec-id": b"0"})
+        with open(os.path.join(self.path, rel), "wb") as f:
+            f.write(raw)
+        live = [e for e in entries if e["status"] != ST_DELETED]
+        dead = [e for e in entries if e["status"] == ST_DELETED]
+        buckets = sorted({e["data_file"]["partition"][BUCKET_COL]
+                          for e in live
+                          if e["data_file"]["partition"][BUCKET_COL]
+                          is not None})
+        summary = None
+        if buckets:
+            summary = [{
+                "contains_null": any(
+                    e["data_file"]["partition"][BUCKET_COL] is None
+                    for e in live),
+                "contains_nan": False,
+                "lower_bound": _bucket_bound(buckets[0]),
+                "upper_bound": _bucket_bound(buckets[-1]),
+            }]
+        return {
+            "manifest_path": rel,
+            "manifest_length": len(raw),
+            "partition_spec_id": 0,
+            "content": 0,  # data
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries
+                 if e["sequence_number"] is not None), default=seq),
+            "added_snapshot_id": sid,
+            "added_files_count": len(live),
+            "existing_files_count": 0,
+            "deleted_files_count": len(dead),
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in live),
+            "existing_rows_count": 0,
+            "deleted_rows_count": sum(
+                e["data_file"]["record_count"] for e in dead),
+            "partitions": summary,
+        }
+
+    # --------------------------------------------------------- reading
+
+    def current_version(self) -> int:
+        return self._hint_version()
+
+    def last_epoch(self) -> int | None:
+        meta = self._current_metadata()
+        if not meta or not meta.get("snapshots"):
+            return None
+        sid = meta["current-snapshot-id"]
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] == sid:
+                epoch = s["summary"].get("dss.epoch")
+                return int(epoch) if epoch is not None else None
+        return None
+
+    def bucket_expr(self, key_cols: tuple[str, ...]):
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in key_cols]),
+            F.lit(self.n_buckets)).cast("int")
+
+    def data_path(self, version: int | None = None) -> str | None:
+        return self.path if self.current_version() > 0 else None
+
+    def _snapshot(self, meta: dict, version: int) -> dict:
+        snaps = sorted(meta["snapshots"],
+                       key=lambda s: s["sequence-number"])
+        return snaps[version - 1]
+
+    def _live_files(self, meta: dict, version: int) -> list[str]:
+        snap = self._snapshot(meta, version)
+        rel_list = snap["manifest-list"]
+        files: list[str] = []
+        for mf in self._read_manifest_list(rel_list):
+            for e in self._read_manifest(mf["manifest_path"]):
+                if e["status"] != ST_DELETED:
+                    files.append(e["data_file"]["file_path"])
+        return files
+
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame | None:
+        current = self.current_version()
+        if version is None:
+            self._snapshot_version = current  # transaction snapshot
+        elif version > current:
+            raise ValueError(
+                f"version {version} not committed for {self.path} "
+                f"(current {current})")
+        if version == 0 or current == 0:
+            return None
+        meta = self._current_metadata()
+        files = self._live_files(meta, current if version is None
+                                 else version)
+        if not files:
+            return None
+        return spark.read.option("basePath", self.data_dir).parquet(*files)
+
+    # -------------------------------------------------------- commits
+
+    def commit(self, df: DataFrame, epoch_id: int,
+               touched_buckets: list[int] | None = None) -> int:
+        """Stage `df`'s parquet under `data/`, write k new manifests
+        (touched buckets only), a new manifest list, and metadata
+        version V+1 via put-if-absent. O(touched) manifest writes +
+        one O(n_buckets) list."""
+        import tempfile as _tempfile
+
+        import pyarrow.parquet as _pq
+
+        version = (self._snapshot_version
+                   if self._snapshot_version is not None
+                   else self.current_version())
+        seq = version + 1
+        sid = uuid.uuid5(uuid.NAMESPACE_URL,
+                         f"dss-iceberg:{self.path}:{seq}").int % (2 ** 62)
+
+        staging = _tempfile.mkdtemp(dir=self.path, prefix="_staging_")
+        token = os.path.basename(staging).removeprefix("_staging_")
+        if BUCKET_COL in df.columns:
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
+            touched_buckets = None
+
+        # move staged parquet into data/, building ADDED entries per
+        # bucket key ('b{N}' for __bucket=N dirs, 'flat' otherwise)
+        adds: dict[str, list[dict]] = {}
+        staged: list[tuple[str, str, int | None]] = []
+        for entry in sorted(os.listdir(staging)):
+            full = os.path.join(staging, entry)
+            if os.path.isdir(full) and entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=", 1)[1])
+                for fname in sorted(os.listdir(full)):
+                    if fname.endswith(".parquet") and not fname.startswith("."):
+                        staged.append((os.path.join(full, fname), entry, b))
+            elif (os.path.isfile(full) and entry.endswith(".parquet")
+                  and not entry.startswith(".")):
+                staged.append((full, "", None))
+        for i, (src, rel_dir, b) in enumerate(staged):
+            os.makedirs(os.path.join(self.data_dir, rel_dir), exist_ok=True)
+            rel = os.path.join(rel_dir, f"part-{seq:05d}-{i:05d}-"
+                                        f"{token}.parquet")
+            dst = os.path.join(self.data_dir, rel)
+            os.replace(src, dst)
+            key = f"b{b}" if b is not None else "flat"
+            adds.setdefault(key, []).append({
+                "status": ST_ADDED, "snapshot_id": sid,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {BUCKET_COL: b},
+                    "record_count": _pq.read_metadata(dst).num_rows,
+                    "file_size_in_bytes": os.stat(dst).st_size,
+                }})
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # prior manifests by bucket key (carried forward when untouched)
+        meta = self._current_metadata()
+        prior: dict[str, dict] = {}
+        if meta is not None and version > 0:
+            for mf in self._read_manifest_list(
+                    self._snapshot(meta, version)["manifest-list"]):
+                key = self._manifest_key(mf["manifest_path"])
+                if key is not None:
+                    prior[key] = mf
+
+        if touched_buckets is None:
+            doomed = set(prior)
+        else:
+            doomed = {f"b{b}" for b in touched_buckets} & set(prior)
+
+        list_entries: list[dict] = []
+        for key, mf in sorted(prior.items()):
+            if key not in doomed and key not in adds:
+                list_entries.append(mf)  # manifest reuse, untouched
+
+        for key in sorted(set(adds) | doomed):
+            deleted: list[dict] = []
+            if key in prior:
+                for e in self._read_manifest(prior[key]["manifest_path"]):
+                    if e["status"] != ST_DELETED:
+                        # deleted entries keep the file's original data
+                        # sequence number (spec: sequence inheritance)
+                        deleted.append({**e, "status": ST_DELETED})
+            entries = deleted + adds.get(key, [])
+            if not entries:
+                continue
+            name = (f"{token}-{key}.avro" if key in adds
+                    else f"{token}-del{key}.avro")
+            list_entries.append(
+                self._write_manifest(name, entries, seq, sid))
+
+        list_rel = os.path.join("metadata",
+                                f"snap-{sid}-1-{token}.avro")
+        with open(os.path.join(self.path, list_rel), "wb") as f:
+            f.write(write_container(list_entries, MANIFEST_FILE_SCHEMA,
+                                    metadata={"format-version": b"2"}))
+
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        schema_json, last_col = iceberg_schema_of(df.schema)
+        bucket_fid = next((f["id"] for f in schema_json["fields"]
+                           if f["name"] == BUCKET_COL), None)
+        snapshot = {
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_rel,
+            "schema-id": 0,
+            "summary": {
+                "operation": "overwrite" if version > 0 else "append",
+                "dss.epoch": str(epoch_id),
+            },
+        }
+        if meta is not None:
+            snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
+            new_meta = dict(meta)
+        else:
+            spec_fields = []
+            if bucket_fid is not None:
+                spec_fields = [{"name": BUCKET_COL,
+                                "transform": "identity",
+                                "source-id": bucket_fid,
+                                "field-id": 1000}]
+            new_meta = {
+                "format-version": 2,
+                "table-uuid": str(uuid.uuid5(
+                    uuid.NAMESPACE_URL, "dss-iceberg:" + self.path)),
+                "location": self.path,
+                "last-column-id": last_col,
+                "current-schema-id": 0,
+                "schemas": [schema_json],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+                "last-partition-id": 1000 if spec_fields else 999,
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "properties": {
+                    "bucketing.count": str(self.n_buckets),
+                    "write.format.default": "parquet",
+                },
+                "snapshots": [],
+                "snapshot-log": [],
+                "metadata-log": [],
+            }
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = sid
+        new_meta["snapshots"] = list(new_meta.get("snapshots", [])) + [snapshot]
+        new_meta["snapshot-log"] = list(new_meta.get("snapshot-log", [])) + [
+            {"timestamp-ms": now_ms, "snapshot-id": sid}]
+        if version > 0:
+            new_meta["metadata-log"] = list(
+                new_meta.get("metadata-log", [])) + [
+                {"timestamp-ms": now_ms,
+                 "metadata-file": self._meta_path(version)}]
+
+        # put-if-absent: HadoopTableOperations' optimistic-concurrency
+        # primitive — a concurrent writer to the same version loses here
+        with open(self._meta_path(seq), "x") as f:
+            json.dump(new_meta, f, separators=(",", ":"))
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        with open(hint + ".tmp", "w") as f:
+            f.write(str(seq))
+        os.replace(hint + ".tmp", hint)
+        self._snapshot_version = seq
+        return seq
+
+    # ----------------------------------------------------- maintenance
+
+    def vacuum(self, retention_seconds: float = 7 * 86400) -> list[str]:
+        """Delete data files referenced by NO snapshot (orphans from
+        losing writers) and older than `retention_seconds` — the
+        `remove_orphan_files` action. Files referenced by any snapshot
+        are never touched (they serve time travel; expiring snapshots
+        is a separate, logical operation)."""
+        import time as _time
+
+        meta = self._current_metadata()
+        referenced: set[str] = set()
+        if meta:
+            for v in range(1, self.current_version() + 1):
+                referenced.update(self._live_files(meta, v))
+                snap = self._snapshot(meta, v)
+                for mf in self._read_manifest_list(snap["manifest-list"]):
+                    for e in self._read_manifest(mf["manifest_path"]):
+                        referenced.add(e["data_file"]["file_path"])
+        cutoff = _time.time() - retention_seconds
+        deleted: list[str] = []
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fname in files:
+                full = os.path.join(dirpath, fname)
+                if (full not in referenced
+                        and os.stat(full).st_mtime < cutoff):
+                    os.remove(full)
+                    deleted.append(full)
+        return deleted

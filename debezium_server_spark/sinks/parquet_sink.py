@@ -183,8 +183,8 @@ class ParquetUpsertSink(BaseSink):
         self.key_fields = key_fields
         self.order_cols = order_cols
         self.n_buckets = n_buckets
-        if table_format not in ("versioned", "delta"):
-            raise ValueError(f"table_format must be versioned|delta, "
+        if table_format not in ("versioned", "delta", "iceberg"):
+            raise ValueError(f"table_format must be versioned|delta|iceberg, "
                              f"got {table_format!r}")
         self.table_format = table_format
 
@@ -194,6 +194,12 @@ class ParquetUpsertSink(BaseSink):
             from debezium_server_spark.sinks.delta_log import DeltaLogTable
 
             return DeltaLogTable(
+                os.path.join(self.root_path, safe), n_buckets=self.n_buckets
+            )
+        if self.table_format == "iceberg":
+            from debezium_server_spark.sinks.iceberg_meta import IcebergTable
+
+            return IcebergTable(
                 os.path.join(self.root_path, safe), n_buckets=self.n_buckets
             )
         return VersionedParquetTable(

@@ -114,3 +114,58 @@ def test_serialize_avro_frame(spark):
         schema_id, v = decode(row["value"], value_schema, framed=True)
         assert schema_id == 7
         assert v["op"] in ("r", "c", "u", "d")
+
+
+# ------------------------------------------------ object container files
+
+
+def test_container_round_trip_and_codecs():
+    from debezium_server_spark.functions.avro_codec import (
+        read_container,
+        write_container,
+    )
+
+    vals = [{"id": i, "name": f"n{i}", "score": None, "ok": i % 2 == 0,
+             "tags": [str(i)], "attrs": {"k": i}, "nested": None}
+            for i in range(50)]
+    for codec in ("null", "deflate"):
+        raw = write_container(vals, RECORD_SCHEMA, codec=codec,
+                              sync_marker=b"0123456789abcdef")
+        schema, out = read_container(raw)
+        assert schema == RECORD_SCHEMA and out == vals
+    assert read_container(
+        write_container([], RECORD_SCHEMA)) == (RECORD_SCHEMA, [])
+    with pytest.raises(ValueError, match="container"):
+        read_container(b"PK\x03\x04rest")
+    raw = bytearray(write_container(vals, RECORD_SCHEMA,
+                                    sync_marker=b"0123456789abcdef"))
+    raw[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(raw))
+
+
+def test_java_reads_container_file(spark, tmp_path):
+    """The canonical avro-1.12.1.jar DataFileReader consumes container
+    files written here — both codecs."""
+    from debezium_server_spark.functions.avro_codec import write_container
+
+    vals = [{"id": 1, "name": "a", "score": 0.5, "ok": True,
+             "tags": ["x", "y"], "attrs": None, "nested": {"x": 9}},
+            {"id": 2, "name": None, "score": None, "ok": None,
+             "tags": [], "attrs": None, "nested": None}]
+    jvm = spark.sparkContext._jvm
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"f_{codec}.avro")
+        with open(path, "wb") as f:
+            f.write(write_container(vals, RECORD_SCHEMA, codec=codec))
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader())
+        got = []
+        while reader.hasNext():
+            got.append(reader.next())
+        reader.close()
+        assert len(got) == 2
+        assert got[0].get("id") == 1 and str(got[0].get("name")) == "a"
+        assert [str(t) for t in got[0].get("tags")] == ["x", "y"]
+        assert got[1].get("name") is None
