@@ -64,12 +64,13 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    # round 6: additions capped at 4 (round-5 verdict #1 allows ≤5 —
+    # round 6: additions capped at 5 (round-5 verdict #1's cap —
     # keep draining the never-observed backlog)
     "binlog_json_decode",
     "sqlserver_cdc_changes",
     "binlog_compressed_tx_decode",
     "pgoutput_binary_decode",
+    "iceberg_upsert_roundtrip",
     # PINNED (round-5 verdict #1): the one entry whose only committed
     # driver record is the r01 `no_oracle` error — fixed long since,
     # but `observed_rounds()` counts the r01 row as an observation so
