@@ -242,6 +242,23 @@ class DeltaLogTable:
                 return {"n_buckets": int(cfg.get("bucketing.count", 16))}
         return {}
 
+    def _current_metadata_action(self) -> dict | None:
+        """Latest `metaData` action (checkpoint seed + later JSON) —
+        O(checkpoint interval) JSON reads, a bounded control read."""
+        meta = None
+        start = 0
+        ck = self._usable_checkpoint(upto=None)
+        if ck is not None:
+            _, meta, _, _ = self._checkpoint_state(ck)
+            start = ck + 1
+        for v in self._versions():
+            if v < start:
+                continue
+            for action in self._read_commit(v):
+                if "metaData" in action:
+                    meta = action["metaData"]
+        return meta
+
     def _live_files(self, upto: int | None = None) -> dict[str, dict]:
         """Replay → {relative path: add action}: start from the last
         checkpoint when it covers a prefix of the range, then apply
@@ -333,7 +350,14 @@ class DeltaLogTable:
                  for p in self._live_files(upto=upto)]
         if not files:
             return None
-        return spark.read.option("basePath", self.path).parquet(*files)
+        reader = spark.read.option("basePath", self.path)
+        cur_meta = self._current_metadata_action()
+        if (cur_meta is not None and cur_meta.get("configuration", {})
+                .get("schema.evolved") == "true"):
+            # evolved table: live files span schema versions — merge
+            # footers (paid only after an actual evolution)
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def commit(self, df: DataFrame, epoch_id: int,
                touched_buckets: list[int] | None = None) -> int:
@@ -425,6 +449,22 @@ class DeltaLogTable:
                                      in df.columns else []),
                 "configuration": {"bucketing.count": str(self.n_buckets)},
             }})
+        else:
+            # schema drift (CDC evolution): the protocol requires a new
+            # metaData action declaring the evolved schema — readers of
+            # later versions otherwise keep projecting the old one
+            cur_meta = self._current_metadata_action()
+            if (cur_meta is not None
+                    and cur_meta.get("schemaString") != df.schema.json()):
+                actions.append({"metaData": {
+                    **cur_meta,
+                    "schemaString": df.schema.json(),
+                    # tells read() the table's files span schema
+                    # versions without a full-history replay
+                    "configuration": {
+                        **cur_meta.get("configuration", {}),
+                        "schema.evolved": "true"},
+                }})
         actions += removes + adds
 
         tmp = self._log_path(delta_version) + ".tmp"

@@ -153,18 +153,35 @@ ST_EXISTING, ST_ADDED, ST_DELETED = 0, 1, 2
 # ------------------------------------------------------- schema mapping
 
 
-def iceberg_schema_of(schema: T.StructType) -> tuple[dict, int]:
-    """Spark schema → Iceberg schema JSON with spec field-ids assigned
-    depth-first (the id assignment is writer's choice; what matters is
-    stability within the table). Returns (schema dict, last column id).
-    """
-    counter = {"id": 0}
+def strip_field_ids(node):
+    """Schema tree without id assignments — the shape two schemas are
+    compared on to decide whether evolution happened."""
+    if isinstance(node, dict):
+        return {k: strip_field_ids(v) for k, v in node.items()
+                if k not in ("id", "element-id", "key-id", "value-id",
+                             "schema-id")}
+    if isinstance(node, list):
+        return [strip_field_ids(x) for x in node]
+    return node
+
+
+def iceberg_schema_of(schema: T.StructType, base: dict | None = None,
+                      last_column_id: int = 0) -> tuple[dict, int]:
+    """Spark schema → Iceberg schema JSON with spec field-ids. Fresh
+    tables assign ids depth-first from 1. With `base` (the table's
+    current Iceberg schema) this performs ID-STABLE EVOLUTION: a field
+    that exists in `base` under the same name (at the same nesting
+    path) KEEPS its id — the spec's column-identity rule, which makes
+    add-column / type-promotion drift safe — and only genuinely new
+    fields draw fresh ids after `last_column_id`. Returns
+    (schema dict, last column id)."""
+    counter = {"id": last_column_id if base is not None else 0}
 
     def nid() -> int:
         counter["id"] += 1
         return counter["id"]
 
-    def conv(dt: T.DataType):
+    def conv(dt: T.DataType, cur):
         if isinstance(dt, T.BooleanType):
             return "boolean"
         if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
@@ -188,25 +205,63 @@ def iceberg_schema_of(schema: T.StructType) -> tuple[dict, int]:
         if isinstance(dt, T.DecimalType):
             return f"decimal({dt.precision}, {dt.scale})"
         if isinstance(dt, T.StructType):
-            return {"type": "struct", "fields": [field(f) for f in dt.fields]}
+            cur_fields = ({f["name"]: f for f in cur["fields"]}
+                          if isinstance(cur, dict)
+                          and cur.get("type") == "struct" else {})
+            return {"type": "struct",
+                    "fields": [field(f, cur_fields.get(f.name))
+                               for f in dt.fields]}
         if isinstance(dt, T.ArrayType):
-            return {"type": "list", "element-id": nid(),
-                    "element": conv(dt.elementType),
+            cur_list = (cur if isinstance(cur, dict)
+                        and cur.get("type") == "list" else None)
+            return {"type": "list",
+                    "element-id": (cur_list["element-id"] if cur_list
+                                   else nid()),
+                    "element": conv(dt.elementType,
+                                    cur_list and cur_list["element"]),
                     "element-required": not dt.containsNull}
         if isinstance(dt, T.MapType):
-            return {"type": "map", "key-id": nid(), "key": conv(dt.keyType),
-                    "value-id": nid(), "value": conv(dt.valueType),
+            cur_map = (cur if isinstance(cur, dict)
+                       and cur.get("type") == "map" else None)
+            return {"type": "map",
+                    "key-id": cur_map["key-id"] if cur_map else nid(),
+                    "key": conv(dt.keyType, cur_map and cur_map["key"]),
+                    "value-id": (cur_map["value-id"] if cur_map
+                                 else nid()),
+                    "value": conv(dt.valueType,
+                                  cur_map and cur_map["value"]),
                     "value-required": not dt.valueContainsNull}
         raise TypeError(f"no Iceberg mapping for {dt.simpleString()}")
 
-    def field(f: T.StructField) -> dict:
-        fid = nid()  # parent id assigned before descending, per spec
+    def field(f: T.StructField, curf: dict | None) -> dict:
+        # parent id assigned before descending, per spec; reused when
+        # the base schema has this name at this path
+        fid = curf["id"] if curf is not None else nid()
         return {"id": fid, "name": f.name, "required": not f.nullable,
-                "type": conv(f.dataType)}
+                "type": conv(f.dataType,
+                             curf["type"] if curf is not None else None)}
 
+    base_fields = ({f["name"]: f for f in base["fields"]}
+                   if base is not None else {})
     out = {"type": "struct", "schema-id": 0,
-           "fields": [field(f) for f in schema.fields]}
-    return out, counter["id"]
+           "fields": [field(f, base_fields.get(f.name))
+                      for f in schema.fields]}
+    max_reused = max(_all_ids(out), default=0)
+    return out, max(counter["id"], max_reused)
+
+
+def _all_ids(node) -> list[int]:
+    out: list[int] = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("id", "element-id", "key-id", "value-id"):
+                out.append(v)
+            else:
+                out.extend(_all_ids(v))
+    elif isinstance(node, list):
+        for x in node:
+            out.extend(_all_ids(x))
+    return out
 
 
 def _bucket_bound(b: int) -> bytes:
@@ -385,7 +440,12 @@ class IcebergTable:
                                  else version)
         if not files:
             return None
-        return spark.read.option("basePath", self.data_dir).parquet(*files)
+        reader = spark.read.option("basePath", self.data_dir)
+        if len(meta.get("schemas", [])) > 1:
+            # evolved table: files span schema versions — merge footers
+            # (only paid after an actual evolution, not on the hot path)
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     # -------------------------------------------------------- commits
 
@@ -447,15 +507,17 @@ class IcebergTable:
                 }})
         shutil.rmtree(staging, ignore_errors=True)
 
-        # prior manifests by bucket key (carried forward when untouched)
+        # prior manifests by bucket key — a key can hold SEVERAL live
+        # manifests (append commits stack them); all are carried
+        # forward by reference unless the bucket is being replaced
         meta = self._current_metadata()
-        prior: dict[str, dict] = {}
+        prior: dict[str, list[dict]] = {}
         if meta is not None and version > 0:
             for mf in self._read_manifest_list(
                     self._snapshot(meta, version)["manifest-list"]):
                 key = self._manifest_key(mf["manifest_path"])
                 if key is not None:
-                    prior[key] = mf
+                    prior.setdefault(key, []).append(mf)
 
         if touched_buckets is None:
             doomed = set(prior)
@@ -463,18 +525,22 @@ class IcebergTable:
             doomed = {f"b{b}" for b in touched_buckets} & set(prior)
 
         list_entries: list[dict] = []
-        for key, mf in sorted(prior.items()):
-            if key not in doomed and key not in adds:
-                list_entries.append(mf)  # manifest reuse, untouched
+        for key in sorted(prior):
+            if key not in doomed:
+                # manifest reuse — untouched buckets stay live even
+                # when this commit also APPENDS to them
+                list_entries.extend(prior[key])
 
         for key in sorted(set(adds) | doomed):
             deleted: list[dict] = []
-            if key in prior:
-                for e in self._read_manifest(prior[key]["manifest_path"]):
-                    if e["status"] != ST_DELETED:
-                        # deleted entries keep the file's original data
-                        # sequence number (spec: sequence inheritance)
-                        deleted.append({**e, "status": ST_DELETED})
+            if key in doomed:
+                for mf in prior[key]:
+                    for e in self._read_manifest(mf["manifest_path"]):
+                        if e["status"] != ST_DELETED:
+                            # deleted entries keep the file's original
+                            # data sequence number (spec: sequence
+                            # inheritance)
+                            deleted.append({**e, "status": ST_DELETED})
             entries = deleted + adds.get(key, [])
             if not entries:
                 continue
@@ -509,6 +575,27 @@ class IcebergTable:
         if meta is not None:
             snapshot["parent-snapshot-id"] = meta["current-snapshot-id"]
             new_meta = dict(meta)
+            # schema drift (the CDC evolution path): id-stable evolve —
+            # same-name fields keep their column ids, new fields draw
+            # fresh ones past last-column-id, and the evolved schema is
+            # APPENDED under a new schema-id (historic snapshots keep
+            # pointing at theirs, per the spec)
+            cur_schema = next(
+                s for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"])
+            evolved, evolved_last = iceberg_schema_of(
+                df.schema, base=cur_schema,
+                last_column_id=meta["last-column-id"])
+            if strip_field_ids(evolved) == strip_field_ids(cur_schema):
+                snapshot["schema-id"] = meta["current-schema-id"]
+            else:
+                new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+                evolved["schema-id"] = new_id
+                new_meta["schemas"] = list(meta["schemas"]) + [evolved]
+                new_meta["current-schema-id"] = new_id
+                new_meta["last-column-id"] = max(
+                    meta["last-column-id"], evolved_last)
+                snapshot["schema-id"] = new_id
         else:
             spec_fields = []
             if bucket_fid is not None:

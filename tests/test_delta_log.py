@@ -352,3 +352,30 @@ def test_losing_writer_cannot_clobber_winner_files(spark, tmp_path):
     dead = fresh.vacuum(retention_seconds=0)
     assert dead, "loser's orphan files should be vacuumable"
     assert {r["id"] for r in sink.read_table(spark, DEST).collect()} == {1}
+
+
+def test_schema_evolution_reemits_metadata(spark, tmp_path):
+    """Schema drift re-emits a metaData action with the evolved
+    schemaString (protocol requirement) and flags the table so reads
+    merge both file generations."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    df1 = spark.range(4).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df1, epoch_id=0)
+    df2 = (spark.range(4, 8).withColumn("extra", F.lit("x"))
+           .withColumn(BUCKET_COL, table.bucket_expr(("id",))))
+    table.commit(df2, epoch_id=1, touched_buckets=[])
+    metas = [a["metaData"] for c in _commits(table) for a in c
+             if "metaData" in a]
+    assert len(metas) == 2
+    assert metas[0]["id"] == metas[1]["id"]  # table identity stable
+    assert "extra" in metas[1]["schemaString"]
+    assert metas[1]["configuration"]["schema.evolved"] == "true"
+    out = table.read(spark)
+    assert out.count() == 8 and out.filter(out.extra.isNull()).count() == 4
+    # unchanged-schema commit does not re-emit metaData
+    table.commit(df2, epoch_id=2, touched_buckets=[])
+    metas = [a for c in _commits(table) for a in c if "metaData" in a]
+    assert len(metas) == 2

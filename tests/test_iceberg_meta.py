@@ -319,3 +319,47 @@ def test_catalog_entry_pins_roundtrip_policy(spark):
         assert (g.version, g.bucket, g.n_rows) == (e.version, e.bucket,
                                                    e.n_rows)
         assert abs(g.sum_price - e.sum_price) < 1e-6, (g, e)
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_schema_evolution_id_stable(spark, tmp_path):
+    """Adding a column appends a NEW schema under a new schema-id:
+    existing columns keep their ids (the spec's column-identity rule),
+    the new column draws a fresh id past last-column-id, historic
+    snapshots keep their schema-id, and reads merge both file
+    generations."""
+    from pyspark.sql import functions as F
+
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    df1 = spark.range(4).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df1, epoch_id=0)
+    meta1 = table._current_metadata()
+    ids_v1 = {f["name"]: f["id"] for f in meta1["schemas"][0]["fields"]}
+
+    df2 = (spark.range(4, 8)
+           .withColumn("extra", F.lit("x"))
+           .withColumn(BUCKET_COL, table.bucket_expr(("id",))))
+    table.commit(df2, epoch_id=1, touched_buckets=[])
+    meta2 = table._current_metadata()
+    assert len(meta2["schemas"]) == 2
+    new_schema = next(s for s in meta2["schemas"]
+                      if s["schema-id"] == meta2["current-schema-id"])
+    ids_v2 = {f["name"]: f["id"] for f in new_schema["fields"]}
+    for name, fid in ids_v1.items():
+        assert ids_v2[name] == fid  # stable across evolution
+    assert ids_v2["extra"] > meta1["last-column-id"]
+    assert meta2["last-column-id"] >= ids_v2["extra"]
+    # snapshot schema-ids: old snapshot keeps 0, new one points at new
+    snaps = sorted(meta2["snapshots"], key=lambda s: s["sequence-number"])
+    assert snaps[0]["schema-id"] == 0
+    assert snaps[1]["schema-id"] == meta2["current-schema-id"]
+    # merged read: old rows carry null extra, new rows carry 'x'
+    out = table.read(spark)
+    assert out.count() == 8
+    assert out.filter(out.extra.isNull()).count() == 4
+    # an identical-schema commit does NOT append a third schema
+    table.commit(df2, epoch_id=2, touched_buckets=[])
+    assert len(table._current_metadata()["schemas"]) == 2
