@@ -360,11 +360,14 @@ class DeltaLogTable:
         return reader.parquet(*files)
 
     def commit(self, df: DataFrame, epoch_id: int,
-               touched_buckets: list[int] | None = None) -> int:
+               touched_buckets: list[int] | None = None,
+               data_change: bool = True) -> int:
         """Stage `df`'s parquet, move files under `__bucket=N/`, append
         one log version: removes for the replaced files of touched
         buckets (every live file when `touched_buckets is None` — full
-        rewrite), adds for the new ones. O(touched) actions."""
+        rewrite), adds for the new ones. O(touched) actions.
+        `data_change=False` marks the protocol's rearrangement commits
+        (compaction): CDF/streaming readers skip them."""
         # next version = the snapshot this transaction READ + 1; a
         # writer that committed in between owns that file and we lose
         # with FileExistsError below (the protocol's conflict signal)
@@ -414,7 +417,7 @@ class DeltaLogTable:
                 "partitionValues": pv,
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
-                "dataChange": True,
+                "dataChange": data_change,
             }})
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -426,13 +429,14 @@ class DeltaLogTable:
             else:
                 dirs = {f"{BUCKET_COL}={b}" for b in touched_buckets}
                 doomed = [p for p in live if p.split("/", 1)[0] in dirs]
-            removes = [{"remove": {"path": p, "dataChange": True,
+            removes = [{"remove": {"path": p, "dataChange": data_change,
                                    "deletionTimestamp": adds[0]["add"]
                                    ["modificationTime"] if adds else 0}}
                        for p in sorted(doomed)]
 
         actions: list[dict] = [{"commitInfo": {
-            "operation": "MERGE" if delta_version > 0 else "WRITE",
+            "operation": ("OPTIMIZE" if not data_change
+                          else "MERGE" if delta_version > 0 else "WRITE"),
             "operationParameters": {"epoch": epoch_id},
             "engineInfo": "debezium-server-spark/minimal-delta-writer",
         }}, {"txn": {"appId": self.app_id, "version": epoch_id}}]
@@ -484,6 +488,31 @@ class DeltaLogTable:
         return delta_version + 1
 
     # ------------------------------------------------------ maintenance
+
+    def compact(self, spark: SparkSession,
+                buckets: list[int] | None = None) -> int:
+        """The protocol's OPTIMIZE (bin-packing compaction): rewrite
+        each selected bucket's accumulated files into one, as a
+        `dataChange=false` commit — CDF/streaming readers skip it, the
+        txn action re-records the LAST epoch so idempotent replay is
+        unaffected. The 100 TB maintenance lever against micro-batch
+        small files. Returns the new commit count, or 0 when empty."""
+        cur = self.read(spark)  # pins the transaction snapshot
+        if cur is None:
+            return 0
+        if BUCKET_COL not in cur.columns:
+            sub = cur.coalesce(1)
+            buckets = None
+        else:
+            if buckets is None:
+                buckets = [r[0] for r in
+                           cur.select(BUCKET_COL).distinct().collect()]
+            if not buckets:
+                return 0
+            sub = (cur.filter(F.col(BUCKET_COL).isin(list(buckets)))
+                   .repartition(len(buckets), F.col(BUCKET_COL)))
+        return self.commit(sub, epoch_id=self.last_epoch() or 0,
+                           touched_buckets=buckets, data_change=False)
 
     def vacuum(self, retention_seconds: float = 7 * 86400) -> list[str]:
         """Physically delete files removed from the log, SKIPPING files

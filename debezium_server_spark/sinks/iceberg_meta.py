@@ -286,6 +286,7 @@ class IcebergTable:
                           if meta else n_buckets)
         self.retain = retain  # interface parity; history is logical
         self._snapshot_version: int | None = None
+        self._pinned_file_version: int | None = None
 
     # -------------------------------------------------------- metadata
 
@@ -388,7 +389,12 @@ class IcebergTable:
     # --------------------------------------------------------- reading
 
     def current_version(self) -> int:
-        return self._hint_version()
+        """Commit count = the table's last sequence number. NOT the
+        metadata FILE version (`_hint_version`): maintenance ops like
+        `expire_snapshots` write metadata versions without commits, so
+        the two counters diverge by design."""
+        meta = self._current_metadata()
+        return int(meta["last-sequence-number"]) if meta else 0
 
     def last_epoch(self) -> int | None:
         meta = self._current_metadata()
@@ -410,9 +416,14 @@ class IcebergTable:
         return self.path if self.current_version() > 0 else None
 
     def _snapshot(self, meta: dict, version: int) -> dict:
-        snaps = sorted(meta["snapshots"],
-                       key=lambda s: s["sequence-number"])
-        return snaps[version - 1]
+        """Snapshot of the `version`-th commit (sequence numbers are
+        the commit counter, stable across snapshot expiry)."""
+        for s in meta["snapshots"]:
+            if s["sequence-number"] == version:
+                return s
+        raise ValueError(
+            f"snapshot for version {version} of {self.path} has been "
+            f"expired (time travel below the retained window)")
 
     def _live_files(self, meta: dict, version: int) -> list[str]:
         snap = self._snapshot(meta, version)
@@ -429,6 +440,7 @@ class IcebergTable:
         current = self.current_version()
         if version is None:
             self._snapshot_version = current  # transaction snapshot
+            self._pinned_file_version = self._hint_version()
         elif version > current:
             raise ValueError(
                 f"version {version} not committed for {self.path} "
@@ -450,11 +462,13 @@ class IcebergTable:
     # -------------------------------------------------------- commits
 
     def commit(self, df: DataFrame, epoch_id: int,
-               touched_buckets: list[int] | None = None) -> int:
+               touched_buckets: list[int] | None = None,
+               operation: str | None = None) -> int:
         """Stage `df`'s parquet under `data/`, write k new manifests
         (touched buckets only), a new manifest list, and metadata
         version V+1 via put-if-absent. O(touched) manifest writes +
-        one O(n_buckets) list."""
+        one O(n_buckets) list. `operation` overrides the snapshot
+        summary operation (maintenance commits use "replace")."""
         import tempfile as _tempfile
 
         import pyarrow.parquet as _pq
@@ -568,7 +582,8 @@ class IcebergTable:
             "manifest-list": list_rel,
             "schema-id": 0,
             "summary": {
-                "operation": "overwrite" if version > 0 else "append",
+                "operation": operation or (
+                    "overwrite" if version > 0 else "append"),
                 "dss.epoch": str(epoch_id),
             },
         }
@@ -630,24 +645,95 @@ class IcebergTable:
         new_meta["snapshots"] = list(new_meta.get("snapshots", [])) + [snapshot]
         new_meta["snapshot-log"] = list(new_meta.get("snapshot-log", [])) + [
             {"timestamp-ms": now_ms, "snapshot-id": sid}]
-        if version > 0:
+        # metadata FILE version: decoupled from the commit count —
+        # expiry and other maintenance write metadata-only versions
+        prev_file = (self._pinned_file_version
+                     if self._pinned_file_version is not None
+                     else self._hint_version())
+        file_version = prev_file + 1
+        if prev_file > 0:
             new_meta["metadata-log"] = list(
                 new_meta.get("metadata-log", [])) + [
                 {"timestamp-ms": now_ms,
-                 "metadata-file": self._meta_path(version)}]
+                 "metadata-file": self._meta_path(prev_file)}]
 
         # put-if-absent: HadoopTableOperations' optimistic-concurrency
         # primitive — a concurrent writer to the same version loses here
-        with open(self._meta_path(seq), "x") as f:
+        with open(self._meta_path(file_version), "x") as f:
             json.dump(new_meta, f, separators=(",", ":"))
         hint = os.path.join(self.meta_dir, "version-hint.text")
         with open(hint + ".tmp", "w") as f:
-            f.write(str(seq))
+            f.write(str(file_version))
         os.replace(hint + ".tmp", hint)
         self._snapshot_version = seq
+        self._pinned_file_version = file_version
         return seq
 
     # ----------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession,
+                buckets: list[int] | None = None) -> int:
+        """The spec's `rewriteDataFiles` (bin-packing compaction):
+        rewrite each selected bucket's accumulated small files —
+        append commits stack one file per epoch — into one file per
+        bucket, as a `replace` snapshot with NO logical data change
+        (`dss.epoch` is preserved, so epoch-idempotent replay is
+        unaffected). At 100 TB this is THE maintenance lever: scan
+        cost is per-file overhead × file count, and a year of
+        micro-batches otherwise leaves thousands of files per bucket.
+        Returns the new commit version, or 0 when the table is empty.
+        """
+        cur = self.read(spark)  # pins the transaction snapshot
+        if cur is None:
+            return 0
+        if buckets is None:
+            buckets = [r[0] for r in
+                       cur.select(BUCKET_COL).distinct().collect()]
+        if not buckets:
+            return 0
+        sub = (cur.filter(F.col(BUCKET_COL).isin(list(buckets)))
+               .repartition(len(buckets), F.col(BUCKET_COL)))
+        return self.commit(sub, epoch_id=self.last_epoch() or 0,
+                           touched_buckets=list(buckets),
+                           operation="replace")
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """The spec's `expireSnapshots` maintenance op: drop all but
+        the newest `keep_last` snapshots from the table metadata (a new
+        metadata version — the data files they exclusively referenced
+        become orphans for `vacuum()` to collect after retention).
+        Time travel below the retained window raises afterwards, by
+        design. Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = self._current_metadata()
+        if meta is None:
+            return []
+        snaps = sorted(meta["snapshots"],
+                       key=lambda s: s["sequence-number"])
+        expired = snaps[:-keep_last]
+        if not expired:
+            return []
+        keep = snaps[-keep_last:]
+        keep_ids = {s["snapshot-id"] for s in keep}
+        file_version = self._hint_version() + 1
+        new_meta = dict(meta)
+        new_meta["snapshots"] = keep
+        new_meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids]
+        import time as _time
+
+        new_meta["last-updated-ms"] = int(_time.time() * 1000)
+        with open(self._meta_path(file_version), "x") as f:
+            json.dump(new_meta, f, separators=(",", ":"))
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        with open(hint + ".tmp", "w") as f:
+            f.write(str(file_version))
+        os.replace(hint + ".tmp", hint)
+        self._snapshot_version = None
+        self._pinned_file_version = None
+        return [s["snapshot-id"] for s in expired]
 
     def vacuum(self, retention_seconds: float = 7 * 86400) -> list[str]:
         """Delete data files referenced by NO snapshot (orphans from
@@ -660,12 +746,14 @@ class IcebergTable:
         meta = self._current_metadata()
         referenced: set[str] = set()
         if meta:
-            for v in range(1, self.current_version() + 1):
-                referenced.update(self._live_files(meta, v))
-                snap = self._snapshot(meta, v)
+            for snap in meta["snapshots"]:  # retained snapshots only
                 for mf in self._read_manifest_list(snap["manifest-list"]):
                     for e in self._read_manifest(mf["manifest_path"]):
-                        referenced.add(e["data_file"]["file_path"])
+                        # a DELETED entry is bookkeeping, not a live
+                        # reference: the file is reachable only where
+                        # some retained snapshot lists it live
+                        if e["status"] != ST_DELETED:
+                            referenced.add(e["data_file"]["file_path"])
         cutoff = _time.time() - retention_seconds
         deleted: list[str] = []
         for dirpath, _dirs, files in os.walk(self.data_dir):

@@ -379,3 +379,31 @@ def test_schema_evolution_reemits_metadata(spark, tmp_path):
     table.commit(df2, epoch_id=2, touched_buckets=[])
     metas = [a for c in _commits(table) for a in c if "metaData" in a]
     assert len(metas) == 2
+
+
+def test_compact_optimize_data_change_false(spark, tmp_path):
+    """OPTIMIZE compaction: files per bucket collapse to one, the
+    commit's add/remove actions carry dataChange=false, and the epoch
+    is preserved."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    df = spark.range(20).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df.filter(F.col("id") < 10), epoch_id=3)
+    table.commit(df.filter(F.col("id") >= 10), epoch_id=4,
+                 touched_buckets=[])
+    n_before = len(table._live_files())
+    v = table.compact(spark)
+    assert v == 3
+    last = table._read_commit(2)
+    ops = [a["commitInfo"]["operation"] for a in last if "commitInfo" in a]
+    assert ops == ["OPTIMIZE"]
+    for a in last:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    assert len(table._live_files()) < n_before
+    assert table.read(spark).count() == 20
+    assert table.last_epoch() == 4

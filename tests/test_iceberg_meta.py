@@ -363,3 +363,79 @@ def test_schema_evolution_id_stable(spark, tmp_path):
     # an identical-schema commit does NOT append a third schema
     table.commit(df2, epoch_id=2, touched_buckets=[])
     assert len(table._current_metadata()["schemas"]) == 2
+
+
+# --------------------------------------------------------- maintenance
+
+
+def test_expire_snapshots_and_version_semantics(spark, tmp_path):
+    """Expiry drops old snapshots in a metadata-only version: the
+    commit counter (sequence numbers) is unaffected, expired time
+    travel raises, retained reads still work, and a later commit keeps
+    numbering correctly despite the file/commit version divergence."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    df = spark.range(6).withColumn(BUCKET_COL, table.bucket_expr(("id",)))
+    for epoch in range(3):
+        table.commit(df, epoch_id=epoch)
+    expired = table.expire_snapshots(keep_last=2)
+    assert len(expired) == 1
+    fresh = IcebergTable(table.path)
+    assert fresh.current_version() == 3  # commits, not metadata files
+    assert fresh._hint_version() == 4    # 3 commits + 1 expiry
+    with pytest.raises(ValueError, match="expired"):
+        fresh.read(spark, version=1)
+    assert fresh.read(spark, version=2).count() == 6
+    v = fresh.commit(df, epoch_id=3)
+    assert v == 4 and fresh._hint_version() == 5
+    assert fresh.read(spark).count() == 6
+    # snapshot-expired data files become vacuumable orphans
+    orphans = fresh.vacuum(retention_seconds=0)
+    assert orphans  # the expired snapshot exclusively owned files
+    assert fresh.read(spark).count() == 6  # live data untouched
+
+
+def test_compact_rewrites_buckets_without_data_change(spark, tmp_path):
+    """rewriteDataFiles: stacked append files collapse to one per
+    bucket under a `replace` snapshot; rows, epoch idempotence, and
+    history all survive."""
+    from pyspark.sql import functions as F
+
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    df = spark.range(20).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df.filter(F.col("id") < 10), epoch_id=7)
+    # append more files to the same buckets (stacked manifests)
+    table.commit(df.filter(F.col("id") >= 10), epoch_id=8,
+                 touched_buckets=[])
+    before = table.read(spark)
+    n_files_before = len(table._live_files(
+        table._current_metadata(), table.current_version()))
+    assert before.count() == 20
+    v = table.compact(spark)
+    assert v == 3
+    meta = table._current_metadata()
+    snap = table._snapshot(meta, v)
+    assert snap["summary"]["operation"] == "replace"
+    files = table._live_files(meta, v)
+    assert len(files) < n_files_before
+    buckets_present = {r[0] for r in table.read(spark)
+                       .select(BUCKET_COL).distinct().collect()}
+    assert len(files) == len(buckets_present)  # one file per bucket
+    assert table.read(spark).count() == 20
+    assert table.last_epoch() == 8  # compaction preserves the epoch
+
+
+def test_version_hint_heals_forward_after_crash(spark, tmp_path):
+    """A writer that landed v2.metadata.json but died before updating
+    version-hint.text must not hide its committed metadata: reopen
+    heals the hint forward to the files actually present."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    df = spark.range(4).withColumn(BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df, epoch_id=0)
+    table.commit(df, epoch_id=1)
+    hint = os.path.join(table.meta_dir, "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("1")  # crashed before the hint write
+    fresh = IcebergTable(table.path)
+    assert fresh._hint_version() == 2
+    assert fresh.last_epoch() == 1
