@@ -59,6 +59,10 @@ Property surface understood here (the Spark-native subset):
     debezium.format.value.schema.id   Confluent wire-frame id (avro/protobuf)
     debezium.sink.type                any registered sink name
     debezium.sink.<type>.<opt>        sink options (prefix-subset view)
+    debezium.sink.parquet-upsert.table.format
+                                      versioned (default) | delta |
+                                      iceberg — storage layer of the
+                                      PK materialization
     debezium.signal.dir               optional SignalChannel directory
 
 Schemas are Python-side arguments (StructTypes are not strings); all else

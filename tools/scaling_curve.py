@@ -114,6 +114,11 @@ QUERIES = [
     # binary-format ('b') typed decode — same band-join shape as the
     # text-mode pgoutput entry, per-value struct unpacks in the codec
     "pgoutput_binary_decode",
+    # Iceberg writer round trip: two commits + two manifest-chain
+    # reads — data plane linear in rows, control plane O(n_buckets)
+    # manifests per commit (fixed), so expected slope ≈ 1 with a large
+    # fixed floor at small SF
+    "iceberg_upsert_roundtrip",
 ]
 
 
