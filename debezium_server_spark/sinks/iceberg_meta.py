@@ -112,6 +112,11 @@ MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+# NOTE: the manifest partition record always declares the __bucket
+# field (null-valued for unpartitioned writes). Strict spec form would
+# emit an empty r102 when the partition spec has no fields; the sink
+# always buckets, so the unpartitioned path is a test-only convenience
+# and the asymmetry is confined to it.
 _PARTITION_RECORD = {
     "type": "record", "name": "r102",
     "fields": [

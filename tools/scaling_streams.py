@@ -134,7 +134,8 @@ def _ensure_pgoutput_wal(spark, sf: float, sf_dir: str) -> str:
     return out
 
 
-def _run_pgoutput_e2e(spark, wal_dir: str, work_dir: str) -> None:
+def _run_pgoutput_e2e(spark, wal_dir: str, work_dir: str,
+                      table_format: str = "versioned") -> None:
     """One timed end-to-end run: WAL parquet stream → decode (registry
     closed over) → typed envelope (route = per-relation destination) →
     Pipeline → ParquetUpsertSink. The decode is STATELESS (no state
@@ -167,14 +168,15 @@ def _run_pgoutput_e2e(spark, wal_dir: str, work_dir: str) -> None:
             F.struct(F.col("seq").alias("lsn")).alias("source"),
             F.col("seq").alias("ts_ms")).alias("value"))
     sink = ParquetUpsertSink(root_path=os.path.join(work_dir, "state"),
-                             key_fields=("id",))
+                             key_fields=("id",),
+                             table_format=table_format)
     q = Pipeline(typed).start(sink, os.path.join(work_dir, "ckpt"))
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("pgoutput e2e pipeline did not finish")
 
 
-def pgoutput_e2e_rows(spark) -> dict:
+def pgoutput_e2e_rows(spark, table_format: str = "versioned") -> dict:
     """SCALING_STREAMS row for the wire-decode SOURCE driven through
     the real pipeline (round-5 verdict #7): wall should scale ~linearly
     with WAL bytes, state is the sink table (slope n/a, reported 0)."""
@@ -188,7 +190,7 @@ def pgoutput_e2e_rows(spark) -> dict:
         for _ in range(RUNS):
             work = tempfile.mkdtemp(prefix="pg_e2e_")
             t0 = time.time()
-            _run_pgoutput_e2e(spark, wal, work)
+            _run_pgoutput_e2e(spark, wal, work, table_format)
             samples.append(time.time() - t0)
             shutil.rmtree(work, ignore_errors=True)
         per_sf[str(sf)] = {"sec": round(statistics.median(samples), 3),
@@ -242,6 +244,13 @@ def main() -> int:
     rows["pgoutput_wal_pipeline_e2e"] = pgoutput_e2e_rows(spark)
     print(json.dumps({"query": "pgoutput_wal_pipeline_e2e",
                       **rows["pgoutput_wal_pipeline_e2e"]}), flush=True)
+    # same pipeline, Iceberg storage layer: wall picks up the
+    # control-plane cost (manifests + metadata per epoch) — expected
+    # flat-ish state, near-identical wall slope to the versioned row
+    rows["iceberg_upsert_pipeline_e2e"] = pgoutput_e2e_rows(
+        spark, table_format="iceberg")
+    print(json.dumps({"query": "iceberg_upsert_pipeline_e2e",
+                      **rows["iceberg_upsert_pipeline_e2e"]}), flush=True)
 
     with open(out_path, "w") as f:
         json.dump({"sf_dirs": dict((str(s), d) for s, d in SF_DIRS),
