@@ -205,7 +205,12 @@ class _Reader:
 
 def _read(r: _Reader, schema):
     if isinstance(schema, list):
-        return _read(r, schema[r.read_long()])
+        branch = r.read_long()
+        if not 0 <= branch < len(schema):
+            raise ValueError(
+                f"avro union branch {branch} out of range "
+                f"(union has {len(schema)} branches)")
+        return _read(r, schema[branch])
     if isinstance(schema, dict):
         kind = schema["type"]
         if kind == "record":

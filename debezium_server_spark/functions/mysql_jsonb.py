@@ -410,7 +410,13 @@ def decode(data: bytes):
     if not data:
         raise EOFError("empty JSON binary value")
     t = data[0]
-    if t in (J_SMALL_OBJECT, J_LARGE_OBJECT, J_SMALL_ARRAY,
-             J_LARGE_ARRAY):
-        return _dec_container(t, data, 1)
-    return _dec_scalar(t, data, 1)
+    try:
+        if t in (J_SMALL_OBJECT, J_LARGE_OBJECT, J_SMALL_ARRAY,
+                 J_LARGE_ARRAY):
+            return _dec_container(t, data, 1)
+        return _dec_scalar(t, data, 1)
+    except _struct.error as ex:
+        # a fixed-width read past the buffer is a truncated/corrupt
+        # document — surface the decode contract's error type, not a
+        # struct internal (mutation-soak find)
+        raise EOFError(f"truncated JSON binary value: {ex}") from ex

@@ -169,3 +169,14 @@ def test_java_reads_container_file(spark, tmp_path):
         assert got[0].get("id") == 1 and str(got[0].get("name")) == "a"
         assert [str(t) for t in got[0].get("tags")] == ["x", "y"]
         assert got[1].get("name") is None
+
+
+def test_corrupt_union_branch_raises_value_error():
+    """A corrupted union branch index must raise the codec's error
+    type, not IndexError (mutation-soak find)."""
+    import struct
+
+    raw = bytearray(encode({"id": 1}, RECORD_SCHEMA))
+    raw[0] = 0x7E  # id's union index varint -> branch 63
+    with pytest.raises(ValueError, match="union branch"):
+        decode(bytes(raw), RECORD_SCHEMA)

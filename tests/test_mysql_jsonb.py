@@ -226,3 +226,16 @@ def test_opaque_cannot_impersonate_decimal():
         encode(JsonOpaque(246, b"\x51\x66\xc3"))
     with pytest.raises(ValueError, match="JsonDecimal"):
         encode({"k": [JsonOpaque(246, b"")]})
+
+
+def test_truncated_fixed_width_read_raises_eof():
+    """A document cut inside a fixed-width scalar must raise
+    EOFError/ValueError, not struct.error (mutation-soak find)."""
+    from debezium_server_spark.functions.mysql_jsonb import decode, encode
+
+    raw = encode({"a": 1.5, "b": [1, 2, 3]})
+    for cut in range(1, len(raw)):
+        try:
+            decode(raw[:cut])
+        except (EOFError, ValueError, KeyError):
+            pass  # the decode contract's error types
