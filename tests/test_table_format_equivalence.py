@@ -61,3 +61,30 @@ def test_three_storage_layers_materialize_identically(spark, tmp_path, seed):
                                 "email").collect())
     assert states["versioned"] == states["delta"] == states["iceberg"]
     assert states["versioned"], "empty final state defeats the test"
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_maintenance_preserves_state(spark, tmp_path, fmt):
+    """Compaction (and for Iceberg, snapshot expiry + orphan vacuum)
+    are REARRANGEMENTS: after any random batch history, state before
+    == state after, epoch bookkeeping intact."""
+    from tests.fixtures import customers_changelog_df
+
+    sink = ParquetUpsertSink(root_path=str(tmp_path / fmt),
+                             key_fields=("id",), n_buckets=4,
+                             table_format=fmt)
+    for epoch, batch in enumerate(_random_batches(seed=7)):
+        sink(customers_changelog_df(spark, batch), epoch)
+    table = sink._table(DEST)
+    before = sorted((r["id"], r["first_name"])
+                    for r in sink.read_table(spark, DEST).collect())
+    last = table.last_epoch()
+    table.compact(spark)
+    if fmt == "iceberg":
+        table.expire_snapshots(keep_last=1)
+        table.vacuum(retention_seconds=0)
+    after_table = sink._table(DEST)  # reopen from disk
+    after = sorted((r["id"], r["first_name"])
+                   for r in sink.read_table(spark, DEST).collect())
+    assert after == before
+    assert after_table.last_epoch() == last
