@@ -439,3 +439,37 @@ def test_version_hint_heals_forward_after_crash(spark, tmp_path):
     fresh = IcebergTable(table.path)
     assert fresh._hint_version() == 2
     assert fresh.last_epoch() == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                min_size=1, max_size=6, unique=True),
+       st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                min_size=1, max_size=6, unique=True))
+def test_evolution_ids_stable_and_fresh_property(cols1, cols2):
+    """Any two schema generations: same-name fields keep their ids,
+    new fields draw ids strictly above the old last-column-id, and no
+    id is ever reused for a different name."""
+    from pyspark.sql import types as T
+
+    from debezium_server_spark.sinks.iceberg_meta import iceberg_schema_of
+
+    def schema_of(names):
+        return T.StructType([T.StructField(n, T.LongType())
+                             for n in names])
+
+    s1, last1 = iceberg_schema_of(schema_of(cols1))
+    s2, last2 = iceberg_schema_of(schema_of(cols2), base=s1,
+                                  last_column_id=last1)
+    ids1 = {f["name"]: f["id"] for f in s1["fields"]}
+    ids2 = {f["name"]: f["id"] for f in s2["fields"]}
+    for name in set(cols1) & set(cols2):
+        assert ids2[name] == ids1[name]
+    for name in set(cols2) - set(cols1):
+        assert ids2[name] > last1
+    assert len(set(ids2.values())) == len(ids2)  # no collisions
+    assert last2 >= max(ids2.values())
