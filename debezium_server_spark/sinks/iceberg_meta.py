@@ -657,10 +657,16 @@ class IcebergTable:
                      else self._hint_version())
         file_version = prev_file + 1
         if prev_file > 0:
-            new_meta["metadata-log"] = list(
+            # spec property write.metadata.previous-versions-max
+            # (default 100): the metadata-log is a ring, not a ledger —
+            # unbounded growth would make every commit's metadata JSON
+            # O(history) at micro-batch cadence
+            keep = int(new_meta.get("properties", {}).get(
+                "write.metadata.previous-versions-max", 100))
+            new_meta["metadata-log"] = (list(
                 new_meta.get("metadata-log", [])) + [
                 {"timestamp-ms": now_ms,
-                 "metadata-file": self._meta_path(prev_file)}]
+                 "metadata-file": self._meta_path(prev_file)}])[-keep:]
 
         # put-if-absent: HadoopTableOperations' optimistic-concurrency
         # primitive — a concurrent writer to the same version loses here

@@ -473,3 +473,20 @@ def test_evolution_ids_stable_and_fresh_property(cols1, cols2):
         assert ids2[name] > last1
     assert len(set(ids2.values())) == len(ids2)  # no collisions
     assert last2 >= max(ids2.values())
+
+
+def test_metadata_log_is_capped(spark, tmp_path):
+    """write.metadata.previous-versions-max: the metadata-log is a
+    ring — commit metadata stays O(cap), not O(history)."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=2)
+    df = spark.range(2).withColumn(BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df, epoch_id=0)
+    meta = table._current_metadata()
+    meta["properties"]["write.metadata.previous-versions-max"] = "3"
+    with open(table._meta_path(table._hint_version()), "w") as f:
+        json.dump(meta, f)
+    for epoch in range(1, 8):
+        table.commit(df, epoch_id=epoch, touched_buckets=None)
+    log = table._current_metadata()["metadata-log"]
+    assert len(log) == 3
+    assert log[-1]["metadata-file"].endswith("v7.metadata.json")
