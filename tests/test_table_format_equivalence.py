@@ -88,3 +88,25 @@ def test_maintenance_preserves_state(spark, tmp_path, fmt):
                    for r in sink.read_table(spark, DEST).collect())
     assert after == before
     assert after_table.last_epoch() == last
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_erase_keys_works_on_lake_layers(spark, tmp_path, fmt):
+    """GDPR hard-delete (erase_keys) over the lake storage layers:
+    only the targets vanish, the erase is a normal bucket-touched
+    commit, and a second erase is a no-op."""
+    from tests.fixtures import customers_changelog_df
+
+    sink = ParquetUpsertSink(root_path=str(tmp_path / fmt),
+                             key_fields=("id",), n_buckets=4,
+                             table_format=fmt)
+    sink(customers_changelog_df(spark, [
+        event(i, "c", None, (i, f"n{i}", "x", f"{i}@x.com"), lsn=i)
+        for i in range(1, 11)
+    ]), 0)
+    erase = spark.createDataFrame([(3,), (7,)], "id long")
+    n = sink.erase_keys(spark, DEST, erase)
+    assert n == 2
+    left = sorted(r["id"] for r in sink.read_table(spark, DEST).collect())
+    assert left == [1, 2, 4, 5, 6, 8, 9, 10]
+    assert sink.erase_keys(spark, DEST, erase) == 0
