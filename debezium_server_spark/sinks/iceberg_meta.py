@@ -322,13 +322,13 @@ class IcebergTable:
     # -------------------------------------------------------- manifests
 
     def _read_manifest_list(self, rel: str) -> list[dict]:
-        _, entries = read_container(
-            open(os.path.join(self.path, rel), "rb").read())
+        with open(os.path.join(self.path, rel), "rb") as f:
+            _, entries = read_container(f.read())
         return entries
 
     def _read_manifest(self, rel: str) -> list[dict]:
-        _, entries = read_container(
-            open(os.path.join(self.path, rel), "rb").read())
+        with open(os.path.join(self.path, rel), "rb") as f:
+            _, entries = read_container(f.read())
         return entries
 
     @staticmethod
