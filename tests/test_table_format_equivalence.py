@@ -110,3 +110,39 @@ def test_erase_keys_works_on_lake_layers(spark, tmp_path, fmt):
     left = sorted(r["id"] for r in sink.read_table(spark, DEST).collect())
     assert left == [1, 2, 4, 5, 6, 8, 9, 10]
     assert sink.erase_keys(spark, DEST, erase) == 0
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_lake_fsck_clean_then_detects_corruption(spark, tmp_path, fmt):
+    """tools/lake_fsck.py: clean after a real history (incl. compaction
+    + evolution), and it actually DETECTS a missing/shrunk data file."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import lake_fsck
+
+    from tests.fixtures import customers_changelog_df
+
+    sink = ParquetUpsertSink(root_path=str(tmp_path / fmt),
+                             key_fields=("id",), n_buckets=4,
+                             table_format=fmt)
+    for epoch, batch in enumerate(_random_batches(seed=3)):
+        sink(customers_changelog_df(spark, batch), epoch)
+    table = sink._table(DEST)
+    table.compact(spark)
+    assert lake_fsck.fsck(table.path) == []
+    # corrupt: truncate one live data file
+    if fmt == "delta":
+        rel = sorted(table._live_files())[0]
+        victim = os.path.join(table.path, rel)
+    else:
+        meta = table._current_metadata()
+        victim = sorted(table._live_files(
+            meta, table.current_version()))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    errors = lake_fsck.fsck(table.path)
+    assert errors and any("mismatch" in e or "missing" in e
+                          for e in errors)
