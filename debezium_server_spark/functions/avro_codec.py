@@ -290,11 +290,13 @@ OCF_MAGIC = b"Obj\x01"
 
 def write_container(values, schema, codec: str = "null",
                     sync_marker: bytes | None = None,
-                    metadata: dict[str, bytes] | None = None) -> bytes:
+                    metadata: dict[str, bytes] | None = None,
+                    max_block_bytes: int = 1 << 20) -> bytes:
     """Serialize `values` (an iterable of python values matching
-    `schema`) as one Avro object container file. One data block — the
-    callers here write bounded control frames (manifest entries), not
-    data-plane volumes; a huge file would chunk."""
+    `schema`) as an Avro object container file. Values are chunked
+    into data blocks of ~`max_block_bytes` serialized bytes — the
+    spec's streaming unit: a reader skips/resyncs per block, and a
+    100k-entry manifest never round-trips through one giant buffer."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     if sync_marker is None:
@@ -310,21 +312,28 @@ def write_container(values, schema, codec: str = "null",
     buf.write(OCF_MAGIC)
     _write(buf, {"type": "map", "values": "bytes"}, meta)
     buf.write(sync_marker)
-    values = list(values)
-    if values:
-        block = io.BytesIO()
-        for v in values:
-            _write(block, schema, v)
+
+    def flush(block: io.BytesIO, count: int) -> None:
         payload = block.getvalue()
         if codec == "deflate":
             import zlib as _zlib
 
             c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
-        _write_long(buf, len(values))
+        _write_long(buf, count)
         _write_long(buf, len(payload))
         buf.write(payload)
         buf.write(sync_marker)
+
+    block, count = io.BytesIO(), 0
+    for v in values:
+        _write(block, schema, v)
+        count += 1
+        if block.tell() >= max_block_bytes:
+            flush(block, count)
+            block, count = io.BytesIO(), 0
+    if count:
+        flush(block, count)
     return buf.getvalue()
 
 

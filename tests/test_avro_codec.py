@@ -180,3 +180,37 @@ def test_corrupt_union_branch_raises_value_error():
     raw[0] = 0x7E  # id's union index varint -> branch 63
     with pytest.raises(ValueError, match="union branch"):
         decode(bytes(raw), RECORD_SCHEMA)
+
+
+def test_multi_block_container_round_trip_and_java(spark, tmp_path):
+    """Values exceeding max_block_bytes split across several data
+    blocks (the spec's streaming unit); our reader AND the Java
+    DataFileReader consume the multi-block file."""
+    from debezium_server_spark.functions.avro_codec import (
+        read_container,
+        write_container,
+    )
+
+    vals = [{"id": i, "name": "x" * 50, "score": None, "ok": None,
+             "tags": None, "attrs": None, "nested": None}
+            for i in range(400)]
+    raw = write_container(vals, RECORD_SCHEMA, max_block_bytes=2048,
+                          sync_marker=b"0123456789abcdef")
+    # more than one block: the sync marker appears > 2 times (header
+    # + one per block)
+    assert raw.count(b"0123456789abcdef") > 2
+    _, out = read_container(raw)
+    assert out == vals
+    path = str(tmp_path / "multi.avro")
+    with open(path, "wb") as f:
+        f.write(raw)
+    jvm = spark.sparkContext._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader())
+    n = 0
+    while reader.hasNext():
+        reader.next()
+        n += 1
+    reader.close()
+    assert n == 400
