@@ -56,6 +56,39 @@ from pyspark.sql import functions as F
 BUCKET_COL = "__bucket"
 
 
+def _schema_fingerprint(schema_json: str) -> str:
+    """Canonical form of a Spark schema JSON for drift detection:
+    struct fields sorted by name, nullability flags (`nullable`,
+    `containsNull`, `valueContainsNull`) and `metadata` stripped at
+    every nesting level. Spark introduces benign jitter in exactly
+    those dimensions between micro-batches (filters/joins flip
+    nullability, select order permutes fields); only a change that
+    survives this normalization is real evolution — parquet column
+    resolution is by name, so same-fingerprint files are mutually
+    readable without footer merging."""
+
+    def norm(node):
+        if isinstance(node, dict):
+            out = {k: norm(v) for k, v in node.items()
+                   if k not in ("nullable", "containsNull",
+                                "valueContainsNull", "metadata")}
+            if out.get("type") == "struct" and isinstance(
+                    out.get("fields"), list):
+                out["fields"] = sorted(
+                    out["fields"], key=lambda f: f.get("name", ""))
+            return out
+        if isinstance(node, list):
+            return [norm(x) for x in node]
+        return node
+
+    try:
+        parsed = json.loads(schema_json)
+    except ValueError:  # foreign/absent schemaString: never matches
+        return schema_json
+    return json.dumps(norm(parsed), sort_keys=True,
+                      separators=(",", ":"))
+
+
 class DeltaLogTable:
     """Hash-bucketed Delta table (see module docstring)."""
 
@@ -77,6 +110,10 @@ class DeltaLogTable:
         #: concurrency): commit() attempts snapshot+1 and FAILS on a
         #: conflicting writer instead of silently building on top of it
         self._snapshot_version: int | None = None
+        #: set by compact() for a FULL rewrite: this commit may drop
+        #: the sticky `schema.evolved` flag (all live files now share
+        #: one schema, so reads no longer need mergeSchema)
+        self._clear_evolved_on_commit = False
 
     # ------------------------------------------------------------ log
 
@@ -456,10 +493,15 @@ class DeltaLogTable:
         else:
             # schema drift (CDC evolution): the protocol requires a new
             # metaData action declaring the evolved schema — readers of
-            # later versions otherwise keep projecting the old one
+            # later versions otherwise keep projecting the old one.
+            # Drift is judged on a NORMALIZED fingerprint (nullability /
+            # field-order jitter Spark introduces between micro-batches
+            # is not evolution) — else the sticky `schema.evolved` flag
+            # would make every later read pay mergeSchema forever.
             cur_meta = self._current_metadata_action()
             if (cur_meta is not None
-                    and cur_meta.get("schemaString") != df.schema.json()):
+                    and _schema_fingerprint(cur_meta.get("schemaString", ""))
+                    != _schema_fingerprint(df.schema.json())):
                 actions.append({"metaData": {
                     **cur_meta,
                     "schemaString": df.schema.json(),
@@ -469,6 +511,18 @@ class DeltaLogTable:
                         **cur_meta.get("configuration", {}),
                         "schema.evolved": "true"},
                 }})
+            elif (self._clear_evolved_on_commit and cur_meta is not None
+                  and cur_meta.get("configuration", {})
+                  .get("schema.evolved") == "true"):
+                # a full compaction just rewrote every live file under
+                # one schema — the evolved flag (and its mergeSchema
+                # cost) no longer applies
+                cfg = {k: v for k, v in cur_meta.get(
+                    "configuration", {}).items() if k != "schema.evolved"}
+                actions.append({"metaData": {
+                    **cur_meta,
+                    "schemaString": df.schema.json(),
+                    "configuration": cfg}})
         actions += removes + adds
 
         tmp = self._log_path(delta_version) + ".tmp"
@@ -481,6 +535,7 @@ class DeltaLogTable:
             dst_f.write(src_f.read())
         os.remove(tmp)
         self._snapshot_version = delta_version + 1
+        self._clear_evolved_on_commit = False
         # protocol cadence: checkpoint every `checkpoint_interval`
         # commits so replay stays O(interval) JSON reads
         if (delta_version + 1) % self.checkpoint_interval == 0:
@@ -500,6 +555,7 @@ class DeltaLogTable:
         cur = self.read(spark)  # pins the transaction snapshot
         if cur is None:
             return 0
+        full_rewrite = buckets is None
         if BUCKET_COL not in cur.columns:
             sub = cur.coalesce(1)
             buckets = None
@@ -511,6 +567,9 @@ class DeltaLogTable:
                 return 0
             sub = (cur.filter(F.col(BUCKET_COL).isin(list(buckets)))
                    .repartition(len(buckets), F.col(BUCKET_COL)))
+        # a full compaction rewrites every live file under one schema —
+        # the sticky evolved flag can be dropped in the same commit
+        self._clear_evolved_on_commit = full_rewrite
         return self.commit(sub, epoch_id=self.last_epoch() or 0,
                            touched_buckets=buckets, data_change=False)
 

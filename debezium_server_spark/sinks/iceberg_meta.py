@@ -697,6 +697,13 @@ class IcebergTable:
         cur = self.read(spark)  # pins the transaction snapshot
         if cur is None:
             return 0
+        if BUCKET_COL not in cur.columns:
+            # flat (unbucketed) table — mirror the Delta twin: one
+            # output file, full rewrite
+            return self.commit(cur.coalesce(1),
+                               epoch_id=self.last_epoch() or 0,
+                               touched_buckets=None,
+                               operation="replace")
         if buckets is None:
             buckets = [r[0] for r in
                        cur.select(BUCKET_COL).distinct().collect()]
@@ -747,24 +754,43 @@ class IcebergTable:
         return [s["snapshot-id"] for s in expired]
 
     def vacuum(self, retention_seconds: float = 7 * 86400) -> list[str]:
-        """Delete data files referenced by NO snapshot (orphans from
-        losing writers) and older than `retention_seconds` — the
-        `remove_orphan_files` action. Files referenced by any snapshot
-        are never touched (they serve time travel; expiring snapshots
-        is a separate, logical operation)."""
+        """Delete files referenced by NO retained snapshot and older
+        than `retention_seconds` — the `remove_orphan_files` action,
+        over BOTH planes:
+
+        - data/: parquet orphaned by losing writers or snapshot expiry;
+        - metadata/: manifest lists and manifests reachable from no
+          retained snapshot (superseded by later commits or expired),
+          and `v*.metadata.json` versions below the current one that
+          fell out of the metadata-log ring.
+
+        Without the metadata sweep, micro-batch cadence grows
+        metadata/ without bound (one manifest list + k manifests per
+        epoch). Files referenced by any retained snapshot or the
+        metadata log are never touched."""
         import time as _time
 
         meta = self._current_metadata()
         referenced: set[str] = set()
+        meta_referenced: set[str] = set()  # absolute paths under path/
         if meta:
             for snap in meta["snapshots"]:  # retained snapshots only
+                meta_referenced.add(
+                    os.path.join(self.path, snap["manifest-list"]))
                 for mf in self._read_manifest_list(snap["manifest-list"]):
+                    meta_referenced.add(
+                        os.path.join(self.path, mf["manifest_path"]))
                     for e in self._read_manifest(mf["manifest_path"]):
                         # a DELETED entry is bookkeeping, not a live
                         # reference: the file is reachable only where
                         # some retained snapshot lists it live
                         if e["status"] != ST_DELETED:
                             referenced.add(e["data_file"]["file_path"])
+            # metadata-log ring + the current version stay readable
+            # (time travel across metadata versions)
+            for entry in meta.get("metadata-log", []):
+                meta_referenced.add(entry["metadata-file"])
+        meta_referenced.add(self._meta_path(self._hint_version()))
         cutoff = _time.time() - retention_seconds
         deleted: list[str] = []
         for dirpath, _dirs, files in os.walk(self.data_dir):
@@ -774,4 +800,14 @@ class IcebergTable:
                         and os.stat(full).st_mtime < cutoff):
                     os.remove(full)
                     deleted.append(full)
+        for fname in os.listdir(self.meta_dir):
+            full = os.path.join(self.meta_dir, fname)
+            collectable = (
+                fname.endswith(".avro")  # manifest / manifest list
+                or (fname.startswith("v")
+                    and fname.endswith(".metadata.json")))
+            if (collectable and full not in meta_referenced
+                    and os.stat(full).st_mtime < cutoff):
+                os.remove(full)
+                deleted.append(full)
         return deleted

@@ -407,3 +407,61 @@ def test_compact_optimize_data_change_false(spark, tmp_path):
     assert len(table._live_files()) < n_before
     assert table.read(spark).count() == 20
     assert table.last_epoch() == 4
+
+
+def test_nullability_and_field_order_jitter_is_not_evolution(
+        spark, tmp_path):
+    """Benign micro-batch schema jitter (nullability flips, field-order
+    permutation) must NOT emit a metaData action or set the sticky
+    `schema.evolved` flag — only a normalized-fingerprint change is
+    evolution (ADVICE r06)."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    df1 = (spark.range(4).withColumn("v", F.lit(1))
+           .withColumn(BUCKET_COL, table.bucket_expr(("id",))))
+    table.commit(df1, epoch_id=0)
+    # nullability flip: same fields, all nullable now
+    jitter = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.IntegerType(), True)])
+    df2 = spark.createDataFrame([(100, 1)], jitter).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    assert df2.schema.json() != df1.schema.json()  # jitter is real
+    table.commit(df2, epoch_id=1, touched_buckets=[])
+    # field-order permutation
+    table.commit(df1.select("v", BUCKET_COL, "id"), epoch_id=2,
+                 touched_buckets=[])
+    metas = [a for c in _commits(table) for a in c if "metaData" in a]
+    assert len(metas) == 1  # only the v0 declaration
+    cfg = metas[0]["metaData"].get("configuration", {})
+    assert cfg.get("schema.evolved") != "true"
+
+
+def test_full_compaction_clears_evolved_flag(spark, tmp_path):
+    """After real evolution sets `schema.evolved`, a FULL compaction
+    rewrites every live file under one schema and drops the flag, so
+    later reads stop paying mergeSchema (ADVICE r06)."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    df1 = spark.range(4).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df1, epoch_id=0)
+    df2 = (spark.range(4, 8).withColumn("extra", F.lit("x"))
+           .withColumn(BUCKET_COL, table.bucket_expr(("id",))))
+    table.commit(df2, epoch_id=1, touched_buckets=[])
+    meta = table._current_metadata_action()
+    assert meta["configuration"]["schema.evolved"] == "true"
+    table.compact(spark)  # full rewrite
+    meta = table._current_metadata_action()
+    assert "schema.evolved" not in meta.get("configuration", {})
+    out = table.read(spark)
+    assert out.count() == 8 and "extra" in out.columns
+    # a PARTIAL compaction must NOT clear the flag
+    table2 = DeltaLogTable(str(tmp_path / "t2"), n_buckets=4)
+    table2.commit(df1, epoch_id=0)
+    table2.commit(df2, epoch_id=1, touched_buckets=[])
+    table2.compact(spark, buckets=[0])
+    meta2 = table2._current_metadata_action()
+    assert meta2["configuration"].get("schema.evolved") == "true"

@@ -490,3 +490,58 @@ def test_metadata_log_is_capped(spark, tmp_path):
     log = table._current_metadata()["metadata-log"]
     assert len(log) == 3
     assert log[-1]["metadata-file"].endswith("v7.metadata.json")
+
+
+def test_compact_unbucketed_flat_table(spark, tmp_path):
+    """compact() on a flat (no __bucket column) table mirrors the
+    Delta twin: coalesce to one file, full-rewrite replace commit —
+    instead of raising on the missing bucket column (ADVICE r06)."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    table.commit(spark.range(5).repartition(3), epoch_id=7)
+    meta = table._current_metadata()
+    n_before = len(table._live_files(meta, table.current_version()))
+    assert n_before > 1
+    v = table.compact(spark)
+    assert v == 2
+    meta = table._current_metadata()
+    assert len(table._live_files(meta, table.current_version())) == 1
+    assert sorted(r["id"] for r in table.read(spark).collect()) == \
+        list(range(5))
+    assert table.last_epoch() == 7
+    snap = table._snapshot(meta, 2)
+    assert snap["summary"]["operation"] == "replace"
+
+
+def test_vacuum_collects_unreachable_metadata(spark, tmp_path):
+    """vacuum() sweeps the METADATA plane too: manifest lists and
+    manifests reachable from no retained snapshot are deleted after
+    snapshot expiry, while the current snapshot's metadata and the
+    metadata-log ring survive and the table stays readable
+    (ADVICE r06 — without this, metadata/ grows without bound at
+    micro-batch cadence)."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=4)
+    for epoch in range(4):
+        df = spark.range(epoch * 4, epoch * 4 + 4).withColumn(
+            BUCKET_COL, table.bucket_expr(("id",)))
+        table.commit(df, epoch_id=epoch,
+                     touched_buckets=list(range(4)))
+    meta_dir = table.meta_dir
+    avro_before = {f for f in os.listdir(meta_dir) if f.endswith(".avro")}
+    assert len([f for f in avro_before if f.startswith("snap-")]) == 4
+    table.expire_snapshots(keep_last=1)
+    deleted = table.vacuum(retention_seconds=0)
+    avro_after = {f for f in os.listdir(meta_dir) if f.endswith(".avro")}
+    # exactly one manifest list survives (the retained snapshot's)
+    assert len([f for f in avro_after if f.startswith("snap-")]) == 1
+    assert any(d.endswith(".avro") for d in deleted)
+    # retained snapshot's manifests all survive; table reads clean
+    meta = table._current_metadata()
+    snap = table._snapshot(meta, table.current_version())
+    for mf in table._read_manifest_list(snap["manifest-list"]):
+        assert os.path.exists(os.path.join(table.path,
+                                           mf["manifest_path"]))
+    assert table.read(spark).count() == 4
+    # current metadata JSON + the ring survive
+    assert os.path.exists(table._meta_path(table._hint_version()))
+    for entry in meta.get("metadata-log", []):
+        assert os.path.exists(entry["metadata-file"])

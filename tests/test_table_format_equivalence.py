@@ -146,3 +146,42 @@ def test_lake_fsck_clean_then_detects_corruption(spark, tmp_path, fmt):
     errors = lake_fsck.fsck(table.path)
     assert errors and any("mismatch" in e or "missing" in e
                           for e in errors)
+
+
+def test_lake_fsck_detects_corrupt_delta_checkpoint(spark, tmp_path):
+    """The checkpoint-vs-JSON-replay check must replay from JSON ALONE
+    (ADVICE r06: seeding the replay from the checkpoint under test was
+    a tautology that could never fire). Pin: drop one `add` row from a
+    written checkpoint and assert fsck reports the divergence."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq_mod
+    import pyarrow as pa
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import lake_fsck
+
+    from debezium_server_spark.sinks.delta_log import (
+        BUCKET_COL, DeltaLogTable)
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4,
+                          checkpoint_interval=2)
+    for epoch in range(2):  # checkpoint lands at v1
+        df = spark.range(epoch * 4, epoch * 4 + 4).withColumn(
+            BUCKET_COL, table.bucket_expr(("id",)))
+        table.commit(df, epoch_id=epoch, touched_buckets=[])
+    ck = table._read_last_checkpoint()
+    assert ck is not None
+    assert lake_fsck.fsck(table.path) == []
+    # corrupt: remove the last `add` row from the checkpoint parquet
+    ck_path = table._checkpoint_path(ck["version"])
+    t = pq_mod.read_table(ck_path)
+    rows = t.to_pylist()
+    add_idx = [i for i, r in enumerate(rows) if r["add"] is not None]
+    rows.pop(add_idx[-1])
+    pq_mod.write_table(
+        pa.Table.from_pylist(rows, schema=t.schema), ck_path)
+    errors = lake_fsck.fsck(table.path)
+    assert any("checkpoint live set != JSON replay" in e for e in errors)
