@@ -15897,7 +15897,8 @@ def q_binlog_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS before,
            CASE WHEN mod3 <> 2 THEN CAST(to_json(struct_pack(
                   id := event_id, name := event_type)) AS VARCHAR)
-           END AS after
+           END AS after,
+           CAST(NULL AS VARCHAR) AS error
     FROM j
     """,
     "SQL Server CDC change-table decode — the fourth capture mechanism "
@@ -15906,9 +15907,11 @@ def q_binlog_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(__$start_lsn/__$seqval as binary(10), __$operation 1/2/3/4; "
     "updates as the 'all update old' before/after ROW PAIR sharing "
     "(start_lsn, seqval)) entirely as DataFrame expressions, and "
-    "decode_cdc_changes pairs op-3/op-4 with an EQUI self-join on the "
-    "change keys — no window over the table, candidate set = |changes|, "
-    "the binlog_row_image=FULL analog. LSNs surface as fixed-width hex "
+    "decode_cdc_changes pairs op-3/op-4 with a FULL-OUTER equi self-join "
+    "on the change keys — no window over the table, candidate set = "
+    "|changes|, the binlog_row_image=FULL analog; an unpaired 3/4 half "
+    "(contract violation) SURFACES with a non-null error column instead "
+    "of dropping (pin: test_unpaired_update_half_surfaces_as_error). LSNs surface as fixed-width hex "
     "so cursoring is plain string comparison on both engines. Poll-SQL "
     "contract + pairing policy pinned by tests/test_sqlserver_cdc.py. "
     "Reference anchor: the bundled SQL Server connector polls exactly "

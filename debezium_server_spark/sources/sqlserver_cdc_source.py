@@ -120,7 +120,16 @@ def decode_cdc_changes(changes: DataFrame, destination: str) -> DataFrame:
     updates by pairing the op-3/op-4 rows on their shared
     (__$start_lsn, __$seqval): an equi self-join on the change keys
     (no window over the table; candidate set = |changes|, AQE handles
-    skew), the binlog_row_image=FULL analog."""
+    skew), the binlog_row_image=FULL analog.
+
+    The join is FULL OUTER, not inner: the TVF contract ships 3/4
+    pairs atomically within a poll, so an unpaired half is a contract
+    violation — and the codebase's discipline (quarantine columns,
+    dead-letter routing) is to SURFACE violations, not drop them. An
+    unpaired row comes out as an op='u' envelope with the present
+    image only and a non-null `error`; healthy rows carry error=NULL.
+    Callers route `error IS NOT NULL` rows to their dead-letter path.
+    """
     cols = _captured_cols(changes)
     lsn = F.hex(F.col("`__$start_lsn`")).alias("lsn")
     seqval = F.hex(F.col("`__$seqval`")).alias("seqval")
@@ -135,14 +144,24 @@ def decode_cdc_changes(changes: DataFrame, destination: str) -> DataFrame:
                   F.when(F.col("op_code") == OP_DELETE, _image(cols))
                   .alias("before"),
                   F.when(F.col("op_code") == OP_INSERT, _image(cols))
-                  .alias("after")))
+                  .alias("after"),
+                  F.lit(None).cast("string").alias("error")))
     b = keyed.filter(F.col("op_code") == OP_UPDATE_BEFORE).alias("b")
     a = keyed.filter(F.col("op_code") == OP_UPDATE_AFTER).alias("a")
-    updates = (b.join(a, ["lsn", "seqval"], "inner")
+    has_b, has_a = F.col("b.op_code").isNotNull(), \
+        F.col("a.op_code").isNotNull()
+    updates = (b.join(a, ["lsn", "seqval"], "full_outer")
                .select(
                    "lsn", "seqval",
                    F.lit(destination).alias("destination"),
                    F.lit("u").alias("op"),
-                   _image(cols, "b").alias("before"),
-                   _image(cols, "a").alias("after")))
+                   F.when(has_b, _image(cols, "b")).alias("before"),
+                   F.when(has_a, _image(cols, "a")).alias("after"),
+                   F.when(~has_a, F.lit(
+                       "unpaired op-3 (update-before) row: 'all update "
+                       "old' promises an atomic 3/4 pair per poll"))
+                   .when(~has_b, F.lit(
+                       "unpaired op-4 (update-after) row: 'all update "
+                       "old' promises an atomic 3/4 pair per poll"))
+                   .alias("error")))
     return simple.unionByName(updates)

@@ -128,3 +128,37 @@ def test_build_sqlserver_cdc_source(spark, tmp_path):
     assert json.loads(vals["c"]["after"]) == {"id": 10, "name": "a"}
     assert vals["u"]["source"]["lsn"] == "00000000000000000002"
     assert all(r["destination"] == "srv.dbo.t" for r in rows)
+
+
+def test_paired_rows_carry_null_error(spark):
+    df = _changes(spark, [
+        (1, 1, 2, 10, "a"),
+        (2, 1, 3, 10, "a"),
+        (2, 1, 4, 10, "a2"),
+    ])
+    out = decode_cdc_changes(df, "srv.dbo.t").collect()
+    assert all(r["error"] is None for r in out)
+
+
+def test_unpaired_update_half_surfaces_as_error(spark):
+    """A truncated poll (op-3 without its op-4, and vice versa) is a
+    TVF-contract violation: the row must SURFACE with a non-null
+    `error` for dead-letter routing, not silently vanish (round-6
+    verdict 'what's wrong' #2)."""
+    df = _changes(spark, [
+        (1, 1, 2, 10, "a"),          # healthy insert
+        (2, 1, 3, 10, "a"),          # update-before with NO after
+        (3, 1, 4, 11, "b2"),         # update-after with NO before
+    ])
+    out = {(r["lsn"], r["op"]): r
+           for r in decode_cdc_changes(df, "srv.dbo.t").collect()}
+    assert len(out) == 3  # nothing dropped
+    orphan3 = out[("00000000000000000002", "u")]
+    assert "unpaired op-3" in orphan3["error"]
+    assert json.loads(orphan3["before"]) == {"id": 10, "name": "a"}
+    assert orphan3["after"] is None
+    orphan4 = out[("00000000000000000003", "u")]
+    assert "unpaired op-4" in orphan4["error"]
+    assert orphan4["before"] is None
+    assert json.loads(orphan4["after"]) == {"id": 11, "name": "b2"}
+    assert out[("00000000000000000001", "c")]["error"] is None
