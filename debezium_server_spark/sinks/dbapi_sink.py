@@ -53,6 +53,22 @@ def _sqlite_connect(dsn: str):
     return sqlite3.connect(dsn, timeout=60)
 
 
+def _duckdb_connect(dsn: str):
+    import duckdb
+
+    return duckdb.connect(dsn)
+
+
+#: named dialects with a live in-container driver — the analog of the
+#: reference JDBC sink's dialect resolution
+#: (JdbcChangeConsumer.java:102-128); any other DBAPI drops in via the
+#: `connect` callable. All SQL emitted is the portable
+#: `INSERT ... ON CONFLICT` form, so a dialect needs no SQL override.
+DIALECT_CONNECT = {"sqlite": _sqlite_connect, "duckdb": _duckdb_connect}
+
+_MARK_SQL = "INSERT INTO __dss_epochs VALUES (?, ?) ON CONFLICT DO NOTHING"
+
+
 def _apply_partition(rows, dsn, connect, table, cols, key_cols, mark=None):
     """Executor-side: open one connection per partition, apply the
     partition's ops in one transaction. `rows` carry (op, *cols).
@@ -86,7 +102,7 @@ def _apply_partition(rows, dsn, connect, table, cols, key_cols, mark=None):
         if deletes:
             cur.executemany(delete_sql, deletes)
         if mark is not None:
-            cur.execute("INSERT OR IGNORE INTO __dss_epochs VALUES (?, ?)", mark)
+            cur.execute(_MARK_SQL, mark)
         conn.commit()
     finally:
         conn.close()
@@ -107,6 +123,7 @@ class DbApiUpsertSink(BaseSink):
         key_fields: tuple[str, ...] = ("id",),
         order_cols: tuple[str, ...] = ("value.source.lsn", "value.ts_ms"),
         partitions: int = 1,
+        dialect: str = "sqlite",
         connect=None,
         **kwargs: Any,
     ):
@@ -114,10 +131,15 @@ class DbApiUpsertSink(BaseSink):
         self.dsn = dsn
         self.key_fields = tuple(key_fields)
         self.order_cols = tuple(order_cols)
-        #: sqlite is single-writer (file lock) → default 1; raise for
-        #: server databases that take concurrent sessions
+        #: file databases (sqlite, duckdb) are single-writer → default
+        #: 1; raise for server databases that take concurrent sessions
         self.partitions = partitions
-        self.connect = connect or _sqlite_connect
+        if connect is None and dialect not in DIALECT_CONNECT:
+            raise ValueError(
+                f"unknown dbapi dialect {dialect!r} "
+                f"(known: {sorted(DIALECT_CONNECT)}); pass connect= "
+                f"for other drivers")
+        self.connect = connect or DIALECT_CONNECT[dialect]
 
     # -- lifecycle ---------------------------------------------------------
     def validate_connection(self) -> ConnectionValidationResult:
@@ -235,10 +257,7 @@ class DbApiUpsertSink(BaseSink):
             if mark is None:
                 conn = self.connect(self.dsn)
                 try:
-                    conn.execute(
-                        "INSERT OR IGNORE INTO __dss_epochs VALUES (?, ?)",
-                        (dest, epoch_id),
-                    )
+                    conn.execute(_MARK_SQL, (dest, epoch_id))
                     conn.commit()
                 finally:
                     conn.close()

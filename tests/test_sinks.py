@@ -453,17 +453,35 @@ def test_kafka_frame_shape(spark):
     assert row["topic"] == "testc.inventory.customers"
 
 
-def test_dbapi_sink_live_sqlite_upsert_delete_replay(spark, tmp_path):
-    """Live SQL end-to-end against stdlib sqlite3: create/update/delete
-    apply with PK conflict handling; an exact epoch replay is a no-op
-    (committed-epoch marker); a re-applied batch converges (idempotent
-    statement set)."""
-    import sqlite3
+def _dialect_fetch(dialect, db, sql):
+    """Read back through the dialect's own driver."""
+    if dialect == "sqlite":
+        import sqlite3
 
+        con = sqlite3.connect(db)
+    else:
+        import duckdb
+
+        con = duckdb.connect(db)
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("dialect", ["sqlite", "duckdb"])
+def test_dbapi_sink_live_upsert_delete_replay(spark, tmp_path, dialect):
+    """Live SQL end-to-end against BOTH in-container dialects (stdlib
+    sqlite3 and duckdb — the reference's JDBC sink is
+    dialect-resolving, JdbcChangeConsumer.java:102-128, and the
+    portable-SQL claim needs a second dialect to mean anything):
+    create/update/delete apply with PK conflict handling; an exact
+    epoch replay is a no-op (committed-epoch marker); a re-applied
+    batch converges (idempotent statement set)."""
     from debezium_server_spark.sinks import get_sink
 
-    db = str(tmp_path / "sink.db")
-    sink = get_sink("dbapi", dsn=db, key_fields=("id",))
+    db = str(tmp_path / f"sink.{dialect}.db")
+    sink = get_sink("dbapi", dsn=db, key_fields=("id",), dialect=dialect)
     assert sink.validate_connection().ok
 
     def ev(key, op, after, lsn, before=None):
@@ -488,13 +506,13 @@ def test_dbapi_sink_live_sqlite_upsert_delete_replay(spark, tmp_path):
         schema,
     )
     sink(batch1, epoch_id=0)
-    con = sqlite3.connect(db)
-    rows = sorted(con.execute("SELECT id, name FROM t_public_users").fetchall())
+    q = "SELECT id, name FROM t_public_users"
+    rows = sorted(_dialect_fetch(dialect, db, q))
     assert rows == [(1, "a2"), (2, "b")]  # latest-per-key within the batch
 
     # epoch replay: marker short-circuits; table unchanged
     sink(batch1, epoch_id=0)
-    assert sorted(con.execute("SELECT id, name FROM t_public_users").fetchall()) == rows
+    assert sorted(_dialect_fetch(dialect, db, q)) == rows
 
     batch2 = spark.createDataFrame(
         [ev(2, "d", None, 4, before={"id": 2, "name": "b"}),
@@ -502,23 +520,22 @@ def test_dbapi_sink_live_sqlite_upsert_delete_replay(spark, tmp_path):
         schema,
     )
     sink(batch2, epoch_id=1)
-    rows2 = sorted(con.execute("SELECT id, name FROM t_public_users").fetchall())
+    rows2 = sorted(_dialect_fetch(dialect, db, q))
     assert rows2 == [(1, "a2"), (3, "c")]
     # epochs recorded per destination
-    marks = con.execute("SELECT epoch FROM __dss_epochs ORDER BY epoch").fetchall()
+    marks = _dialect_fetch(
+        dialect, db, "SELECT epoch FROM __dss_epochs ORDER BY epoch")
     assert marks == [(0,), (1,)]
-    con.close()
 
 
-def test_dbapi_sink_complex_and_temporal_columns(spark, tmp_path):
+@pytest.mark.parametrize("dialect", ["sqlite", "duckdb"])
+def test_dbapi_sink_complex_and_temporal_columns(spark, tmp_path, dialect):
     """Structs/arrays land as JSON text, timestamps as their string
     rendering (to_json rejects bare scalars — regression guard)."""
-    import sqlite3
-
     from debezium_server_spark.sinks import get_sink
 
-    db = str(tmp_path / "typed.db")
-    sink = get_sink("dbapi", dsn=db, key_fields=("id",))
+    db = str(tmp_path / f"typed.{dialect}.db")
+    sink = get_sink("dbapi", dsn=db, key_fields=("id",), dialect=dialect)
     schema = (
         "destination string, key struct<id:long>, "
         "value struct<op:string, before struct<id:long>, "
@@ -542,9 +559,7 @@ def test_dbapi_sink_complex_and_temporal_columns(spark, tmp_path):
         schema,
     )
     sink(batch, epoch_id=0)
-    con = sqlite3.connect(db)
-    row = con.execute("SELECT id, ts, tags, meta FROM t_t").fetchone()
-    con.close()
+    (row,) = _dialect_fetch(dialect, db, "SELECT id, ts, tags, meta FROM t_t")
     assert row[0] == 1
     assert row[1].startswith("2024-01-02 03:04:05")
     import json as _json
