@@ -70,6 +70,23 @@ def calibration_replay(spark) -> None:
     replay_stream(spark, df, xf, ts_col="ts", n_batches=4).count()
 
 
+def batch_calibration(spark) -> None:
+    """Fixture-independent batch probe — the batch twin of
+    `calibration_replay` (round-6 verdict #2): fixed CPU work (md5
+    over 4M rows) + one shuffle (256-group agg) + a sort, written to
+    noop. Its median timing measures THIS HOST's batch speed at bench
+    time; dividing every batch entry by it yields a host-drift-free
+    `normalized` metric, so round-over-round comparisons gate on plan
+    cost instead of hand-argued host-variance waivers."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4_000_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+    agg = (df.groupBy(F.substring("h", 1, 2).alias("b"))
+           .agg(F.count("*").alias("c"), F.max("h").alias("m")))
+    agg.orderBy("b").write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,8 +98,18 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     stream_runs = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
 
-    # calibration first (also warms the streaming machinery so the first
-    # stream_* entry doesn't pay one-time class-loading)
+    # batch calibration: one discarded warmup (codegen), then median —
+    # the host-speed anchor for per-entry `normalized` values
+    batch_cal_times = []
+    for i in range(max(runs, 3) + 1):
+        t0 = time.perf_counter()
+        batch_calibration(spark)
+        if i > 0:
+            batch_cal_times.append(time.perf_counter() - t0)
+    batch_cal = round(statistics.median(batch_cal_times), 3)
+
+    # stream calibration (also warms the streaming machinery so the
+    # first stream_* entry doesn't pay one-time class-loading)
     cal_times = []
     for _ in range(max(stream_runs, 3)):
         t0 = time.perf_counter()
@@ -117,6 +144,14 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    # host-drift-free per-entry metric: seconds ÷ the matching probe's
+    # seconds (batch probe for batch entries, stream replay probe for
+    # stream entries) — unitless multiples of fixed host work, the
+    # value bench_compare gates on
+    normalized = {
+        name: round(t / (calibration if name in stream_all_runs
+                         else batch_cal), 3)
+        for name, t in timings.items()}
     summary = {
         "metric": "catalog_total_runtime",
         "value": round(total, 3),
@@ -126,6 +161,7 @@ def main() -> None:
         "stream_total": round(stream_total, 3),
         "n_batch": len(timings) - n_stream,
         "n_stream": n_stream,
+        "batch_calibration_sec": batch_cal,
         "stream_calibration_sec": calibration,
         "stream_fixed_sec": round(calibration * n_stream, 1),
         "runs": runs,
@@ -133,8 +169,11 @@ def main() -> None:
     }
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": timings,
+                   "normalized": normalized,
                    "stream_runs_all": stream_all_runs,
-                   "calibration_runs": [round(c, 3) for c in cal_times]},
+                   "calibration_runs": [round(c, 3) for c in cal_times],
+                   "batch_calibration_runs": [round(c, 3)
+                                              for c in batch_cal_times]},
                   f, indent=1)
 
     # Stdout line: summary + slowest-first inline timings, hard-capped so

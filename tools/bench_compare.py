@@ -1,23 +1,35 @@
-"""Per-entry bench regression GATE (round-5 verdict #5) — compares two
-bench outputs and fails the close ritual when an entry got structurally
-slower round-over-round.
+"""Per-entry bench regression GATE (round-5 verdict #5; normalization
+per round-6 verdict #2) — compares two bench outputs and fails the
+close ritual when an entry got structurally slower round-over-round.
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json \
         [--threshold 1.5] [--waive name1,name2]
 
-Accepts both the raw one-line bench.py output and the driver's wrapped
-`BENCH_r{N}.json` ({"parsed": {...}}). Old times are NORMALIZED by the
-calibration ratio (new stream_calibration_sec / old) before comparing —
-the calibration replay is a fixture-independent floor measurement, so
-the ratio prices host-speed variance out of the comparison and what
-remains is plan cost. A regression = normalized ratio > threshold AND
-> 0.2s absolute (small entries jitter multiplicatively). Waived entries
-are reported but do not fail the gate — the waiver list is the written
-record the close ritual requires.
+Accepts the raw one-line bench.py output, the driver's wrapped
+`BENCH_r{N}.json` ({"parsed": {...}}), and `BENCH_DETAIL.json`.
 
-Exit 1 on any non-waived regression; the close ritual in NEXT.md runs
-this against the previous round's driver BENCH file before commit.
+Comparison modes, per entry:
+
+- **normalized** (preferred): both sides carry a calibration anchor for
+  the entry's kind — `batch_calibration_sec` for batch entries,
+  `stream_calibration_sec` for stream entries (or an explicit
+  `normalized` map, as BENCH_DETAIL.json has). The gate compares
+  seconds ÷ probe-seconds: unitless multiples of fixed host work, so
+  uniform host drift cancels EXACTLY and no hand-argued waivers are
+  needed. The absolute guard converts back to seconds at the new
+  host's speed.
+- **legacy** fallback: the old file predates the batch probe — batch
+  entries are compared raw with the stream-calibration ratio applied
+  to the old time (the round-5 behavior), which under-corrects when
+  batch and stream drift differ.
+
+A regression = ratio > threshold AND > 0.2s absolute (small entries
+jitter multiplicatively). Waived entries are reported but do not fail
+the gate — the waiver list is the written record the close ritual
+requires. Exit 1 on any non-waived regression; the close ritual in
+NEXT.md runs this against the previous round's driver BENCH file
+before commit.
 """
 
 from __future__ import annotations
@@ -51,6 +63,24 @@ def load(path: str) -> dict:
     raise SystemExit(f"no bench JSON found in {path}")
 
 
+def _cal_for(doc: dict, name: str) -> float | None:
+    key = ("stream_calibration_sec" if name.startswith("stream_")
+           else "batch_calibration_sec")
+    return doc.get(key) or None
+
+
+def norm_of(doc: dict, name: str) -> float | None:
+    """Entry's host-normalized value (seconds ÷ matching probe), from
+    the explicit `normalized` map or computed from the calibrations;
+    None when the file predates the matching probe."""
+    if name in doc.get("normalized", {}):
+        return doc["normalized"][name]
+    cal = _cal_for(doc, name)
+    if cal:
+        return doc["queries"][name] / cal
+    return None
+
+
 def main() -> int:
     args = []
     threshold = 1.5
@@ -73,39 +103,53 @@ def main() -> int:
         i += 1
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
-    # host-speed normalization: the calibration replay measures the
-    # fixture-independent floor, so its ratio prices out host variance
+    # legacy fallback ratio (stream probe only — the round-5 behavior)
     cal_ratio = 1.0
     if old.get("stream_calibration_sec") and new.get("stream_calibration_sec"):
         cal_ratio = (new["stream_calibration_sec"]
                      / old["stream_calibration_sec"])
     regressions, wins, waived_hits = [], [], []
+    n_normalized = n_legacy = 0
     for name in sorted(set(oq) & set(nq)):
-        a, b = oq[name] * cal_ratio, nq[name]
-        if b > a * threshold and b - a > 0.2:
+        o_norm, n_norm = norm_of(old, name), norm_of(new, name)
+        if o_norm is not None and n_norm is not None:
+            n_normalized += 1
+            mode = "normalized"
+            a, b = o_norm, n_norm
+            # absolute guard in seconds at the NEW host's speed
+            abs_delta = (b - a) * (_cal_for(new, name) or 1.0)
+        else:
+            n_legacy += 1
+            mode = "legacy"
+            a, b = oq[name] * cal_ratio, nq[name]
+            abs_delta = b - a
+        if b > a * threshold and abs_delta > 0.2:
             (waived_hits if name in waived else regressions).append(
-                (name, a, b))
-        elif a > b * threshold and a - b > 0.2:
-            wins.append((name, a, b))
+                (name, a, b, mode))
+        elif a > b * threshold and -abs_delta > 0.2:
+            wins.append((name, a, b, mode))
+
+    def rows(items, invert=False):
+        return [
+            {"query": n, "old": round(a, 3), "new": round(b, 3),
+             "ratio": round((a / b) if invert else (b / a), 2),
+             "mode": m}
+            for n, a, b, m in items
+        ]
+
     report = {
         "old_total": old["value"], "new_total": new["value"],
-        "calibration_ratio": round(cal_ratio, 3),
+        "calibration_ratio_legacy": round(cal_ratio, 3),
+        "batch_calibration": [old.get("batch_calibration_sec"),
+                              new.get("batch_calibration_sec")],
+        "stream_calibration": [old.get("stream_calibration_sec"),
+                               new.get("stream_calibration_sec")],
+        "entries_normalized": n_normalized,
+        "entries_legacy": n_legacy,
         "threshold": threshold,
-        "regressions": [
-            {"query": n, "old_normalized": round(a, 3), "new": b,
-             "ratio": round(b / a, 2)}
-            for n, a, b in regressions
-        ],
-        "waived_regressions": [
-            {"query": n, "old_normalized": round(a, 3), "new": b,
-             "ratio": round(b / a, 2)}
-            for n, a, b in waived_hits
-        ],
-        "wins": [
-            {"query": n, "old_normalized": round(a, 3), "new": b,
-             "ratio": round(a / b, 2)}
-            for n, a, b in wins
-        ],
+        "regressions": rows(regressions),
+        "waived_regressions": rows(waived_hits),
+        "wins": rows(wins, invert=True),
         "added": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
     }
