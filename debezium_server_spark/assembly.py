@@ -11,7 +11,17 @@ Property surface understood here (the Spark-native subset):
 
     debezium.source.type              changelog-dir | lines | debezium-changelog |
                                       pgoutput-wal | oplog-bson | mysql-binlog |
-                                      sqlserver-cdc
+                                      sqlserver-cdc | oracle-logminer
+    debezium.source.logminer.prefix   oracle-logminer only: destination
+                                      prefix — envelope rows land at
+                                      {prefix}.{SEG_OWNER}.{TABLE_NAME}
+                                      (the Debezium topic convention);
+                                      debezium.source.path holds the
+                                      V$LOGMNR_CONTENTS poll export
+                                      (see sources/logminer_source.py);
+                                      CSF continuation rows surface as
+                                      error rows and follow the
+                                      dead-letter setting below
     debezium.source.sqlserver.destination
                                       sqlserver-cdc only: the envelope
                                       destination for the change-table
@@ -178,6 +188,41 @@ def build_source(
                 F.col("op"), F.col("before"), F.col("after"),
                 F.struct(F.col("lsn"), F.col("seqval")).alias("source"),
             )).alias("value"))
+    if stype == "oracle-logminer":
+        # V$LOGMNR_CONTENTS poll exports as parquet: complete rows
+        # decode STATELESSLY (redo-SQL parse per row); CSF
+        # continuation rows surface as error rows and ride the same
+        # dead-letter routing as the wire sources
+        from debezium_server_spark.sources.logminer_source import (
+            decode_logminer_changes_stateless,
+        )
+
+        prefix = cfg.require("debezium.source.logminer.prefix")
+        batch_schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(batch_schema)
+        mft = cfg.get("debezium.source.max.files.per.trigger")
+        if mft:
+            reader = reader.option("maxFilesPerTrigger", int(mft))
+        env = decode_logminer_changes_stateless(reader.parquet(path),
+                                                prefix)
+        good = (env.filter(F.col("error").isNull())
+                .select(F.col("destination"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.to_json(F.struct(
+                            F.col("op"), F.col("before"), F.col("after"),
+                            F.struct(F.col("scn"), F.col("row_id"))
+                            .alias("source"),
+                            F.col("xid"))).alias("value")))
+        dlq_dest = cfg.get("debezium.source.dead.letter.destination")
+        if not dlq_dest:
+            return good
+        dead = (env.filter(F.col("error").isNotNull())
+                .select(F.lit(dlq_dest).alias("destination"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.to_json(F.struct(
+                            F.col("error"),
+                            F.col("scn").alias("lsn"))).alias("value")))
+        return good.unionByName(dead)
     raise ValueError(f"unknown source type {stype!r}")
 
 

@@ -15950,6 +15950,111 @@ def q_sqlserver_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "logminer_cdc_changes",
+    """
+    WITH j AS (
+      SELECT event_id, event_type, event_id % 3 AS mod3,
+             upper(lpad(to_hex(event_id + 4096), 16, '0')) AS scnhex,
+             upper(lpad(to_hex(event_id), 16, '0')) AS xidhex
+      FROM events)
+    SELECT scnhex AS scn,
+           xidhex AS xid,
+           'srv.APP.EVENTS' AS destination,
+           CASE mod3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+           CASE WHEN mod3 = 1 THEN CAST(to_json(struct_pack(
+                  ID := event_id, KIND := event_type,
+                  NOTE := CAST(NULL AS VARCHAR))) AS VARCHAR)
+                WHEN mod3 = 2 THEN CAST(to_json(struct_pack(
+                  ID := event_id, KIND := event_type)) AS VARCHAR)
+           END AS before,
+           CASE WHEN mod3 = 0 THEN CAST(to_json(struct_pack(
+                  ID := event_id, KIND := event_type,
+                  NOTE := CAST(NULL AS VARCHAR))) AS VARCHAR)
+                WHEN mod3 = 1 THEN CAST(to_json(struct_pack(
+                  ID := event_id, KIND := 'promoted',
+                  NOTE := CAST(NULL AS VARCHAR))) AS VARCHAR)
+           END AS after,
+           CAST(NULL AS VARCHAR) AS error
+    FROM j
+    """,
+    "Oracle LogMiner CDC decode — the FIFTH capture mechanism (round-6 "
+    "verdict #3), again a PUBLIC SQL contract (DBMS_LOGMNR.START_LOGMNR "
+    "+ V$LOGMNR_CONTENTS polling; the reference's prod profile bundles "
+    "the Oracle connector, debezium-server-dist/pom.xml:455-489): "
+    "events synthesize V$LOGMNR_CONTENTS rows whose row images are "
+    "SQL_REDO text (insert/update-with-before-where/delete, Oracle "
+    "quoting rules), with every INSERT deliberately SPLIT into a "
+    "csf=1/csf=0 continuation pair so each driver run exercises CSF "
+    "chain reassembly (groupBy on the documented (XID, RS_ID, SSN) "
+    "chain key + array_sort by ROWNUM fetch_seq — chain-bounded "
+    "groups, no window over the poll). The redo-SQL parse runs in one "
+    "Arrow-batched mapInPandas pass after that single shuffle; "
+    "update semantics pinned: before = WHERE row image, after = "
+    "before overridden by SET. SCNs surface as fixed-width hex "
+    "(lexicographic == numeric, string-comparison cursoring). Parse "
+    "failures surface as error rows, never drop "
+    "(tests/test_logminer_source.py pins grammar, reassembly, and "
+    "error surfacing; poll/START_LOGMNR SQL strings pinned there too).",
+)
+def q_logminer_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.sources.logminer_source import (
+        decode_logminer_changes,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("event_id % 3").alias("mod3"))
+    redo = (
+        F.when(F.col("mod3") == 0, F.format_string(
+            'insert into "APP"."EVENTS"("ID","KIND","NOTE") '
+            "values (%s,'%s',NULL);",
+            F.col("event_id"), F.col("event_type")))
+        .when(F.col("mod3") == 1, F.format_string(
+            'update "APP"."EVENTS" set "KIND" = \'promoted\' '
+            'where "ID" = %s and "KIND" = \'%s\' and "NOTE" IS NULL;',
+            F.col("event_id"), F.col("event_type")))
+        .otherwise(F.format_string(
+            'delete from "APP"."EVENTS" where "ID" = %s '
+            "and \"KIND\" = '%s';",
+            F.col("event_id"), F.col("event_type"))))
+    base = ev.select(
+        "event_id", "mod3", redo.alias("redo"),
+        (F.col("event_id") + 4096).cast("long").alias("scn"),
+        F.upper(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("xid"))
+    cut = 30  # inserts ship as a csf=1 head + csf=0 tail chunk pair
+    chunk = F.struct(
+        F.lit(0).alias("k"),
+        F.substring("redo", 1, cut).alias("chunk"),
+        F.lit(1).alias("csf"))
+    tail = F.struct(
+        F.lit(1).alias("k"),
+        F.expr(f"substring(redo, {cut + 1})").alias("chunk"),
+        F.lit(0).alias("csf"))
+    whole = F.struct(
+        F.lit(0).alias("k"), F.col("redo").alias("chunk"),
+        F.lit(0).alias("csf"))
+    parts = (F.when(F.col("mod3") == 0, F.array(chunk, tail))
+             .otherwise(F.array(whole)))
+    rows = (base.select("*", F.explode(parts).alias("p"))
+            .select(
+                (F.col("event_id") * 2 + F.col("p.k")).alias("fetch_seq"),
+                "scn",
+                F.when(F.col("mod3") == 0, 1)
+                .when(F.col("mod3") == 1, 3)
+                .otherwise(2).cast("int").alias("operation_code"),
+                F.lit("APP").alias("seg_owner"),
+                F.lit("EVENTS").alias("table_name"),
+                F.col("p.chunk").alias("sql_redo"),
+                "xid",
+                F.concat(F.lit("AAA"), F.col("event_id")).alias("row_id"),
+                F.concat(F.lit("rs"), F.col("event_id")).alias("rs_id"),
+                F.lit(0).cast("long").alias("ssn"),
+                F.col("p.csf").cast("int").alias("csf")))
+    env = decode_logminer_changes(rows, "srv")
+    return env.select("scn", "xid", "destination", "op", "before",
+                      "after", "error")
+
+
+@register(
     "binlog_compressed_tx_decode",
     """
     WITH j AS (
