@@ -81,6 +81,30 @@ GTID_LOG_EVENT = 0x21
 ROTATE_EVENT = 0x04  # next-file pointer: Int64 LE position + name
 TRANSACTION_PAYLOAD_EVENT = 0x28
 
+# MariaDB dialect events (0xA0-0xA4 — MariaDB KB "Replication
+# Protocol"; the reference bundles MariaDB as a first-class connector,
+# debezium-server-dist/pom.xml:359-389). MariaDB replaces MySQL's
+# GTID_LOG_EVENT with its own (domain-server-seqno identity), logs a
+# GTID_LIST at the head of each binlog, optionally ANNOTATEs row
+# events with their source SQL, checkpoints the oldest needed binlog,
+# and marks the switch to encrypted events:
+ANNOTATE_ROWS_EVENT = 0xA0          # body = the statement's SQL text
+BINLOG_CHECKPOINT_EVENT = 0xA1      # u32 LE name length + filename
+MARIADB_GTID_EVENT = 0xA2           # seqno u64, domain u32, flags2 u8,
+#                                     [commit_id u64 if flags2 & 2];
+#                                     server_id rides the frame header
+MARIADB_GTID_LIST_EVENT = 0xA3      # u32 LE count (lower 28 bits; top
+#                                     4 = flags), then count ×
+#                                     (domain u32, server u32, seq u64)
+START_ENCRYPTION_EVENT = 0xA4       # scheme u8, key_version u32 LE,
+#                                     nonce (12 bytes); later events
+#                                     are ENCRYPTED — undecodable
+#                                     without the key file
+
+# MariaDB GTID flags2 bits
+FL_STANDALONE = 0x01       # not a transaction (no XID/COMMIT follows)
+FL_GROUP_COMMIT_ID = 0x02  # commit_id field present
+
 # TLV field types of the TRANSACTION_PAYLOAD header
 _OTW_HEADER_END, _OTW_PAYLOAD_SIZE = 0, 1
 _OTW_COMPRESSION_TYPE, _OTW_UNCOMPRESSED_SIZE = 2, 3
@@ -572,6 +596,36 @@ def encode_event(ev: dict, checksum: bool = False) -> bytes:
         body = (bytes((ev.get("commit_flag", 1),)) + sid
                 + _struct.pack("<q", ev["gno"]))
         return _frame(GTID_LOG_EVENT, body, ts, pos)
+    if kind == "annotate_rows":
+        return _frame(ANNOTATE_ROWS_EVENT,
+                      ev["sql"].encode("utf-8"), ts, pos)
+    if kind == "binlog_checkpoint":
+        name = ev["file"].encode("utf-8")
+        return _frame(BINLOG_CHECKPOINT_EVENT,
+                      _struct.pack("<I", len(name)) + name, ts, pos)
+    if kind == "mariadb_gtid":
+        flags2 = ev.get("flags2", 0)
+        body = _struct.pack("<QIB", ev["seqno"], ev["domain_id"], flags2)
+        if flags2 & FL_GROUP_COMMIT_ID:
+            body += _struct.pack("<Q", ev["commit_id"])
+        return _frame(MARIADB_GTID_EVENT, body, ts, pos,
+                      server_id=ev.get("server_id", 1))
+    if kind == "mariadb_gtid_list":
+        gtids = ev["gtids"]  # [(domain_id, server_id, seqno), ...]
+        if len(gtids) >= 1 << 28:
+            raise ValueError("GTID list count exceeds 28 bits")
+        body = _struct.pack("<I", len(gtids)
+                            | (ev.get("flags", 0) << 28))
+        for domain, server, seqno in gtids:
+            body += _struct.pack("<IIQ", domain, server, seqno)
+        return _frame(MARIADB_GTID_LIST_EVENT, body, ts, pos)
+    if kind == "start_encryption":
+        nonce = ev.get("nonce", bytes(12))
+        if len(nonce) != 12:
+            raise ValueError("START_ENCRYPTION nonce must be 12 bytes")
+        body = (bytes((ev.get("scheme", 1),))
+                + _struct.pack("<I", ev.get("key_version", 1)) + nonce)
+        return _frame(START_ENCRYPTION_EVENT, body, ts, pos)
     if kind == "table_map":
         cols = ev["columns"]
         body = (ev["table_id"].to_bytes(6, "little")
@@ -715,6 +769,41 @@ def decode_event(data: bytes, columns_of=None,
         sid = f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
         return {**base, "type": "gtid", "commit_flag": body[0],
                 "sid": sid, "gno": _struct.unpack("<q", body[17:25])[0]}
+    if etype == ANNOTATE_ROWS_EVENT:
+        return {**base, "type": "annotate_rows",
+                "sql": body.decode("utf-8")}
+    if etype == BINLOG_CHECKPOINT_EVENT:
+        (nlen,) = _struct.unpack("<I", body[:4])
+        if 4 + nlen > len(body):
+            raise EOFError("truncated BINLOG_CHECKPOINT filename")
+        return {**base, "type": "binlog_checkpoint",
+                "file": body[4:4 + nlen].decode("utf-8")}
+    if etype == MARIADB_GTID_EVENT:
+        seqno, domain_id, flags2 = _struct.unpack("<QIB", body[:13])
+        ev = {**base, "type": "mariadb_gtid", "seqno": seqno,
+              "domain_id": domain_id, "flags2": flags2,
+              # the canonical MariaDB GTID rendering
+              "gtid": f"{domain_id}-{server_id}-{seqno}"}
+        if flags2 & FL_GROUP_COMMIT_ID:
+            if len(body) < 21:
+                raise EOFError("truncated MariaDB GTID commit_id")
+            ev["commit_id"] = _struct.unpack("<Q", body[13:21])[0]
+        return ev
+    if etype == MARIADB_GTID_LIST_EVENT:
+        (packed,) = _struct.unpack("<I", body[:4])
+        count, flags_ = packed & 0x0FFFFFFF, packed >> 28
+        if 4 + 16 * count > len(body):
+            raise EOFError("truncated MariaDB GTID_LIST")
+        gtids = [_struct.unpack("<IIQ", body[4 + 16 * i:20 + 16 * i])
+                 for i in range(count)]
+        return {**base, "type": "mariadb_gtid_list", "flags": flags_,
+                "gtids": [tuple(g) for g in gtids]}
+    if etype == START_ENCRYPTION_EVENT:
+        if len(body) < 17:
+            raise EOFError("truncated START_ENCRYPTION event")
+        return {**base, "type": "start_encryption", "scheme": body[0],
+                "key_version": _struct.unpack("<I", body[1:5])[0],
+                "nonce": body[5:17]}
     if etype == TABLE_MAP_EVENT:
         table_id = int.from_bytes(body[:6], "little")
         p = 8

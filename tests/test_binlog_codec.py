@@ -795,3 +795,117 @@ def test_old_format_temporals_and_rotate():
     out = decode_event(encode_event(rot))
     assert out["position"] == 4 and out["next_file"] == "binlog.000042"
     assert encode_event(out) == encode_event(rot)
+
+
+# ------------------------------------------------- MariaDB dialect
+
+
+def test_mariadb_gtid_golden_bytes():
+    """Hand-packed MARIADB_GTID (0xA2) layout per the MariaDB KB:
+    seqno u64 LE, domain u32 LE, flags2 u8, commit_id u64 when
+    FL_GROUP_COMMIT_ID set; server_id rides the frame header and
+    joins the domain-server-seqno GTID rendering."""
+    from debezium_server_spark.functions.binlog_codec import (
+        FL_GROUP_COMMIT_ID,
+        MARIADB_GTID_EVENT,
+    )
+
+    ev = {"type": "mariadb_gtid", "seqno": 77, "domain_id": 3,
+          "flags2": FL_GROUP_COMMIT_ID, "commit_id": 12,
+          "server_id": 5, "timestamp": 100, "log_pos": 0}
+    raw = encode_event(ev)
+    assert raw[4] == MARIADB_GTID_EVENT
+    body = raw[19:]
+    assert body == struct.pack("<QIB", 77, 3, FL_GROUP_COMMIT_ID) \
+        + struct.pack("<Q", 12)
+    back = decode_event(raw)
+    assert back["seqno"] == 77 and back["domain_id"] == 3
+    assert back["commit_id"] == 12
+    assert back["gtid"] == "3-5-77"
+    # without the group-commit flag, no commit_id field
+    solo = decode_event(encode_event({
+        "type": "mariadb_gtid", "seqno": 78, "domain_id": 3,
+        "flags2": 0, "server_id": 5}))
+    assert "commit_id" not in solo and solo["gtid"] == "3-5-78"
+
+
+def test_mariadb_gtid_list_and_checkpoint_round_trip():
+    from debezium_server_spark.functions.binlog_codec import (
+        MARIADB_GTID_LIST_EVENT,
+    )
+
+    gl = {"type": "mariadb_gtid_list",
+          "gtids": [(0, 1, 100), (3, 5, 77)], "flags": 1}
+    raw = encode_event(gl)
+    assert raw[4] == MARIADB_GTID_LIST_EVENT
+    (packed,) = struct.unpack("<I", raw[19:23])
+    assert packed & 0x0FFFFFFF == 2 and packed >> 28 == 1
+    back = decode_event(raw)
+    assert back["gtids"] == [(0, 1, 100), (3, 5, 77)]
+    assert back["flags"] == 1
+    ck = decode_event(encode_event({
+        "type": "binlog_checkpoint", "file": "mariadb-bin.000042"}))
+    assert ck["file"] == "mariadb-bin.000042"
+
+
+def test_mariadb_annotate_and_start_encryption():
+    ann = decode_event(encode_event({
+        "type": "annotate_rows",
+        "sql": "UPDATE app.accounts SET name = 'x' WHERE id = 1"}))
+    assert ann["type"] == "annotate_rows" and "UPDATE" in ann["sql"]
+    se = decode_event(encode_event({
+        "type": "start_encryption", "scheme": 1, "key_version": 9,
+        "nonce": b"n" * 12}))
+    assert se["key_version"] == 9 and se["nonce"] == b"n" * 12
+    with pytest.raises(ValueError, match="nonce"):
+        encode_event({"type": "start_encryption", "nonce": b"short"})
+
+
+def test_mariadb_flavored_stream_through_changelog_stage(spark):
+    """A MariaDB-shaped capture — GTID_LIST at binlog head, BINLOG_
+    CHECKPOINT, MARIADB_GTID + ANNOTATE_ROWS bracketing the row
+    events — decodes to the same row envelope as a MySQL one: the
+    dialect control events are non-row events the JVM-side type
+    filter prunes, and post-START_ENCRYPTION garbage quarantines
+    instead of mis-parsing."""
+    from debezium_server_spark.functions.binlog_codec import (
+        FL_GROUP_COMMIT_ID,
+        MAGIC,
+        WRITE_ROWS_EVENT_V2,
+        split_events,
+    )
+
+    events = [
+        {"type": "format_description",
+         "server_version": "10.11.6-MariaDB-log"},
+        {"type": "mariadb_gtid_list", "gtids": [(0, 1, 9)]},
+        {"type": "binlog_checkpoint", "file": "mariadb-bin.000041"},
+        {"type": "mariadb_gtid", "seqno": 10, "domain_id": 0,
+         "flags2": FL_GROUP_COMMIT_ID, "commit_id": 4, "server_id": 1},
+        {"type": "annotate_rows",
+         "sql": "INSERT INTO app.accounts VALUES (1, 'a', 10)"},
+        TMAP,
+        {"type": "write_rows", "table_id": 7, "columns": COLS,
+         "rows": [[1, "a", 10]], "timestamp": 101},
+        {"type": "xid", "xid": 99},
+    ]
+    stream = MAGIC + b"".join(encode_event(e) for e in events)
+    frames = split_events(stream)
+    assert len(frames) == len(events)
+    msgs = spark.createDataFrame(
+        [(i, bytearray(f)) for i, f in enumerate(frames)]
+        # an undecodable post-encryption blob posing as a rows event
+        + [(99, bytearray(
+            struct.pack("<IBIIIH", 0, WRITE_ROWS_EVENT_V2, 1, 29, 0, 0)
+            + b"\xde\xad\xbe\xef\xca\xfe\xba\xbe\x99\x99"))],
+        "seq long, data binary")
+    names = {"app.accounts": ["id", "name", "balance"]}
+    out = decode_binlog_changelog(
+        msgs, names, registry=load_table_registry(msgs)).collect()
+    good = [r for r in out if r["error"] is None]
+    assert len(good) == 1
+    assert good[0]["op"] == "c"
+    assert json.loads(good[0]["after"]) == \
+        {"id": 1, "name": "a", "balance": 10}
+    bad = [r for r in out if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["seq"] == 99
