@@ -277,7 +277,15 @@ class ParquetUpsertSink(BaseSink):
         current = table.read(spark)
         if current is None:
             return 0
-        keys = keys_df.select(*self.key_fields).distinct()
+        # CAST the keys to the table's own key dtypes first: xxhash64
+        # hashes the binary representation, so a long-typed key frame
+        # against an int-keyed table buckets DIFFERENTLY and the erase
+        # silently misses rows (found by the cross-layer differential
+        # test, round 7) — a silent GDPR non-erasure
+        cur_types = dict(current.dtypes)
+        keys = keys_df.select(
+            *[F.col(k).cast(cur_types[k]).alias(k)
+              for k in self.key_fields]).distinct()
         keyed = keys.withColumn("__kb", table.bucket_expr(self.key_fields))
         touched = [r[0] for r in keyed.select("__kb").distinct().collect()]
         if not touched:

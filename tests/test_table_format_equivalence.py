@@ -185,3 +185,40 @@ def test_lake_fsck_detects_corrupt_delta_checkpoint(spark, tmp_path):
         pa.Table.from_pylist(rows, schema=t.schema), ck_path)
     errors = lake_fsck.fsck(table.path)
     assert any("checkpoint live set != JSON replay" in e for e in errors)
+
+
+@pytest.mark.parametrize("n_epochs,keyspace", [(4, 30), (8, 120)])
+def test_iceberg_reader_is_oracle_for_delta_after_maintenance(
+        spark, tmp_path, n_epochs, keyspace):
+    """Delta external validation, cheapest available step (round-6
+    verdict #7): no Delta engine exists in this container, but the
+    Iceberg twin's reader IS externally validated (the bundled Java
+    Avro jar reads its manifests) — so after the same epoch sequence
+    PLUS maintenance (full compaction, snapshot expiry, vacuum) PLUS a
+    GDPR erase on both layers, the Iceberg read serves as the oracle
+    for the Delta read, at two history scales."""
+    from tests.fixtures import customers_changelog_df
+
+    batches = _random_batches(seed=31, n_epochs=n_epochs,
+                              keyspace=keyspace)
+    states = {}
+    for fmt in ("delta", "iceberg"):
+        sink = ParquetUpsertSink(root_path=str(tmp_path / fmt),
+                                 key_fields=("id",), n_buckets=4,
+                                 table_format=fmt)
+        for epoch, batch in enumerate(batches):
+            sink(customers_changelog_df(spark, batch), epoch)
+        table = sink._table(DEST)
+        table.compact(spark)  # full rewrite on both layers
+        if fmt == "iceberg":
+            table.expire_snapshots(keep_last=1)
+        table.vacuum(retention_seconds=0)
+        erase = spark.createDataFrame([(5,), (11,)], "id long")
+        sink.erase_keys(spark, DEST, erase)
+        states[fmt] = sorted(
+            (r["id"], r["first_name"], r["last_name"], r["email"])
+            for r in sink.read_table(spark, DEST)
+            .select("id", "first_name", "last_name", "email").collect())
+    assert states["delta"] == states["iceberg"]
+    assert states["delta"], "empty final state defeats the test"
+    assert not any(i in (5, 11) for i, *_ in states["delta"])
