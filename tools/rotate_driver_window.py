@@ -64,18 +64,13 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    # round 6: additions capped at 5 (round-5 verdict #1's cap —
-    # keep draining the never-observed backlog)
-    "binlog_json_decode",
+    # round 7: ONE new entry (additions kept far under the ≤5 cap to
+    # maximize backlog drain — round-6 verdict #1)
+    "logminer_cdc_changes",
+    # PINNED: sqlserver_cdc_changes changed OUTPUT SCHEMA this round
+    # (the unpaired-op-3 fix added an `error` column) — its r06 green
+    # row predates the change, so force a fresh driver observation
     "sqlserver_cdc_changes",
-    "binlog_compressed_tx_decode",
-    "pgoutput_binary_decode",
-    "iceberg_upsert_roundtrip",
-    # PINNED (round-5 verdict #1): the one entry whose only committed
-    # driver record is the r01 `no_oracle` error — fixed long since,
-    # but `observed_rounds()` counts the r01 row as an observation so
-    # the debutante fill would never re-window it; force a green row
-    "approx_distinct_users",
 )
 
 
