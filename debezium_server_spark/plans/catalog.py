@@ -16396,3 +16396,97 @@ def q_iceberg_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "delta_upsert_roundtrip",
+    """
+    WITH v1 AS (
+        SELECT 1 AS version, o_orderkey % 16 AS bucket, o_totalprice AS p
+        FROM orders
+    ), v2 AS (
+        SELECT 2 AS version, o_orderkey % 16 AS bucket,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS p
+        FROM orders
+    ), u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT version, bucket, COUNT(*) AS n_rows,
+           floor((CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)) * 10000)
+               / 10000 AS sum_price
+    FROM u GROUP BY version, bucket ORDER BY version, bucket
+    """,
+    "Delta-log storage layer validated END TO END under the driver "
+    "gate — the twin of iceberg_upsert_roundtrip on the OTHER lake "
+    "format (public delta-io PROTOCOL.md; sinks/delta_log.py), with "
+    "the Delta-specific machinery deliberately on the hot path: "
+    "checkpoint_interval=2, so the second commit WRITES the classic "
+    "checkpoint parquet + _last_checkpoint, the current-state read "
+    "replays FROM that checkpoint (not the JSON log), and the "
+    "version-1 time travel replays the JSON prefix BELOW the "
+    "checkpoint — a broken checkpoint writer, a stale _last_checkpoint "
+    "pointer, or a wrong remove-action replay changes the hash. The "
+    "entry also asserts the checkpoint file exists before reading "
+    "(cadence regression -> driver-red error, not silently passing "
+    "via JSON replay). Bucketing is o_orderkey%16 (not the sink's "
+    "xxhash64) so the oracle is SQL-expressible; commit mechanics and "
+    "checkpoint shape pinned in tests/test_delta_log.py "
+    "(test_catalog_entry_pins_delta_roundtrip_policy). 100 TB: "
+    "commits log O(touched-bucket) add/remove actions; replay cost is "
+    "bounded by the checkpoint (O(interval) JSON reads after one "
+    "parquet read); data files stream through executors.",
+)
+def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from debezium_server_spark.sinks.delta_log import (
+        BUCKET_COL,
+        DeltaLogTable,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.pmod(F.col("o_orderkey"), F.lit(16)).cast("int").alias(BUCKET_COL))
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="delta_rt_", dir=tmp_root)
+    try:
+        table = DeltaLogTable(os.path.join(work, "tbl"), n_buckets=16,
+                              checkpoint_interval=2)
+        table.commit(base, epoch_id=1)
+
+        updated = base.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0,
+                   F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice")))
+        touched = [r[0] for r in base.filter(F.col("o_orderkey") % 7 == 0)
+                   .select(BUCKET_COL).distinct().collect()]
+        table.commit(updated.filter(F.col(BUCKET_COL).isin(touched)),
+                     epoch_id=2, touched_buckets=touched)
+
+        # the protocol cadence must have landed the checkpoint — the
+        # current-state read below is only a checkpoint test if it did
+        ck = table._read_last_checkpoint()
+        if ck is None or not os.path.exists(table._checkpoint_path(
+                ck["version"])):
+            raise RuntimeError(
+                "delta checkpoint missing after 2 commits at "
+                "checkpoint_interval=2 — cadence regression")
+
+        frames = []
+        for version in (1, 2):
+            snap = table.read(spark, version=version)
+            frames.append(
+                snap.groupBy(
+                    F.col(BUCKET_COL).cast("long").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     _dsum(F.col("o_totalprice")).alias("sum_price"))
+                .withColumn("version", F.lit(version)))
+        out = frames[0].unionByName(frames[1]).select(
+            "version", "bucket", "n_rows", "sum_price")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -465,3 +465,42 @@ def test_full_compaction_clears_evolved_flag(spark, tmp_path):
     table2.compact(spark, buckets=[0])
     meta2 = table2._current_metadata_action()
     assert meta2["configuration"].get("schema.evolved") == "true"
+
+
+def test_catalog_entry_pins_delta_roundtrip_policy(spark):
+    """PIN-TEST GATE: `delta_upsert_roundtrip`'s policy (two-commit
+    bucket-touched upsert + time travel through the checkpoint,
+    bucket = o_orderkey%16, +1.0 on o_orderkey%7==0 rows in version 2
+    only) recomputed independently with pandas from the raw parquet —
+    the same recomputation the Iceberg twin's pin test does."""
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from debezium_server_spark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    got = (CATALOG["delta_upsert_roundtrip"].spark_fn(spark, sf)
+           .toPandas().sort_values(["version", "bucket"])
+           .reset_index(drop=True))
+    orders = pd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    expect_rows = []
+    for version in (1, 2):
+        d = orders.copy()
+        if version == 2:
+            d.loc[d.o_orderkey % 7 == 0, "o_totalprice"] += 1.0
+        d["bucket"] = d.o_orderkey % 16
+        for b, grp in d.groupby("bucket"):
+            s = float(sum(Decimal(repr(p)) for p in grp.o_totalprice))
+            expect_rows.append((version, int(b), len(grp),
+                                math.floor(s * 10000) / 10000))
+    expect = pd.DataFrame(expect_rows, columns=[
+        "version", "bucket", "n_rows", "sum_price"])
+    assert len(got) == len(expect) == 32
+    for g, e in zip(got.itertuples(index=False),
+                    expect.itertuples(index=False)):
+        assert (g.version, g.bucket, g.n_rows) == (e.version, e.bucket,
+                                                   e.n_rows)
+        assert abs(g.sum_price - e.sum_price) < 1e-6, (g, e)

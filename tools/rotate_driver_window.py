@@ -64,9 +64,10 @@ CANARIES = (
 #: of the older never-observed backlog (newest code = least soak time,
 #: the round-2/3 window-curation principle). Update per round.
 NEW_THIS_ROUND = (
-    # round 7: ONE new entry (additions kept far under the ≤5 cap to
-    # maximize backlog drain — round-6 verdict #1)
+    # round 7: TWO new entries (under the ≤5 cap — round-6 verdict #1
+    # prioritizes backlog drain)
     "logminer_cdc_changes",
+    "delta_upsert_roundtrip",
     # PINNED: sqlserver_cdc_changes changed OUTPUT SCHEMA this round
     # (the unpaired-op-3 fix added an `error` column) — its r06 green
     # row predates the change, so force a fresh driver observation
