@@ -265,7 +265,9 @@ def parse_redo_sql(sql: str) -> dict:
         if not m2:
             raise ValueError("expected VALUES")
         i += m2.end()
-        vals_txt, i = _scan_call_body(s, i - 1 if s[i - 1] == "(" else i)
+        if i >= len(s) or s[i] != "(":
+            raise ValueError("expected '(' after VALUES")
+        vals_txt, i = _scan_call_body(s, i)
         vals = []
         j = 0
         while len(vals) < len(cols):
@@ -274,9 +276,10 @@ def parse_redo_sql(sql: str) -> dict:
             j = _skip_ws(vals_txt, j)
             if j < len(vals_txt) and vals_txt[j] == ",":
                 j += 1
-        if len(vals) != len(cols):
+        if _skip_ws(vals_txt, j) < len(vals_txt):
             raise ValueError(
-                f"{len(cols)} columns but {len(vals)} values")
+                f"{len(cols)} columns but extra values at "
+                f"{vals_txt[j:j+20]!r}")
         return {"op": "c", "owner": owner, "table": table,
                 "before": None, "after": dict(zip(cols, vals))}
     m = re.match(r"update\s+", s, re.IGNORECASE)
