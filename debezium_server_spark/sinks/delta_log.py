@@ -368,11 +368,15 @@ class DeltaLogTable:
     def data_path(self, version: int | None = None) -> str | None:
         return self.path if self.current_version() > 0 else None
 
-    def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, version: int | None = None,
+             buckets: list[int] | None = None) -> DataFrame | None:
         """Current state, or time-travel to after the `version`-th
         commit (1-based, like VersionedParquetTable) by replaying the
-        log prefix — the protocol's VERSION AS OF semantics."""
+        log prefix — the protocol's VERSION AS OF semantics. With
+        `buckets`, live files are pruned on their logged
+        `partitionValues` (the protocol's data-skipping input): a
+        one-bucket point read scans O(that bucket's files), the log
+        replay stays the only control-plane cost."""
         current = self.current_version()
         if version is None:
             self._snapshot_version = current  # transaction snapshot
@@ -383,8 +387,13 @@ class DeltaLogTable:
         upto = None if version is None else version - 1
         if version == 0 or current == 0:
             return None
-        files = [os.path.join(self.path, p)
-                 for p in self._live_files(upto=upto)]
+        live = self._live_files(upto=upto)
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            live = {p: a for p, a in live.items()
+                    if a.get("partitionValues", {}).get(BUCKET_COL)
+                    in want}
+        files = [os.path.join(self.path, p) for p in live]
         if not files:
             return None
         reader = spark.read.option("basePath", self.path)

@@ -430,18 +430,38 @@ class IcebergTable:
             f"snapshot for version {version} of {self.path} has been "
             f"expired (time travel below the retained window)")
 
-    def _live_files(self, meta: dict, version: int) -> list[str]:
+    def _live_files(self, meta: dict, version: int,
+                    buckets: list[int] | None = None) -> list[str]:
+        """Live data files of the `version`-th snapshot; with
+        `buckets`, manifests whose partition-summary bounds exclude
+        every requested bucket are PRUNED — never opened, never read.
+        That is the spec's manifest-level partition pruning and the
+        100 TB point-read lever: a one-bucket read opens O(manifests
+        covering that bucket), not O(all manifests)."""
         snap = self._snapshot(meta, version)
         rel_list = snap["manifest-list"]
         files: list[str] = []
+        want = set(buckets) if buckets is not None else None
         for mf in self._read_manifest_list(rel_list):
+            if want is not None and mf.get("partitions"):
+                (summary,) = mf["partitions"]
+                lo = _struct.unpack("<i", summary["lower_bound"])[0]
+                hi = _struct.unpack("<i", summary["upper_bound"])[0]
+                if not any(lo <= b <= hi for b in want):
+                    continue  # pruned on summary bounds alone
             for e in self._read_manifest(mf["manifest_path"]):
+                if want is not None and e["data_file"]["partition"].get(
+                        BUCKET_COL) not in want:
+                    continue
                 if e["status"] != ST_DELETED:
                     files.append(e["data_file"]["file_path"])
         return files
 
-    def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, version: int | None = None,
+             buckets: list[int] | None = None) -> DataFrame | None:
+        """Current state, time travel via `version`, and (with
+        `buckets`) a manifest-PRUNED point read — only manifests whose
+        partition summaries cover a requested bucket are opened."""
         current = self.current_version()
         if version is None:
             self._snapshot_version = current  # transaction snapshot
@@ -454,7 +474,7 @@ class IcebergTable:
             return None
         meta = self._current_metadata()
         files = self._live_files(meta, current if version is None
-                                 else version)
+                                 else version, buckets=buckets)
         if not files:
             return None
         reader = spark.read.option("basePath", self.data_dir)

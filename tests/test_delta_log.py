@@ -504,3 +504,22 @@ def test_catalog_entry_pins_delta_roundtrip_policy(spark):
         assert (g.version, g.bucket, g.n_rows) == (e.version, e.bucket,
                                                    e.n_rows)
         assert abs(g.sum_price - e.sum_price) < 1e-6, (g, e)
+
+
+def test_bucket_pruned_read_scans_only_that_buckets_files(spark, tmp_path):
+    """`read(buckets=[b])` prunes live files on their logged
+    partitionValues — a point read scans O(bucket files), not the
+    table."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=8)
+    df = spark.range(64).withColumn(
+        BUCKET_COL, F.pmod(F.col("id"), F.lit(8)).cast("int"))
+    table.commit(df, epoch_id=0)
+    out = table.read(spark, buckets=[5])
+    assert sorted(r["id"] for r in out.collect()) == \
+        [5, 13, 21, 29, 37, 45, 53, 61]
+    # plan-level: only the one bucket directory's files are inputs
+    assert all(f"{BUCKET_COL}=5/" in f for f in
+               out.inputFiles())
+    assert table.read(spark, buckets=[99]) is None  # empty selection

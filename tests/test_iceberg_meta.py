@@ -11,6 +11,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from debezium_server_spark.sinks.iceberg_meta import (
     BUCKET_COL,
@@ -545,3 +546,39 @@ def test_vacuum_collects_unreachable_metadata(spark, tmp_path):
     assert os.path.exists(table._meta_path(table._hint_version()))
     for entry in meta.get("metadata-log", []):
         assert os.path.exists(entry["metadata-file"])
+
+
+def test_bucket_pruned_read_opens_only_covering_manifests(spark, tmp_path):
+    """Manifest-level partition pruning (the spec's point-read lever):
+    `read(buckets=[b])` must open ONLY manifests whose partition
+    summary covers b — counted by instrumenting _read_manifest — and
+    return exactly that bucket's rows."""
+    table = IcebergTable(str(tmp_path / "t"), n_buckets=8)
+    df = spark.range(64).withColumn(
+        BUCKET_COL, F.pmod(F.col("id"), F.lit(8)).cast("int"))
+    table.commit(df, epoch_id=0)
+    # second epoch appends to buckets 0-3 only (stacked manifests)
+    table.commit(df.filter(F.col(BUCKET_COL) < 4)
+                 .withColumn("id", F.col("id") + 100),
+                 epoch_id=1, touched_buckets=[])
+    opened: list[str] = []
+    orig = table._read_manifest
+
+    def counting(rel):
+        opened.append(rel)
+        return orig(rel)
+
+    table._read_manifest = counting
+    out = table.read(spark, buckets=[6]).collect()
+    # bucket 6 lives in exactly one manifest (epoch-0 b6); epoch-1
+    # touched only b0-b3, so their manifests must stay UNOPENED
+    assert len(opened) == 1, opened
+    assert sorted(r["id"] for r in out) == [6, 14, 22, 30, 38, 46, 54, 62]
+    # multi-bucket read: one manifest per bucket key per epoch
+    opened.clear()
+    out2 = table.read(spark, buckets=[1, 6]).collect()
+    assert len(opened) == 3, opened  # b1 (e0 + e1 append) + b6 (e0)
+    assert {r[BUCKET_COL] for r in out2} == {1, 6}
+    # full read still sees everything
+    table._read_manifest = orig
+    assert table.read(spark).count() == 64 + 32
