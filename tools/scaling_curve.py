@@ -119,6 +119,12 @@ QUERIES = [
     # manifests per commit (fixed), so expected slope ≈ 1 with a large
     # fixed floor at small SF
     "iceberg_upsert_roundtrip",
+    # round-7 additions: the Delta twin (checkpoint write is an
+    # O(n_buckets) control frame, so same shape as the Iceberg one)
+    # and the LogMiner redo-SQL decode (chain groupBy + per-row parse
+    # — |poll|-linear, the CSF chains are bounded)
+    "delta_upsert_roundtrip",
+    "logminer_cdc_changes",
 ]
 
 
