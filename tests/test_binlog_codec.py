@@ -909,3 +909,48 @@ def test_mariadb_flavored_stream_through_changelog_stage(spark):
         {"id": 1, "name": "a", "balance": 10}
     bad = [r for r in out if r["error"] is not None]
     assert len(bad) == 1 and bad[0]["seq"] == 99
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_mariadb_event_fuzz_round_trip(seed):
+    """500 random MariaDB dialect events per seed round-trip
+    byte-exactly through encode/decode (plain and CRC32-framed)."""
+    import random
+
+    from debezium_server_spark.functions.binlog_codec import (
+        FL_GROUP_COMMIT_ID,
+        FL_STANDALONE,
+    )
+
+    rng = random.Random(seed)
+    for _ in range(500):
+        kind = rng.choice(("mariadb_gtid", "mariadb_gtid_list",
+                           "binlog_checkpoint", "annotate_rows",
+                           "start_encryption"))
+        if kind == "mariadb_gtid":
+            flags2 = rng.choice((0, FL_STANDALONE, FL_GROUP_COMMIT_ID,
+                                 FL_STANDALONE | FL_GROUP_COMMIT_ID))
+            ev = {"type": kind, "seqno": rng.randrange(2**63),
+                  "domain_id": rng.randrange(2**32), "flags2": flags2,
+                  "server_id": rng.randrange(1, 2**31)}
+            if flags2 & FL_GROUP_COMMIT_ID:
+                ev["commit_id"] = rng.randrange(2**63)
+        elif kind == "mariadb_gtid_list":
+            ev = {"type": kind, "flags": rng.randrange(16),
+                  "gtids": [(rng.randrange(2**32), rng.randrange(2**32),
+                             rng.randrange(2**63))
+                            for _ in range(rng.randrange(20))]}
+        elif kind == "binlog_checkpoint":
+            ev = {"type": kind,
+                  "file": f"mariadb-bin.{rng.randrange(10**6):06d}"}
+        elif kind == "annotate_rows":
+            ev = {"type": kind, "sql": "INSERT /*c*/ " + "x" * rng.randrange(200)}
+        else:
+            ev = {"type": kind, "scheme": rng.randrange(256),
+                  "key_version": rng.randrange(2**32),
+                  "nonce": bytes(rng.randrange(256) for _ in range(12))}
+        checksum = rng.random() < 0.5
+        back = decode_event(encode_event(ev, checksum=checksum),
+                            checksum=checksum)
+        for k, v in ev.items():
+            assert back[k] == v, (kind, k, back.get(k), v)

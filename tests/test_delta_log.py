@@ -523,3 +523,48 @@ def test_bucket_pruned_read_scans_only_that_buckets_files(spark, tmp_path):
     assert all(f"{BUCKET_COL}=5/" in f for f in
                out.inputFiles())
     assert table.read(spark, buckets=[99]) is None  # empty selection
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_names = st.lists(st.text(alphabet="abcdefg_", min_size=1, max_size=6),
+                  min_size=1, max_size=5, unique=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(names=_names, flips=st.lists(st.booleans(), min_size=5,
+                                    max_size=5), perm_seed=st.integers(0, 999))
+def test_schema_fingerprint_invariance_property(names, flips, perm_seed):
+    """Property: the drift fingerprint is invariant under field-order
+    permutation and nullability flips (the benign micro-batch jitter),
+    and SENSITIVE to adding a field or changing a type."""
+    import random as _random
+
+    from debezium_server_spark.sinks.delta_log import _schema_fingerprint
+
+    types = ["long", "string", "integer", "double",
+             {"type": "array", "elementType": "string",
+              "containsNull": True}]
+
+    def schema(field_names, nullables, order):
+        fields = [{"name": n,
+                   "type": types[i % len(types)],
+                   "nullable": nullables[i % len(nullables)],
+                   "metadata": {}}
+                  for i, n in enumerate(field_names)]
+        rng = _random.Random(order)
+        rng.shuffle(fields)
+        return json.dumps({"type": "struct", "fields": fields})
+
+    base = schema(names, [True] * 5, 0)
+    jitter = schema(names, flips, perm_seed)
+    assert _schema_fingerprint(base) == _schema_fingerprint(jitter)
+    grown = schema(names + ["zzz_new"], flips, perm_seed)
+    assert _schema_fingerprint(base) != _schema_fingerprint(grown)
+    # type change is evolution even with same names
+    retyped = json.loads(base)
+    retyped["fields"][0]["type"] = (
+        "date" if retyped["fields"][0]["type"] != "date" else "long")
+    assert _schema_fingerprint(base) != _schema_fingerprint(
+        json.dumps(retyped))

@@ -230,3 +230,83 @@ def test_build_oracle_logminer_source(spark, tmp_path):
     dead = [r for r in rows if r["destination"] == "srv.__dlq"]
     assert len(dead) == 1
     assert "CSF continuation" in json.loads(dead[0]["value"])["error"]
+
+
+# ---------------------------------------------------- generative fuzz
+
+
+def _render_value(v) -> str:
+    """Independent renderer (the encoder twin of the parser's value
+    grammar): python value → the literal LogMiner would emit."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        raise TypeError("no bool in the matrix")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_parse_redo_sql_fuzz_round_trip(seed):
+    """1k random statements per seed: render with an independent
+    encoder (quote-escaping strings incl. quotes/semicolons/ANDs,
+    ints, floats, NULLs) → parse → images must round-trip exactly."""
+    import random
+
+    rng = random.Random(seed)
+    pool = ["a", "it's", "x''y", "AND", "where", "values(1)",
+            "semi;colon", "tab\tnl\n", "quote'''s", ""]
+
+    def rand_val():
+        k = rng.randrange(5)
+        if k == 0:
+            return None
+        if k == 1:
+            return rng.randint(-10**12, 10**12)
+        if k == 2:
+            return round(rng.uniform(-1e6, 1e6), 6)
+        return rng.choice(pool) + str(rng.randrange(100))
+
+    for _ in range(1000):
+        ncols = rng.randint(1, 6)
+        cols = [f"C{i}" for i in range(ncols)]
+        owner, table = "APP", f"T{rng.randrange(10)}"
+        kind = rng.choice(("c", "u", "d"))
+        if kind == "c":
+            vals = [rand_val() for _ in cols]
+            sql = (f'insert into "{owner}"."{table}"('
+                   + ",".join(f'"{c}"' for c in cols) + ") values ("
+                   + ",".join(_render_value(v) for v in vals) + ");")
+            p = parse_redo_sql(sql)
+            assert p["op"] == "c" and p["after"] == dict(zip(cols, vals))
+            assert p["before"] is None
+        elif kind == "d":
+            vals = [rand_val() for _ in cols]
+            conds = " and ".join(
+                f'"{c}" IS NULL' if v is None
+                else f'"{c}" = {_render_value(v)}'
+                for c, v in zip(cols, vals))
+            sql = f'delete from "{owner}"."{table}" where {conds};'
+            p = parse_redo_sql(sql)
+            assert p["op"] == "d" and p["before"] == dict(zip(cols, vals))
+            assert p["after"] is None
+        else:
+            before = {c: rand_val() for c in cols}
+            n_set = rng.randint(1, ncols)
+            assigns = {c: rand_val() for c in
+                       rng.sample(cols, n_set)}
+            set_sql = ", ".join(f'"{c}" = {_render_value(v)}'
+                                for c, v in assigns.items())
+            conds = " and ".join(
+                f'"{c}" IS NULL' if v is None
+                else f'"{c}" = {_render_value(v)}'
+                for c, v in before.items())
+            sql = (f'update "{owner}"."{table}" set {set_sql} '
+                   f"where {conds};")
+            p = parse_redo_sql(sql)
+            assert p["op"] == "u" and p["before"] == before
+            assert p["after"] == {**before, **assigns}
+        assert p["owner"] == owner and p["table"] == table
