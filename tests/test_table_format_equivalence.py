@@ -222,3 +222,39 @@ def test_iceberg_reader_is_oracle_for_delta_after_maintenance(
     assert states["delta"] == states["iceberg"]
     assert states["delta"], "empty final state defeats the test"
     assert not any(i in (5, 11) for i, *_ in states["delta"])
+
+
+def test_lake_fsck_detects_checkpoint_record_drift(spark, tmp_path):
+    """Beyond the path-set check: an add record whose `size` disagrees
+    between checkpoint and JSON replay (same path) must be flagged."""
+    import os
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import lake_fsck
+
+    from debezium_server_spark.sinks.delta_log import (
+        BUCKET_COL, DeltaLogTable)
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4,
+                          checkpoint_interval=2)
+    for epoch in range(2):
+        df = spark.range(epoch * 4, epoch * 4 + 4).withColumn(
+            BUCKET_COL, table.bucket_expr(("id",)))
+        table.commit(df, epoch_id=epoch, touched_buckets=[])
+    ck = table._read_last_checkpoint()
+    ck_path = table._checkpoint_path(ck["version"])
+    t = pq_mod.read_table(ck_path)
+    rows = t.to_pylist()
+    for r in rows:
+        if r["add"] is not None:
+            r["add"]["size"] += 7  # drift the record, keep the path
+            break
+    pq_mod.write_table(pa.Table.from_pylist(rows, schema=t.schema),
+                       ck_path)
+    errors = lake_fsck.fsck(table.path)
+    assert any("disagrees with JSON on size" in e for e in errors)

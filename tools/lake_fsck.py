@@ -79,6 +79,19 @@ def fsck_delta(path: str) -> list[str]:
                         "delta: checkpoint live set != JSON replay at "
                         f"v{ck['version']}: "
                         f"{sorted(set(ck_live) ^ set(json_live))[:3]}")
+                else:
+                    # same paths — the add RECORDS must agree too
+                    # (size / partitionValues drift means a corrupt
+                    # checkpoint row even when the path set matches)
+                    for rel2, add2 in json_live.items():
+                        ck_add = ck_live[rel2]
+                        for field in ("size", "partitionValues"):
+                            if ck_add.get(field) != add2.get(field):
+                                errors.append(
+                                    f"delta: checkpoint add for {rel2} "
+                                    f"disagrees with JSON on {field}: "
+                                    f"{ck_add.get(field)!r} != "
+                                    f"{add2.get(field)!r}")
             else:
                 print(f"NOTE: delta JSON prefix before v{ck['version']} "
                       "cleaned — checkpoint-vs-JSON replay check skipped")
