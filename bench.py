@@ -90,7 +90,16 @@ def batch_calibration(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # Bench-session-only tuning: 25+ stream replays back to back leave
+    # each query's state-store providers loaded until the maintenance
+    # tick notices the query ended (default 60s) — dozens of stale
+    # providers pile up in executor heap and tax later entries. A 10s
+    # tick unloads them promptly (measured: ~10% median improvement
+    # across the stream family, BENCH_NOTES §Round 7). Long-running
+    # production streams keep the 60s default (this is NOT in
+    # get_spark's engine defaults).
+    spark = get_spark("bench", extra_conf={
+        "spark.sql.streaming.stateStore.maintenanceInterval": "10s"})
     # warm the JVM/codegen once on a cheap query so q1 doesn't pay startup
     CATALOG["cdc_event_counts"].spark_fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
