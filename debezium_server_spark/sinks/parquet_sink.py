@@ -239,12 +239,48 @@ class ParquetUpsertSink(BaseSink):
             )
             for k in self.key_fields:
                 batch = batch.withColumn(k, F.coalesce(F.col(k), F.col(f"__key_{k}")))
+            batch = batch.drop(*[f"__key_{k}" for k in self.key_fields])
+            current = table.read(spark)
+            # The bucket function is PINNED to the table's creation-time
+            # key dtypes: xxhash64 hashes the binary representation, so
+            # an upstream key widening (int -> long envelopes after a
+            # source ALTER) would hash the same logical key into a
+            # DIFFERENT bucket — stranding the old row — and write
+            # long-typed files into an int-typed table (the next merge
+            # read crashes). Cast the batch keys back to the stored
+            # dtypes; a key the stored type cannot represent is a real
+            # domain overflow that needs a table migration — raise
+            # loudly instead of silently rehashing.
+            if current is not None:
+                cur_types = dict(current.dtypes)
+                batch_types = dict(batch.dtypes)
+                for k in self.key_fields:
+                    if batch_types[k] != cur_types[k]:
+                        # overflow check by try_cast round trip (ANSI
+                        # mode throws on a plain downcast, non-ANSI
+                        # WRAPS — try_cast nulls in both, and the
+                        # back-cast comparison catches wraps): a value
+                        # the stored type represents exactly survives
+                        # cast-there-and-back
+                        rt = (F.col(k).try_cast(cur_types[k])
+                              .try_cast(batch_types[k]))
+                        overflow = batch.filter(
+                            F.col(k).isNotNull()
+                            & (rt.isNull() | (rt != F.col(k)))
+                        ).count()
+                        if overflow:
+                            raise ValueError(
+                                f"{overflow} row(s) of key column "
+                                f"{k!r} do not fit the table's stored "
+                                f"type {cur_types[k]} ({dest}): key-"
+                                f"domain overflow requires a table "
+                                f"migration, not a silent rehash")
+                        batch = batch.withColumn(
+                            k, F.col(k).cast(cur_types[k]))
             batch = (
-                batch.drop(*[f"__key_{k}" for k in self.key_fields])
-                .withColumn(SEQ_COL, F.lit(epoch_id).cast("long"))
+                batch.withColumn(SEQ_COL, F.lit(epoch_id).cast("long"))
                 .withColumn(BUCKET_COL, table.bucket_expr(self.key_fields))
             )
-            current = table.read(spark)
             if current is None:
                 merged = batch.filter(F.col("op") != "d").drop("op")
                 table.commit(merged, epoch_id, touched_buckets=None)

@@ -258,3 +258,39 @@ def test_lake_fsck_detects_checkpoint_record_drift(spark, tmp_path):
                        ck_path)
     errors = lake_fsck.fsck(table.path)
     assert any("disagrees with JSON on size" in e for e in errors)
+
+
+@pytest.mark.parametrize("fmt", ["versioned", "delta", "iceberg"])
+def test_key_dtype_widening_upserts_not_duplicates(spark, tmp_path, fmt):
+    """Upstream key widening (int -> long envelopes after a source
+    ALTER) must keep hashing the same logical key into its original
+    bucket: the bucket function is pinned to the creation-time key
+    dtype, so the batch keys are cast back to the stored type (before
+    this fix, the widened key hashed to a DIFFERENT bucket — stranding
+    the old row — and the long-typed file crashed the next merge
+    read). A key the stored type cannot represent raises a migration
+    error instead of silently rehashing."""
+    sch_int = (
+        "destination string, key struct<id:int>, "
+        "value struct<op:string, before struct<id:int,name:string>, "
+        "after struct<id:int,name:string>, source struct<lsn:long>, "
+        "ts_ms long>, "
+        "headers array<struct<key:string,value:string>>, partition int")
+    sch_long = sch_int.replace("id:int", "id:long")
+
+    def ev(key, name, lsn):
+        return {"destination": DEST, "key": {"id": key},
+                "value": {"op": "u", "before": None,
+                          "after": {"id": key, "name": name},
+                          "source": {"lsn": lsn}, "ts_ms": lsn},
+                "headers": [], "partition": 0}
+
+    sink = ParquetUpsertSink(root_path=str(tmp_path / fmt),
+                             key_fields=("id",), n_buckets=8,
+                             table_format=fmt)
+    sink(spark.createDataFrame([ev(5, "a", 1)], sch_int), 0)
+    sink(spark.createDataFrame([ev(5, "b", 2)], sch_long), 1)
+    rows = sink.read_table(spark, DEST).collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(5, "b")]
+    with pytest.raises(ValueError, match="migration"):
+        sink(spark.createDataFrame([ev(2 ** 40, "c", 3)], sch_long), 2)
