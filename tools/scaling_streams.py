@@ -176,6 +176,124 @@ def _run_pgoutput_e2e(spark, wal_dir: str, work_dir: str,
         raise RuntimeError("pgoutput e2e pipeline did not finish")
 
 
+_LM_SCHEMA = ("fetch_seq long, scn long, operation_code int, "
+              "seg_owner string, table_name string, sql_redo string, "
+              "xid string, row_id string, rs_id string, ssn long, "
+              "csf int")
+
+
+def _ensure_logminer_poll(spark, sf: float, sf_dir: str) -> str:
+    """Synthesize the SF's events as a V$LOGMNR_CONTENTS poll export
+    ONCE per SF (complete csf=0 statements — the streaming decode is
+    stateless). I/U/D by event_id mod 3, the catalog entry's SQL
+    shapes."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.plans.catalog import load
+
+    out = f"/tmp/scaling_logminer/sf{sf}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("event_id % 3").alias("mod3"))
+    redo = (
+        F.when(F.col("mod3") == 0, F.format_string(
+            'insert into "APP"."EVENTS"("ID","KIND") values (%s,\'%s\');',
+            F.col("event_id"), F.col("event_type")))
+        .when(F.col("mod3") == 1, F.format_string(
+            'update "APP"."EVENTS" set "KIND" = \'promoted\' '
+            'where "ID" = %s and "KIND" = \'%s\';',
+            F.col("event_id"), F.col("event_type")))
+        .otherwise(F.format_string(
+            'delete from "APP"."EVENTS" where "ID" = %s;',
+            F.col("event_id"))))
+    (ev.select(
+        F.col("event_id").alias("fetch_seq"),
+        (F.col("event_id") + 4096).cast("long").alias("scn"),
+        F.when(F.col("mod3") == 0, 1).when(F.col("mod3") == 1, 3)
+        .otherwise(2).cast("int").alias("operation_code"),
+        F.lit("APP").alias("seg_owner"),
+        F.lit("EVENTS").alias("table_name"),
+        redo.alias("sql_redo"),
+        F.upper(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("xid"),
+        F.concat(F.lit("AAA"), F.col("event_id")).alias("row_id"),
+        F.concat(F.lit("rs"), F.col("event_id")).alias("rs_id"),
+        F.lit(0).cast("long").alias("ssn"),
+        F.lit(0).cast("int").alias("csf"))
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _run_logminer_e2e(spark, poll_dir: str, work_dir: str) -> None:
+    """One timed run of the FIFTH capture mechanism end to end: poll
+    export stream → stateless redo-SQL decode → typed envelope →
+    Pipeline → ParquetUpsertSink. Stateless like the pgoutput twin —
+    durable state is the upsert table, wall is the signal."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+    from debezium_server_spark.sources.logminer_source import (
+        decode_logminer_changes_stateless,
+    )
+    from debezium_server_spark.streaming.pipeline import Pipeline
+
+    stream = spark.readStream.schema(_LM_SCHEMA).parquet(poll_dir)
+    env = decode_logminer_changes_stateless(stream, "srv").filter(
+        "error is null")
+    row_id = F.get_json_object(
+        F.coalesce("after", "before"), "$.ID").cast("long")
+    typed = env.select(
+        F.col("destination"),
+        F.struct(row_id.alias("id")).alias("key"),
+        F.struct(
+            F.col("op"),
+            F.when(F.col("after").isNotNull(), F.struct(
+                F.get_json_object("after", "$.ID").cast("long")
+                 .alias("id"),
+                F.get_json_object("after", "$.KIND").alias("kind"))
+            ).alias("after"),
+            F.struct(F.col("scn").alias("lsn")).alias("source"),
+            F.conv(F.col("scn"), 16, 10).cast("long").alias("ts_ms")
+        ).alias("value"))
+    sink = ParquetUpsertSink(root_path=os.path.join(work_dir, "state"),
+                             key_fields=("id",),
+                             order_cols=("value.source.lsn",
+                                         "value.ts_ms"))
+    q = Pipeline(typed).start(sink, os.path.join(work_dir, "ckpt"))
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("logminer e2e pipeline did not finish")
+
+
+def logminer_e2e_rows(spark) -> dict:
+    """SCALING_STREAMS row for the LogMiner source through the real
+    pipeline — wall ~linear in poll rows (redo parse is per-row
+    Python inside Arrow batches), state is the sink table."""
+    import shutil
+    import tempfile
+
+    per_sf: dict[str, dict] = {}
+    for sf, d in SF_DIRS:
+        poll = _ensure_logminer_poll(spark, sf, d)
+        samples = []
+        for _ in range(RUNS):
+            work = tempfile.mkdtemp(prefix="lm_e2e_")
+            t0 = time.time()
+            _run_logminer_e2e(spark, poll, work)
+            samples.append(time.time() - t0)
+            shutil.rmtree(work, ignore_errors=True)
+        per_sf[str(sf)] = {"sec": round(statistics.median(samples), 3),
+                           "peak_state_rows": 0, "state_bytes": 0}
+
+    def slope(metric: str) -> float:
+        a = max(per_sf["0.1"][metric], 1e-3)
+        b = max(per_sf["1.0"][metric], 1e-3)
+        return round(math.log(b / a) / math.log(10), 3)
+
+    return {**per_sf, "wall_slope": slope("sec"),
+            "state_slope": slope("peak_state_rows")}
+
+
 def pgoutput_e2e_rows(spark, table_format: str = "versioned") -> dict:
     """SCALING_STREAMS row for the wire-decode SOURCE driven through
     the real pipeline (round-5 verdict #7): wall should scale ~linearly
@@ -251,6 +369,10 @@ def main() -> int:
         spark, table_format="iceberg")
     print(json.dumps({"query": "iceberg_upsert_pipeline_e2e",
                       **rows["iceberg_upsert_pipeline_e2e"]}), flush=True)
+    # the fifth capture mechanism, end-to-end (round 7)
+    rows["logminer_pipeline_e2e"] = logminer_e2e_rows(spark)
+    print(json.dumps({"query": "logminer_pipeline_e2e",
+                      **rows["logminer_pipeline_e2e"]}), flush=True)
 
     with open(out_path, "w") as f:
         json.dump({"sf_dirs": dict((str(s), d) for s, d in SF_DIRS),
