@@ -86,11 +86,14 @@ class VersionedParquetTable:
         v = self.current_version() if version is None else version
         return os.path.join(self.path, f"v{v}") if v > 0 else None
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, version: int | None = None,
+             buckets: list[int] | None = None) -> DataFrame | None:
         """Read the current snapshot, or time-travel to an earlier
         `version` (each epoch commit is a full snapshot whose untouched
         buckets are hard links — retained versions cost ~0 storage, so
-        as-of reads are free until _gc drops the name)."""
+        as-of reads are free until _gc drops the name). With `buckets`,
+        only those `__bucket=N` partition dirs are even LISTED — the
+        same point-read pruning interface the lake-layer twins expose."""
         if version is not None and not os.path.isdir(
             os.path.join(self.path, f"v{version}")
         ):
@@ -102,6 +105,13 @@ class VersionedParquetTable:
         if not p:
             return None
         try:
+            if buckets is not None:
+                dirs = [os.path.join(p, f"{BUCKET_COL}={b}")
+                        for b in buckets
+                        if os.path.isdir(os.path.join(p, f"{BUCKET_COL}={b}"))]
+                if not dirs:
+                    return None
+                return spark.read.option("basePath", p).parquet(*dirs)
             return spark.read.parquet(p)
         except AnalysisException:
             return None  # fully-deleted table: version dir has no data
@@ -290,7 +300,14 @@ class ParquetUpsertSink(BaseSink):
                 touched = [
                     r[0] for r in batch.select(BUCKET_COL).distinct().collect()
                 ]
-                current_touched = current.filter(F.col(BUCKET_COL).isin(touched))
+                # bucket-PRUNED read of the merge input: untouched
+                # buckets' files (and, on the lake layers, their
+                # manifests/log entries) are never listed — the
+                # micro-batch merge costs O(touched buckets), not
+                # O(table)
+                current_touched = table.read(spark, buckets=touched)
+                if current_touched is None:  # touched buckets all new
+                    current_touched = current.limit(0)
                 merged = merge_state(
                     current_touched, batch, key_cols=self.key_fields, seq_col=SEQ_COL
                 )
@@ -326,7 +343,11 @@ class ParquetUpsertSink(BaseSink):
         touched = [r[0] for r in keyed.select("__kb").distinct().collect()]
         if not touched:
             return 0
-        in_scope = current.filter(F.col(BUCKET_COL).isin(touched))
+        # bucket-pruned read: an erase of k keys scans O(their
+        # buckets), not the table
+        in_scope = table.read(spark, buckets=touched)
+        if in_scope is None:
+            return 0  # none of the target buckets exist
         survivors = in_scope.join(keys, list(self.key_fields), "left_anti")
         erased = in_scope.count() - survivors.count()
         erase_epoch = -(table.current_version() + 1)
