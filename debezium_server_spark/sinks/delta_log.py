@@ -574,8 +574,12 @@ class DeltaLogTable:
                            cur.select(BUCKET_COL).distinct().collect()]
             if not buckets:
                 return 0
-            sub = (cur.filter(F.col(BUCKET_COL).isin(list(buckets)))
-                   .repartition(len(buckets), F.col(BUCKET_COL)))
+            # pruned read: a partial compaction lists only its own
+            # buckets' files (snapshot already pinned by read() above)
+            pruned = self.read(spark, buckets=list(buckets))
+            if pruned is None:  # requested buckets hold no files
+                return 0
+            sub = pruned.repartition(len(buckets), F.col(BUCKET_COL))
         # a full compaction rewrites every live file under one schema —
         # the sticky evolved flag can be dropped in the same commit
         self._clear_evolved_on_commit = full_rewrite

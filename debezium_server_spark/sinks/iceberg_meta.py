@@ -729,8 +729,12 @@ class IcebergTable:
                        cur.select(BUCKET_COL).distinct().collect()]
         if not buckets:
             return 0
-        sub = (cur.filter(F.col(BUCKET_COL).isin(list(buckets)))
-               .repartition(len(buckets), F.col(BUCKET_COL)))
+        # pruned read: a partial compaction opens only the manifests
+        # covering its buckets (snapshot already pinned by read() above)
+        pruned = self.read(spark, buckets=list(buckets))
+        if pruned is None:  # requested buckets hold no files
+            return 0
+        sub = pruned.repartition(len(buckets), F.col(BUCKET_COL))
         return self.commit(sub, epoch_id=self.last_epoch() or 0,
                            touched_buckets=list(buckets),
                            operation="replace")
