@@ -432,8 +432,13 @@ class DeltaLogTable:
         if BUCKET_COL in df.columns:
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         else:
+            # unbucketed frame: `touched_buckets=None` (the default)
+            # stays a full rewrite; an EXPLICIT list (incl. []) is an
+            # append — flat files live under __unpartitioned, which the
+            # bucket-dir doom filter below never matches, so the
+            # caller's append intent survives instead of being
+            # silently turned into deleting the prior contents
             df.write.mode("overwrite").parquet(staging)
-            touched_buckets = None
 
         # collect staged parquet from bucket dirs AND flat layout (an
         # unbucketed df stages files at the staging ROOT — they must
@@ -564,11 +569,16 @@ class DeltaLogTable:
         cur = self.read(spark)  # pins the transaction snapshot
         if cur is None:
             return 0
-        full_rewrite = buckets is None
         if BUCKET_COL not in cur.columns:
+            # flat table: every compaction is a full rewrite (the
+            # commit's touched_buckets=None removes all files), even
+            # when the caller asked for specific buckets — so the
+            # sticky evolved flag is clearable here too
             sub = cur.coalesce(1)
             buckets = None
+            full_rewrite = True
         else:
+            full_rewrite = buckets is None
             if buckets is None:
                 buckets = [r[0] for r in
                            cur.select(BUCKET_COL).distinct().collect()]

@@ -510,8 +510,11 @@ class IcebergTable:
         if BUCKET_COL in df.columns:
             df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         else:
+            # unbucketed frame: `touched_buckets=None` (default) stays a
+            # full rewrite; an EXPLICIT list (incl. []) is an append —
+            # flat manifests carry key 'flat', which the b{N} doom set
+            # below never contains, so prior data survives
             df.write.mode("overwrite").parquet(staging)
-            touched_buckets = None
 
         # move staged parquet into data/, building ADDED entries per
         # bucket key ('b{N}' for __bucket=N dirs, 'flat' otherwise)

@@ -130,16 +130,31 @@ class VersionedParquetTable:
         old = self.data_path()
         new_version = self.current_version() + 1
         out = os.path.join(self.path, f"v{new_version}")
-        if BUCKET_COL in df.columns:
-            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
-        else:  # unbucketed caller (e.g. whole-state writers): full rewrite
+        flat = BUCKET_COL not in df.columns
+        if flat:
+            # unbucketed frame: `touched_buckets=None` (the default) is
+            # a full rewrite; an EXPLICIT list (incl. []) is an append —
+            # the caller's choice must not be silently overridden into
+            # deleting the table's prior contents
             df.write.mode("overwrite").parquet(out)
-            touched_buckets = None
+        else:
+            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
         if old and touched_buckets is not None:
             touched_names = {f"{BUCKET_COL}={b}" for b in touched_buckets}
             for name in os.listdir(old):
                 if name.startswith(f"{BUCKET_COL}=") and name not in touched_names:
                     self._link_dir(os.path.join(old, name), os.path.join(out, name))
+                elif (flat and os.path.isfile(os.path.join(old, name))
+                      and name.endswith(".parquet")):
+                    # flat append: carry the old version's root files
+                    # forward by hard link (spark part-file names embed
+                    # a per-write uuid — no collisions)
+                    try:
+                        os.link(os.path.join(old, name),
+                                os.path.join(out, name))
+                    except OSError:
+                        shutil.copy2(os.path.join(old, name),
+                                     os.path.join(out, name))
         self._write_meta()
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as f:
@@ -336,7 +351,22 @@ class ParquetUpsertSink(BaseSink):
         # silently misses rows (found by the cross-layer differential
         # test, round 7) — a silent GDPR non-erasure
         cur_types = dict(current.dtypes)
-        keys = keys_df.select(
+        # Same try_cast round trip as the merge path: under ANSI a
+        # plain .cast of an out-of-range key would abort the WHOLE
+        # erase (including all valid keys); non-ANSI would WRAP and
+        # the left_anti join could hard-delete a DIFFERENT row. A key
+        # the stored type cannot represent exactly cannot match any
+        # stored row, so it is a no-op by construction — drop it
+        # before casting instead of erroring or wrapping.
+        keys_typed = dict(keys_df.dtypes)
+        keys = keys_df
+        for k in self.key_fields:
+            if keys_typed[k] != cur_types[k]:
+                rt = (F.col(k).try_cast(cur_types[k])
+                      .try_cast(keys_typed[k]))
+                keys = keys.filter(
+                    F.col(k).isNull() | (rt.isNotNull() & (rt == F.col(k))))
+        keys = keys.select(
             *[F.col(k).cast(cur_types[k]).alias(k)
               for k in self.key_fields]).distinct()
         keyed = keys.withColumn("__kb", table.bucket_expr(self.key_fields))

@@ -112,7 +112,7 @@ def _skip_ws(s: str, i: int) -> int:
 
 
 def _scan_quoted_ident(s: str, i: int) -> tuple[str, int]:
-    if s[i] != '"':
+    if i >= len(s) or s[i] != '"':
         raise ValueError(f'expected quoted identifier at {s[i:i+20]!r}')
     j = s.index('"', i + 1)
     return s[i + 1:j], j + 1
@@ -200,7 +200,7 @@ def _scan_value(s: str, i: int):
 def _scan_table(s: str, i: int) -> tuple[str, str, int]:
     i = _skip_ws(s, i)
     owner, i = _scan_quoted_ident(s, i)
-    if s[i] != ".":
+    if i >= len(s) or s[i] != ".":
         raise ValueError('expected "OWNER"."TABLE"')
     table, i = _scan_quoted_ident(s, i + 1)
     return owner, table, i
@@ -247,7 +247,7 @@ def parse_redo_sql(sql: str) -> dict:
     if m:
         owner, table, i = _scan_table(s, m.end())
         i = _skip_ws(s, i)
-        if s[i] != "(":
+        if i >= len(s) or s[i] != "(":
             raise ValueError("expected column list")
         cols_txt, i = _scan_call_body(s, i)
         cols = []
@@ -294,7 +294,7 @@ def parse_redo_sql(sql: str) -> dict:
             i = _skip_ws(s, i)
             col, i = _scan_quoted_ident(s, i)
             i = _skip_ws(s, i)
-            if s[i] != "=":
+            if i >= len(s) or s[i] != "=":
                 raise ValueError("expected '=' in SET")
             val, i = _scan_value(s, i + 1)
             assigns[col] = val
@@ -396,6 +396,12 @@ def _parse_rows(changes: DataFrame, destination_prefix: str) -> DataFrame:
                 except ValueError as exc:
                     op, before, after = None, None, None
                     err = str(exc)
+                except IndexError as exc:
+                    # belt-and-braces: a truncated statement (e.g. an
+                    # incomplete CSF chain at a poll boundary) must
+                    # become an error ROW, never a task crash
+                    op, before, after = None, None, None
+                    err = f"truncated redo SQL: {exc}"
                 out["scn"].append(scn_hex(int(scn)))
                 out["xid"].append(xid)
                 out["row_id"].append(row_id)

@@ -467,6 +467,27 @@ def test_full_compaction_clears_evolved_flag(spark, tmp_path):
     assert meta2["configuration"].get("schema.evolved") == "true"
 
 
+def test_flat_table_partial_compact_is_full_rewrite_clears_flag(
+        spark, tmp_path):
+    """ADVICE r07: compact(buckets=[...]) on a FLAT (unbucketed) table
+    performs a full rewrite — so it must also clear the sticky
+    `schema.evolved` flag, not leave mergeSchema cost on every later
+    read despite all live files now sharing one schema."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "flat"), n_buckets=4)
+    table.commit(spark.range(4), epoch_id=0)  # no BUCKET_COL: flat
+    table.commit(spark.range(4, 8).withColumn("extra", F.lit("x")),
+                 epoch_id=1, touched_buckets=[])
+    assert table._current_metadata_action()[
+        "configuration"]["schema.evolved"] == "true"
+    table.compact(spark, buckets=[0])  # flat table: full rewrite
+    meta = table._current_metadata_action()
+    assert "schema.evolved" not in meta.get("configuration", {})
+    out = table.read(spark)
+    assert out.count() == 8 and "extra" in out.columns
+
+
 def test_catalog_entry_pins_delta_roundtrip_policy(spark):
     """PIN-TEST GATE: `delta_upsert_roundtrip`'s policy (two-commit
     bucket-touched upsert + time travel through the checkpoint,

@@ -172,6 +172,29 @@ def test_parse_failure_and_code_mismatch_surface_as_error(spark):
     assert "names APP.OTHER" in out[scn_hex(102)]["error"]
 
 
+def test_truncated_redo_sql_is_error_row_not_task_crash(spark):
+    """ADVICE r07: truncated statements (exactly what an incomplete
+    CSF chain at a poll boundary produces) must surface as error ROWS
+    — an IndexError escaping parse_redo_sql would crash the whole
+    mapInPandas task/batch instead."""
+    truncated = [
+        'update "A"."T" set "K"', 'delete from "APP"',
+        'insert into "APP"."EVENTS"', 'update "A"."T" set "K" =',
+        'insert into "A"."T" (', 'delete from "APP"."T" where "K"',
+        'update "A"."T" set', 'insert into "A', '"',
+    ]
+    for s in truncated:  # unit level: always ValueError, never Index
+        with pytest.raises(ValueError):
+            parse_redo_sql(s)
+    df = _rows(spark, [
+        (i + 1, 100 + i, None, "A", "T", s, f"x{i}", f"r{i}", f"rs{i}",
+         0, 0) for i, s in enumerate(truncated)
+    ])
+    out = decode_logminer_changes(df, "srv").collect()
+    assert len(out) == len(truncated)  # nothing dropped, no crash
+    assert all(r["error"] is not None and r["op"] is None for r in out)
+
+
 def test_stateless_decode_flags_continuations(spark):
     df = _rows(spark, [
         (1, 100, 1, "APP", "T", 'insert into "APP"."T"("ID") ',

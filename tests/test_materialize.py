@@ -125,6 +125,42 @@ def test_erase_keys_hard_deletes_only_targets(spark, tmp_path):
     assert sink.erase_keys(spark, "t", erase) == 0
 
 
+def test_erase_keys_out_of_range_key_is_noop_not_abort(spark, tmp_path):
+    """ADVICE r07: an erase frame typed wider than the table's stored
+    key type, containing a value the stored type cannot represent,
+    must neither abort the whole erase (ANSI cast overflow) nor wrap
+    and delete a DIFFERENT row — it is a no-op by construction, and
+    the frame's valid keys still erase."""
+    from debezium_server_spark.sinks.parquet_sink import ParquetUpsertSink
+
+    sink = ParquetUpsertSink(str(tmp_path / "gdpr32"), key_fields=("id",))
+
+    def ev(key, lsn):
+        return {"destination": "t", "key": {"id": key},
+                "value": {"op": "c", "before": None,
+                          "after": {"id": key, "name": f"u{key}"},
+                          "source": {"lsn": lsn}, "ts_ms": lsn},
+                "headers": [], "partition": 0}
+
+    schema = ("destination string, key struct<id:int>, "
+              "value struct<op:string, before struct<id:int,name:string>, "
+              "after struct<id:int,name:string>, source struct<lsn:long>, "
+              "ts_ms long>, "
+              "headers array<struct<key:string,value:string>>, partition int")
+    sink(spark.createDataFrame([ev(i, i) for i in range(10)], schema),
+         epoch_id=0)
+    assert dict(sink.read_table(spark, "t").dtypes)["id"] == "int"
+
+    # long-typed frame: one valid key + one that wraps to 3 in int32
+    # (2**32 + 3) + one plain overflow (2**40)
+    erase = spark.createDataFrame(
+        [(5,), (2 ** 32 + 3,), (2 ** 40,)], "id long")
+    n = sink.erase_keys(spark, "t", erase)
+    assert n == 1  # only id=5; the wrap candidate must NOT erase id=3
+    left = sorted(r["id"] for r in sink.read_table(spark, "t").collect())
+    assert left == [i for i in range(10) if i != 5]
+
+
 def test_expire_where_ttl_pass(spark, tmp_path):
     """Retention: predicate-matched rows vanish, survivors and untouched
     buckets remain; second pass is a no-op."""

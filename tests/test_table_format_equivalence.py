@@ -294,3 +294,29 @@ def test_key_dtype_widening_upserts_not_duplicates(spark, tmp_path, fmt):
     assert [(r["id"], r["name"]) for r in rows] == [(5, "b")]
     with pytest.raises(ValueError, match="migration"):
         sink(spark.createDataFrame([ev(2 ** 40, "c", 3)], sch_long), 2)
+
+
+@pytest.mark.parametrize("fmt", ["versioned", "delta", "iceberg"])
+def test_flat_table_explicit_append_is_not_a_full_rewrite(
+        spark, tmp_path, fmt):
+    """Found round 8 (while pinning the ADVICE flat-compact fix): on
+    an UNBUCKETED frame all three layers silently overrode the
+    caller's explicit `touched_buckets=[]` (append, remove nothing)
+    into `None` (full rewrite) — a flat-table append deleted the
+    table's prior contents. The default (None) must stay a full
+    rewrite; the explicit empty list must append."""
+    from debezium_server_spark.sinks.delta_log import DeltaLogTable
+    from debezium_server_spark.sinks.iceberg_meta import IcebergTable
+    from debezium_server_spark.sinks.parquet_sink import VersionedParquetTable
+
+    cls = {"versioned": VersionedParquetTable, "delta": DeltaLogTable,
+           "iceberg": IcebergTable}[fmt]
+    table = cls(str(tmp_path / fmt), n_buckets=4)
+    table.commit(spark.range(0, 4), epoch_id=0)
+    table.commit(spark.range(4, 8), epoch_id=1, touched_buckets=[])
+    got = sorted(r["id"] for r in table.read(spark).collect())
+    assert got == list(range(8)), f"{fmt}: flat append lost rows: {got}"
+    # the default stays a full rewrite
+    table.commit(spark.range(100, 102), epoch_id=2)
+    got = sorted(r["id"] for r in table.read(spark).collect())
+    assert got == [100, 101], f"{fmt}: default full rewrite broken: {got}"
