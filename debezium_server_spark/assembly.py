@@ -11,7 +11,18 @@ Property surface understood here (the Spark-native subset):
 
     debezium.source.type              changelog-dir | lines | debezium-changelog |
                                       pgoutput-wal | oplog-bson | mysql-binlog |
-                                      sqlserver-cdc | oracle-logminer
+                                      sqlserver-cdc | oracle-logminer |
+                                      db2-cdc
+    debezium.source.db2.destination   db2-cdc only: the envelope
+                                      destination for the ASN CD-table
+                                      export at debezium.source.path
+                                      (single-'U'-row registration
+                                      semantics, CHG_UPD_TO_DEL_INS='N'
+                                      — D+I update-pair exports need
+                                      the batch decode; see
+                                      sources/db2_cdc_source.py);
+                                      unknown-operation rows follow
+                                      the dead-letter setting below
     debezium.source.logminer.prefix   oracle-logminer only: destination
                                       prefix — envelope rows land at
                                       {prefix}.{SEG_OWNER}.{TABLE_NAME}
@@ -73,6 +84,25 @@ Property surface understood here (the Spark-native subset):
                                       versioned (default) | delta |
                                       iceberg — storage layer of the
                                       PK materialization
+    debezium.sink.parquet-upsert.maintenance.compact.files.per.bucket
+                                      auto-maintenance: partial-compact
+                                      any TOUCHED bucket whose live-file
+                                      count exceeds N after a merge
+                                      (probe is O(touched buckets))
+    debezium.sink.parquet-upsert.maintenance.expire.every.epochs
+    debezium.sink.parquet-upsert.maintenance.expire.condition
+                                      run expire_where(condition) on
+                                      every Kth epoch (TTL pass)
+    debezium.sink.parquet-upsert.maintenance.vacuum.every.epochs
+    debezium.sink.parquet-upsert.maintenance.vacuum.retention.seconds
+    debezium.sink.parquet-upsert.maintenance.keep.snapshots
+                                      physical cleanup cadence for the
+                                      lake layers (iceberg: expire
+                                      snapshots then vacuum; delta:
+                                      vacuum); retention 0 is the
+                                      embedded single-writer default
+                                      (see sinks/parquet_sink.py
+                                      MaintenancePolicy)
     debezium.signal.dir               optional SignalChannel directory
 
 Schemas are Python-side arguments (StructTypes are not strings); all else
@@ -222,6 +252,40 @@ def build_source(
                         F.to_json(F.struct(
                             F.col("error"),
                             F.col("scn").alias("lsn"))).alias("value")))
+        return good.unionByName(dead)
+    if stype == "db2-cdc":
+        # ASN CD-table poll exports as parquet: single-'U'-row
+        # registrations decode STATELESSLY (plain projection);
+        # unknown IBMSNAP_OPERATION rows surface as error rows and
+        # ride the same dead-letter routing as the wire sources
+        from debezium_server_spark.sources.db2_cdc_source import (
+            decode_db2_cdc_changes_stateless,
+        )
+
+        dest = cfg.require("debezium.source.db2.destination")
+        batch_schema = spark.read.parquet(path).schema
+        reader = spark.readStream.schema(batch_schema)
+        mft = cfg.get("debezium.source.max.files.per.trigger")
+        if mft:
+            reader = reader.option("maxFilesPerTrigger", int(mft))
+        env = decode_db2_cdc_changes_stateless(reader.parquet(path),
+                                               destination=dest)
+        good = (env.filter(F.col("error").isNull())
+                .select(F.col("destination"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.to_json(F.struct(
+                            F.col("op"), F.col("before"), F.col("after"),
+                            F.struct(F.col("lsn"), F.col("seqval"))
+                            .alias("source"))).alias("value")))
+        dlq_dest = cfg.get("debezium.source.dead.letter.destination")
+        if not dlq_dest:
+            return good
+        dead = (env.filter(F.col("error").isNotNull())
+                .select(F.lit(dlq_dest).alias("destination"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.to_json(F.struct(
+                            F.col("error"),
+                            F.col("lsn"))).alias("value")))
         return good.unionByName(dead)
     raise ValueError(f"unknown source type {stype!r}")
 

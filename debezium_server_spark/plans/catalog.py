@@ -16055,6 +16055,83 @@ def q_logminer_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "db2_cdc_changes",
+    """
+    WITH j AS (
+      SELECT event_id, event_type, event_id % 3 AS mod3,
+             upper(lpad(to_hex(event_id), 20, '0')) AS lsnhex,
+             upper(lpad(to_hex(event_id * 2), 20, '0')) AS seqhex
+      FROM events)
+    SELECT lsnhex AS lsn,
+           seqhex AS seqval,
+           'db2.APPO.EVENTS' AS destination,
+           CASE mod3 WHEN 0 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+           CASE WHEN mod3 = 1 THEN CAST(to_json(struct_pack(
+                  ID := event_id, NAME := event_type)) AS VARCHAR)
+                WHEN mod3 = 2 THEN CAST(to_json(struct_pack(
+                  ID := event_id, NAME := event_type)) AS VARCHAR)
+           END AS before,
+           CASE WHEN mod3 = 0 THEN CAST(to_json(struct_pack(
+                  ID := event_id, NAME := event_type)) AS VARCHAR)
+                WHEN mod3 = 1 THEN CAST(to_json(struct_pack(
+                  ID := event_id, NAME := 'promoted')) AS VARCHAR)
+           END AS after,
+           CAST(NULL AS VARCHAR) AS error
+    FROM j
+    """,
+    "DB2 ASN SQL-Replication CD-table decode — the SIXTH capture "
+    "mechanism (round-7 verdict #3), a PUBLIC SQL contract like SQL "
+    "Server's (the reference's prod profile bundles the DB2 connector "
+    "next to Oracle, debezium-server-dist/pom.xml:455-489; Capture "
+    "tails the recovery log into per-table CD tables polled by plain "
+    "SQL over IBMSNAP_COMMITSEQ/INTENTSEQ/OPERATION). Events "
+    "synthesize CD rows with every UPDATE deliberately shipped as the "
+    "CHG_UPD_TO_DEL_INS='Y' DELETE+INSERT pair (shared COMMITSEQ, "
+    "adjacent INTENTSEQ) so each driver run exercises the pair "
+    "reconstruction: groupBy COMMITSEQ (one group per TRANSACTION — "
+    "bounded by tx size, never the poll) + array_sort by INTENTSEQ + "
+    "JVM-side try_element_at adjacency, one shuffle, no window over "
+    "the poll, no Python. LSNs surface as fixed-width hex "
+    "(lexicographic == log order, string-comparison cursoring); "
+    "unknown-operation rows SURFACE with error != null, never drop. "
+    "Poll/register SQL contract + adjacency policy pinned by "
+    "tests/test_db2_cdc.py; assembly source type db2-cdc with "
+    "dead-letter routing.",
+)
+def q_db2_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from debezium_server_spark.sources.db2_cdc_source import (
+        decode_db2_cdc_changes,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("event_id % 3").alias("mod3"),
+        F.expr("unhex(lpad(hex(event_id), 20, '0'))").alias("cseq"),
+        F.expr("unhex(lpad(hex(event_id * 2), 20, '0'))").alias("iseq0"),
+        F.expr("unhex(lpad(hex(event_id * 2 + 1), 20, '0'))")
+        .alias("iseq1"))
+
+    def cd_rows(flt, op: str, iseq, name_col):
+        return (ev.filter(flt).select(
+            F.col("cseq").alias("IBMSNAP_COMMITSEQ"),
+            iseq.alias("IBMSNAP_INTENTSEQ"),
+            F.lit(op).alias("IBMSNAP_OPERATION"),
+            F.col("event_id").alias("ID"),
+            name_col.alias("NAME")))
+
+    m = F.col("mod3")
+    changes = (
+        cd_rows(m == 0, "I", F.col("iseq0"), F.col("event_type"))
+        # update = D+I pair: before at iseq0, after at iseq0+1
+        .unionByName(cd_rows(m == 1, "D", F.col("iseq0"),
+                             F.col("event_type")))
+        .unionByName(cd_rows(m == 1, "I", F.col("iseq1"),
+                             F.lit("promoted")))
+        .unionByName(cd_rows(m == 2, "D", F.col("iseq0"),
+                             F.col("event_type"))))
+    return decode_db2_cdc_changes(changes, "db2.APPO.EVENTS")
+
+
+@register(
     "binlog_compressed_tx_decode",
     """
     WITH j AS (

@@ -558,6 +558,21 @@ class DeltaLogTable:
 
     # ------------------------------------------------------ maintenance
 
+    def live_file_counts(self, buckets: list[int] | None = None
+                         ) -> dict[int, int]:
+        """Live data files per bucket from the logged partitionValues
+        (restricted to `buckets` when given) — the auto-maintenance
+        policy's trigger input. Control-plane only: one log replay, no
+        data files opened."""
+        want = None if buckets is None else {str(b) for b in buckets}
+        out: dict[int, int] = {}
+        for _p, a in self._live_files().items():
+            bv = a.get("partitionValues", {}).get(BUCKET_COL)
+            if bv is None or (want is not None and bv not in want):
+                continue
+            out[int(bv)] = out.get(int(bv), 0) + 1
+        return out
+
     def compact(self, spark: SparkSession,
                 buckets: list[int] | None = None) -> int:
         """The protocol's OPTIMIZE (bin-packing compaction): rewrite

@@ -705,6 +705,26 @@ class IcebergTable:
 
     # ----------------------------------------------------- maintenance
 
+    def live_file_counts(self, buckets: list[int] | None = None
+                         ) -> dict[int, int]:
+        """Live data files per bucket (restricted to `buckets` when
+        given) — the auto-maintenance policy's trigger input. Uses the
+        same manifest-level partition-summary pruning as the point
+        read: manifests excluding every requested bucket are never
+        opened."""
+        current = self.current_version()
+        if current == 0:
+            return {}
+        meta = self._current_metadata()
+        out: dict[int, int] = {}
+        for path in self._live_files(meta, current, buckets=buckets):
+            rel = os.path.relpath(path, self.data_dir)
+            head = rel.split(os.sep, 1)[0]
+            if head.startswith(f"{BUCKET_COL}="):
+                b = int(head.split("=", 1)[1])
+                out[b] = out.get(b, 0) + 1
+        return out
+
     def compact(self, spark: SparkSession,
                 buckets: list[int] | None = None) -> int:
         """The spec's `rewriteDataFiles` (bin-packing compaction):

@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import tempfile
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -181,12 +182,82 @@ class VersionedParquetTable:
         except FileNotFoundError:
             return None
 
+    def live_file_counts(self, buckets: list[int] | None = None
+                         ) -> dict[int, int]:
+        """Live parquet files per bucket (restricted to `buckets` when
+        given) — the auto-maintenance policy's trigger input. O(listed
+        buckets), a pure directory listing."""
+        d = self.data_path()
+        if d is None:
+            return {}
+        want = None if buckets is None else set(buckets)
+        out: dict[int, int] = {}
+        for name in os.listdir(d):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if want is not None and b not in want:
+                continue
+            out[b] = sum(1 for f in os.listdir(os.path.join(d, name))
+                         if f.endswith(".parquet"))
+        return out
+
+    def compact(self, spark: SparkSession,
+                buckets: list[int] | None = None) -> int:
+        """Bin-packing compaction parity with the lake layers: rewrite
+        the selected buckets' files into one per bucket as a new
+        version (same epoch — replay semantics unaffected). A partial
+        compaction reads and rewrites ONLY its buckets; the rest
+        carry forward by hard link."""
+        cur = self.read(spark, buckets=buckets)
+        if cur is None:
+            return self.current_version()
+        if BUCKET_COL not in cur.columns:
+            return self.commit(cur.coalesce(1),
+                               epoch_id=self.last_epoch() or 0)
+        if buckets is None:
+            buckets = [r[0] for r in
+                       cur.select(BUCKET_COL).distinct().collect()]
+        if not buckets:
+            return self.current_version()
+        sub = cur.repartition(len(buckets), F.col(BUCKET_COL))
+        return self.commit(sub, epoch_id=self.last_epoch() or 0,
+                           touched_buckets=list(buckets))
+
     def _gc(self, keep: int, retain: int = 2) -> None:
         # hard links make retained snapshots ~free; rmtree only drops
         # names, shared inodes survive in newer versions
         for name in os.listdir(self.path):
             if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= keep - retain:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Auto-maintenance for a 100 TB deployment: manual compaction/
+    expiry/vacuum calls don't scale to thousands of tables — the sink
+    applies the policy inside `handle`, bounded to the epoch's touched
+    buckets (compaction probe) or a modular epoch cadence (expiry,
+    vacuum), so the added per-batch cost is O(touched)/amortized-K,
+    never O(table).
+
+    - `compact_files_per_bucket`: after each merge, probe the TOUCHED
+      buckets' live-file counts and compact any bucket exceeding the
+      threshold (partial compaction — only offending buckets rewrite).
+    - `expire_every_epochs` + `expire_condition`: run the TTL pass
+      (`expire_where`) on every Kth epoch.
+    - `vacuum_every_epochs`: physically clean up unreferenced files on
+      every Kth epoch (iceberg: expire_snapshots(keep_snapshots) then
+      vacuum; delta: vacuum). `vacuum_retention_seconds=0` is safe
+      only in the embedded single-writer deployment this sink runs in
+      — a multi-writer lake keeps the 7-day default."""
+
+    compact_files_per_bucket: int | None = None
+    expire_every_epochs: int | None = None
+    expire_condition: str | None = None
+    vacuum_every_epochs: int | None = None
+    vacuum_retention_seconds: float = 0.0
+    keep_snapshots: int = 2
 
 
 @register_sink
@@ -202,6 +273,13 @@ class ParquetUpsertSink(BaseSink):
     def __init__(self, root_path: str, key_fields: tuple[str, ...] = ("id",),
                  order_cols: tuple[str, ...] = ("value.source.lsn", "value.ts_ms"),
                  n_buckets: int = 16, table_format: str = "versioned",
+                 maintenance: MaintenancePolicy | None = None,
+                 maintenance_compact_files_per_bucket: int | str | None = None,
+                 maintenance_expire_every_epochs: int | str | None = None,
+                 maintenance_expire_condition: str | None = None,
+                 maintenance_vacuum_every_epochs: int | str | None = None,
+                 maintenance_vacuum_retention_seconds: float | str = 0.0,
+                 maintenance_keep_snapshots: int | str = 2,
                  **kwargs):
         super().__init__(**kwargs)
         self.root_path = root_path
@@ -212,6 +290,25 @@ class ParquetUpsertSink(BaseSink):
             raise ValueError(f"table_format must be versioned|delta|iceberg, "
                              f"got {table_format!r}")
         self.table_format = table_format
+        # the flat `maintenance_*` kwargs exist for the config path
+        # (assembly passes dotted string properties); a programmatic
+        # caller passes the dataclass directly
+        opt = lambda v: None if v is None else int(v)
+        if maintenance is None and any(
+                v is not None for v in (
+                    maintenance_compact_files_per_bucket,
+                    maintenance_expire_every_epochs,
+                    maintenance_vacuum_every_epochs)):
+            maintenance = MaintenancePolicy(
+                compact_files_per_bucket=opt(
+                    maintenance_compact_files_per_bucket),
+                expire_every_epochs=opt(maintenance_expire_every_epochs),
+                expire_condition=maintenance_expire_condition,
+                vacuum_every_epochs=opt(maintenance_vacuum_every_epochs),
+                vacuum_retention_seconds=float(
+                    maintenance_vacuum_retention_seconds),
+                keep_snapshots=int(maintenance_keep_snapshots))
+        self.maintenance = maintenance
 
     def _table(self, destination: str):
         safe = destination.replace("/", "_")
@@ -306,6 +403,7 @@ class ParquetUpsertSink(BaseSink):
                 batch.withColumn(SEQ_COL, F.lit(epoch_id).cast("long"))
                 .withColumn(BUCKET_COL, table.bucket_expr(self.key_fields))
             )
+            touched: list[int] | None = None
             if current is None:
                 merged = batch.filter(F.col("op") != "d").drop("op")
                 table.commit(merged, epoch_id, touched_buckets=None)
@@ -327,6 +425,35 @@ class ParquetUpsertSink(BaseSink):
                     current_touched, batch, key_cols=self.key_fields, seq_col=SEQ_COL
                 )
                 table.commit(merged, epoch_id, touched_buckets=touched)
+            if self.maintenance is not None:
+                self._run_maintenance(spark, dest, table, epoch_id, touched)
+
+    def _run_maintenance(self, spark: SparkSession, dest: str, table,
+                         epoch_id: int,
+                         touched: list[int] | None) -> None:
+        """Apply the MaintenancePolicy after this destination's merge.
+        The compaction probe is bounded to the epoch's TOUCHED buckets
+        (the only ones whose file count can have changed); expiry and
+        vacuum run on a modular epoch cadence. Maintenance commits
+        preserve the last stream epoch (compaction commits re-record
+        it; erase/expiry epochs are negative), so the idempotent
+        replay check in `handle` is unaffected."""
+        pol = self.maintenance
+        if pol.compact_files_per_bucket is not None and touched:
+            counts = table.live_file_counts(buckets=touched)
+            over = sorted(b for b, n in counts.items()
+                          if n > pol.compact_files_per_bucket)
+            if over:
+                table.compact(spark, buckets=over)
+        if (pol.expire_every_epochs and pol.expire_condition
+                and epoch_id % pol.expire_every_epochs == 0):
+            self.expire_where(spark, dest, pol.expire_condition)
+        if pol.vacuum_every_epochs and epoch_id % pol.vacuum_every_epochs == 0:
+            if hasattr(table, "expire_snapshots"):
+                table.expire_snapshots(keep_last=pol.keep_snapshots)
+            if hasattr(table, "vacuum"):
+                table.vacuum(
+                    retention_seconds=pol.vacuum_retention_seconds)
 
     def erase_keys(
         self, spark: SparkSession, destination: str, keys_df: DataFrame
