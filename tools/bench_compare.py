@@ -19,6 +19,12 @@ Comparison modes, per entry:
   uniform host drift cancels EXACTLY and no hand-argued waivers are
   needed. The absolute guard converts back to seconds at the new
   host's speed.
+- **stream_net** (round-7 verdict #4, preferred for stream entries):
+  both sides support the floor-subtracted value (explicit
+  `normalized_net` map, or derived as normalized - 1) — the ~3s/entry
+  replay harness measured by the stream probe is subtracted so the
+  ratio compares OPERATOR work, restoring resolution on entries whose
+  wall is mostly fixed cost.
 - **legacy** fallback: the old file predates the batch probe — batch
   entries are compared raw with the stream-calibration ratio applied
   to the old time (the round-5 behavior), which under-corrects when
@@ -81,6 +87,23 @@ def norm_of(doc: dict, name: str) -> float | None:
     return None
 
 
+def net_of(doc: dict, name: str) -> float | None:
+    """Stream entry's FLOOR-SUBTRACTED normalized value — operator
+    work in probe units, (sec - calibration)/calibration floored at
+    0.05 (round-7 verdict #4: ~3s/entry of replay harness otherwise
+    compresses every stream ratio toward 1). From the explicit
+    `normalized_net` map when present, else derived as normalized - 1
+    — so any file with a stream calibration supports net mode."""
+    if not name.startswith("stream_"):
+        return None
+    if name in doc.get("normalized_net", {}):
+        return doc["normalized_net"][name]
+    gross = norm_of(doc, name)
+    if gross is None:
+        return None
+    return max(gross - 1.0, 0.05)
+
+
 def main() -> int:
     args = []
     threshold = 1.5
@@ -111,8 +134,17 @@ def main() -> int:
     regressions, wins, waived_hits = [], [], []
     n_normalized = n_legacy = 0
     for name in sorted(set(oq) & set(nq)):
+        o_net, n_net = net_of(old, name), net_of(new, name)
         o_norm, n_norm = norm_of(old, name), norm_of(new, name)
-        if o_norm is not None and n_norm is not None:
+        if o_net is not None and n_net is not None:
+            # stream entries gate on the floor-subtracted value: the
+            # ~3s replay harness is measured by the probe, not the
+            # operator — subtracting it restores the gate's resolution
+            n_normalized += 1
+            mode = "stream_net"
+            a, b = o_net, n_net
+            abs_delta = (b - a) * (_cal_for(new, name) or 1.0)
+        elif o_norm is not None and n_norm is not None:
             n_normalized += 1
             mode = "normalized"
             a, b = o_norm, n_norm
