@@ -45,6 +45,7 @@ concurrent writer loses with FileExistsError instead of corrupting.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -87,6 +88,17 @@ def _schema_fingerprint(schema_json: str) -> str:
         return schema_json
     return json.dumps(norm(parsed), sort_keys=True,
                       separators=(",", ":"))
+
+
+def _fingerprint_tag(schema_json: str) -> str:
+    """Short digest of the NORMALIZED schema fingerprint, recorded on
+    every `add` action's `tags` (the protocol's free-form file
+    metadata map). Lets a later PARTIAL compaction prove, from the
+    control plane alone, that the untouched live files already carry
+    the current schema — the precondition for dropping the sticky
+    `schema.evolved` flag without a full rewrite."""
+    return hashlib.sha256(
+        _schema_fingerprint(schema_json).encode()).hexdigest()[:16]
 
 
 class DeltaLogTable:
@@ -230,7 +242,7 @@ class DeltaLogTable:
         add_t = pa.struct([
             ("path", pa.string()), ("partitionValues", smap),
             ("size", pa.int64()), ("modificationTime", pa.int64()),
-            ("dataChange", pa.bool_())])
+            ("dataChange", pa.bool_()), ("tags", smap)])
         meta_t = pa.struct([
             ("id", pa.string()),
             ("format", pa.struct([("provider", pa.string()),
@@ -456,6 +468,7 @@ class DeltaLogTable:
                 staged.append((full, "__unpartitioned", {}))
 
         adds: list[dict] = []
+        schema_tag = _fingerprint_tag(df.schema.json())
         for seq, (src, rel_dir, pv) in enumerate(staged):
             os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
             rel = (f"{rel_dir}/part-{delta_version:010d}-{seq:05d}-"
@@ -469,6 +482,7 @@ class DeltaLogTable:
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": data_change,
+                "tags": {"schemaFingerprint": schema_tag},
             }})
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -606,8 +620,24 @@ class DeltaLogTable:
                 return 0
             sub = pruned.repartition(len(buckets), F.col(BUCKET_COL))
         # a full compaction rewrites every live file under one schema —
-        # the sticky evolved flag can be dropped in the same commit
-        self._clear_evolved_on_commit = full_rewrite
+        # the sticky evolved flag can be dropped in the same commit. A
+        # PARTIAL compaction can drop it too when every untouched live
+        # file provably already carries the current (normalized)
+        # schema: proven from the logged add tags (schemaFingerprint,
+        # stamped by commit()), no footers opened. Pre-tag adds have no
+        # fingerprint and keep the flag — conservative by construction.
+        clear_evolved = full_rewrite
+        if not clear_evolved and buckets is not None:
+            cur_meta = self._current_metadata_action()
+            if (cur_meta is not None and cur_meta.get("configuration", {})
+                    .get("schema.evolved") == "true"):
+                target = _fingerprint_tag(sub.schema.json())
+                dirs = {f"{BUCKET_COL}={b}" for b in buckets}
+                clear_evolved = all(
+                    (a.get("tags") or {}).get("schemaFingerprint") == target
+                    for p, a in self._live_files().items()
+                    if p.split("/", 1)[0] not in dirs)
+        self._clear_evolved_on_commit = clear_evolved
         return self.commit(sub, epoch_id=self.last_epoch() or 0,
                            touched_buckets=buckets, data_change=False)
 

@@ -112,11 +112,11 @@ MANIFEST_FILE_SCHEMA = {
     ],
 }
 
-# NOTE: the manifest partition record always declares the __bucket
-# field (null-valued for unpartitioned writes). Strict spec form would
-# emit an empty r102 when the partition spec has no fields; the sink
-# always buckets, so the unpartitioned path is a test-only convenience
-# and the asymmetry is confined to it.
+# The manifest partition record mirrors the TABLE's partition spec
+# (spec Appendix C: r102's fields are the spec fields): the bucketed
+# sink path declares the __bucket field; a table whose spec has NO
+# fields (flat/unpartitioned — the test-convenience path) gets the
+# strict empty r102, chosen per table in `_write_manifest`.
 _PARTITION_RECORD = {
     "type": "record", "name": "r102",
     "fields": [
@@ -124,6 +124,23 @@ _PARTITION_RECORD = {
          "default": None, "field-id": 1000},
     ],
 }
+
+_EMPTY_PARTITION_RECORD = {"type": "record", "name": "r102", "fields": []}
+
+
+def _entry_schema(spec_empty: bool) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with r102 matching the table's partition
+    spec: the declared __bucket field for bucketed specs, the strict
+    EMPTY record when the spec has no fields."""
+    if not spec_empty:
+        return MANIFEST_ENTRY_SCHEMA
+    schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+    data_file = next(f for f in schema["fields"]
+                     if f["name"] == "data_file")
+    part = next(f for f in data_file["type"]["fields"]
+                if f["name"] == "partition")
+    part["type"] = dict(_EMPTY_PARTITION_RECORD)
+    return schema
 
 _DATA_FILE = {
     "type": "record", "name": "r2",
@@ -344,11 +361,13 @@ class IcebergTable:
         return None
 
     def _write_manifest(self, name: str, entries: list[dict],
-                        seq: int, sid: int) -> dict:
+                        seq: int, sid: int,
+                        spec_empty: bool = False) -> dict:
         """Write one manifest OCF and return its manifest_file row for
-        the manifest list."""
+        the manifest list. `spec_empty` selects the strict empty r102
+        partition record for tables whose spec declares no fields."""
         rel = os.path.join("metadata", name)
-        raw = write_container(entries, MANIFEST_ENTRY_SCHEMA,
+        raw = write_container(entries, _entry_schema(spec_empty),
                               metadata={"format-version": b"2",
                                         "content": b"data",
                                         "partition-spec-id": b"0"})
@@ -356,16 +375,16 @@ class IcebergTable:
             f.write(raw)
         live = [e for e in entries if e["status"] != ST_DELETED]
         dead = [e for e in entries if e["status"] == ST_DELETED]
-        buckets = sorted({e["data_file"]["partition"][BUCKET_COL]
+        buckets = sorted({e["data_file"]["partition"].get(BUCKET_COL)
                           for e in live
-                          if e["data_file"]["partition"][BUCKET_COL]
+                          if e["data_file"]["partition"].get(BUCKET_COL)
                           is not None})
         summary = None
         if buckets:
             summary = [{
                 "contains_null": any(
-                    e["data_file"]["partition"][BUCKET_COL] is None
-                    for e in live),
+                    e["data_file"]["partition"].get(BUCKET_COL)
+                    is None for e in live),
                 "contains_nan": False,
                 "lower_bound": _bucket_bound(buckets[0]),
                 "upper_bound": _bucket_bound(buckets[-1]),
@@ -516,6 +535,15 @@ class IcebergTable:
             # below never contains, so prior data survives
             df.write.mode("overwrite").parquet(staging)
 
+        # strict r102 form: a table whose partition SPEC declares no
+        # fields writes the empty partition record (first commit: the
+        # spec is about to be created from this df's columns)
+        meta = self._current_metadata()
+        if meta is not None:
+            spec_empty = not meta["partition-specs"][0]["fields"]
+        else:
+            spec_empty = BUCKET_COL not in df.columns
+
         # move staged parquet into data/, building ADDED entries per
         # bucket key ('b{N}' for __bucket=N dirs, 'flat' otherwise)
         adds: dict[str, list[dict]] = {}
@@ -543,7 +571,7 @@ class IcebergTable:
                 "data_file": {
                     "content": 0, "file_path": dst,
                     "file_format": "PARQUET",
-                    "partition": {BUCKET_COL: b},
+                    "partition": ({} if spec_empty else {BUCKET_COL: b}),
                     "record_count": _pq.read_metadata(dst).num_rows,
                     "file_size_in_bytes": os.stat(dst).st_size,
                 }})
@@ -552,7 +580,6 @@ class IcebergTable:
         # prior manifests by bucket key — a key can hold SEVERAL live
         # manifests (append commits stack them); all are carried
         # forward by reference unless the bucket is being replaced
-        meta = self._current_metadata()
         prior: dict[str, list[dict]] = {}
         if meta is not None and version > 0:
             for mf in self._read_manifest_list(
@@ -589,7 +616,8 @@ class IcebergTable:
             name = (f"{token}-{key}.avro" if key in adds
                     else f"{token}-del{key}.avro")
             list_entries.append(
-                self._write_manifest(name, entries, seq, sid))
+                self._write_manifest(name, entries, seq, sid,
+                                     spec_empty=spec_empty))
 
         list_rel = os.path.join("metadata",
                                 f"snap-{sid}-1-{token}.avro")

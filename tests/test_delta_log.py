@@ -467,6 +467,65 @@ def test_full_compaction_clears_evolved_flag(spark, tmp_path):
     assert meta2["configuration"].get("schema.evolved") == "true"
 
 
+def test_partial_compact_clears_evolved_flag_via_add_tags(
+        spark, tmp_path):
+    """NEXT r07 #6: a PARTIAL compaction may also drop the sticky
+    `schema.evolved` flag when every UNTOUCHED live file provably
+    carries the current normalized schema — proven from the
+    `schemaFingerprint` add tag (control plane only, no footers).
+    Pre-tag adds (no fingerprint) must keep the flag: conservative."""
+    from pyspark.sql import functions as F
+
+    table = DeltaLogTable(str(tmp_path / "t"), n_buckets=4)
+    bexpr = table.bucket_expr(("id",))
+    table.commit(spark.range(8).withColumn(BUCKET_COL, bexpr), epoch_id=0)
+    table.commit(  # real evolution: flag goes sticky
+        spark.range(8, 16).withColumn("extra", F.lit("x"))
+        .withColumn(BUCKET_COL, bexpr), epoch_id=1, touched_buckets=[])
+    assert table._current_metadata_action()[
+        "configuration"]["schema.evolved"] == "true"
+    # full-table MERGE at the evolved schema: every live file is now
+    # new-schema, but the flag stays sticky (no compaction yet)
+    table.commit(spark.range(16).withColumn("extra", F.lit("y"))
+                 .withColumn(BUCKET_COL, bexpr), epoch_id=2)
+    assert table._current_metadata_action()[
+        "configuration"]["schema.evolved"] == "true"
+    # tags survive the checkpoint round trip (classic checkpoint
+    # carries the add's `tags` map per the protocol)
+    table.write_checkpoint()
+    live, _, _, _ = table._checkpoint_state(table.current_version() - 1)
+    assert all((a.get("tags") or {}).get("schemaFingerprint")
+               for a in live.values())
+    table.compact(spark, buckets=[0])  # partial — but provably uniform
+    meta = table._current_metadata_action()
+    assert "schema.evolved" not in meta.get("configuration", {})
+    out = table.read(spark)
+    assert out.count() == 16 and "extra" in out.columns
+
+    # conservative path: strip the tags from one untouched add (as a
+    # pre-tag writer would have left it) — the flag must survive
+    t2 = DeltaLogTable(str(tmp_path / "t2"), n_buckets=4)
+    t2.commit(spark.range(8).withColumn(BUCKET_COL, bexpr), epoch_id=0)
+    t2.commit(spark.range(8, 16).withColumn("extra", F.lit("x"))
+              .withColumn(BUCKET_COL, bexpr), epoch_id=1,
+              touched_buckets=[])
+    t2.commit(spark.range(16).withColumn("extra", F.lit("y"))
+              .withColumn(BUCKET_COL, bexpr), epoch_id=2)
+    path = t2._log_path(2)
+    lines = []
+    for line in open(path).read().splitlines():
+        a = json.loads(line)
+        if "add" in a:
+            a["add"].pop("tags", None)
+        lines.append(json.dumps(a, separators=(",", ":")))
+    os.remove(path)
+    with open(path, "x") as f:
+        f.write("\n".join(lines) + "\n")
+    t2.compact(spark, buckets=[0])
+    assert t2._current_metadata_action()[
+        "configuration"].get("schema.evolved") == "true"
+
+
 def test_flat_table_partial_compact_is_full_rewrite_clears_flag(
         spark, tmp_path):
     """ADVICE r07: compact(buckets=[...]) on a FLAT (unbucketed) table

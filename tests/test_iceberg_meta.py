@@ -513,6 +513,59 @@ def test_compact_unbucketed_flat_table(spark, tmp_path):
     assert snap["summary"]["operation"] == "replace"
 
 
+def test_unpartitioned_spec_writes_strict_empty_r102(spark, tmp_path):
+    """NEXT r07 #6 (strict spec form): a table whose partition SPEC
+    declares no fields must write manifests whose embedded r102
+    partition record has ZERO fields and whose entries carry an empty
+    partition value — not a null-valued __bucket field. Bucketed
+    tables keep the declared field."""
+    from debezium_server_spark.functions.avro_codec import read_container
+
+    def r102_of(table):
+        meta = table._current_metadata()
+        snap = table._snapshot(meta, table.current_version())
+        (mf,) = table._read_manifest_list(snap["manifest-list"])
+        raw = open(os.path.join(table.path, mf["manifest_path"]),
+                   "rb").read()
+        schema, entries = read_container(raw)
+        data_file = next(f for f in schema["fields"]
+                         if f["name"] == "data_file")
+        part = next(f for f in data_file["type"]["fields"]
+                    if f["name"] == "partition")
+        return part["type"]["fields"], entries
+
+    flat = IcebergTable(str(tmp_path / "flat"), n_buckets=4)
+    flat.commit(spark.range(5).coalesce(1), epoch_id=0)
+    assert flat._current_metadata()["partition-specs"][0]["fields"] == []
+    fields, entries = r102_of(flat)
+    assert fields == []
+    assert all(e["data_file"]["partition"] == {} for e in entries)
+    # spec stays strict across later commits + compaction
+    flat.commit(spark.range(5, 9).coalesce(1), epoch_id=1,
+                touched_buckets=[])
+    flat.compact(spark)
+    fields, entries = r102_of(flat)
+    assert fields == [] and all(
+        e["data_file"]["partition"] == {} for e in entries)
+    assert sorted(r["id"] for r in flat.read(spark).collect()) == \
+        list(range(9))
+
+    bucketed = IcebergTable(str(tmp_path / "b"), n_buckets=4)
+    bucketed.commit(spark.range(5).withColumn(
+        BUCKET_COL, bucketed.bucket_expr(("id",))), epoch_id=0)
+    meta = bucketed._current_metadata()
+    snap = bucketed._snapshot(meta, 1)
+    mfs = bucketed._read_manifest_list(snap["manifest-list"])
+    raw = open(os.path.join(bucketed.path, mfs[0]["manifest_path"]),
+               "rb").read()
+    schema, _ = read_container(raw)
+    data_file = next(f for f in schema["fields"]
+                     if f["name"] == "data_file")
+    part = next(f for f in data_file["type"]["fields"]
+                if f["name"] == "partition")
+    assert [f["name"] for f in part["type"]["fields"]] == [BUCKET_COL]
+
+
 def test_vacuum_collects_unreachable_metadata(spark, tmp_path):
     """vacuum() sweeps the METADATA plane too: manifest lists and
     manifests reachable from no retained snapshot are deleted after
