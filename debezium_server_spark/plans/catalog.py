@@ -16567,3 +16567,119 @@ def q_delta_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "lake_auto_maintenance_roundtrip",
+    """
+    SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n_rows,
+           floor((CAST(SUM(CAST(
+               o_totalprice
+               + (CASE WHEN o_orderkey % 7 = 0 THEN 2.0 ELSE 0.0 END)
+               + (CASE WHEN o_orderkey % 11 = 0 THEN 0.5 ELSE 0.0 END)
+             AS DECIMAL(38,6))) AS DOUBLE)) * 10000) / 10000 AS sum_price
+    FROM orders
+    WHERE o_orderkey % 13 <> 0
+    GROUP BY bucket ORDER BY bucket
+    """,
+    "AUTO-MAINTENANCE policy validated END TO END under the driver "
+    "gate: a four-epoch CDC replay through the real "
+    "ParquetUpsertSink.handle path on the iceberg layer with an "
+    "aggressive MaintenancePolicy — threshold compaction at the "
+    "always-compact edge of the knob (compact_files_per_bucket=0, "
+    "probed on each epoch's TOUCHED buckets only: every touched "
+    "bucket rewrites after every merge), TTL expiry "
+    "(o_orderkey%13=0 at the epoch-4 "
+    "cadence), and snapshot-expiry+vacuum at every second epoch, all "
+    "firing MID-STREAM between merges. The maintenance-invariance "
+    "contract is the oracle: compaction and vacuum must never change "
+    "state, expiry must remove exactly the condition's rows, so the "
+    "final materialized state is pure-SQL expressible. The entry "
+    "RAISES (driver-red) if the commit count shows compaction never "
+    "fired — a silently-inert policy cannot pass. Policy knobs and "
+    "per-layer mechanics pinned in tests/test_auto_maintenance.py. "
+    "100 TB: the compaction probe reads live_file_counts for touched "
+    "buckets only (manifest-summary pruned), expiry rewrites only "
+    "matching buckets, vacuum sweeps data+metadata planes — every "
+    "maintenance action is O(touched)/amortized, never O(table), so "
+    "the policy can run inside every micro-batch of thousands of "
+    "tables.",
+)
+def q_lake_auto_maintenance_roundtrip(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from debezium_server_spark.sinks.parquet_sink import (
+        MaintenancePolicy,
+        ParquetUpsertSink,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+
+    def envelope(df, op: str, epoch: int):
+        after_t = "struct<o_orderkey:bigint,o_totalprice:double>"
+        return df.select(
+            F.lit("orders").alias("destination"),
+            F.struct(F.col("o_orderkey")).alias("key"),
+            F.struct(
+                F.lit(op).alias("op"),
+                F.lit(None).cast(after_t).alias("before"),
+                F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+                .alias("after"),
+                F.struct((F.col("o_orderkey")
+                          + F.lit(epoch * 10_000_000_000)).alias("lsn"))
+                .alias("source"),
+                F.lit(epoch).cast("long").alias("ts_ms")).alias("value"),
+            F.lit([]).cast("array<struct<key:string,value:string>>")
+            .alias("headers"),
+            F.lit(0).alias("partition"))
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="lake_maint_", dir=tmp_root)
+    try:
+        sink = ParquetUpsertSink(
+            work, key_fields=("o_orderkey",), n_buckets=16,
+            table_format="iceberg",
+            maintenance=MaintenancePolicy(
+                compact_files_per_bucket=0,
+                expire_every_epochs=4,
+                expire_condition="o_orderkey % 13 = 0",
+                vacuum_every_epochs=2,
+                vacuum_retention_seconds=0.0,
+                keep_snapshots=2))
+        # e1: snapshot; e2/e3: +1.0 each on %7 keys (absolute upsert
+        # values — latest-wins must land base+2.0); e4: +0.5 on %11
+        # keys, then the policy's epoch-4 TTL expiry fires
+        sink.handle(envelope(orders, "r", 1), 1)
+        for epoch in (2, 3):
+            upd = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + (epoch - 1.0))
+            sink.handle(envelope(upd, "u", epoch), epoch)
+        upd4 = orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_totalprice",
+            F.col("o_totalprice") + 0.5
+            + F.when(F.col("o_orderkey") % 7 == 0, 2.0).otherwise(0.0))
+        sink.handle(envelope(upd4, "u", 4), 4)
+
+        # 4 merges + 1 expiry commit = 5 without compaction: a policy
+        # that never compacted is a regression, not a pass
+        commits = sink._table("orders").current_version()
+        if commits <= 5:
+            raise RuntimeError(
+                f"auto-maintenance compaction never fired "
+                f"({commits} commits for 4 epochs + expiry)")
+
+        final = sink.read_table(spark, "orders")
+        out = (final.groupBy(
+            F.pmod(F.col("o_orderkey"), F.lit(16)).cast("long")
+            .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 _dsum(F.col("o_totalprice")).alias("sum_price"))
+            .select("bucket", "n_rows", "sum_price"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

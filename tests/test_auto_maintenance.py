@@ -194,3 +194,38 @@ def test_config_surface_builds_policy(tmp_path):
         compact_files_per_bucket=8, expire_every_epochs=100,
         expire_condition="day < 10", vacuum_every_epochs=50,
         vacuum_retention_seconds=3600.0, keep_snapshots=3)
+
+
+def test_catalog_entry_pins_auto_maintenance_policy(spark, sf_dir):
+    """PIN-TEST GATE: `lake_auto_maintenance_roundtrip`'s policy
+    (epochs: snapshot, +1.0 twice on %7 keys as ABSOLUTE upserts,
+    +0.5 on %11 keys, then %13 TTL expiry; always-compact threshold
+    firing between merges) recomputed independently with pandas from
+    the raw orders parquet — maintenance may never change the
+    upsert-semantics result."""
+    import os
+
+    import pandas as pd
+
+    from debezium_server_spark.plans.catalog import CATALOG
+
+    got = (CATALOG["lake_auto_maintenance_roundtrip"]
+           .spark_fn(spark, sf_dir).toPandas()
+           .sort_values("bucket").reset_index(drop=True))
+
+    raw = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_totalprice"])
+    k = raw["o_orderkey"]
+    price = (raw["o_totalprice"]
+             + (k % 7 == 0) * 2.0 + (k % 11 == 0) * 0.5)
+    kept = k % 13 != 0
+    exp = (pd.DataFrame({"bucket": (k[kept] % 16).astype("int64"),
+                         "p": price[kept]})
+           .groupby("bucket", as_index=False)
+           .agg(n_rows=("p", "size"), sum_price=("p", "sum")))
+    exp["sum_price"] = (exp["sum_price"] * 10000).apply(
+        lambda v: float(int(v)) / 10000)
+    assert list(got["bucket"]) == list(exp["bucket"])
+    assert list(got["n_rows"]) == list(exp["n_rows"])
+    for g, e in zip(got["sum_price"], exp["sum_price"]):
+        assert abs(g - e) < 1e-3, (g, e)
