@@ -417,6 +417,20 @@ class DeltaLogTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*files)
 
+    def read_schema(self, spark: SparkSession):
+        """Stored schema from the CONTROL PLANE alone (the current
+        metaData action's schemaString — exact Spark types, including
+        the bucket partition column): a merge/erase needs only dtypes,
+        and the full `read()` pays an O(live-files) file-index
+        construction to answer the same question. Returns None when
+        nothing is committed."""
+        from pyspark.sql import types as T
+
+        meta = self._current_metadata_action()
+        if meta is None:
+            return None
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
     def commit(self, df: DataFrame, epoch_id: int,
                touched_buckets: list[int] | None = None,
                data_change: bool = True) -> int:
@@ -595,26 +609,35 @@ class DeltaLogTable:
         txn action re-records the LAST epoch so idempotent replay is
         unaffected. The 100 TB maintenance lever against micro-batch
         small files. Returns the new commit count, or 0 when empty."""
-        cur = self.read(spark)  # pins the transaction snapshot
-        if cur is None:
+        # control-plane preflight: schema (bucketed or flat?) and the
+        # default bucket list both come from the log — constructing
+        # the FULL read here cost O(live files) at every PARTIAL
+        # compaction (measured: the delta compact probe's wall grew
+        # with history depth in tools/scaling_lake.py purely from
+        # this file-index build; the pruned read below is the only
+        # data-plane touch a partial compact needs)
+        schema = self.read_schema(spark)
+        if schema is None:
             return 0
-        if BUCKET_COL not in cur.columns:
+        if BUCKET_COL not in schema.fieldNames():
             # flat table: every compaction is a full rewrite (the
             # commit's touched_buckets=None removes all files), even
             # when the caller asked for specific buckets — so the
             # sticky evolved flag is clearable here too
+            cur = self.read(spark)  # full read IS the rewrite input
+            if cur is None:
+                return 0
             sub = cur.coalesce(1)
             buckets = None
             full_rewrite = True
         else:
             full_rewrite = buckets is None
             if buckets is None:
-                buckets = [r[0] for r in
-                           cur.select(BUCKET_COL).distinct().collect()]
+                buckets = sorted(self.live_file_counts())
             if not buckets:
                 return 0
             # pruned read: a partial compaction lists only its own
-            # buckets' files (snapshot already pinned by read() above)
+            # buckets' files (and pins the transaction snapshot)
             pruned = self.read(spark, buckets=list(buckets))
             if pruned is None:  # requested buckets hold no files
                 return 0

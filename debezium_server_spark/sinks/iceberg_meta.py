@@ -476,6 +476,24 @@ class IcebergTable:
                     files.append(e["data_file"]["file_path"])
         return files
 
+    def read_schema(self, spark: SparkSession):
+        """Stored schema from the CONTROL PLANE: the `dss.spark-schema`
+        table property (exact Spark types — Iceberg's own schema maps
+        byte/short to `int`, and the pinned bucket function needs the
+        dtype the files actually carry). Tables written before the
+        property existed fall back to the full read's schema. Returns
+        None when nothing is committed."""
+        from pyspark.sql import types as _T
+
+        meta = self._current_metadata()
+        if meta is None or self.current_version() == 0:
+            return None
+        raw = meta.get("properties", {}).get("dss.spark-schema")
+        if raw:
+            return _T.StructType.fromJson(json.loads(raw))
+        full = self.read(spark)
+        return full.schema if full is not None else None
+
     def read(self, spark: SparkSession, version: int | None = None,
              buckets: list[int] | None = None) -> DataFrame | None:
         """Current state, time travel via `version`, and (with
@@ -667,6 +685,13 @@ class IcebergTable:
                 new_meta["last-column-id"] = max(
                     meta["last-column-id"], evolved_last)
                 snapshot["schema-id"] = new_id
+                # keep the EXACT Spark schema current alongside the
+                # Iceberg one (see read_schema: Iceberg's `int`
+                # erases Spark's byte/short, and key dtypes must
+                # round-trip exactly for the pinned bucket function)
+                new_meta["properties"] = {
+                    **meta.get("properties", {}),
+                    "dss.spark-schema": df.schema.json()}
         else:
             spec_fields = []
             if bucket_fid is not None:
@@ -690,6 +715,10 @@ class IcebergTable:
                 "properties": {
                     "bucketing.count": str(self.n_buckets),
                     "write.format.default": "parquet",
+                    # exact Spark schema (the Iceberg schema's `int`
+                    # erases byte/short): control-plane source for
+                    # read_schema / key-dtype pinning
+                    "dss.spark-schema": df.schema.json(),
                 },
                 "snapshots": [],
                 "snapshot-log": [],
@@ -765,23 +794,30 @@ class IcebergTable:
         micro-batches otherwise leaves thousands of files per bucket.
         Returns the new commit version, or 0 when the table is empty.
         """
-        cur = self.read(spark)  # pins the transaction snapshot
-        if cur is None:
+        # control-plane preflight (schema + default bucket list from
+        # the metadata/manifests): building the FULL read here cost
+        # O(live files) at every PARTIAL compaction — measured as the
+        # compact probe's wall growing with history depth in
+        # tools/scaling_lake.py
+        schema = self.read_schema(spark)
+        if schema is None:
             return 0
-        if BUCKET_COL not in cur.columns:
+        if BUCKET_COL not in schema.fieldNames():
             # flat (unbucketed) table — mirror the Delta twin: one
             # output file, full rewrite
+            cur = self.read(spark)
+            if cur is None:
+                return 0
             return self.commit(cur.coalesce(1),
                                epoch_id=self.last_epoch() or 0,
                                touched_buckets=None,
                                operation="replace")
         if buckets is None:
-            buckets = [r[0] for r in
-                       cur.select(BUCKET_COL).distinct().collect()]
+            buckets = sorted(self.live_file_counts())
         if not buckets:
             return 0
         # pruned read: a partial compaction opens only the manifests
-        # covering its buckets (snapshot already pinned by read() above)
+        # covering its buckets (and pins the transaction snapshot)
         pruned = self.read(spark, buckets=list(buckets))
         if pruned is None:  # requested buckets hold no files
             return 0

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
 from debezium_server_spark.operators.materialize import merge_state
@@ -121,6 +122,29 @@ class VersionedParquetTable:
         return F.pmod(
             F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(self.n_buckets)
         ).cast("int")
+
+    def read_schema(self, spark: SparkSession) -> T.StructType | None:
+        """Stored schema WITHOUT constructing the full-table read: one
+        parquet footer (plus the bucket partition column the full read
+        would infer). The full `read()` builds a file index over every
+        live file — an O(live-files) listing job that a merge/erase
+        needs only for dtypes; this is the O(1) substitute. Key
+        columns never change dtype across evolution (handle() pins
+        them), so any single footer answers the dtype question."""
+        p = self.data_path()
+        if not p:
+            return None
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
+            for fn in sorted(files):
+                if fn.endswith(".parquet") and not fn.startswith("."):
+                    schema = spark.read.parquet(
+                        os.path.join(root, fn)).schema
+                    if (f"{BUCKET_COL}=" in root
+                            and BUCKET_COL not in schema.fieldNames()):
+                        schema = schema.add(BUCKET_COL, T.IntegerType())
+                    return schema
+        return None
 
     def commit(self, df: DataFrame, epoch_id: int,
                touched_buckets: list[int] | None = None) -> int:
@@ -362,7 +386,13 @@ class ParquetUpsertSink(BaseSink):
             for k in self.key_fields:
                 batch = batch.withColumn(k, F.coalesce(F.col(k), F.col(f"__key_{k}")))
             batch = batch.drop(*[f"__key_{k}" for k in self.key_fields])
-            current = table.read(spark)
+            # control-plane schema probe: the merge needs the stored
+            # KEY DTYPES (pinning below) and, later, only the TOUCHED
+            # buckets' rows — constructing the full-table read here
+            # cost O(live files) of file-index work per micro-batch
+            # (measured in tools/scaling_lake.py as merge wall growing
+            # with history depth)
+            stored_schema = table.read_schema(spark)
             # The bucket function is PINNED to the table's creation-time
             # key dtypes: xxhash64 hashes the binary representation, so
             # an upstream key widening (int -> long envelopes after a
@@ -373,8 +403,9 @@ class ParquetUpsertSink(BaseSink):
             # dtypes; a key the stored type cannot represent is a real
             # domain overflow that needs a table migration — raise
             # loudly instead of silently rehashing.
-            if current is not None:
-                cur_types = dict(current.dtypes)
+            if stored_schema is not None:
+                cur_types = {f.name: f.dataType.simpleString()
+                             for f in stored_schema.fields}
                 batch_types = dict(batch.dtypes)
                 for k in self.key_fields:
                     if batch_types[k] != cur_types[k]:
@@ -404,7 +435,7 @@ class ParquetUpsertSink(BaseSink):
                 .withColumn(BUCKET_COL, table.bucket_expr(self.key_fields))
             )
             touched: list[int] | None = None
-            if current is None:
+            if stored_schema is None:
                 merged = batch.filter(F.col("op") != "d").drop("op")
                 table.commit(merged, epoch_id, touched_buckets=None)
             else:
@@ -420,7 +451,8 @@ class ParquetUpsertSink(BaseSink):
                 # O(table)
                 current_touched = table.read(spark, buckets=touched)
                 if current_touched is None:  # touched buckets all new
-                    current_touched = current.limit(0)
+                    current_touched = spark.createDataFrame(
+                        [], stored_schema)
                 merged = merge_state(
                     current_touched, batch, key_cols=self.key_fields, seq_col=SEQ_COL
                 )
@@ -469,15 +501,19 @@ class ParquetUpsertSink(BaseSink):
         deployment sets retain=1 on erasure-bearing tables (or re-commits
         retain times). Returns the number of rows erased."""
         table = self._table(destination)
-        current = table.read(spark)
-        if current is None:
+        # control-plane schema probe (see handle): an erase of k keys
+        # must cost O(their buckets), and the full read's file index
+        # is O(live files)
+        stored_schema = table.read_schema(spark)
+        if stored_schema is None:
             return 0
         # CAST the keys to the table's own key dtypes first: xxhash64
         # hashes the binary representation, so a long-typed key frame
         # against an int-keyed table buckets DIFFERENTLY and the erase
         # silently misses rows (found by the cross-layer differential
         # test, round 7) — a silent GDPR non-erasure
-        cur_types = dict(current.dtypes)
+        cur_types = {f.name: f.dataType.simpleString()
+                     for f in stored_schema.fields}
         # Same try_cast round trip as the merge path: under ANSI a
         # plain .cast of an out-of-range key would abort the WHOLE
         # erase (including all valid keys); non-ANSI would WRAP and
