@@ -247,3 +247,112 @@ def test_assembly_db2_cdc_source_e2e(spark, tmp_path):
     import json
     vals = sorted(json.loads(r["value"])["op"] for r in good)
     assert vals == ["c", "u"]
+
+
+# ------------------------------------------------- encoder-twin fuzz
+
+_FUZZ_SCHEMA = T.StructType([
+    T.StructField("IBMSNAP_COMMITSEQ", T.BinaryType()),
+    T.StructField("IBMSNAP_INTENTSEQ", T.BinaryType()),
+    T.StructField("IBMSNAP_OPERATION", T.StringType()),
+    T.StructField("ID", T.LongType()),
+    T.StructField("NAME", T.StringType()),
+    T.StructField("XID", T.LongType()),
+    T.StructField("XNAME", T.StringType()),
+])
+
+_NAME_POOL = ["ann", "bob", "naïve", "東京", 'qu"ote', "back\\slash",
+              "tab\tchar", "new\nline", "Ωmega", "o'hara"]
+
+
+def _fuzz_stream(seed: int, n_tx: int):
+    """Encoder twin: emit a random CD-row stream (pair-mode
+    registration with occasional mixed single-'U' rows and injected
+    unknown opcodes) AND the exact envelopes the decode contract
+    documents for it. Semantic 'delete' is never immediately followed
+    by semantic 'insert' within a transaction — in pair mode that
+    adjacency IS an update by definition (the documented
+    CHG_UPD_TO_DEL_INS classification), so a generator that emitted it
+    would be describing an update while expecting two changes."""
+    import json
+    import random
+
+    rng = random.Random(seed)
+
+    def jrow(rid, name):
+        return json.dumps({"ID": rid, "NAME": name},
+                          separators=(",", ":"), ensure_ascii=False)
+
+    rows, expected = [], {}
+    iseq = 100
+    for tx in range(1, n_tx + 1):
+        commit = tx * 1000
+        lsn = "%020X" % commit
+        prev = None
+        for _ in range(rng.randint(1, 6)):
+            ops = ["ins", "del", "upd_pair", "upd_single", "unknown"]
+            if prev == "del":
+                ops.remove("ins")
+            op = rng.choices(ops, weights=[4, 2, 4, 2, 1][:len(ops)]
+                             if prev != "del" else [2, 4, 2, 1])[0]
+            prev = op
+            rid = rng.randint(1, 50)
+            name = rng.choice(_NAME_POOL)
+            key = (lsn, "%020X" % iseq)
+            if op == "ins":
+                rows.append((commit, iseq, "I", rid, name, None, None))
+                expected[key] = ("c", None, jrow(rid, name), None)
+                iseq += 1
+            elif op == "del":
+                rows.append((commit, iseq, "D", rid, name, None, None))
+                expected[key] = ("d", jrow(rid, name), None, None)
+                iseq += 1
+            elif op == "upd_pair":
+                new_name = rng.choice(_NAME_POOL)
+                rows.append((commit, iseq, "D", rid, name, None, None))
+                rows.append((commit, iseq + 1, "I", rid, new_name,
+                             None, None))
+                expected[key] = ("u", jrow(rid, name),
+                                 jrow(rid, new_name), None)
+                iseq += 2
+            elif op == "upd_single":
+                old_name = rng.choice(_NAME_POOL)
+                rows.append((commit, iseq, "U", rid, name, rid, old_name))
+                expected[key] = ("u", jrow(rid, old_name),
+                                 jrow(rid, name), None)
+                iseq += 1
+            else:  # unknown opcode quarantine
+                bad = rng.choice(["X", "Z", "?"])
+                rows.append((commit, iseq, bad, rid, name, None, None))
+                expected[key] = (None, None, None,
+                                 f"unknown IBMSNAP_OPERATION {bad}")
+                iseq += 1
+    return rows, expected
+
+
+@pytest.mark.parametrize("seed,n_tx", [(80801, 400), (80802, 400)])
+def test_fuzz_cd_stream_decode_matches_encoder_twin(spark, seed, n_tx):
+    """Generative coverage for the sixth capture mechanism (the
+    logminer/MariaDB fuzz discipline): hundreds of random transactions
+    through the pair-reconstruction batch decode must reproduce the
+    encoder twin's envelopes EXACTLY — op, before/after JSON (unicode,
+    quotes, escapes), the D row's seqval on pairs, unknown-opcode
+    error rows surfacing (never dropping)."""
+    rows, expected = _fuzz_stream(seed, n_tx)
+
+    def _b(n):
+        return bytearray(n.to_bytes(10, "big"))
+
+    df = spark.createDataFrame(
+        [(_b(c), _b(i), op, rid, name, xid, xname)
+         for c, i, op, rid, name, xid, xname in rows], _FUZZ_SCHEMA)
+    out = decode_db2_cdc_changes(df, "db2.APPO.FUZZ").collect()
+    got = {(r["lsn"], r["seqval"]):
+           (r["op"], r["before"], r["after"], r["error"]) for r in out}
+    assert len(out) == len(got), "duplicate (lsn, seqval) in decode"
+    missing = set(expected) - set(got)
+    extra = set(got) - set(expected)
+    assert not missing and not extra, (sorted(missing)[:3],
+                                       sorted(extra)[:3])
+    for key in expected:
+        assert got[key] == expected[key], (key, got[key], expected[key])
