@@ -320,3 +320,47 @@ def test_flat_table_explicit_append_is_not_a_full_rewrite(
     table.commit(spark.range(100, 102), epoch_id=2)
     got = sorted(r["id"] for r in table.read(spark).collect())
     assert got == [100, 101], f"{fmt}: default full rewrite broken: {got}"
+
+
+@pytest.mark.parametrize("fmt", ["versioned", "delta", "iceberg"])
+def test_read_schema_is_control_plane_truth(spark, tmp_path, fmt):
+    """read_schema (the hot paths' O(1) substitute for the full read's
+    O(live-files) file index) must agree with the full read on names
+    and dtypes — before AND after schema evolution — and be None on an
+    empty table."""
+    from pyspark.sql import functions as F
+
+    from debezium_server_spark.sinks.delta_log import DeltaLogTable
+    from debezium_server_spark.sinks.iceberg_meta import IcebergTable
+    from debezium_server_spark.sinks.parquet_sink import (
+        BUCKET_COL,
+        VersionedParquetTable,
+    )
+
+    cls = {"versioned": VersionedParquetTable, "delta": DeltaLogTable,
+           "iceberg": IcebergTable}[fmt]
+    table = cls(str(tmp_path / fmt), n_buckets=4)
+    assert table.read_schema(spark) is None
+
+    df = spark.range(8).withColumn("v", F.lit(1).cast("int")).withColumn(
+        BUCKET_COL, table.bucket_expr(("id",)))
+    table.commit(df, epoch_id=0)
+
+    def dtypes(schema):
+        return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    full = table.read(spark)
+    assert dtypes(table.read_schema(spark)) == dtypes(full.schema)
+
+    # evolution: a new column lands in every bucket; the control-plane
+    # schema must follow on delta/iceberg (versioned is footer-based —
+    # key dtypes, its only hot-path contract, are evolution-stable)
+    df2 = (spark.range(8, 16).withColumn("v", F.lit(2).cast("int"))
+           .withColumn("extra", F.lit("x"))
+           .withColumn(BUCKET_COL, table.bucket_expr(("id",))))
+    table.commit(df2, epoch_id=1)  # full rewrite at the evolved schema
+    got = dtypes(table.read_schema(spark))
+    assert got["id"] == "bigint"  # key dtype stable in all layers
+    if fmt != "versioned":
+        assert got == dtypes(table.read(spark).schema)
+        assert "extra" in got
