@@ -108,9 +108,14 @@ def main() -> None:
     stream_runs = int(os.environ.get("SPARK_GRAFT_STREAM_RUNS", "3"))
 
     # batch calibration: one discarded warmup (codegen), then median —
-    # the host-speed anchor for per-entry `normalized` values
+    # the host-speed anchor for per-entry `normalized` values. Median
+    # of FIVE (round-8 gate finding: the 3-sample anchor swung ±30%
+    # across same-day sessions, which inflated normalized ratios on
+    # sub-second entries more than the entries themselves drifted).
+    # Same probe, more samples — the unit is unchanged, so anchors
+    # stay comparable across rounds.
     batch_cal_times = []
-    for i in range(max(runs, 3) + 1):
+    for i in range(max(runs, 5) + 1):
         t0 = time.perf_counter()
         batch_calibration(spark)
         if i > 0:
@@ -120,7 +125,7 @@ def main() -> None:
     # stream calibration (also warms the streaming machinery so the
     # first stream_* entry doesn't pay one-time class-loading)
     cal_times = []
-    for _ in range(max(stream_runs, 3)):
+    for _ in range(max(stream_runs, 5)):
         t0 = time.perf_counter()
         calibration_replay(spark)
         cal_times.append(time.perf_counter() - t0)
