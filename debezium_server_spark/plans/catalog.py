@@ -15382,7 +15382,19 @@ def _pgoutput_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_msg = spark.createDataFrame(
         [(0, bytearray(encode_message(rel)))], msg_schema)
 
-    wal = data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
+    # The decoder's three passes (relation-registry collect, data
+    # decode, Begin extraction) each scan `wal`; without a cut the
+    # per-event Python ENCODERS re-execute once per pass — the plan
+    # showed enc_data/enc_tx twice in the final plan plus once for the
+    # registry collect. Materialize the synthesized WAL once (eager
+    # localCheckpoint, ~7 MB at sf0.1) so the encode runs a single
+    # time per evaluation and every decode pass reads the cut
+    # (guide §3.3: materialize an intermediate read by many branches).
+    # On a real capture the WAL bytes are the SOURCE (read from disk),
+    # so this also makes the entry's cost profile match production:
+    # encode-once, decode-per-pass.
+    wal = (data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
+           .localCheckpoint())
     return decode_pgoutput_changelog(wal)
 
 
@@ -15772,7 +15784,10 @@ def q_binlog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_events = ev.mapInPandas(enc, msg_schema)
     control = spark.createDataFrame(
         [(-1, bytearray(encode_event(tmap)))], msg_schema)
-    wal = data_events.unionByName(control)
+    # encode-once cut (the _pgoutput_envelope convention): the
+    # TABLE_MAP registry collect and the ROWS decode pass both scan
+    # `wal`; without it the per-event encoder executes once per pass
+    wal = data_events.unionByName(control).localCheckpoint()
     names = {"app.events_mysql":
              ["event_id", "user_id", "event_type", "value_cents"]}
     return decode_binlog_changelog(wal, names).select(
@@ -16374,6 +16389,12 @@ def q_pgoutput_binary_decode(spark: SparkSession,
                .distinct().mapInPandas(enc_tx, msg_schema))
     rel_msg = spark.createDataFrame(
         [(0, bytearray(encode_message(rel)))], msg_schema)
+    # NO encode-once cut here (unlike _pgoutput_envelope): with the
+    # registry passed below there is no serial collect pass to save —
+    # the two remaining scans (data + Begin) run as parallel subtrees
+    # of one job, where the duplicated encode costs ~nothing on idle
+    # cores; both eager and lazy localCheckpoints MEASURED SLOWER
+    # (3.94 s plain vs 5.04 eager / 4.59 lazy at sf0.1, min-of-5)
     wal = data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
     # registry passed explicitly (this entry declares `rel` itself):
     # skips the registry collect pass, which would re-run the
