@@ -654,26 +654,44 @@ def scd2_stream(
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             return
         batch = batch.sort_values([ts_col, id_col], kind="stable")
         cur, since_us = state.get if state.exists else (None, None)
-        out: list[tuple] = []
-        for _, row in batch.iterrows():
-            v = row[value_col]
-            t_us = int(row[ts_col].value // 1_000)  # pandas ns -> us
-            if cur is None:
-                cur, since_us = v, t_us
-            elif v != cur:
-                out.append((key[0], cur,
-                            pd.to_datetime(since_us, unit="us"),
-                            pd.to_datetime(t_us, unit="us")))
-                cur, since_us = v, t_us
-        state.update((cur, since_us))
-        if out:
+        # Vectorized run-length fold (the iterrows loop cost ~100x the
+        # arithmetic): prepend the carried (cur, since) state, find the
+        # run boundaries with one shifted comparison, and emit one
+        # closed interval per boundary whose predecessor run is real
+        # (cur=None marks "no carried run" and suppresses emission).
+        v = np.concatenate(
+            ([cur], batch[value_col].to_numpy(dtype=object)))
+        t_us = np.concatenate(
+            ([since_us if since_us is not None else -1],
+             batch[ts_col].to_numpy().astype("datetime64[us]")
+             .astype("int64")))
+        newrun = np.ones(len(v), dtype=bool)
+        newrun[1:] = v[1:] != v[:-1]
+        run_id = np.cumsum(newrun) - 1
+        run_start = t_us[newrun][run_id]  # start us of each row's run
+        emit = newrun.copy()
+        emit[0] = False
+        if cur is None:
+            emit[1] = False  # no carried run to close
+        idx = np.flatnonzero(emit)
+        state.update((v[-1], int(run_start[-1])))
+        if len(idx):
             yield pd.DataFrame(
-                out, columns=["key", "state", "valid_from", "valid_to"])
+                {
+                    "key": [key[0]] * len(idx),
+                    "state": v[idx - 1],
+                    "valid_from": pd.to_datetime(run_start[idx - 1],
+                                                 unit="us"),
+                    "valid_to": pd.to_datetime(t_us[idx], unit="us"),
+                }
+            )
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
