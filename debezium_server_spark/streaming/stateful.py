@@ -454,6 +454,22 @@ def sequence_pattern_matches(
         F.col(type_col).alias("etype"),
         val_col,
     )
+    # JVM-side relevance filter (guide §4.1: pass only what the
+    # function needs): event types outside the pattern's positive
+    # steps and negation guards cannot advance, kill, or start a
+    # partial, so dropping them before the shuffle + Python boundary
+    # is output-preserving — EXCEPT under strict contiguity (any
+    # event kills) and under emit_timeouts (an irrelevant event's ts
+    # can be the only in-batch PROOF that a partial expired; dropping
+    # it could leave the timeout row unemitted when the final
+    # watermark stops short of the deadline). Expiry-by-ts checks are
+    # unaffected: batches are time-range ordered, so any partial a
+    # dropped event would expire is expired by the next kept event's
+    # ts check or was already behind the watermark (equivalence
+    # argued per path; oracle-pinned at three SFs).
+    if mode != "contiguous" and not emit_timeouts:
+        relevant = {s.etype for s in steps}
+        ev = ev.filter(F.col("etype").isin(sorted(relevant)))
     out_schema = T.StructType(
         [
             T.StructField("key", T.LongType()),
@@ -512,10 +528,30 @@ def sequence_pattern_matches(
             progress, first_us = state.get
             partials = [[p, f] for p, f in zip(progress, first_us)]
         matches: list[tuple[Any, Any]] = []
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "etype", "val"], ignore_index=True)
-        for ts, etype, val in zip(batch["ts"], batch["etype"], batch["val"]):
-            ts_us = int(ts.value // 1000)  # pandas ns -> µs
+        # Per-key-batch groups are SMALL (a handful of rows for tens of
+        # thousands of keys), so fixed pandas costs dominate the
+        # automaton: skip the concat for the common single-chunk case
+        # and sort via a purely numeric lexsort (ts int64, etype as
+        # sorted-rank codes — exactly the lexicographic (ts, etype,
+        # val) order sort_values produced) instead of sort_values.
+        import numpy as np
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            events: zip = zip((), (), ())
+        else:
+            batch = (chunks[0] if len(chunks) == 1
+                     else pd.concat(chunks, ignore_index=True))
+            ts_us_a = (batch["ts"].to_numpy().astype("datetime64[us]")
+                       .astype("int64"))
+            et_a = batch["etype"].to_numpy(dtype=object)
+            val_a = batch["val"].to_numpy()
+            uniq = np.unique(et_a)
+            order = np.lexsort(
+                (val_a, np.searchsorted(uniq, et_a), ts_us_a))
+            events = zip(ts_us_a[order].tolist(), et_a[order].tolist(),
+                         val_a[order].tolist())
+        for ts_us, etype, val in events:
             timeouts.extend(pf[1] for pf in partials
                             if ts_us - pf[1] > within_s * 1_000_000)
             partials = [pf for pf in partials
@@ -583,10 +619,10 @@ def sequence_pattern_matches(
             yield pd.DataFrame(
                 {
                     "key": [k] * len(rows),
-                    "start_ts": [pd.Timestamp(s, unit="us")
-                                 for s, _, _, _ in rows],
-                    "end_ts": [pd.Timestamp(e, unit="us")
-                               for _, e, _, _ in rows],
+                    "start_ts": pd.to_datetime(
+                        [s for s, _, _, _ in rows], unit="us"),
+                    "end_ts": pd.to_datetime(
+                        [e for _, e, _, _ in rows], unit="us"),
                     "duration_s": [d for _, _, d, _ in rows],
                     "outcome": [o for _, _, _, o in rows],
                 }
