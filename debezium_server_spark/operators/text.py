@@ -818,9 +818,16 @@ def nb_lang_classifier(
         F.col(label_col).alias("actual"),
         toks.alias("__toks"),
     )
+    # LAZY checkpoints throughout (r08 optimization): the token frames
+    # and the count model each feed several consumers, but an EAGER cut
+    # is a serial driver-side barrier per frame — 4 barriers plus the
+    # two scalar count() actions made one classifier evaluation ~6
+    # serial jobs before the real query started. eager=False keeps the
+    # plan-dedup (each subtree appears once, materialized on first use
+    # inside the SINGLE final action) and drops every barrier.
     t = docs.select(
         "id", F.explode("__toks").alias("tok")
-    ).localCheckpoint()  # token occurrences feed train AND score
+    ).localCheckpoint(eager=False)  # token occurrences feed train AND score
 
     # `train_df` splits training from scoring (holdout evaluation);
     # default trains on the scored frame itself
@@ -831,7 +838,7 @@ def nb_lang_classifier(
         t_train = tr.select(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("tok"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     tl = t_train.join(
         tr.select(F.col(id_col).alias("id"),
                   F.col(label_col).alias("lang")),
@@ -841,31 +848,41 @@ def nb_lang_classifier(
     # log-likelihood table — materialize it once
     cnt = (
         tl.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t_lang"))
-    v = t_train.select("tok").distinct().count()
-    n_docs = tr.count()
+    # vocab size and doc count ride the plan as broadcast 1-row frames
+    # (the oracle's CROSS JOIN vv / nn shape) instead of driver-side
+    # count() actions — two fewer serial passes over the token frame,
+    # identical arithmetic (count DISTINCT ≡ the old distinct().count()
+    # here: the tokenizer emits no NULL tokens)
+    vv = t_train.agg(F.count_distinct(F.col("tok")).alias("v"))
+    nn = tr.agg(F.count(F.lit(1)).alias("n_docs"))
     pri = tr.groupBy(F.col(label_col).alias("lang")).agg(
         F.count("*").alias("n_l"))
     lang_stats = (
         pri.join(tot, "lang")
+        .crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(nn))
         .select(
             "lang",
-            F.floor(F.log(F.col("n_l").cast("double") / F.lit(float(n_docs)))
+            F.floor(F.log(F.col("n_l").cast("double")
+                          / F.col("n_docs").cast("double"))
                     * 1e6).cast("long").alias("prior_u"),
             F.floor(F.log(F.lit(1.0)
-                          / (F.col("t_lang") + F.lit(v)).cast("double"))
+                          / (F.col("t_lang") + F.col("v")).cast("double"))
                     * 1e6).cast("long").alias("unseen_u"),
             "t_lang",
+            "v",
         )
-    ).localCheckpoint()  # |labels| rows, read by the ll table AND scoring
+    ).localCheckpoint(eager=False)  # |labels| rows, read by ll AND scoring
     ll = (
-        cnt.join(F.broadcast(lang_stats.select("lang", "t_lang")), "lang")
+        cnt.join(F.broadcast(lang_stats.select("lang", "t_lang", "v")),
+                 "lang")
         .select(
             "lang", "tok",
             F.floor(F.log((F.col("c") + 1).cast("double")
-                          / (F.col("t_lang") + F.lit(v)).cast("double"))
+                          / (F.col("t_lang") + F.col("v")).cast("double"))
                     * 1e6).cast("long").alias("ll_u"),
         )
     )
