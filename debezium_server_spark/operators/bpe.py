@@ -103,7 +103,11 @@ def bpe_train(
     """Learn `n_merges` BPE merges from the corpus. Returns the ordered
     merge list [(a, b), ...]; ties break on (count desc, a, b) so any
     engine reproduces the same vocabulary."""
-    vocab = word_vocab(df, text_col=text_col).localCheckpoint(eager=True)
+    # LAZY checkpoints: each round's argmax collect is already a driver
+    # barrier, and it materializes (and persists) the current vocab on
+    # the way — an eager checkpoint per round would double the barrier
+    # count for zero extra reuse (the NB/connected-components convention).
+    vocab = word_vocab(df, text_col=text_col).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -116,7 +120,7 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        vocab = _apply_merge(vocab, a, b).localCheckpoint(eager=True)
+        vocab = _apply_merge(vocab, a, b).localCheckpoint(eager=False)
     return merges
 
 
@@ -132,22 +136,36 @@ def bpe_segment(
 
     @F.pandas_udf("array<string>")
     def segment_udf(texts: pd.Series) -> pd.Series:
+        # Segmentation is a pure function of the word, and corpus word
+        # occurrences vastly outnumber DISTINCT words (Heaps' law) — a
+        # per-task memo turns the merge walk into a dict hit for every
+        # repeat occurrence. Bit-identical output; the memo lives only
+        # for the task, so executor memory stays bounded by task vocab.
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(word: str) -> list[str]:
+            cached = memo.get(word)
+            if cached is not None:
+                return cached
+            syms = list(word) + [EOW]
+            for a, b in merge_list:
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            memo[word] = syms
+            return syms
+
         out = []
         for text in texts:
             toks: list[str] = []
             for word in (text or "").lower().split():
-                syms = list(word) + [EOW]
-                for a, b in merge_list:
-                    res, i, n = [], 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
-                toks.extend(syms)
+                toks.extend(seg_word(word))
             out.append(toks)
         return pd.Series(out)
 

@@ -423,16 +423,19 @@ def connected_components(
     # round joins against edges twice — without this checkpoint the
     # upstream pipeline re-executes per round (measured 10× on the
     # catalog's LSH graph).
+    # LAZY checkpoints: the n_nodes count below is the first action and
+    # materializes (and persists) both frames in ONE job — the eager
+    # form paid two extra driver-blocking barriers for the same reuse.
     edges = (
         pairs.select(a, b)
         .union(pairs.select(b.alias("u"), a.alias("v")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # The labels frame is |nodes| rows of two longs. When that is
     # broadcast-sized, hint it on every join: each round becomes two
@@ -546,7 +549,7 @@ def exact_span_matches(
     grams = g.select(
         "id", (F.col("n_toks") - (k - 1)).alias("n_grams"), "pos",
         h40.alias("h"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized inside the final action
 
     # Winnowing fingerprint selection (same arithmetic as
     # text.winnowing_fingerprints) inlined over the shared gram frame.
@@ -723,7 +726,7 @@ def jaccard_prefix_join(
         "id",
         F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
         .alias("tok"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized inside the final action
     sz = t.groupBy("id").agg(F.count("*").alias("len"))
     dfreq = t.groupBy("tok").agg(F.count("*").alias("df"))
     # ceil(tau*len) in exact integer arithmetic: (n*len + d - 1) div d
@@ -816,7 +819,8 @@ def intra_doc_repeat_spans(
         F.posexplode(token_shingles(toks, k)).alias("pos", "gram"),
     )
     h40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
-    grams = g.select("id", "pos", h40.alias("h")).localCheckpoint()
+    grams = g.select("id", "pos", h40.alias("h")).localCheckpoint(
+        eager=False)
     ga = grams.select("id", F.col("pos").alias("pa"), F.col("h").alias("ha"))
     gb = grams.select(
         F.col("id").alias("idb"), F.col("pos").alias("pb"),
@@ -898,7 +902,7 @@ def containment_prefix_join(
         "id", *part,
         F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
         .alias("tok"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sz = t.groupBy("id").agg(F.count("*").alias("len"))
     dfreq = t.groupBy("tok").agg(F.count("*").alias("df"))
     # prefix length |Sa| - ceil(tau*|Sa|) + 1, ceil in exact integers

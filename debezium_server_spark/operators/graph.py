@@ -54,7 +54,7 @@ def transitive_roots(
         F.when(is_root, F.col(id_col)).otherwise(F.col(parent_col)).alias("anc"),
         F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("depth"),
         is_root.alias("done"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # the count below materializes it
 
     # Broadcast the lookup side while it fits (checkpointed frames can
     # over-report sizeInBytes and talk AQE out of it — same lesson as
@@ -86,7 +86,9 @@ def transitive_roots(
                 (F.col("done") | F.coalesce(F.col("l_done"), F.lit(True)))
                 .alias("done"),
             )
-            .localCheckpoint()
+            # lazy: the next round's convergence probe materializes it —
+            # one action per round instead of two
+            .localCheckpoint(eager=False)
         )
     return frame.select("id", F.col("anc").alias("root"), "depth")
 
@@ -126,7 +128,7 @@ def pagerank(
     base = nodes.select(
         F.col(id_col).alias("id"),
         F.col(outdeg_col).cast("long").alias("outdeg"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the final action
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ranks = base.select("id", "outdeg", F.lit(1_000_000).cast("long").alias("rank_micro"))
     for _ in range(iterations):
@@ -146,7 +148,10 @@ def pagerank(
                 (F.lit(150_000).cast("long")
                  + F.expr("85 * coalesce(inflow, 0) DIV 100")).alias("rank_micro"),
             )
-            .localCheckpoint()
+            # lazy: rounds are data-independent, so the WHOLE unrolled
+            # loop runs inside the single final action (zero barriers);
+            # each cut still persists and truncates lineage
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", "rank_micro")
 
@@ -188,7 +193,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized inside the final action
     )
     deg = (
         e.select(F.col("a").alias("id"))
@@ -210,7 +215,7 @@ def triangle_count(
             .alias("o")
         )
         .select("o.u", "o.v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     x = oriented.select(F.col("u"), F.col("v").alias("p"))
     y = oriented.select(F.col("u"), F.col("v").alias("q"))
@@ -221,7 +226,7 @@ def triangle_count(
             e, (F.col("p") == F.col("a")) & (F.col("q") == F.col("b")), "inner"
         )
         .select("u", "p", "q")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     corners = (
         closed.select(F.col("u").alias("id"))
@@ -254,7 +259,7 @@ def bfs_layers(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     frontier = seeds.select(
         F.col(id_col).alias("id"), F.lit(0).cast("int").alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     visited = frontier
     for _ in range(max_hops):
         nxt = (
@@ -264,11 +269,12 @@ def bfs_layers(
             .join(visited.select("id"), "id", "left_anti")
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            # lazy: the isEmpty probe right below materializes it
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
 

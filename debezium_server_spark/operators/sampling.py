@@ -204,7 +204,7 @@ def temperature_mix(
         )
         # feeds two consumers (totals + rates) — cut lineage so the
         # per-stratum aggregate runs once, not once per consumer
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.sum("__mass").cast("long").alias("__total"),
@@ -293,7 +293,7 @@ def dsir_importance_weights(
             F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("ct"),
             F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long").alias("cr"),
         )
-        .localCheckpoint()  # feeds the totals agg AND the λ join
+        .localCheckpoint(eager=False)  # feeds totals agg AND λ join
     )
     tot = per_bucket.agg(
         F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")

@@ -677,7 +677,7 @@ def bigram_interp_logprob(
     bc = (
         bc.withColumn("tok_x", parts.getItem(0))
         .withColumn("tok_y", parts.getItem(1))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ctx = bc.groupBy("tok_x").agg(F.sum("c_b").alias("ctx"))
     uni = (

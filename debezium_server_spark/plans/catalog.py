@@ -4542,7 +4542,7 @@ def q_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = (
         unigram_logprob(load(spark, sf_dir, "documents"))
         .select("doc_id", "n_tokens", F.col("avg_logp_micronats").alias("logp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: both consumers sit in one action
     )
     rng = lp.agg(F.min("logp").alias("lo"), F.max("logp").alias("hi"))
     bucket = F.least(
@@ -4795,7 +4795,7 @@ def q_embedding_semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = (
         semdedup(emb, threshold=0.3, n_cells=16, target_cell_rows=125)
         .select("vec_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: no up-front barrier
     )
     return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
 
@@ -5241,7 +5241,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, emb.filter("vec_id < 10").limit(10), k=5).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the count below materializes it
     lsh = lsh_ann_topk(emb, k=5, query_filter="query_id < 10").select(
         "query_id", "neighbor_id"
     )
@@ -8860,7 +8860,7 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load(spark, sf_dir, "embeddings")
     exact = cosine_topk(emb, emb.filter("vec_id < 10").limit(10), k=5).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the count below materializes it
     possible = exact.count()
     outs = []
     for m in (8, 16, 32):
@@ -9502,10 +9502,13 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the fold ONCE: the final orderBy's range sampler
     # would otherwise execute the Python stage a second time
+    # lazy: the orderBy's range-sampler job is the first pass and
+    # populates the checkpoint; the main job then reuses it — same
+    # single execution of the Python stage, no up-front barrier
     out = clamped_running_balance(
         d, key_col="user_id", ts_col="ts",
         delta_col="delta", cap_value=20000,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
@@ -9649,7 +9652,9 @@ def q_markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_ts", F.lead("ts").over(w))
         .filter(F.col("next_type").isNotNull())
         .select("event_type", "next_type", "next_ts")
-        .localCheckpoint()  # one lead() pass feeds train AND test
+        # one lead() pass feeds train AND test; lazy — both sit in the
+        # single final action, so there is no barrier to pay
+        .localCheckpoint(eager=False)
     )
     train = (
         seq.filter(F.dayofmonth("next_ts") <= 15)
@@ -9780,19 +9785,24 @@ def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("ce"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # Vectorized d2 on the corpus×queries frame (|corpus|·10 rows): the
+    # interpreted HOF zip_with/aggregate form costs ~130 lambda steps per
+    # pair; the Arrow kernel accumulates with the same left fold over
+    # dims (sequential loop), so every double is bit-identical.
+    from debezium_server_spark.operators.similarity import l2_distance_vec
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("d"), F.asc("neighbor_id"))
     exact = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", d2.alias("d"))
+        .select("query_id", "neighbor_id",
+                l2_distance_vec(F.col("qe"), F.col("ce")).alias("d"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        # lazy: dedup of the two consumers happens inside the single
+        # final action — the eager form was a driver-blocking barrier
+        .localCheckpoint(eager=False)
     )
     hits = (
         adc5.join(exact, ["query_id", "neighbor_id"], "left_semi")
@@ -12774,22 +12784,25 @@ def q_batch_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: F.round(x * 1000).cast("long")).alias("q"),
         (2 * (F.col("label") % 2) - 1).cast("long").alias("y"),
     ).localCheckpoint(eager=False)
-    w1 = q.agg(*[F.sum(F.col("y") * F.col("q").getItem(i)).alias(f"w{i}")
+    # All arithmetic is 64-bit-integer exact, so expression SHAPE (not
+    # evaluation order) is the only parity concern — build the 64-wide
+    # sums/dots as single F.expr strings instead of hundreds of nested
+    # Column calls: identical analyzed plan, but DataFrame construction
+    # drops from ~700 py4j round-trips to a handful (construction sits
+    # inside the bench's timed region — the power-iteration cut).
+    w1 = q.agg(*[F.expr(f"sum(y * q[{i}])").alias(f"w{i}")
                  for i in range(64)]).localCheckpoint(eager=False)
-    dot = sum([F.col("q").getItem(i) * F.col(f"w{i}") for i in range(1, 64)],
-              start=F.col("q").getItem(0) * F.col("w0"))
+    dot = F.expr(" + ".join(f"q[{i}] * w{i}" for i in range(64)))
     m2 = (q.crossJoin(F.broadcast(w1))
            .filter(F.col("y") * dot <= 0)
            .select("q", "y"))
-    u2 = m2.agg(*[F.sum(F.col("y") * F.col("q").getItem(i)).alias(f"u{i}")
+    u2 = m2.agg(*[F.expr(f"sum(y * q[{i}])").alias(f"u{i}")
                   for i in range(64)])
     w2 = (w1.crossJoin(F.broadcast(u2))
-            .select(*[(F.col(f"w{i}")
-                       + F.coalesce(F.col(f"u{i}"), F.lit(0)))
-                      .alias(f"w{i}") for i in range(64)])
+            .select(*[F.expr(f"w{i} + coalesce(u{i}, 0)").alias(f"w{i}")
+                      for i in range(64)])
             .localCheckpoint(eager=False))
-    w_l1 = sum([F.abs(F.col(f"w{i}")) for i in range(1, 64)],
-               start=F.abs(F.col("w0")))
+    w_l1 = F.expr(" + ".join(f"abs(w{i})" for i in range(64)))
     return (q.crossJoin(F.broadcast(w2))
              .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
                   F.sum(F.when(F.col("y") * dot <= 0, 1).otherwise(0))
@@ -13636,17 +13649,23 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: F.round(x * 1000).cast("long")).alias("q")
     ).localCheckpoint(eager=False)
 
-    def one_round(vcols: list[F.Column]) -> DataFrame:
-        """vcols: 64 expressions for the current direction (either
+    # All arithmetic is 64-bit-integer exact, so expression SHAPE (not
+    # evaluation order) is the only parity concern — build each 64-wide
+    # expression as ONE F.expr string instead of hundreds of nested
+    # Column calls: identical analyzed plan, but DataFrame construction
+    # drops from ~1k py4j round-trips per round to a handful (the
+    # construction time sits inside the bench's timed region).
+    def one_round(vterms: list[str]) -> DataFrame:
+        """vterms: 64 SQL fragments for the current direction (either
         literals or columns of the broadcast one-row frame)."""
-        w = sum([F.col("q").getItem(i) * vcols[i] for i in range(1, 64)],
-                start=F.col("q").getItem(0) * vcols[0])
+        w = F.expr(" + ".join(
+            f"q[{i}] * {vterms[i]}" for i in range(64)))
         scored = q.select("q", w.alias("w"))
         u = scored.agg(*[
-            F.sum(F.col("q").getItem(i) * F.col("w")).alias(f"u{i}")
-            for i in range(64)
+            F.expr(f"sum(q[{i}] * w)").alias(f"u{i}") for i in range(64)
         ])
-        m = F.greatest(*[F.abs(F.col(f"u{i}")) for i in range(64)])
+        m = F.expr("greatest(" + ", ".join(
+            f"abs(u{i})" for i in range(64)) + ")")
         return u.select(*[
             F.expr(f"u{i} * 1000").alias(f"t{i}") for i in range(64)
         ], m.alias("m")).select(*[
@@ -13654,20 +13673,19 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]).localCheckpoint(eager=False)
 
-    v1 = one_round([F.lit(1000).cast("long")] * 64)
+    v1 = one_round(["CAST(1000 AS BIGINT)"] * 64)
     # round 2 reads v1's columns through a broadcast crossJoin
-    w2 = sum([F.col("q").getItem(i) * F.col(f"v{i}") for i in range(1, 64)],
-             start=F.col("q").getItem(0) * F.col("v0"))
-    scored2 = q.crossJoin(F.broadcast(v1)).select("q", w2.alias("w"))
+    scored2 = q.crossJoin(F.broadcast(v1)).select(
+        "q",
+        F.expr(" + ".join(f"q[{i}] * v{i}" for i in range(64))).alias("w"))
     u2 = scored2.agg(*[
-        F.sum(F.col("q").getItem(i) * F.col("w")).alias(f"u{i}")
-        for i in range(64)
+        F.expr(f"sum(q[{i}] * w)").alias(f"u{i}") for i in range(64)
     ])
-    m2 = F.greatest(*[F.abs(F.col(f"u{i}")) for i in range(64)])
+    m2 = F.expr("greatest(" + ", ".join(
+        f"abs(u{i})" for i in range(64)) + ")")
     final = u2.select(
-        F.posexplode(F.array(*[
-            F.expr(f"u{i}").alias(f"x{i}") for i in range(64)
-        ])).alias("dim", "u"),
+        F.posexplode(F.array(*[F.col(f"u{i}") for i in range(64)]))
+        .alias("dim", "u"),
         m2.alias("m"),
     )
     return final.select(
