@@ -323,7 +323,7 @@ def kcore(
     the frame can only shrink, so round cost is bounded by the first.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized inside the action
     alive = e
     for _ in range(max(rounds, 1)):
         deg = alive.groupBy("u").agg(F.count("*").alias("deg"))

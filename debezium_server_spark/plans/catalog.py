@@ -13017,7 +13017,7 @@ def q_stream_cdc_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("stream_cdc_corpus_card: CDC stream phase "
                                "still running after 300s")
         state = sink.read_table(spark, "corpus.docs").select(
-            "doc_id", "source", "lang", "text").localCheckpoint(eager=True)
+            "doc_id", "source", "lang", "text").localCheckpoint(eager=False)
 
         ingest = CorpusIngestSink(root_path=os.path.join(work, "corpus"))
         for epoch, inc in enumerate((
@@ -15404,15 +15404,16 @@ def _pgoutput_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode, Begin extraction) each scan `wal`; without a cut the
     # per-event Python ENCODERS re-execute once per pass — the plan
     # showed enc_data/enc_tx twice in the final plan plus once for the
-    # registry collect. Materialize the synthesized WAL once (eager
-    # localCheckpoint, ~7 MB at sf0.1) so the encode runs a single
-    # time per evaluation and every decode pass reads the cut
-    # (guide §3.3: materialize an intermediate read by many branches).
-    # On a real capture the WAL bytes are the SOURCE (read from disk),
-    # so this also makes the entry's cost profile match production:
-    # encode-once, decode-per-pass.
+    # registry collect. Materialize the synthesized WAL once (a LAZY
+    # localCheckpoint, ~7 MB at sf0.1: the registry collect is the
+    # first pass and populates it — no extra up-front job) so the
+    # encode runs a single time per evaluation and every decode pass
+    # reads the cut (guide §3.3: materialize an intermediate read by
+    # many branches). On a real capture the WAL bytes are the SOURCE
+    # (read from disk), so this also makes the entry's cost profile
+    # match production: encode-once, decode-per-pass.
     wal = (data_msgs.unionByName(tx_msgs).unionByName(rel_msg)
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     return decode_pgoutput_changelog(wal)
 
 
@@ -15804,8 +15805,9 @@ def q_binlog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, bytearray(encode_event(tmap)))], msg_schema)
     # encode-once cut (the _pgoutput_envelope convention): the
     # TABLE_MAP registry collect and the ROWS decode pass both scan
-    # `wal`; without it the per-event encoder executes once per pass
-    wal = data_events.unionByName(control).localCheckpoint()
+    # `wal`; without it the per-event encoder executes once per pass.
+    # Lazy: the registry collect materializes it — no up-front barrier.
+    wal = data_events.unionByName(control).localCheckpoint(eager=False)
     names = {"app.events_mysql":
              ["event_id", "user_id", "event_type", "value_cents"]}
     return decode_binlog_changelog(wal, names).select(
