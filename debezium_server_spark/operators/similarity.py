@@ -915,88 +915,73 @@ def kmeans_lloyd_integer(
     O(1/scale) per coordinate — irrelevant for clustering, decisive for
     cross-engine verification.
 
-    Distributed shape per round: centroids are k×dim longs of
-    driver-resident control data (the PQ-codebook class — bounded by the
-    structural limit(k) at init and by GROUP BY cell thereafter), shipped
-    to executors in the assignment kernel's closure; assignment is one
-    map-only Arrow-batched pass (argmin over k integer distances — no
-    crossJoin expansion, no shuffle); the update aggregates dim
-    per-dimension sums map-side-combinably in ONE groupBy (no posexplode
-    — the shuffle carries k rows x dim columns, not n x dim rows) and
-    the k-row result is read back for the next round. An empty cell
-    simply drops out of the centroid frame (documented determinism,
-    mirrored by the oracle's GROUP BY).
+    Distributed shape per round: the centroid frame is k rows (bounded by
+    construction — init carries a structural limit(k)), broadcast into a
+    crossJoin, so assignment is one partition-parallel pass; the update
+    aggregates dim per-dimension sums map-side-combinably in ONE groupBy
+    (no posexplode — the shuffle carries k rows x dim columns, not
+    n x dim rows). `rounds` is fixed ⇒ zero driver actions; each round's
+    k-row centroid frame is cut by a LAZY localCheckpoint (the
+    iterative-graph convention — connected_components/graph_kcore do the
+    same) so plan depth and exchange counts stay bounded per round
+    instead of compounding across the unroll. An empty cell simply
+    drops out of the centroid frame (documented determinism, mirrored
+    by the oracle's GROUP BY).
+
+    Measured alternative (r08, rejected): a map-only numpy assignment
+    against driver-collected centroids removes the per-round crossJoin
+    and min-struct shuffle, but needs a driver collect per round —
+    5 actions vs this form's single action — and benched 3.50 s vs
+    2.57 s isolated at sf0.1. The zero-action unroll wins; at cluster
+    scale the k-row broadcast + map-side-combinable update keeps the
+    same shape (nothing here is proportional to corpus size but the
+    one partition-parallel pass per round).
 
     Returns per-cell stats of the final assignment: (cell, n_members,
     inertia) where inertia is the summed integer squared distance.
     """
-    import numpy as np
-
     q = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
             F.col(vec_col).cast("array<double>"),
             lambda x: F.round(x * scale).cast("long"),
         ).alias("q"),
-    ).localCheckpoint(eager=False)  # 3 assignment passes read it
-
-    def assigner(cent_rows):
-        """Map-only argmin assignment against driver-resident centroids
-        (k×dim longs — bounded control data, the PQ-codebook class).
-        Integer arithmetic is EXACT (no accumulation-order rounding), so
-        the numpy kernel is bit-identical to the former per-cell HOF
-        d2 + min(struct(d2, cell)) form; rows sorted by cell id make
-        numpy's first-minimum argmin reproduce the `ties → lower cell
-        id` contract. Replaces a k-way broadcast crossJoin (k·n rows,
-        2·dim interpreted lambda steps each) plus a groupBy(vec_id)
-        min-struct shuffle that carried every vector k times — the
-        assignment now never shuffles at all."""
-        cells = np.asarray([r["cell"] for r in cent_rows], dtype=np.int64)
-        mat = np.asarray([r["c"] for r in cent_rows], dtype=np.int64)
-
-        @F.pandas_udf("struct<cell:bigint,d2:bigint>")
-        def assign_udf(qs: pd.Series) -> pd.DataFrame:
-            x = np.asarray([np.asarray(v, dtype=np.int64) for v in qs])
-            if x.shape[0] == 0:
-                return pd.DataFrame({"cell": [], "d2": []}, dtype="int64")
-            diff = x[:, None, :] - mat[None, :, :]
-            d = (diff * diff).sum(axis=2)  # int64 exact
-            idx = d.argmin(axis=1)  # first min = lowest cell id
-            return pd.DataFrame(
-                {"cell": cells[idx], "d2": d[np.arange(x.shape[0]), idx]}
-            )
-
-        return assign_udf
-
-    # init: first k vectors by id, sorted — k rows of control data
-    cent_rows = sorted(
-        q.filter(F.col("vec_id") < k)
-        .limit(k)  # structural bound: the centroid set can never grow
-        .select(F.col("vec_id").cast("long").alias("cell"), F.col("q").alias("c"))
-        .collect(),
-        key=lambda r: r["cell"],
     )
+    cent = (
+        q.filter(F.col("vec_id") < k)
+        .limit(k)  # structural bound: the broadcast side can never grow
+        .select(F.col("vec_id").cast("long").alias("cell"), F.col("q").alias("c"))
+    )
+
+    def d2_col():
+        return F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     for _ in range(rounds):
-        a = assigner(cent_rows)
-        assigned = q.select(F.col("vec_id"), "q", a(F.col("q")).getField("cell").alias("cell"))
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("__d2", d2_col())
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("__d2", "cell", "q")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.q").alias("q"))
+        )
         sums = assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.col("q").getItem(i)).alias(f"s{i}") for i in range(dim)],
         )
-        # centroid division stays IN-ENGINE (`div` = Spark truncating
-        # integer division, replayed identically by the oracle); the
-        # driver only reads the finished k-row frame back as next
-        # round's control data.
-        cent_rows = sorted(
-            sums.select(
-                "cell",
-                F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("c"),
-            ).collect(),
-            key=lambda r: r["cell"],
-        )
-    a = assigner(cent_rows)
-    final = q.select(a(F.col("q")).alias("m")).select(
-        F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
+        cent = sums.select(
+            "cell",
+            F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("c"),
+        ).localCheckpoint(eager=False)
+    final = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2_col())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("__d2", "cell")).alias("m"))
+        .select(F.col("m.cell").alias("cell"), F.col("m.__d2").alias("d2"))
     )
     return (
         final.groupBy("cell")

@@ -4542,7 +4542,10 @@ def q_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = (
         unigram_logprob(load(spark, sf_dir, "documents"))
         .select("doc_id", "n_tokens", F.col("avg_logp_micronats").alias("logp"))
-        .localCheckpoint(eager=False)  # lazy: both consumers sit in one action
+        # EAGER on purpose (measured r08): lazy re-computed the unigram
+        # pipeline under the min/max broadcast + main consumer pair —
+        # isolated 1.44 s lazy vs 0.88 s eager at sf0.1
+        .localCheckpoint(eager=True)
     )
     rng = lp.agg(F.min("logp").alias("lo"), F.max("logp").alias("hi"))
     bucket = F.least(
@@ -9652,9 +9655,11 @@ def q_markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_ts", F.lead("ts").over(w))
         .filter(F.col("next_type").isNotNull())
         .select("event_type", "next_type", "next_ts")
-        # one lead() pass feeds train AND test; lazy — both sit in the
-        # single final action, so there is no barrier to pay
-        .localCheckpoint(eager=False)
+        # one lead() pass feeds train AND test. EAGER on purpose
+        # (measured r08): with a lazy cut the window pass re-ran under
+        # the train/test consumer pair — isolated 1.13 s lazy vs 0.78 s
+        # eager at sf0.1
+        .localCheckpoint(eager=True)
     )
     train = (
         seq.filter(F.dayofmonth("next_ts") <= 15)
@@ -15806,8 +15811,11 @@ def q_binlog_changelog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode-once cut (the _pgoutput_envelope convention): the
     # TABLE_MAP registry collect and the ROWS decode pass both scan
     # `wal`; without it the per-event encoder executes once per pass.
-    # Lazy: the registry collect materializes it — no up-front barrier.
-    wal = data_events.unionByName(control).localCheckpoint(eager=False)
+    # EAGER on purpose (measured r08): the parallel materialization job
+    # beat the lazy collect-populates-it form 1.86 s vs 2.07 s isolated
+    # (and 2x in full-bench context) — same pattern 6aa7be6 measured
+    # for pgoutput_binary_decode.
+    wal = data_events.unionByName(control).localCheckpoint()
     names = {"app.events_mysql":
              ["event_id", "user_id", "event_type", "value_cents"]}
     return decode_binlog_changelog(wal, names).select(
