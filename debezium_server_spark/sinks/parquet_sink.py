@@ -542,7 +542,11 @@ class ParquetUpsertSink(BaseSink):
         if in_scope is None:
             return 0  # none of the target buckets exist
         survivors = in_scope.join(keys, list(self.key_fields), "left_anti")
-        erased = in_scope.count() - survivors.count()
+        # one action instead of two: the erased rows are exactly the
+        # semi-join complement of the anti-join survivors (keys is
+        # distinct, so the semi/anti pair partitions in_scope)
+        erased = in_scope.join(
+            keys, list(self.key_fields), "left_semi").count()
         erase_epoch = -(table.current_version() + 1)
         table.commit(survivors, erase_epoch, touched_buckets=touched)
         return erased
@@ -560,13 +564,26 @@ class ParquetUpsertSink(BaseSink):
         current = table.read(spark)
         if current is None:
             return 0
-        doomed = current.filter(condition)
-        touched = [r[0] for r in doomed.select(BUCKET_COL).distinct().collect()]
+        # ONE aggregation action replaces the previous THREE (doomed
+        # bucket-list collect + in_scope.count + survivors.count): the
+        # per-bucket stats are ≤ n_buckets control rows. Semantics are
+        # unchanged, including the NULL edge: a bucket is touched only
+        # when the condition is definitively TRUE for some row (`doomed`),
+        # and within a touched bucket every row that is not definitively
+        # kept (condition FALSE) is expired — NULL-condition rows in
+        # untouched buckets survive untouched, exactly as before.
+        cond = F.expr(condition)
+        stats = (current.groupBy(BUCKET_COL)
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.count_if(cond).alias("doomed"),
+                      F.count_if(~cond).alias("kept"))
+                 .collect())
+        touched = sorted(r[BUCKET_COL] for r in stats if r["doomed"] > 0)
         if not touched:
             return 0
-        in_scope = current.filter(F.col(BUCKET_COL).isin(touched))
-        survivors = in_scope.filter(f"NOT ({condition})")
-        expired = in_scope.count() - survivors.count()
+        expired = sum(r["n"] - r["kept"] for r in stats if r["doomed"] > 0)
+        survivors = (current.filter(F.col(BUCKET_COL).isin(touched))
+                     .filter(f"NOT ({condition})"))
         table.commit(survivors, -(table.current_version() + 1),
                      touched_buckets=touched)
         return expired
