@@ -40,7 +40,16 @@ def with_hyperplane_bucket(
     df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64
 ) -> DataFrame:
     """Add `bucket` (int in [0, 2^planes)) = sign pattern of the vector
-    against `planes` fixed hyperplanes, plus `<vec>_d` (double-cast)."""
+    against `planes` fixed hyperplanes, plus `<vec>_d` (double-cast).
+
+    Measured r08 (paired fresh-session A/B, min-of-6): replacing this
+    unrolled HOF chain with an Arrow bucket kernel REGRESSED
+    embedding_cosine_dupes 1.01→1.69 s and ann_recall_eval 2.62→3.12 s
+    (flat on embedding_ann_lsh) — at fixture candidate volumes the
+    Python round-trip outweighs the interpreted fold, and the bucketed
+    self-joins lose the shared-exchange shape. Kept interpreted; the
+    vectorized form lives in git history should corpus-scale volumes
+    ever make it pay."""
     v = F.col(vec_col).cast("array<double>")
     planes_arr = _planes_col(planes, dim)
     bucket = F.lit(0).cast("long")
@@ -615,6 +624,34 @@ def l2_distance_vec(a, b):
         return pd.Series(d)
 
     return _d2(a, b)
+
+
+def maxsim_vec(qv, cv, sub_vectors: int = 4, sub_dim: int = 16):
+    """Arrow-batched ColBERT MaxSim over integer-quantized multi-vectors:
+    score = Σ_i max_j (q_sub_i · c_sub_j) with the 64-dim array sliced
+    into `sub_vectors`×`sub_dim` bags. Bit-identical to the unrolled
+    `greatest(aggregate(zip_with(slice, slice, *), 0L, +))` HOF form BY
+    CONSTRUCTION: every operand is int64 (round(x*1000) quantization), so
+    sums are associative and max/Σ order cannot change the value — no
+    float-rounding parity argument needed. The HOF form pays
+    sub_vectors²·(2·sub_dim+1) interpreted lambda steps per pair (~528
+    for 4×16); this is one einsum per batch. |v| ≤ ~10³ ⇒ dots ≤ ~10⁷,
+    far from int64 overflow."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _ms(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        q = np.asarray([np.asarray(x, dtype=np.int64) for x in qs])
+        c = np.asarray([np.asarray(x, dtype=np.int64) for x in cs])
+        n = q.shape[0]
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        qr = q.reshape(n, sub_vectors, sub_dim)
+        cr = c.reshape(n, sub_vectors, sub_dim)
+        dots = np.einsum("nik,njk->nij", qr, cr)  # (n, i=query, j=doc)
+        return pd.Series(dots.max(axis=2).sum(axis=1))
+
+    return _ms(qv, cv)
 
 
 def assign_cells(

@@ -21,6 +21,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # pandas_udf type hints resolve in module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -13105,7 +13106,18 @@ def _ivf_quantized_assign(spark: SparkSession, sf_dir: str,
                           keep_q: bool = False):
     """Spark twin of `_ivf_assign_sql`: returns (cents, assigned) —
     the 16-row persisted-centroid frame (structural limit) and the
-    broadcast integer-argmin assignment of every vector."""
+    broadcast integer-argmin assignment of every vector.
+
+    Measured r08 (paired fresh-session A/B, min-of-6): a rework that
+    driver-collected the 16 centroids and ran the argmin as one Arrow
+    kernel map pass (bit-exact — all-int64) was FLAT to slightly slower
+    on all four consumer entries (ivf_index_upsert 0.97→1.03 s,
+    centroid_refresh 3.23→3.30 s, outlier_audit 1.16→1.25 s,
+    maxsim_rerank 0.96x) — at fixture scale the crossJoin+min-struct's
+    map-side partial min already reduces the k-fanout before the
+    exchange, and the kernel adds a collect barrier plus a Python
+    round-trip. Kept the zero-collect single-action form; same verdict
+    as the kmeans map-only revert (see kmeans_integer_lloyd)."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -14319,6 +14331,8 @@ def _maxsim_sql() -> str:
 )
 def q_multivector_maxsim_topk(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
+    from debezium_server_spark.operators.similarity import maxsim_vec
+
     emb = load(spark, sf_dir, "embeddings")
     qz = emb.select(
         "vec_id",
@@ -14328,22 +14342,16 @@ def q_multivector_maxsim_topk(spark: SparkSession, sf_dir: str
               .select(F.col("vec_id").alias("query_id"),
                       F.col("v").alias("qv")))
 
-    def dot(i: int, j: int):
-        return F.aggregate(
-            F.zip_with(F.slice("qv", 16 * i + 1, 16),
-                       F.slice("cv", 16 * j + 1, 16),
-                       lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-    maxsim = sum(
-        (F.greatest(*[dot(i, j) for j in range(4)]) for i in range(4)),
-        start=F.lit(0).cast("long"))
+    # MaxSim via the integer Arrow kernel (bit-exact to the unrolled
+    # greatest/dot HOF chain it replaces — all-int64 arithmetic; the
+    # HOF form paid ~528 interpreted lambda steps per corpus pair)
     scored = (
         qz.select(F.col("vec_id").alias("neighbor_id"),
                   F.col("v").alias("cv"))
         .crossJoin(F.broadcast(probes))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", maxsim.alias("maxsim")))
+        .select("query_id", "neighbor_id",
+                maxsim_vec(F.col("qv"), F.col("cv")).alias("maxsim")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("maxsim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -15575,16 +15583,13 @@ def q_multivector_maxsim_rerank(spark: SparkSession, sf_dir: str
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", F.col("vec_id").alias("neighbor_id")))
 
-    def dot(i: int, j: int):
-        return F.aggregate(
-            F.zip_with(F.slice("qv", 16 * i + 1, 16),
-                       F.slice("cv", 16 * j + 1, 16),
-                       lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # MaxSim via the integer Arrow kernel (bit-exact to the unrolled
+    # greatest/dot HOF chain it replaces — all-int64 arithmetic; the
+    # HOF form paid ~528 interpreted lambda steps per pair on BOTH the
+    # pool rerank and the corpus-wide brute audit below)
+    from debezium_server_spark.operators.similarity import maxsim_vec
 
-    maxsim = sum(
-        (F.greatest(*[dot(i, j) for j in range(4)]) for i in range(4)),
-        start=F.lit(0).cast("long"))
+    maxsim = maxsim_vec(F.col("qv"), F.col("cv"))
 
     # stage 2: MaxSim only over the pool
     probes_mv = (mv.filter(F.col("vec_id") < 3).limit(3)

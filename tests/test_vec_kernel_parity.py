@@ -89,3 +89,32 @@ def test_cosine_kernel_bit_identical_to_hof(spark):
     for r in got:
         assert r["k"] == r["h"] or (
             math.isnan(r["k"]) and math.isnan(r["h"])), (r["k"], r["h"])
+
+
+def test_maxsim_kernel_identical_to_hof(spark):
+    from debezium_server_spark.operators.similarity import maxsim_vec
+
+    rng = random.Random(7)
+    rows = [(i,
+             [rng.randint(-1000, 1000) for _ in range(64)],
+             [rng.randint(-1000, 1000) for _ in range(64)])
+            for i in range(128)]
+    df = spark.createDataFrame(
+        rows, "id long, qv array<long>, cv array<long>")
+
+    def dot(i, j):
+        return F.aggregate(
+            F.zip_with(F.slice("qv", 16 * i + 1, 16),
+                       F.slice("cv", 16 * j + 1, 16),
+                       lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    hof = sum(
+        (F.greatest(*[dot(i, j) for j in range(4)]) for i in range(4)),
+        start=F.lit(0).cast("long"))
+    got = df.select(
+        maxsim_vec(F.col("qv"), F.col("cv")).alias("k"),
+        hof.alias("h")).collect()
+    assert len(got) == 128
+    for r in got:
+        assert r["k"] == r["h"], (r["k"], r["h"])
