@@ -66,16 +66,20 @@ def minhash_signatures(
             F.array_distinct(token_shingles(tokens(F.col(text_col)), shingle_k))
         ).alias("__sh"),
     )
-    base = (
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 15), 16, 10).cast("long")
-        % MINHASH_P
-    )
-    hashed = exploded.select(
-        F.col(id_col),
-        *[
-            ((F.lit(_mh_a(j)) * base + F.lit(_mh_b(j))) % MINHASH_P).alias(f"__h{j}")
-            for j in range(num_hashes)
-        ],
+    # SQL strings instead of per-hash Column trees: the K-wide affine
+    # family cost ~100 py4j round-trips PER CONSTRUCTION on the driver
+    # (the corpus sink builds this several times per epoch) — two
+    # selectExpr calls parse everything JVM-side. CollapseProject
+    # inlines __b into each hash, so the physical plan (and therefore
+    # every value) is identical to the old single-projection form.
+    hashed = exploded.selectExpr(
+        f"`{id_col}`",
+        f"CAST(conv(substring(md5(__sh), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_P} AS __b",
+    ).selectExpr(
+        f"`{id_col}`",
+        *[f"({_mh_a(j)} * __b + {_mh_b(j)}) % {MINHASH_P} AS __h{j}"
+          for j in range(num_hashes)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
@@ -100,18 +104,17 @@ def minhash_bands(
         df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         num_hashes=num_hashes,
     )
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            )
-            for b in range(bands)
-        ]
+    # one selectExpr parse instead of ~25 py4j column-builder calls;
+    # expression-identical to the old F.array(F.md5(F.concat_ws(...)))
+    band_sql = ", ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"__m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + "))"
+        for b in range(bands)
     )
-    return sig_df.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_id", "band_hash")
+    return sig_df.selectExpr(
+        f"`{id_col}`",
+        f"posexplode(array({band_sql})) AS (band_id, band_hash)",
     )
 
 

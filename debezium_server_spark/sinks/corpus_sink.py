@@ -29,7 +29,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from debezium_server_spark.operators.dedup import incremental_dedup, minhash_bands
+from debezium_server_spark.operators.dedup import minhash_bands
 from debezium_server_spark.operators.text import quality_classifier
 from debezium_server_spark.sinks.base import BaseSink, register_sink
 
@@ -91,11 +91,31 @@ class CorpusIngestSink(BaseSink):
         ).select("doc_id")
         quality = docs.join(keep_ids, "doc_id", "left_semi")
         # 2. near-dup filter: first against the persisted index, then
-        #    within the batch itself (keep lowest doc_id per band clash)
+        #    within the batch itself (keep lowest doc_id per band clash).
+        #    Bands are a pure function of the document, so the batch is
+        #    MINHASHED EXACTLY ONCE: the index-dedup input, the
+        #    intra-batch clash input, and the appended index rows are
+        #    all id-joins against the same lazily-checkpointed band
+        #    frame (was 3 independent tokenize+md5+minhash subtrees per
+        #    epoch — guide §1.2, don't recompute what you already have).
         index = self._read_index(spark)
+        q_bands = minhash_bands(quality, shingle_k=self.shingle_k).localCheckpoint(
+            eager=False
+        )
         if index is not None:
-            quality = incremental_dedup(quality, index, shingle_k=self.shingle_k)
-        batch_bands = minhash_bands(quality, shingle_k=self.shingle_k)
+            dup_ids = (
+                q_bands.join(
+                    index.select("band_id", "band_hash").distinct(),
+                    ["band_id", "band_hash"],
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            quality = quality.join(dup_ids, "doc_id", "left_anti")
+            batch_bands = q_bands.join(dup_ids, "doc_id", "left_anti")
+        else:
+            batch_bands = q_bands
         first_per_band = batch_bands.groupBy("band_id", "band_hash").agg(
             F.min("doc_id").alias("keep_id")
         )
@@ -112,9 +132,9 @@ class CorpusIngestSink(BaseSink):
         survivors.withColumn("__epoch", F.lit(epoch_id)).write.mode(
             "append"
         ).parquet(self.corpus_path)
-        minhash_bands(survivors, shingle_k=self.shingle_k).write.mode(
-            "append"
-        ).parquet(self.index_path)
+        batch_bands.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("append").parquet(self.index_path)
         tmp = self._marker(epoch_id) + ".tmp"
         with open(tmp, "w") as f:
             f.write("committed")

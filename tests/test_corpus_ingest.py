@@ -54,3 +54,33 @@ def test_corpus_ingest_quality_dedup_and_replay(spark, tmp_path):
     # exact replay of epoch 1 is a committed no-op
     sink(batch2, epoch_id=1)
     assert {r["doc_id"] for r in sink.read_corpus(spark).collect()} == {1, 5}
+
+
+def test_band_index_rows_equal_survivor_bands(spark, tmp_path):
+    """The sink minhashes each batch once and derives the appended index
+    rows by id-joins against that single band frame — the persisted
+    index must therefore equal minhash_bands() recomputed over exactly
+    the persisted corpus docs (bands are a pure function of the text)."""
+    from debezium_server_spark.operators.dedup import minhash_bands
+
+    sink = get_sink("corpus-ingest", root_path=str(tmp_path / "c"), min_logit=0)
+    texts = {
+        1: GOOD,
+        3: GOOD + " with a small tail difference",
+        5: ("completely novel content about engines shuffles and joins "
+            "in the modern data stack for training and evaluation"),
+        7: ("another entirely distinct document describing watermarks "
+            "state stores checkpoints and recovery for streaming systems"),
+    }
+    sink(spark.createDataFrame(
+        [_ev(1, texts[1], 1), _ev(3, texts[3], 2)], SCHEMA), epoch_id=0)
+    sink(spark.createDataFrame(
+        [_ev(5, texts[5], 3), _ev(7, texts[7], 4)], SCHEMA), epoch_id=1)
+
+    corpus = sink.read_corpus(spark).select("doc_id", "text")
+    expected = sorted(
+        tuple(r) for r in minhash_bands(corpus).collect())
+    actual = sorted(
+        tuple(r) for r in
+        spark.read.parquet(str(tmp_path / "c" / "band_index")).collect())
+    assert actual == expected
