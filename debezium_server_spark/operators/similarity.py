@@ -290,16 +290,24 @@ def kmeans_centroids(
     ]
     for _ in range(iterations):
         carr = F.lit(cents)
-        d2 = lambda j: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("vec"), F.get(carr, j), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
         # argmin via array_min + array_position (first match = smallest cell
         # id, the deterministic tiebreak). A nested when-chain here embeds
         # the running `best` in every new branch — 3^k expression nodes at
         # k=16, which stack-overflows the analyzer; the array form is O(k).
-        dists = F.array(*[d2(j) for j in range(k)])
+        # transform over ONE centroid literal instead of k separate
+        # aggregate exprs each inlining F.get(carr, j): the k×dim literal
+        # appeared k times per round in the analyzed plan (k²·dim doubles
+        # for the analyzer/optimizer to walk every iteration) and cost
+        # ~10 py4j calls per cell to build. Same element order, same
+        # zip_with/left-fold arithmetic — values bit-identical.
+        dists = F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("vec"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
         with_d = v.select("vid", "vec", dists.alias("__d"))
         cell = (
             F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1
@@ -464,18 +472,28 @@ def pq_adc_topk(
     )
     luts = []
     for s in range(m):
-        carr = F.lit(codebooks[s])
-        sv = F.col(f"__q{s}")
         # HOF form on purpose: the query side is a handful of rows, so
         # interpretation cost is nil — while the flat unrolled form makes
         # this stage's generated method blow the JVM 64 KB limit and pay
-        # repeated Janino compile failures (~10 s) before falling back
-        d2 = lambda j: F.aggregate(  # noqa: E731
-            F.zip_with(sv, F.get(carr, j), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # repeated Janino compile failures (~10 s) before falling back.
+        # transform over ONE codebook literal (was n_cent separate
+        # aggregate exprs each inlining the k×sub literal — same element
+        # order and left-fold arithmetic, n_cent× smaller plan).
+        sv = F.col(f"__q{s}")
+        # single-parameter lambda only: transform() treats a 2-arg
+        # lambda as (element, index). It also invokes the lambda
+        # EAGERLY while building the expression, so capturing the loop's
+        # current `sv` is safe.
+        luts.append(
+            F.transform(
+                F.lit(codebooks[s]),
+                lambda c: F.aggregate(
+                    F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
         )
-        luts.append(F.array(*[d2(j) for j in range(n_cent)]))
     qlut = qbase.select("query_id", F.array(*luts).alias("lut"))
     scored = (
         codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
