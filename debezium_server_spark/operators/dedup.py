@@ -48,18 +48,54 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _sig_from_base(
+    base_df: DataFrame, id_col: str, num_hashes: int, base_expr: str
+) -> DataFrame:
+    """Shared affine-family + min-aggregate tail of minhash_signatures:
+    `base_expr` (a SQL string over base_df's columns) must evaluate to
+    the md5-derived base int already reduced mod MINHASH_P."""
+    hashed = base_df.selectExpr(
+        f"`{id_col}`", f"{base_expr} AS __b"
+    ).selectExpr(
+        f"`{id_col}`",
+        *[f"({_mh_a(j)} * __b + {_mh_b(j)}) % {MINHASH_P} AS __h{j}"
+          for j in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 12,
+    hashed_base: DataFrame | None = None,
+    base_col: str = "tok",
 ) -> DataFrame:
     """Raw MinHash signatures: (id, __m0..__m{K-1}), __mj = min over the
     doc's distinct shingles of the j-th universal hash. One md5 per
     shingle, K affine hashes per row, map-side-combinable min aggregate
     — the shared signature stage under `minhash_bands` (banded LSH) and
-    the sketch-error audit (per-pair signature agreement)."""
+    the sketch-error audit (per-pair signature agreement).
+
+    `hashed_base`, when given, replaces the tokenize+md5 stage with a
+    pre-built (id, base) shingle frame whose `base_col` is the shared
+    60-bit md5 base — conv(substring(md5(shingle),1,15),16,10) cast to
+    long, the exact value the ngram/PPJoin family explodes. Signatures
+    are bit-identical: __b = base % p commutes with the cast, and a
+    min over a multiset is unchanged by dropping or keeping duplicate
+    elements, so string-level vs hash-level distinct cannot move __mj.
+    This is how entries that already materialize the hashed-shingle
+    frame for an exact-Jaccard side reuse it for the sketch side
+    instead of re-tokenizing the corpus (guide §1.2: don't compute
+    the same pass twice)."""
+    if hashed_base is not None:
+        return _sig_from_base(
+            hashed_base, id_col, num_hashes, f"`{base_col}` % {MINHASH_P}"
+        )
     exploded = df.select(
         F.col(id_col),
         F.explode(
@@ -72,17 +108,10 @@ def minhash_signatures(
     # selectExpr calls parse everything JVM-side. CollapseProject
     # inlines __b into each hash, so the physical plan (and therefore
     # every value) is identical to the old single-projection form.
-    hashed = exploded.selectExpr(
-        f"`{id_col}`",
+    return _sig_from_base(
+        exploded, id_col, num_hashes,
         f"CAST(conv(substring(md5(__sh), 1, 15), 16, 10) AS BIGINT)"
-        f" % {MINHASH_P} AS __b",
-    ).selectExpr(
-        f"`{id_col}`",
-        *[f"({_mh_a(j)} * __b + {_mh_b(j)}) % {MINHASH_P} AS __h{j}"
-          for j in range(num_hashes)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"__h{j}").alias(f"__m{j}") for j in range(num_hashes)]
+        f" % {MINHASH_P}",
     )
 
 
@@ -93,17 +122,25 @@ def minhash_bands(
     shingle_k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    sig_df: DataFrame | None = None,
+    hashed_base: DataFrame | None = None,
+    base_col: str = "tok",
 ) -> DataFrame:
     """Banded MinHash signatures: (id, band_id, band_hash) rows — the
     reusable index half of LSH dedup. Same deterministic hash family as
     `minhash_lsh_pairs`, so signatures built at different times (e.g. a
     persisted corpus index vs today's increment) collide exactly when
-    the band rows agree."""
+    the band rows agree. `sig_df`, when given, is an already-built
+    `minhash_signatures` frame (typically checkpointed by a caller that
+    also consumes the signatures directly) and skips recomputing it;
+    `hashed_base` forwards to minhash_signatures (see there)."""
     rows_per_band = num_hashes // bands
-    sig_df = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
-        num_hashes=num_hashes,
-    )
+    if sig_df is None:
+        sig_df = minhash_signatures(
+            df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, hashed_base=hashed_base,
+            base_col=base_col,
+        )
     # one selectExpr parse instead of ~25 py4j column-builder calls;
     # expression-identical to the old F.array(F.md5(F.concat_ws(...)))
     band_sql = ", ".join(
@@ -160,6 +197,9 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    banded: DataFrame | None = None,
+    hashed_base: DataFrame | None = None,
+    base_col: str = "tok",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash.
 
@@ -181,10 +221,21 @@ def minhash_lsh_pairs(
     # K·|shingle| bytes of digesting per row; the affine family costs two
     # multiplies). p = 2^31−1 keeps a_j·base < 2^62 (no 64-bit overflow),
     # and the identical closed-form constants reproduce in any engine.
-    banded = minhash_bands(
-        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
-        num_hashes=num_hashes, bands=bands,
-    )
+    if banded is None:
+        # Checkpoint the banded frame: the self-join below broadcasts
+        # one side, and a broadcast build is NOT the same exchange as
+        # the probe side's shuffle — no ReusedExchange fires, so
+        # without the cut the whole tokenize→md5→12-affine-hash→min-agg
+        # →band pipeline executes once PER JOIN SIDE (verified in the
+        # committed dedup_minhash_lsh plan: two full Scan→…→Generate
+        # subtrees). Lazy: the broadcast build is the first consumer
+        # and materializes the ≤(docs×bands)-row frame inside its own
+        # job; the probe side then reads the persisted blocks.
+        banded = minhash_bands(
+            df, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, bands=bands, hashed_base=hashed_base,
+            base_col=base_col,
+        ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -206,6 +257,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.2,
     block_cols: tuple[str, ...] = ("lang",),
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on blocked candidates.
 
@@ -225,15 +277,23 @@ def ngram_jaccard_pairs(
     identically). Pairs with zero overlap never materialize — correct,
     since their Jaccard is 0 < threshold.
     """
-    sh_hashed = F.array_distinct(
-        F.transform(
-            token_shingles(tokens(F.col(text_col)), shingle_k),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    if exploded is None:
+        # The hashed-shingle frame feeds FOUR consumers (both sides of
+        # the shingle self-join and the sizes frame joined twice) on
+        # two different keys — checkpoint it once so tokenize/shingle/
+        # md5 runs a single time (the jaccard_prefix_join pattern).
+        # Callers that already materialize this frame for another
+        # pipeline (e.g. a minhash sketch side) pass it in instead.
+        sh_hashed = F.array_distinct(
+            F.transform(
+                token_shingles(tokens(F.col(text_col)), shingle_k),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
         )
-    )
-    exploded = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], F.explode(sh_hashed).alias("sh")
-    )
+        exploded = df.select(
+            F.col(id_col), *[F.col(c) for c in block_cols],
+            F.explode(sh_hashed).alias("sh"),
+        ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     join_cols = ["sh", *block_cols]
@@ -420,7 +480,6 @@ def connected_components(
     `RuntimeWarning` is emitted so callers see the non-fixpoint instead
     of silently consuming under-merged components.
     """
-    a, b = F.col(src).alias("u"), F.col(dst).alias("v")
     # Materialize the edge list ONCE: `pairs` usually carries an
     # expensive lineage (the whole minhash/banding pipeline), and every
     # round joins against edges twice — without this checkpoint the
@@ -429,9 +488,21 @@ def connected_components(
     # LAZY checkpoints: the n_nodes count below is the first action and
     # materializes (and persists) both frames in ONE job — the eager
     # form paid two extra driver-blocking barriers for the same reuse.
+    # Both edge directions come from ONE explode pass over `pairs`
+    # (identical row multiset to the old select-union-select, which
+    # evaluated the pairs subtree once per union branch — union is
+    # UNION ALL, and explode of the 2-struct array emits exactly the
+    # same two rows per pair).
     edges = (
-        pairs.select(a, b)
-        .union(pairs.select(b.alias("u"), a.alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .localCheckpoint(eager=False)
     )
     labels = (

@@ -4968,12 +4968,34 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    # ONE tokenize+md5 pass feeds BOTH methods: the exact n-gram side
+    # consumes (doc_id, lang, sh) directly, and the minhash side derives
+    # its signatures from the same 60-bit base (sh % p — bit-identical
+    # per the hashed_base contract in operators/dedup.py; hash-level vs
+    # string-level distinct cannot move a min). Previously each method
+    # re-tokenized the corpus from scratch.
+    sh_hashed = F.array_distinct(
+        F.transform(
+            token_shingles(tokens(F.col("text")), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+            .cast("long"),
+        )
+    )
+    ex = docs.select(
+        "doc_id", "lang", F.explode(sh_hashed).alias("sh")
+    ).localCheckpoint(eager=False)
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.2, exploded=ex).select("doc_a", "doc_b")
     langs = docs.select("doc_id", "lang")
     pred = (
-        minhash_lsh_pairs(docs)
+        minhash_lsh_pairs(
+            docs,
+            hashed_base=ex.select("doc_id", F.col("sh").alias("tok")))
         .join(langs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")), "doc_a")
         .join(langs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")), "doc_b")
         .filter(F.col("la") == F.col("lb"))
@@ -10326,11 +10348,32 @@ def q_dedup_keep_best_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of the 12-column signature frame.",
 )
 def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from debezium_server_spark.operators.dedup import minhash_signatures
+    from debezium_server_spark.operators.dedup import (
+        minhash_bands, minhash_signatures,
+    )
+    from debezium_server_spark.functions.text_functions import (
+        token_shingles, tokens,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs)
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    # ONE tokenize+md5 pass feeds all three pipelines: the exact-Jaccard
+    # side (t directly), the signature side (sig = affine family over
+    # t's 60-bit base — bit-identical to minhash_signatures(docs), see
+    # the hashed_base contract in operators/dedup.py), and the LSH
+    # candidate side (bands from the SAME checkpointed sig). Previously
+    # the corpus was tokenized+hashed three times (pairs, sig, t).
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            token_shingles(tokens(F.col("text")), 3))).alias("__s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
+        .alias("tok"),
+    ).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        docs, hashed_base=t).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(docs, banded=minhash_bands(docs, sig_df=sig))
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"__m{j}").alias(f"a{j}") for j in range(12)])
     sb = sig.select(F.col("doc_id").alias("doc_b"),
@@ -10343,18 +10386,6 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", n_eq.alias("n_eq"))
     )
-    from debezium_server_spark.functions.text_functions import (
-        token_shingles, tokens,
-    )
-    t = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            token_shingles(tokens(F.col("text")), 3))).alias("__s"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("long")
-        .alias("tok"),
-    ).localCheckpoint(eager=False)
     sz = t.groupBy("doc_id").agg(F.count("*").alias("len"))
     ta = t.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
