@@ -768,9 +768,15 @@ def semdedup(
     cluster; pass `target_cell_rows` to hold cell_size constant as the
     corpus grows (see assign_cells — pinned cells measured quadratic).
     """
+    # Checkpoint the assignment: the same-cell self-join below evaluates
+    # `assigned` once per side (the two sides are not the same exchange
+    # — verified: two full crossJoin+window subtrees in the committed
+    # plan), so without the cut the corpus×centroid distance pass and
+    # its per-vid window shuffle run twice.
     assigned = assign_cells(corpus, n_cells=n_cells, id_col=id_col,
                             vec_col=vec_col,
-                            target_cell_rows=target_cell_rows)
+                            target_cell_rows=target_cell_rows
+                            ).localCheckpoint(eager=False)
     a = assigned.select(F.col("vid").alias("dup_id"), F.col("vec").alias("av"), "cell")
     b = assigned.select(F.col("vid").alias("keep_id"), F.col("vec").alias("bv"), "cell")
     pairs = (

@@ -245,9 +245,14 @@ def chunk_dedup(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.md5(F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " ")),
     )
+    # Checkpoint the chunk-hash frame: `freq` aggregates it and then
+    # arrives at the join as a BroadcastExchange, which is NOT the probe
+    # side's shuffle — no ReusedExchange fires and the tokenize+md5
+    # chunk pass would execute once per consumer (verified: 2 full scan
+    # subtrees in the committed plan).
     per_chunk = df.select(
         F.col(id_col), F.explode(chunks).alias("chunk_hash")
-    )
+    ).localCheckpoint(eager=False)
     # corpus-wide: in how many documents does each chunk occur?
     freq = per_chunk.groupBy("chunk_hash").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs")
@@ -602,6 +607,9 @@ def boilerplate_strip(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(i.alias("pos"), chunk_txt(i).alias("txt")),
     )
+    # Checkpointed for the same reason as chunk_dedup's per_chunk: the
+    # freq aggregate broadcasts into the join, so without the cut the
+    # chunking pass runs once per consumer.
     per_chunk = df.select(
         F.col(id_col), F.explode(chunks).alias("c")
     ).select(
@@ -609,7 +617,7 @@ def boilerplate_strip(
         F.col("c.pos").alias("pos"),
         F.col("c.txt").alias("txt"),
         F.md5(F.col("c.txt")).alias("chunk_hash"),
-    )
+    ).localCheckpoint(eager=False)
     freq = per_chunk.groupBy("chunk_hash").agg(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )

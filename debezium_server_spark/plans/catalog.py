@@ -11077,8 +11077,12 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    # Checkpointed: the distinct basket frame feeds the self-join (both
+    # sides) and the per-item totals (broadcast into two joins) — four
+    # evaluations of the events scan + distinct without the cut
+    # (4 scan subtrees in the committed plan).
     b = ev.select("user_id", F.to_date("ts").alias("day"),
-                  "event_type").distinct()
+                  "event_type").distinct().localCheckpoint(eager=False)
     n = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     p = (b.alias("a")
           .join(b.alias("c"),
@@ -12576,10 +12580,15 @@ def q_media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.select(
         "media_id",
         sum(bit_cols[1:], start=bit_cols[0]).alias("ahash"))
+    # Checkpointed: the banded self-join broadcasts one side, so without
+    # the cut the 60-md5s-per-blob ahash pass — this entry's dominant
+    # cost — executes once per join side (2 full scan subtrees in the
+    # committed plan; the minhash_lsh_pairs pattern).
     bands = h.select(
         "media_id", "ahash",
         F.explode(F.array(*[F.lit(b) for b in range(6)])).alias("b"),
-    ).withColumn("bv", F.expr("shiftright(ahash, 10 * b) & 1023"))
+    ).withColumn("bv", F.expr("shiftright(ahash, 10 * b) & 1023")
+                 ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
                    & (F.col("a.bv") == F.col("b.bv"))
@@ -13993,15 +14002,20 @@ def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from debezium_server_spark.functions.text_functions import tokens as _tk
 
     docs = load(spark, sf_dir, "documents")
+    # Checkpoints: t feeds the exact-survivor window AND the final
+    # per-source rollup; b1 feeds the band-bucket aggregate AND the
+    # clash join. Without the cuts the tokenize+md5 doc pass and the
+    # minhash band pipeline each run once per consumer (7 scan
+    # subtrees in the committed plan; 3 after).
     t = docs.select(
         "doc_id", "source",
         F.size(_tk(F.col("text"))).cast("long").alias("n_toks"),
         F.md5("text").alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("h").orderBy("doc_id")
     s1 = (t.withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") == 1).select("doc_id"))
-    b1 = minhash_bands(docs).join(s1, "doc_id")
+    b1 = minhash_bands(docs).join(s1, "doc_id").localCheckpoint(eager=False)
     f1 = b1.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("keep_id"))
     clash = (b1.join(f1, ["band_id", "band_hash"])
