@@ -125,8 +125,12 @@ class CorpusIngestSink(BaseSink):
             .select("doc_id")
             .distinct()
         )
+        # Lazy: the corpus append below is the first consumer and
+        # materializes survivors inside its own write job; the band
+        # append then reads the persisted blocks — one driver barrier
+        # fewer per epoch than the eager form.
         survivors = quality.join(clash, "doc_id", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         # 3+4. append corpus rows and their bands, then commit the marker
         survivors.withColumn("__epoch", F.lit(epoch_id)).write.mode(
