@@ -100,7 +100,12 @@ def cosine_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        # the corpus×queries crossJoin is a HIGH-VOLUME pair frame
+        # (n·|queries| rows): the Arrow kernel replaces ~200 interpreted
+        # lambda steps per pair, bit-identical by the left-fold parity
+        # argument (see cosine_similarity_vec; pinned by
+        # test_vec_kernel_parity)
+        cosine_similarity_vec(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
