@@ -156,8 +156,16 @@ def main() -> None:
     n_stream = len(stream_all_runs)
     total = batch_total + stream_total
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    # round-8 gate finding: BENCH_DETAIL.json is overwritten by the last
+    # run, so a different-core-count run destroys the per-run samples
+    # that would diagnose an outlier median after the fact. Persist a
+    # per-cpu-count copy alongside (additive; the timed path, stdout
+    # line and BENCH_DETAIL.json contract are unchanged).
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS", "") or str(
+        os.cpu_count() or 0)
+    detail_cpu_path = os.path.join(here, f"BENCH_DETAIL_c{cpus_label}.json")
     # host-drift-free per-entry metric: seconds ÷ the matching probe's
     # seconds (batch probe for batch entries, stream replay probe for
     # stream entries) — unitless multiples of fixed host work, the
@@ -191,15 +199,16 @@ def main() -> None:
         "runs": runs,
         "stream_runs": stream_runs,
     }
-    with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings,
-                   "normalized": normalized,
-                   "normalized_net": normalized_net,
-                   "stream_runs_all": stream_all_runs,
-                   "calibration_runs": [round(c, 3) for c in cal_times],
-                   "batch_calibration_runs": [round(c, 3)
-                                              for c in batch_cal_times]},
-                  f, indent=1)
+    detail_doc = {**summary, "queries": timings,
+                  "normalized": normalized,
+                  "normalized_net": normalized_net,
+                  "stream_runs_all": stream_all_runs,
+                  "calibration_runs": [round(c, 3) for c in cal_times],
+                  "batch_calibration_runs": [round(c, 3)
+                                             for c in batch_cal_times]}
+    for path in (detail_path, detail_cpu_path):
+        with open(path, "w") as f:
+            json.dump(detail_doc, f, indent=1)
 
     # Stdout line: summary + slowest-first inline timings, hard-capped so
     # the whole line fits the driver's 2000-char tail window.
