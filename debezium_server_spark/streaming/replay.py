@@ -158,10 +158,25 @@ def _replay_in_workdir(
     # query that lives ~2 s. Both are replay-only settings (set/restore
     # around query start, captured per-query like shuffle_partitions);
     # long-running production pipelines keep the session defaults.
+    #
+    # checkpointFileManagerClass: Spark 4.1's default checkpoint manager
+    # goes through the FileContext API wrapped in a checksum layer —
+    # measured ~125 ms of offset/commit/state log round-trips per
+    # micro-batch on this harness's tmpfs checkpoints (walCommit +
+    # commitOffsets + latestOffset ≈ 40 ms each). The replay checkpoint
+    # is throwaway per-call state deleted in the caller's finally block,
+    # so its crash-recovery guarantees are irrelevant; the plain
+    # FileSystem-based manager (rename-based atomic writes, no checksum
+    # wrapper) measured the calibration replay 3.33 → 1.92 s median
+    # (8-replay A/B, fresh JVMs, rows identical). Replay-only: durable
+    # production checkpoints keep the engine default.
     _replay_confs = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.streaming.minBatchesToRetain": "2",
         "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+        "spark.sql.streaming.checkpointFileManagerClass":
+            "org.apache.spark.sql.execution.streaming.checkpointing"
+            ".FileSystemBasedCheckpointFileManager",
     }
     prev = {k: spark.conf.get(k, None) for k in _replay_confs}
     for k, v in _replay_confs.items():
