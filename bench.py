@@ -155,6 +155,48 @@ def main() -> None:
 
     n_stream = len(stream_all_runs)
     total = batch_total + stream_total
+
+    # ---- warm overlapped stream series (round-8 verdict item 3) ----
+    # The cold series above charges every replay its full fixed floor
+    # (state-store init + micro-batch machinery + checkpoint IO)
+    # because the driver's methodology times entries one at a time.
+    # Real deployments overlap independent streams (guide §2.6), so ALSO
+    # measure the family once with N replays in flight: per-entry wall
+    # plus the family wall, reported as additional fields — the cold
+    # per-entry numbers and their methodology are untouched, and the
+    # overlapped pass runs strictly AFTER the cold loop so it cannot
+    # contaminate those timings.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from debezium_server_spark.streaming.replay import REPLAY_SESSION_CONFS
+
+    warm_workers = int(os.environ.get("SPARK_GRAFT_STREAM_WARM_WORKERS", "3"))
+    stream_names = list(stream_all_runs)
+    warm_times: dict[str, float] = {}
+    # pre-set the replay confs so concurrent replay_stream calls
+    # set/restore identical values (no cross-thread conf race window)
+    warm_prev = {k: spark.conf.get(k, None) for k in REPLAY_SESSION_CONFS}
+    for k, v in REPLAY_SESSION_CONFS.items():
+        spark.conf.set(k, v)
+
+    def _warm_one(name: str) -> None:
+        spark.sparkContext.setJobDescription(f"warm:{name}")
+        t0 = time.perf_counter()
+        CATALOG[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        warm_times[name] = round(time.perf_counter() - t0, 3)
+
+    t_wall = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=warm_workers) as pool:
+        list(pool.map(_warm_one, stream_names))
+    stream_warm_wall = round(time.perf_counter() - t_wall, 3)
+    for k, v in warm_prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+    print(f"stream warm wall ({warm_workers} workers): "
+          f"{stream_warm_wall}s", file=sys.stderr)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
@@ -198,8 +240,11 @@ def main() -> None:
         "stream_fixed_sec": round(calibration * n_stream, 1),
         "runs": runs,
         "stream_runs": stream_runs,
+        "stream_warm_wall_sec": stream_warm_wall,
+        "stream_warm_workers": warm_workers,
     }
     detail_doc = {**summary, "queries": timings,
+                  "stream_warm": warm_times,
                   "normalized": normalized,
                   "normalized_net": normalized_net,
                   "stream_runs_all": stream_all_runs,

@@ -29,6 +29,39 @@ from pyspark.sql import DataFrame, SparkSession
 #: contract; the scaling harness reads it right after each call.
 LAST_REPLAY_METRICS: dict = {}
 
+#: Replay-only session settings (set around query start, captured
+#: per-query, restored immediately; long-running production pipelines
+#: keep the engine defaults):
+#:
+#: - minBatchesToRetain: the default 100 keeps every delta/offset file
+#:   of a <=5-batch replay — 2 is enough to commit the final batch and
+#:   skips the retention bookkeeping.
+#: - maintenanceInterval: background state-store snapshot/cleanup
+#:   threads are pure overhead for a query that lives ~2 s.
+#: - checkpointFileManagerClass: Spark 4.1's default checkpoint manager
+#:   goes through the FileContext API wrapped in a checksum layer —
+#:   measured ~125 ms of offset/commit/state log round-trips per
+#:   micro-batch on this harness's tmpfs checkpoints (walCommit +
+#:   commitOffsets + latestOffset ≈ 40 ms each). The replay checkpoint
+#:   is throwaway per-call state deleted in the caller's finally block,
+#:   so its crash-recovery guarantees are irrelevant; the plain
+#:   FileSystem-based manager (rename-based atomic writes, no checksum
+#:   wrapper) measured the calibration replay 3.33 → 1.92 s median
+#:   (8-replay A/B, fresh JVMs, rows identical).
+#:
+#: Exported (module-level) so a caller running several replays
+#: CONCURRENTLY can pre-set the same values on the session: the
+#: per-call set/restore below then writes identical values from every
+#: thread and the restore window cannot expose a mid-flight query to
+#: the non-replay defaults.
+REPLAY_SESSION_CONFS: dict[str, str] = {
+    "spark.sql.streaming.minBatchesToRetain": "2",
+    "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
+    "spark.sql.streaming.checkpointFileManagerClass":
+        "org.apache.spark.sql.execution.streaming.checkpointing"
+        ".FileSystemBasedCheckpointFileManager",
+}
+
 
 def replay_stream(
     spark: SparkSession,
@@ -151,33 +184,11 @@ def _replay_in_workdir(
     # (every entry re-sorts, the driver compares sorted). The session
     # value is restored after the query captures its own copy at start.
     #
-    # minBatchesToRetain: the default 100 keeps every delta/offset file
-    # of a <=5-batch replay — 2 is enough to commit the final batch and
-    # skips the retention bookkeeping. maintenanceInterval: background
-    # state-store snapshot/cleanup threads are pure overhead for a
-    # query that lives ~2 s. Both are replay-only settings (set/restore
-    # around query start, captured per-query like shuffle_partitions);
-    # long-running production pipelines keep the session defaults.
-    #
-    # checkpointFileManagerClass: Spark 4.1's default checkpoint manager
-    # goes through the FileContext API wrapped in a checksum layer —
-    # measured ~125 ms of offset/commit/state log round-trips per
-    # micro-batch on this harness's tmpfs checkpoints (walCommit +
-    # commitOffsets + latestOffset ≈ 40 ms each). The replay checkpoint
-    # is throwaway per-call state deleted in the caller's finally block,
-    # so its crash-recovery guarantees are irrelevant; the plain
-    # FileSystem-based manager (rename-based atomic writes, no checksum
-    # wrapper) measured the calibration replay 3.33 → 1.92 s median
-    # (8-replay A/B, fresh JVMs, rows identical). Replay-only: durable
-    # production checkpoints keep the engine default.
-    _replay_confs = {
-        "spark.sql.shuffle.partitions": str(shuffle_partitions),
-        "spark.sql.streaming.minBatchesToRetain": "2",
-        "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
-        "spark.sql.streaming.checkpointFileManagerClass":
-            "org.apache.spark.sql.execution.streaming.checkpointing"
-            ".FileSystemBasedCheckpointFileManager",
-    }
+    # REPLAY_SESSION_CONFS (rationale at the module-level definition)
+    # are replay-only settings, set/restored around query start and
+    # captured per-query exactly like shuffle_partitions.
+    _replay_confs = dict(REPLAY_SESSION_CONFS)
+    _replay_confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     prev = {k: spark.conf.get(k, None) for k in _replay_confs}
     for k, v in _replay_confs.items():
         spark.conf.set(k, v)
