@@ -776,9 +776,12 @@ def jaccard_prefix_join(
 
     Scale shape: prefixes shrink candidate fan-out toward truly
     similar pairs (rare tokens first), every join is equi-keyed
-    (token, then pair), and the exact verify touches only candidate
-    token rows — never |docs|^2. The all-pairs brute force this
-    replaces is the whitelisted-exception shape.
+    (token, then pair), and the exact verify enumerates shared tokens
+    (Σ_tok df·(df-1)/2 rows — the inverted-index verify, the same
+    quadratic exposure the prefix self-join already carries) rather
+    than fanning every candidate pair out by its full token list.
+    The all-pairs brute force this replaces is the
+    whitelisted-exception shape.
     """
     from pyspark.sql.window import Window
 
@@ -826,9 +829,26 @@ def jaccard_prefix_join(
     # barrier at sf0.1: 5.95 s vs 4.36 s total).
     prefix = (
         ordered.filter(F.col("rn") <= p_len)
-        .select("id", "tok", "len")
+        .select("id", "tok", "len", "rn")
         .localCheckpoint(eager=False)
     )
+    # Candidate aggregation with the PPJoin+ POSITIONAL upper bound
+    # (Xiao et al. WWW'08 §4): rn is each document's rank under the
+    # GLOBAL total order (df asc, tok asc) — ties on df are broken by
+    # tok, so the order is total and identical for every document. For
+    # a token t shared by docs a, b at positions (i, j): common tokens
+    # ≤ t lie within a's first i and b's first j tokens (both sides
+    # list tokens in the global order), so there are at most
+    # min(i, j) of them (t included); common tokens > t lie in the
+    # la - i / lb - j suffixes, so at most min(la-i, lb-j). Hence
+    # inter ≤ min(i, j) + min(la-i, lb-j) for EVERY shared prefix
+    # token, and the min over the pair's shared prefix tokens is a
+    # valid overlap upper bound. The verify keeps a pair iff
+    # d·inter ≥ n·(la+lb-inter) ⟺ (d+n)·inter ≥ n·(la+lb); since
+    # inter ≤ ubound, a pair with (d+n)·ubound < n·(la+lb) can never
+    # verify — dropping it before the exact-intersection join is
+    # COMPLETE (pure integers, no float). Pinned against brute force
+    # by test_jaccard_prefix_join_complete_vs_bruteforce.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
@@ -839,17 +859,41 @@ def jaccard_prefix_join(
             <= F.lit(tau_den) * F.least(F.col("a.len"), F.col("b.len"))
         )
         .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"),
-                F.col("a.len").alias("la"), F.col("b.len").alias("lb"))
-        .distinct()
-    )
-    ta = t.select(F.col("id").alias("da"), "tok")
-    tb = t.select(F.col("id").alias("db"), F.col("tok").alias("tok_b"))
-    inter = (
-        cand.join(ta, "da")
-        .join(tb, ["db"])
-        .filter(F.col("tok") == F.col("tok_b"))
+                F.col("a.len").alias("la"), F.col("b.len").alias("lb"),
+                (F.least(F.col("a.rn"), F.col("b.rn"))
+                 + F.least(F.col("a.len") - F.col("a.rn"),
+                           F.col("b.len") - F.col("b.rn"))).alias("ub1"))
         .groupBy("da", "db", "la", "lb")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.min("ub1").alias("ubound"))
+        .filter(
+            F.lit(tau_den + tau_num) * F.col("ubound")
+            >= F.lit(tau_num) * (F.col("la") + F.col("lb"))
+        )
+        .drop("ubound")
+    )
+    # Exact verify by SHARED-TOKEN enumeration instead of per-candidate
+    # token fanout: the old shape joined every candidate pair with BOTH
+    # full token lists (sum(la) over candidates ≈ 21M rows at sf0.1,
+    # through two hash joins + a 4-key aggregate); enumerating shared
+    # tokens via the t⋈t self-join costs Σ_tok df·(df-1)/2 rows
+    # (≈ 1.27M at sf0.1 — 16× fewer) and one (da,db) aggregate.
+    # Value-identical: for any pair, |{tok shared}| is the same count
+    # either way, and every candidate shares ≥1 (prefix) token, so the
+    # inner join to `cand` drops nothing a candidate needed. Hot-token
+    # exposure (Σ df²) is the same quadratic the prefix self-join
+    # above already has — and that one runs on the rarest tokens'
+    # prefixes, which bounds this one too for any corpus where the
+    # threshold keeps prefixes rare-first.
+    shared = (
+        t.alias("x")
+        .join(t.alias("y"), "tok")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("da"), F.col("y.id").alias("db"))
+    )
+    inter = (
+        shared.groupBy("da", "db").agg(F.count("*").alias("inter"))
+        .join(cand, ["da", "db"])
+        .select("da", "db", "la", "lb", "inter")
     )
     u = F.col("la") + F.col("lb") - F.col("inter")
     return (
@@ -1013,6 +1057,14 @@ def containment_prefix_join(
         .select(F.col("a.id").alias("da"), "db", F.col("a.len").alias("la"))
         .distinct()
     )
+    # Verify stays the per-candidate token fanout. The shared-token
+    # enumeration that won 2.2× in jaccard_prefix_join was measured
+    # HERE and rejected: containment's rarest-40% prefixes yield few
+    # candidates, so Σ_cand(la) is small, while the t⋈t enumeration
+    # pays the global Σ_tok df·(df-1)/2 (plus a both-orientations
+    # explode for the asymmetric pair) regardless of candidate count —
+    # paired fresh-session A/B at sf0.1: 3.00/3.33 s (this shape) vs
+    # 4.07/4.30 s (enumeration).
     ta = t.select(F.col("id").alias("da"), "tok")
     tb = t.select(F.col("id").alias("db"), F.col("tok").alias("tok_b"))
     inter = (
