@@ -376,6 +376,7 @@ def sequence_pattern_matches(
     watermark: str = "30 minutes",
     mode: str = "skip_past_match",
     emit_timeouts: bool = False,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming CEP: detect the ordered `pattern` of event types per key,
     completing within `within` of the first matched step, and emit one
@@ -437,6 +438,41 @@ def sequence_pattern_matches(
     past stay unemitted, exactly like unsealed windows. Matches carry
     outcome='match' so one query yields both conversion and
     abandonment streams.
+
+    `key_buckets` groups the automaton state by pmod(xxhash64(key), B)
+    instead of per key (0 forces per-key grouping; None derives
+    B = 16 × spark.sql.shuffle.partitions at build time, scaling with
+    the session rather than a local constant). The per-key fold paid
+    its fixed cost (pandas group-frame build, state ser/de, Arrow
+    framing) once per ACTIVE KEY per micro-batch — tens of thousands
+    of invocations per replay; bucketing pays it once per bucket while
+    the per-event transition logic is unchanged.
+
+    Output-equivalence argument (fuzz-pinned by
+    test_cep_bucket_equivalence, oracle-pinned at three SFs):
+
+    - all events of a key land in one bucket, and within the bucket
+      each key's events are folded in the same (ts, etype-rank, val)
+      order the per-key sort produced — transitions, in-batch expiry
+      (event-ts proofs) and match emission are per-key computations
+      and see identical inputs;
+    - end-of-batch watermark cleanup runs for EVERY key in the bucket
+      (not only keys with events this batch). Per-key grouping reaches
+      the same partials through the EventTimeTimeout phase of the SAME
+      micro-batch, which uses the same batch watermark — so the exact
+      same set of provably-expired partials is dropped (and emitted,
+      under emit_timeouts) either way, only from a different
+      invocation. This also keeps the re-armed bucket timeout
+      (min surviving deadline) strictly above the watermark, which
+      EventTimeTimeout requires;
+    - the bucket timeout fires when the MIN deadline in the bucket
+      passes; the handler expires exactly the partials whose deadline
+      the watermark passed and re-arms to the new min — per-key
+      timeouts partition the identical work by key.
+
+    State per bucket = the bucket's live partials as parallel
+    (key, progress, first_us) arrays — the same O(live partials)
+    bytes, just packed per bucket.
     """
     if mode not in ("skip_past_match", "every_start", "contiguous"):
         raise ValueError(f"unknown mode: {mode!r}")
@@ -486,6 +522,17 @@ def sequence_pattern_matches(
     if mode != "contiguous" and not emit_timeouts:
         relevant = {s.etype for s in steps}
         ev = ev.filter(F.col("etype").isin(sorted(relevant)))
+    if key_buckets is None:
+        spark = stream.sparkSession
+        key_buckets = 16 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8") or "8")
+    if key_buckets > 0:
+        ev = ev.withColumn(
+            "bkt",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(key_buckets)).cast("int"))
+        group_col = "bkt"
+    else:
+        group_col = "key"
     out_schema = T.StructType(
         [
             T.StructField("key", T.LongType()),
@@ -495,166 +542,206 @@ def sequence_pattern_matches(
             T.StructField("outcome", T.StringType()),
         ]
     )
-    # Partials live as parallel arrays (progress[i], first_us[i]); the
-    # single-partial modes keep at most one element, 'every_start' keeps
-    # one per live first-step arrival (bounded by `within` expiry).
+    # Partials live as parallel arrays (keys[i], progress[i],
+    # first_us[i]) — every live partial of the bucket (one key's worth
+    # under per-key grouping). The single-partial modes keep at most
+    # one element per key, 'every_start' one per live first-step
+    # arrival (bounded by `within` expiry).
     state_schema = T.StructType(
         [
+            T.StructField("keys", T.ArrayType(T.LongType())),
             T.StructField("progress", T.ArrayType(T.IntegerType())),
             T.StructField("first_us", T.ArrayType(T.LongType())),
         ]
     )
     n_steps = len(positives)
 
+    within_us = within_s * 1_000_000
+
+    def _emit(match_rows: list, timeout_rows: list):
+        """One output frame from (key, start_us, end_us) match rows and
+        (key, first_us) timeout rows. int64 µs -> M8[us] views instead
+        of pd.to_datetime lists (guide §4.2 — the frame build dominated
+        the per-group cost, measured ~5x: 1.5 ms -> 0.3 ms; duration
+        arithmetic unchanged: (e - s)/1e6, which for timeout rows is
+        exactly float(within_s))."""
+        n_match = len(match_rows)
+        keys_l = [kk for kk, _, _ in match_rows]
+        starts = [s for _, s, _ in match_rows]
+        ends = [e for _, _, e in match_rows]
+        if emit_timeouts and timeout_rows:
+            keys_l += [kk for kk, _ in timeout_rows]
+            starts += [f for _, f in timeout_rows]
+            ends += [f + within_us for _, f in timeout_rows]
+        if not starts:
+            return None
+        s_arr = np.asarray(starts, dtype="int64")
+        e_arr = np.asarray(ends, dtype="int64")
+        return pd.DataFrame(
+            {
+                "key": np.asarray(keys_l, dtype="int64"),
+                "start_ts": s_arr.view("M8[us]"),
+                "end_ts": e_arr.view("M8[us]"),
+                "duration_s": (e_arr - s_arr) / 1e6,
+                "outcome": (["match"] * n_match
+                            + ["timeout"] * (len(s_arr) - n_match)),
+            }
+        )
+
     def advance(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        (k,) = key
-        timeouts: list[int] = []  # first_us of provably-expired partials
         if state.hasTimedOut:
-            # watermark passed every live partial's earliest deadline:
-            # drop the expired ones; keep the rest (every_start can hold
-            # partials with later deadlines).
-            progress, first_us = state.get
+            # watermark passed the bucket's earliest live deadline:
+            # drop exactly the expired partials; keep the rest and
+            # re-arm to their new min deadline.
+            keys_a, progress, first_us = state.get
             wm_us = state.getCurrentWatermarkMs() * 1000
-            live = [(p, f) for p, f in zip(progress, first_us)
-                    if f + within_s * 1_000_000 > wm_us]
-            timeouts.extend(f for _, f in zip(progress, first_us)
-                            if f + within_s * 1_000_000 <= wm_us)
+            live = [(kk, p, f)
+                    for kk, p, f in zip(keys_a, progress, first_us)
+                    if f + within_us > wm_us]
+            dead = sorted(
+                (kk, f) for kk, p, f in zip(keys_a, progress, first_us)
+                if f + within_us <= wm_us)
             if live:
-                state.update(([p for p, _ in live], [f for _, f in live]))
+                state.update(([kk for kk, _, _ in live],
+                              [p for _, p, _ in live],
+                              [f for _, _, f in live]))
                 state.setTimeoutTimestamp(
-                    min(f for _, f in live) // 1000 + within_s * 1000)
+                    min(f for _, _, f in live) // 1000 + within_s * 1000)
             else:
                 state.remove()
-            if emit_timeouts and timeouts:
-                timeouts.sort()
-                # int64 µs -> M8[us] view: no per-element Timestamp
-                # objects (guide §4.2 — the frame build dominated the
-                # per-group cost, measured ~5x: 1.5 ms -> 0.3 ms)
-                t_arr = np.asarray(timeouts, dtype="int64")
-                yield pd.DataFrame(
-                    {
-                        "key": np.full(len(t_arr), k, dtype="int64"),
-                        "start_ts": t_arr.view("M8[us]"),
-                        "end_ts": (t_arr + within_s * 1_000_000)
-                        .view("M8[us]"),
-                        "duration_s": np.full(len(t_arr), float(within_s)),
-                        "outcome": ["timeout"] * len(t_arr),
-                    }
-                )
+            frame = _emit([], dead)
+            if frame is not None:
+                yield frame
             return
-        partials: list[list] = []  # [progress, first_us], first-start order
+        partials_by_key: dict[int, list[list]] = {}
         if state.exists:
-            progress, first_us = state.get
-            partials = [[p, f] for p, f in zip(progress, first_us)]
-        matches: list[tuple[Any, Any]] = []
-        # Per-key-batch groups are SMALL (a handful of rows for tens of
-        # thousands of keys), so fixed pandas costs dominate the
-        # automaton: skip the concat for the common single-chunk case
-        # and sort via a purely numeric lexsort (ts int64, etype as
-        # sorted-rank codes — exactly the lexicographic (ts, etype,
-        # val) order sort_values produced) instead of sort_values.
+            keys_a, progress, first_us = state.get
+            for kk, p, f in zip(keys_a, progress, first_us):
+                partials_by_key.setdefault(kk, []).append([p, f])
+        match_rows: list[tuple] = []    # (key, start_us, end_us)
+        timeout_rows: list[tuple] = []  # (key, first_us)
+        wm_ms = state.getCurrentWatermarkMs()
+        # One pandas/Arrow/lexsort pass per BUCKET instead of per key:
+        # sort by (key, ts, etype-rank, val) — within each key segment
+        # that is exactly the lexicographic (ts, etype, val) order the
+        # per-key fold produced — then run the unchanged per-event
+        # transition loop over each key's segment.
         chunks = [p for p in pdfs if len(p)]
-        if not chunks:
-            events: zip = zip((), (), ())
-        else:
+        if chunks:
             batch = (chunks[0] if len(chunks) == 1
                      else pd.concat(chunks, ignore_index=True))
+            key_a = batch["key"].to_numpy()
             ts_us_a = (batch["ts"].to_numpy().astype("datetime64[us]")
                        .astype("int64"))
             et_a = batch["etype"].to_numpy(dtype=object)
             val_a = batch["val"].to_numpy()
             uniq = np.unique(et_a)
             order = np.lexsort(
-                (val_a, np.searchsorted(uniq, et_a), ts_us_a))
-            events = zip(ts_us_a[order].tolist(), et_a[order].tolist(),
-                         val_a[order].tolist())
-        for ts_us, etype, val in events:
-            timeouts.extend(pf[1] for pf in partials
-                            if ts_us - pf[1] > within_s * 1_000_000)
-            partials = [pf for pf in partials
-                        if ts_us - pf[1] <= within_s * 1_000_000]
-            nxt: list[list] = []
-            consumed = False  # did this event complete a match?
-            for pf in partials:
-                if etype in guards[pf[0]]:
-                    continue  # forbidden type kills the partial (guard
-                    # wins over a same-type positive step); the event
-                    # may still start a fresh one below
-                step = positives[pf[0]]
-                hit = etype == step.etype and (step.where is None
-                                               or step.where(val))
-                if hit:
-                    pf[0] += 1
-                    if pf[0] == n_steps:
-                        matches.append((pf[1], ts_us))
-                        consumed = True
-                    else:
-                        nxt.append(pf)
-                elif mode == "contiguous":
-                    pass  # strict contiguity: any non-matching event
-                    # kills; the event may still start a fresh partial
+                (val_a, np.searchsorted(uniq, et_a), ts_us_a, key_a))
+            k_s = key_a[order].tolist()
+            ts_s = ts_us_a[order].tolist()
+            et_s = et_a[order].tolist()
+            val_s = val_a[order].tolist()
+            i, n_ev = 0, len(k_s)
+            while i < n_ev:
+                k2 = k_s[i]
+                partials = partials_by_key.get(k2, [])
+                matches: list[tuple] = []
+                timeouts: list[int] = []
+                while i < n_ev and k_s[i] == k2:
+                    ts_us, etype, val = ts_s[i], et_s[i], val_s[i]
+                    i += 1
+                    timeouts.extend(pf[1] for pf in partials
+                                    if ts_us - pf[1] > within_us)
+                    partials = [pf for pf in partials
+                                if ts_us - pf[1] <= within_us]
+                    nxt: list[list] = []
+                    consumed = False  # did this event complete a match?
+                    for pf in partials:
+                        if etype in guards[pf[0]]:
+                            continue  # forbidden type kills the partial
+                            # (guard wins over a same-type positive
+                            # step); the event may still start a fresh
+                            # one below
+                        step = positives[pf[0]]
+                        hit = etype == step.etype and (
+                            step.where is None or step.where(val))
+                        if hit:
+                            pf[0] += 1
+                            if pf[0] == n_steps:
+                                matches.append((pf[1], ts_us))
+                                consumed = True
+                            else:
+                                nxt.append(pf)
+                        elif mode == "contiguous":
+                            pass  # strict contiguity: any non-matching
+                            # event kills; the event may still start a
+                            # fresh partial
+                        else:
+                            nxt.append(pf)
+                    partials = nxt
+                    # may this event open a new partial? single-partial
+                    # modes only when the one automaton slot is free AND
+                    # the event was not consumed by a completed match
+                    # (skip PAST the match).
+                    step0 = positives[0]
+                    if (
+                        mode == "every_start"
+                        or (not partials and not consumed)
+                    ) and (
+                        etype == step0.etype
+                        and (step0.where is None or step0.where(val))
+                    ):
+                        if n_steps == 1:
+                            matches.append((ts_us, ts_us))
+                        else:
+                            partials.append([1, ts_us])
+                if partials:
+                    partials_by_key[k2] = partials
                 else:
-                    nxt.append(pf)
-            partials = nxt
-            # may this event open a new partial? single-partial modes
-            # only when the one automaton slot is free AND the event was
-            # not consumed by a completed match (skip PAST the match).
-            step0 = positives[0]
-            if (
-                mode == "every_start" or (not partials and not consumed)
-            ) and (
-                etype == step0.etype
-                and (step0.where is None or step0.where(val))
-            ):
-                if n_steps == 1:
-                    matches.append((ts_us, ts_us))
-                else:
-                    partials.append([1, ts_us])
-        if partials:
-            wm_ms = state.getCurrentWatermarkMs()
-            # a deadline already behind the watermark can never complete
-            # with on-time data — drop now (a timeout in the past is an
-            # engine error on long-span availableNow batches)
-            timeouts.extend(pf[1] for pf in partials
+                    partials_by_key.pop(k2, None)
+                matches.sort()
+                timeouts.sort()
+                match_rows.extend((k2, s, e) for s, e in matches)
+                timeout_rows.extend((k2, f) for f in timeouts)
+        # End-of-batch watermark cleanup for EVERY key in the bucket: a
+        # deadline already behind the watermark can never complete with
+        # on-time data. Per-key grouping reaches the no-event keys'
+        # expired partials through this same micro-batch's
+        # EventTimeTimeout phase (same watermark) — identical drops and
+        # emissions, and the re-armed min deadline below stays strictly
+        # above the watermark as EventTimeTimeout requires.
+        for k2 in list(partials_by_key):
+            plist = partials_by_key[k2]
+            dead_f = sorted(pf[1] for pf in plist
                             if pf[1] // 1000 + within_s * 1000 <= wm_ms)
-            partials = [pf for pf in partials
-                        if pf[1] // 1000 + within_s * 1000 > wm_ms]
-        if partials:
-            state.update(([p for p, _ in partials],
-                          [f for _, f in partials]))
+            if dead_f:
+                timeout_rows.extend((k2, f) for f in dead_f)
+                plist = [pf for pf in plist
+                         if pf[1] // 1000 + within_s * 1000 > wm_ms]
+                if plist:
+                    partials_by_key[k2] = plist
+                else:
+                    del partials_by_key[k2]
+        if partials_by_key:
+            keys_o: list[int] = []
+            prog_o: list[int] = []
+            first_o: list[int] = []
+            for k2, plist in partials_by_key.items():
+                for p, f in plist:
+                    keys_o.append(k2)
+                    prog_o.append(p)
+                    first_o.append(f)
+            state.update((keys_o, prog_o, first_o))
             state.setTimeoutTimestamp(
-                min(f for _, f in partials) // 1000 + within_s * 1000)
+                min(first_o) // 1000 + within_s * 1000)
         elif state.exists:
             state.remove()
-        matches.sort()
-        n_match = len(matches)
-        starts = [s for s, _ in matches]
-        ends = [e for _, e in matches]
-        if emit_timeouts:
-            timeouts.sort()
-            starts += timeouts
-            ends += [f + within_s * 1_000_000 for f in timeouts]
-        if starts:
-            # int64 µs -> M8[us] views instead of pd.to_datetime lists
-            # (guide §4.2 — the output-frame build dominated the
-            # per-group cost, measured ~5x: 1.5 ms -> 0.3 ms; duration
-            # arithmetic is unchanged: (e - s)/1e6, which for timeout
-            # rows is exactly float(within_s) since e - s is the exact
-            # integer within_s * 1_000_000)
-            s_arr = np.asarray(starts, dtype="int64")
-            e_arr = np.asarray(ends, dtype="int64")
-            yield pd.DataFrame(
-                {
-                    "key": np.full(len(s_arr), k, dtype="int64"),
-                    "start_ts": s_arr.view("M8[us]"),
-                    "end_ts": e_arr.view("M8[us]"),
-                    "duration_s": (e_arr - s_arr) / 1e6,
-                    "outcome": (["match"] * n_match
-                                + ["timeout"] * (len(s_arr) - n_match)),
-                }
-            )
+        frame = _emit(match_rows, timeout_rows)
+        if frame is not None:
+            yield frame
 
-    return ev.groupBy("key").applyInPandasWithState(
+    return ev.groupBy(group_col).applyInPandasWithState(
         advance,
         outputStructType=out_schema,
         stateStructType=state_schema,
