@@ -42,6 +42,7 @@ def exactly_once_dedup(
     stream: DataFrame,
     key_cols: list[str],
     order_cols: list[str] | None = None,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Emit only the FIRST event ever seen for each key, across all
     micro-batches (state persists in the checkpoint). Rows must share the
@@ -56,8 +57,77 @@ def exactly_once_dedup(
     time-range batched and `order_cols` leads with the event-time column
     (the key's globally-minimal row is then guaranteed to live in its
     first batch, and equal order values never straddle a range split).
+
+    With `order_cols`, `key_buckets` groups state by
+    pmod(xxhash64(keys), B) instead of per key (0 forces per-key; None
+    derives B = 16 × shuffle partitions at build time), amortizing the
+    applyInPandasWithState per-group fixed cost across the bucket's
+    keys; state becomes the bucket's seen keys as typed arrays (one
+    per key column). Value-identical under `order_cols`: the winner
+    per key is the lexsort minimum over the same rows (a global
+    lexsort by (order_cols) visited in order, taking each unseen key's
+    first row, IS that key's lexicographic minimum). Without
+    `order_cols` the winner is batch ARRIVAL order, which grouping
+    changes — so the arrival-order path always stays per-key.
     """
     out_schema = stream.schema
+    if key_buckets is None:
+        spark = stream.sparkSession
+        key_buckets = 16 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8") or "8")
+    if not order_cols:
+        key_buckets = 0  # arrival-order winner: grouping must stay per-key
+
+    if key_buckets > 0:
+        state_schema = T.StructType([
+            T.StructField(f"k{i}", T.ArrayType(stream.schema[c].dataType))
+            for i, c in enumerate(key_cols)
+        ])
+        src = stream.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+                   F.lit(key_buckets)).cast("int"))
+
+        def fn(
+            key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            chunks = [p.drop(columns="__bkt") for p in pdfs if len(p)]
+            if not chunks:
+                return
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
+            seen: set = set()
+            if state.exists:
+                seen = set(zip(*state.get))
+            keys = []
+            for c in reversed(order_cols):
+                a = pdf[c].to_numpy()
+                if a.dtype.kind == "M":
+                    a = a.astype("datetime64[us]").astype("int64")
+                keys.append(a)
+            order = np.lexsort(keys)
+            kcols = [pdf[c].to_numpy(dtype=object) for c in key_cols]
+            take: list[int] = []
+            for i in order.tolist():
+                kt = tuple(col[i] for col in kcols)
+                if kt not in seen:
+                    seen.add(kt)
+                    take.append(i)
+            if not take:
+                return
+            state.update(tuple(
+                [kt[j] for kt in sorted(seen)] for j in range(len(key_cols))
+            ))
+            yield pdf.iloc[take]
+
+        return src.groupBy("__bkt").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
     state_schema = T.StructType([T.StructField("seen", T.LongType())])
 
     def fn(
@@ -104,11 +174,26 @@ def exactly_once_dedup(
 
 
 def running_key_stats(
-    stream: DataFrame, key_col: str, value_col: str
+    stream: DataFrame, key_col: str, value_col: str,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Per-key running (count, sum, max) across micro-batches — the
     metrics-accumulator shape (DebeziumMetrics.java:106-153) as a real
-    distributed operator. Emits one updated row per key per batch."""
+    distributed operator. Emits one updated row per key per batch.
+
+    `key_buckets` groups state by pmod(xxhash64(key), B) instead of per
+    key (0 forces per-key; None derives B = 16 × shuffle partitions at
+    build time) — the sequence_pattern_matches amortization: the fixed
+    applyInPandasWithState per-group cost is paid once per bucket per
+    batch. Counts and maxima are order-free; sums accumulate each key's
+    batch rows in arrival order (stable sort by key, then a sequential
+    left-fold per segment via np.add.reduceat). Only keys with events
+    this batch emit — exactly the per-key invocation set (NoTimeout: no
+    other invocations exist). Float caveat, irrelevant to
+    integer-valued streams like the catalog's cents column: the per-key
+    fold summed with pandas' pairwise algorithm, the segment left-fold
+    is sequential — float sums can differ in the last ulp.
+    """
     out_schema = T.StructType(
         [
             T.StructField("key", T.StringType()),
@@ -119,43 +204,99 @@ def running_key_stats(
     )
     state_schema = T.StructType(
         [
-            T.StructField("n", T.LongType()),
-            T.StructField("s", T.DoubleType()),
-            T.StructField("m", T.DoubleType()),
+            T.StructField("keys", T.ArrayType(T.StringType())),
+            T.StructField("n", T.ArrayType(T.LongType())),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("m", T.ArrayType(T.DoubleType())),
         ]
     )
+    src = stream.select(
+        F.col(key_col).cast("string").alias("key"), value_col)
+    if key_buckets is None:
+        spark = stream.sparkSession
+        key_buckets = 16 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8") or "8")
+    if key_buckets > 0:
+        src = src.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(key_buckets))
+            .cast("int"))
+        group_col = "__bkt"
+    else:
+        group_col = "key"
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
-        for pdf in pdfs:
-            v = pdf[value_col]
-            n += int(len(v))
-            s += float(v.sum()) if len(v) else 0.0
-            m = max(m, float(v.max())) if len(v) else m
-        state.update((n, s, m))
-        # typed ndarray columns skip pandas' row-dict inference — this
-        # frame is built once per key per batch (guide §4.2)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        batch = (chunks[0] if len(chunks) == 1
+                 else pd.concat(chunks, ignore_index=True))
+        st_keys: list = []
+        st_n: list = []
+        st_s: list = []
+        st_m: list = []
+        if state.exists:
+            st_keys, st_n, st_s, st_m = (list(a) for a in state.get)
+        st_map = {kk: i for i, kk in enumerate(st_keys)}
+        k_a = batch["key"].to_numpy(dtype=object)
+        order = np.argsort(k_a, kind="stable")
+        k_sorted = k_a[order]
+        v_sorted = batch[value_col].to_numpy()[order].astype("float64")
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], k_sorted[1:] != k_sorted[:-1])))
+        seg_end = np.concatenate((seg_start[1:], [len(k_sorted)]))
+        # vectorized per-segment aggregates (one reduceat per stat
+        # instead of a pandas slice per key)
+        seg_n = (seg_end - seg_start).tolist()
+        seg_s = np.add.reduceat(v_sorted, seg_start).tolist()
+        seg_m = np.maximum.reduceat(v_sorted, seg_start).tolist()
+        out_k: list = []
+        out_n: list = []
+        out_s: list = []
+        out_m: list = []
+        for j, a in enumerate(seg_start.tolist()):
+            kk = k_sorted[a]
+            if kk in st_map:
+                i = st_map[kk]
+                n, s, m = st_n[i], st_s[i], st_m[i]
+            else:
+                i = None
+                n, s, m = 0, 0.0, float("-inf")
+            n += int(seg_n[j])
+            s += float(seg_s[j])
+            m = max(m, float(seg_m[j]))
+            if i is None:
+                st_map[kk] = len(st_keys)
+                st_keys.append(kk)
+                st_n.append(n)
+                st_s.append(s)
+                st_m.append(m)
+            else:
+                st_n[i], st_s[i], st_m[i] = n, s, m
+            out_k.append(kk)
+            out_n.append(n)
+            out_s.append(s)
+            out_m.append(m)
+        state.update((st_keys, st_n, st_s, st_m))
+        # typed ndarray columns skip pandas' row-dict inference — one
+        # frame per bucket per batch (guide §4.2)
         yield pd.DataFrame(
             {
-                "key": np.array([key[0]], dtype=object),
-                "n_events": np.array([n], dtype="int64"),
-                "total": np.array([s], dtype="float64"),
-                "peak": np.array([m], dtype="float64"),
+                "key": np.array(out_k, dtype=object),
+                "n_events": np.array(out_n, dtype="int64"),
+                "total": np.array(out_s, dtype="float64"),
+                "peak": np.array(out_m, dtype="float64"),
             }
         )
 
-    return (
-        stream.select(F.col(key_col).cast("string").alias("key"), value_col)
-        .groupBy("key")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return src.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -765,6 +906,7 @@ def scd2_stream(
     value_col: str,
     ts_col: str = "ts",
     id_col: str = "event_id",
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming SCD Type-2 builder — the dimension-history operator a
     CDC feed materializes (a Debezium upsert stream becoming a
@@ -788,6 +930,20 @@ def scd2_stream(
     no-op updates). The OPEN (current) version per key is never
     emitted: under append output it is not final until the stream ends.
     Output: (key, state, valid_from, valid_to).
+
+    `key_buckets` groups state by pmod(xxhash64(key), B) instead of per
+    key (0 forces per-key; None derives B = 16 × shuffle partitions at
+    build time) — the same amortization as sequence_pattern_matches:
+    the per-group fixed cost (frame build, state ser/de, Arrow framing)
+    is paid once per bucket per batch, and the run-length fold below is
+    vectorized ACROSS keys: rows sort by (key, ts, id), a key change
+    forces a run boundary, each key's carried (cur, since) state is
+    injected as a virtual row at its segment start (cur=None = "no
+    carried run", suppressing the first emission exactly as before),
+    and emissions require the predecessor row to be same-key and real.
+    Per key the produced intervals and the carried state are
+    bit-identical to the per-key fold (pinned by
+    test_scd2_bucket_equivalence and the sf0.001/0.01/0.1 oracle).
     """
     out_schema = T.StructType([
         T.StructField("key", T.LongType()),
@@ -796,9 +952,23 @@ def scd2_stream(
         T.StructField("valid_to", T.TimestampType()),
     ])
     state_schema = T.StructType([
-        T.StructField("cur", T.StringType()),
-        T.StructField("since_us", T.LongType()),
+        T.StructField("keys", T.ArrayType(T.LongType())),
+        T.StructField("cur", T.ArrayType(T.StringType())),
+        T.StructField("since_us", T.ArrayType(T.LongType())),
     ])
+    if key_buckets is None:
+        spark = stream.sparkSession
+        key_buckets = 16 * int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8") or "8")
+    src = stream
+    if key_buckets > 0:
+        src = src.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(key_buckets))
+            .cast("int"))
+        group_col = "__bkt"
+    else:
+        group_col = key_col
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -808,45 +978,80 @@ def scd2_stream(
             return
         batch = (chunks[0] if len(chunks) == 1
                  else pd.concat(chunks, ignore_index=True))
-        # lexsort over the two key arrays instead of a whole-frame
-        # sort_values (guide §4.2): only the value and ts columns are
-        # consumed below, so sort their arrays directly — same stable
-        # (ts, id) order
+        # state of the bucket's keys, carried forward untouched for
+        # keys without events this batch
+        st_keys: list[int] = []
+        st_cur: list = []
+        st_since: list[int] = []
+        if state.exists:
+            st_keys, st_cur, st_since = (list(a) for a in state.get)
+        st_map = {kk: i for i, kk in enumerate(st_keys)}
+        # one lexsort per bucket: (key, ts, id) — per-key segments see
+        # the identical stable (ts, id) order the per-key fold used
         ts_raw = (batch[ts_col].to_numpy().astype("datetime64[us]")
                   .astype("int64"))
-        order = np.lexsort((batch[id_col].to_numpy(), ts_raw))
-        cur, since_us = state.get if state.exists else (None, None)
-        # Vectorized run-length fold (the iterrows loop cost ~100x the
-        # arithmetic): prepend the carried (cur, since) state, find the
-        # run boundaries with one shifted comparison, and emit one
-        # closed interval per boundary whose predecessor run is real
-        # (cur=None marks "no carried run" and suppresses emission).
-        v = np.concatenate(
-            ([cur], batch[value_col].to_numpy(dtype=object)[order]))
-        t_us = np.concatenate(
-            ([since_us if since_us is not None else -1], ts_raw[order]))
-        newrun = np.ones(len(v), dtype=bool)
-        newrun[1:] = v[1:] != v[:-1]
+        k_raw = batch[key_col].to_numpy()
+        order = np.lexsort((batch[id_col].to_numpy(), ts_raw, k_raw))
+        k = k_raw[order]
+        v_b = batch[value_col].to_numpy(dtype=object)[order]
+        t_b = ts_raw[order]
+        # virtual carried-state row at each key-segment start
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1])))
+        seg_keys = k[seg_start]
+        vcur = np.array(
+            [st_cur[st_map[kk]] if kk in st_map else None
+             for kk in seg_keys.tolist()], dtype=object)
+        vsince = np.array(
+            [st_since[st_map[kk]] if kk in st_map else -1
+             for kk in seg_keys.tolist()], dtype="int64")
+        k2 = np.insert(k, seg_start, seg_keys)
+        v2 = np.insert(v_b, seg_start, vcur)
+        t2 = np.insert(t_b, seg_start, vsince)
+        # virtual-row positions in the merged arrays, and which of them
+        # carry NO real run (cur is None)
+        vpos = seg_start + np.arange(len(seg_start))
+        none_vpos = vpos[np.array([c is None for c in vcur.tolist()],
+                                  dtype=bool)] if len(vpos) else vpos
+        prev_real = np.ones(len(k2), dtype=bool)
+        prev_real[0] = False
+        if len(none_vpos):
+            prev_real[none_vpos + 1] = False  # prev row is a None-cur
+            # virtual: nothing to close
+        samekey_prev = np.zeros(len(k2), dtype=bool)
+        samekey_prev[1:] = k2[1:] == k2[:-1]
+        newrun = np.ones(len(k2), dtype=bool)
+        newrun[1:] = (v2[1:] != v2[:-1]) | ~samekey_prev[1:]
         run_id = np.cumsum(newrun) - 1
-        run_start = t_us[newrun][run_id]  # start us of each row's run
-        emit = newrun.copy()
-        emit[0] = False
-        if cur is None:
-            emit[1] = False  # no carried run to close
+        run_start = t2[newrun][run_id]
+        emit = newrun & samekey_prev & prev_real
         idx = np.flatnonzero(emit)
-        state.update((v[-1], int(run_start[-1])))
+        # new state per key = last merged row of its segment
+        # segment i spans merged positions [vpos[i], vpos[i+1]-1]
+        seg_end = np.concatenate((vpos[1:] - 1, [len(k2) - 1]))
+        for kk, e in zip(seg_keys.tolist(), list(seg_end)):
+            val, start = v2[e], int(run_start[e])
+            if kk in st_map:
+                i = st_map[kk]
+                st_cur[i], st_since[i] = val, start
+            else:
+                st_map[kk] = len(st_keys)
+                st_keys.append(kk)
+                st_cur.append(val)
+                st_since.append(start)
+        state.update((st_keys, st_cur, st_since))
         if len(idx):
             # int64 µs -> M8[us] views, no pd.to_datetime (guide §4.2)
             yield pd.DataFrame(
                 {
-                    "key": np.full(len(idx), key[0], dtype="int64"),
-                    "state": v[idx - 1],
+                    "key": k2[idx].astype("int64"),
+                    "state": v2[idx - 1],
                     "valid_from": run_start[idx - 1].view("M8[us]"),
-                    "valid_to": t_us[idx].view("M8[us]"),
+                    "valid_to": t2[idx].view("M8[us]"),
                 }
             )
 
-    return stream.groupBy(key_col).applyInPandasWithState(
+    return src.groupBy(group_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
